@@ -1,13 +1,134 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.b1AggPricing(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b1_agg_pricing" -> (Relational.b1AggPricing _),
+    "b2_join_topn" -> (Relational.b2JoinTopn _),
+    "b3_multi_join" -> (Relational.b3MultiJoin _),
+    "b4_semi_anti_join" -> (Relational.b4SemiAntiJoin _),
+    "b5_window_rank" -> (Relational.b5WindowRank _),
+    "b6_rollup" -> (Relational.b6Rollup _),
+    "b7_pivot" -> (Relational.b7Pivot _),
+    "b8_set_ops" -> (Relational.b8SetOps _),
+    "b9_percentiles" -> (Relational.b9Percentiles _),
+    "b10_string_date" -> (Relational.b10StringDate _),
+    "b11_scalar_subquery" -> (Relational.b11ScalarSubquery _),
+    "b12_approx_sketch" -> (Relational.b12ApproxSketch _)
+  )
+
+  /** DuckDB-runnable oracle SQL per query (same column names as the
+    * Spark result — the driver's compare sorts columns by name).
+    * Non-SQL-expressible queries are omitted → weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "b1_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "b2_join_topn" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "b3_multi_join" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+    "b4_semi_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    "b5_window_rank" ->
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |        ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                           ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |      FROM orders)
+        |WHERE rk <= 3""".stripMargin,
+    "b6_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "b7_pivot" ->
+      """SELECT user_id,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+        |FROM events
+        |GROUP BY user_id""".stripMargin,
+    "b8_set_ops" ->
+      """WITH high_value AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000),
+        |     urgent AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |     tagged AS (
+        |       SELECT o_orderkey, 'both' AS tag FROM (SELECT * FROM high_value INTERSECT SELECT * FROM urgent)
+        |       UNION ALL
+        |       SELECT o_orderkey, 'high_only' AS tag FROM (SELECT * FROM high_value EXCEPT SELECT * FROM urgent))
+        |SELECT tag, COUNT(*) AS n FROM tagged GROUP BY tag""".stripMargin,
+    "b9_percentiles" ->
+      """WITH ranked AS (
+        |  SELECT c_mktsegment, c_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM customer),
+        |nd AS (SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations FROM customer GROUP BY c_mktsegment),
+        |med AS (SELECT c_mktsegment, c_acctbal AS median_bal FROM ranked WHERE rn = CEIL(n * 0.5)),
+        |p90 AS (SELECT c_mktsegment, c_acctbal AS p90_bal FROM ranked WHERE rn = CEIL(n * 0.9))
+        |SELECT c_mktsegment, n_nations, median_bal, p90_bal
+        |FROM nd JOIN med USING (c_mktsegment) JOIN p90 USING (c_mktsegment)""".stripMargin,
+    "b10_string_date" ->
+      """SELECT date_trunc('month', CAST(ts AS TIMESTAMP)) AS month, upper(event_type) AS etype,
+        |  SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+        |  COUNT(*) AS n
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+    "b11_scalar_subquery" ->
+      """WITH class_avg AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, COUNT(*) AS n_above
+        |FROM orders JOIN class_avg ON o_orderpriority = prio
+        |WHERE o_totalprice > avg_price * 1.5
+        |GROUP BY o_orderpriority""".stripMargin
+  )
 }

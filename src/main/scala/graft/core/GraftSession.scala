@@ -1,0 +1,39 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned SparkSession factory for the graft engine.
+  *
+  * Local testing runs `local[N]`; the settings below are the ones that
+  * matter identically on a 1000-executor cluster: AQE (runtime
+  * coalescing + skew-join splitting), partition sizing, and broadcast
+  * threshold. `shufflePartitions` should be ~2-3x total cores on a real
+  * cluster; here it defaults to the local core count.
+  */
+object GraftSession {
+
+  def builder(
+      master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors()
+  ): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      // events.ts is parquet TIMESTAMP(NANOS): read as long nanos, see Tables.events
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def getOrCreate(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational / OLAP operator coverage (SURVEY.md §2 B-series).
+  *
+  * Every query is declared with the DataFrame API so Catalyst handles
+  * pushdown, pruning and join planning. Money aggregations cast each
+  * value to DECIMAL before summing: the sum is then exact and
+  * independent of partition/merge order (a double sum is not), which
+  * makes results reproducible across any cluster size; the final value
+  * is cast back to double for a stable output schema.
+  */
+object Relational {
+
+  /** Exact, order-independent sum of a money expression. The input is a
+    * 2-decimal-valued double; casting it to DECIMAL(18,2) recovers the
+    * exact value, so the sum is exact and identical on any engine and
+    * any partitioning.
+    */
+  private def moneySum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Exact revenue term: extendedprice × (1 − discount), computed in
+    * decimal end-to-end. Double products cast to decimal round
+    * differently across engines (shortest-repr vs exact-value rounding);
+    * decimal×decimal is exact, so every engine agrees.
+    */
+  private def discPrice: org.apache.spark.sql.Column =
+    col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)"))
+
+  private def charge: org.apache.spark.sql.Column =
+    discPrice * (lit(1).cast("decimal(3,2)") + col("l_tax").cast("decimal(3,2)"))
+
+  /** B1: Q1-style pricing summary — single scan, grouped multi-aggregate.
+    * Scale: map-side partial aggregation over 6 groups; no shuffle of raw
+    * rows, only partials. Filter + 7-column projection push to the scan.
+    */
+  def b1AggPricing(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order")
+      )
+
+  /** B2: Q3-style shipping-priority — 3-way join, agg, deterministic top-10.
+    * Scale: customer filter prunes before the join; orders↔lineitem is the
+    * big shuffle join on orderkey; AQE splits skew. Top-N is a
+    * TakeOrdered, not a global sort.
+    */
+  def b2JoinTopn(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, sfDir).filter(col("o_orderdate") < lit("1998-01-01"))
+    val li = Tables.lineitem(spark, sfDir).filter(col("l_shipdate") > lit("1998-01-01"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** B3: Q5-style local-supplier volume — 6-table join through the
+    * region→nation hierarchy. Scale: region/nation/supplier/customer are
+    * broadcast dims; only orders↔lineitem shuffles.
+    */
+  def b3MultiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val supp = Tables.supplier(spark, sfDir)
+    val ord = Tables
+      .orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+    val li = Tables.lineitem(spark, sfDir)
+
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(
+        broadcast(cust),
+        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey")
+      )
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+  }
+
+  /** B4: semi + anti join — customers with an urgent order and no F-status
+    * order. Scale: both are shuffle-free broadcast-able existence joins;
+    * Spark plans LeftSemi/LeftAnti with no row duplication.
+    */
+  def b4SemiAntiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val urgent = Tables.orders(spark, sfDir).filter(col("o_orderpriority") === "1-URGENT")
+    val fStatus = Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "F")
+    cust
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(fStatus, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** B5: window-function top-k — 3 highest-value orders per priority class.
+    * Scale: single shuffle on the partition key; rank computed within
+    * sorted partitions, no global sort.
+    */
+  def b5WindowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables
+      .orders(spark, sfDir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** B6: ROLLUP over (returnflag, linestatus) — grouping-sets aggregation.
+    * Scale: Spark expands grouping sets map-side then partially
+    * aggregates; one shuffle.
+    */
+  def b6Rollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(moneySum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** B7: pivot event_type → columns (conditional aggregation form, which
+    * is exactly what Spark compiles pivot into). Scale: one shuffle on
+    * user_id, counters fold map-side.
+    */
+  def b7Pivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    def cnt(t: String) = count(when(col("event_type") === t, 1)).as(s"n_$t")
+    ev.groupBy(col("user_id"))
+      .agg(cnt("view"), cnt("click"), cnt("purchase"), cnt("signup"), cnt("error"))
+  }
+
+  /** B8: set operations — high-value vs urgent order keys. */
+  def b8SetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val highValue = ord.filter(col("o_totalprice") > 200000).select(col("o_orderkey"))
+    val urgent = ord.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val both = highValue.intersect(urgent).withColumn("tag", lit("both"))
+    val highOnly = highValue.except(urgent).withColumn("tag", lit("high_only"))
+    both.unionByName(highOnly).groupBy(col("tag")).agg(count(lit(1)).as("n"))
+  }
+
+  /** B9: exact discrete percentiles + distinct counts per market segment.
+    * Quantiles are picked as the value at rank ceil(p*n) — a value from
+    * the data, no interpolation arithmetic — so the result is bit-exact
+    * and engine-independent. One shuffle on the segment key.
+    */
+  def b9Percentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
+    val ranked = cust
+      .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("c_mktsegment"))))
+    val med = ranked
+      .filter(col("rn") === ceil(col("n") * 0.5))
+      .select(col("c_mktsegment"), col("c_acctbal").as("median_bal"))
+    val p90 = ranked
+      .filter(col("rn") === ceil(col("n") * 0.9))
+      .select(col("c_mktsegment"), col("c_acctbal").as("p90_bal"))
+    val nd = cust
+      .groupBy(col("c_mktsegment"))
+      .agg(count_distinct(col("c_nationkey")).as("n_nations"))
+    nd.join(med, Seq("c_mktsegment")).join(p90, Seq("c_mktsegment"))
+  }
+
+  /** B10: string/date battery — regexp extraction from the JSON-ish props
+    * payload + month bucketing. All codegen'd built-ins, no UDFs.
+    */
+  def b10StringDate(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .events(spark, sfDir)
+      .select(
+        date_trunc("month", col("ts")).as("month"),
+        upper(col("event_type")).as("etype"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k")
+      )
+      .groupBy(col("month"), col("etype"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+
+  /** B11: scalar + correlated-style subquery — orders above their
+    * priority class's average price. Declared as a join against the
+    * per-class aggregate (what Catalyst de-correlates subqueries into).
+    */
+  def b11ScalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val classAvg = ord
+      .groupBy(col("o_orderpriority").as("prio"))
+      .agg((moneySum(col("o_totalprice")) / count(lit(1))).as("avg_price"))
+    ord
+      .join(broadcast(classAvg), col("o_orderpriority") === col("prio"))
+      .filter(col("o_totalprice") > col("avg_price") * 1.5)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_above"))
+  }
+
+  /** B12: sketches — approx distinct users + approx value quantiles per
+    * event type. Not bit-equal across engines (rows-only check); the
+    * point is the sketch mergeability: HLL partials merge associatively,
+    * so this is one shuffle of tiny sketch buffers at any scale.
+    */
+  def b12ApproxSketch(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        expr("approx_percentile(value, array(0.5, 0.99), 1000)").as("value_q")
+      )
+      .select(
+        col("event_type"),
+        col("approx_users"),
+        col("value_q").getItem(0).as("p50"),
+        col("value_q").getItem(1).as("p99")
+      )
+}

@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+
+/** Table loaders over the driver-generated parquet star schema.
+  *
+  * Each loader is a plain parquet scan: column pruning and predicate
+  * pushdown happen in Catalyst, so callers `select`/`filter` freely and
+  * the scan reads only what the query needs. At 100 TB these would be
+  * partitioned/bucketed tables behind a catalog; the API is the same.
+  */
+object Tables {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark has
+    * no native type for. We read it as long (see the `nanosAsLong` conf
+    * in [[graft.core.GraftSession]]) and truncate to microseconds —
+    * the same truncation DuckDB applies casting TIMESTAMP_NS→TIMESTAMP —
+    * so both engines see identical event times.
+    */
+  def events(s: SparkSession, d: String): DataFrame =
+    table(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: read Verify.scala's
+parquet dumps, run each oracle SQL in DuckDB over the same sf dir, and
+compare (sort columns by name, sort rows, value-compare). Dev tool only —
+the graft library itself is pure Scala/Spark."""
+import json, sys, math
+import duckdb
+import pandas as pd
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def cell_eq(a, b):
+    if pd.isna(a) and pd.isna(b):
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            return a == b or math.isclose(float(a), float(b), rel_tol=0, abs_tol=0)
+        except (TypeError, ValueError):
+            return False
+    return a == b
+
+fails = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        spark_df = pd.read_parquet(f"{out_dir}/{name}")
+        duck_df = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: load/exec error: {e}")
+        fails += 1
+        continue
+    s, d = canon(spark_df), canon(duck_df)
+    if list(s.columns) != list(d.columns):
+        print(f"FAIL {name}: columns spark={list(s.columns)} duck={list(d.columns)}")
+        fails += 1
+        continue
+    if len(s) != len(d):
+        print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}")
+        fails += 1
+        continue
+    mismatch = None
+    for col in s.columns:
+        sv, dv = s[col].tolist(), d[col].tolist()
+        for i, (a, b) in enumerate(zip(sv, dv)):
+            if not cell_eq(a, b):
+                mismatch = (col, i, a, b)
+                break
+        if mismatch:
+            break
+    if mismatch:
+        col, i, a, b = mismatch
+        print(f"FAIL {name}: value mismatch col={col} row={i} spark={a!r} duck={b!r}")
+        print(f"  spark dtypes: {dict(s.dtypes.astype(str))}")
+        print(f"  duck  dtypes: {dict(d.dtypes.astype(str))}")
+        fails += 1
+    else:
+        print(f"OK   {name}: {len(s)} rows")
+
+# rows-only queries (no oracle)
+import os
+for name in sorted(os.listdir(out_dir)):
+    p = os.path.join(out_dir, name)
+    if os.path.isdir(p) and name not in oracle:
+        n = len(pd.read_parquet(p))
+        print(f"{'OK  ' if n > 0 else 'FAIL'} {name}: rows-only check, {n} rows")
+        if n == 0:
+            fails += 1
+
+sys.exit(1 if fails else 0)
