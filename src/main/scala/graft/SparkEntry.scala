@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{EventStreamOps, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -13,6 +13,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_dedup_windowed" -> (EventStreamOps.a1DedupWindowed _),
+    "a2_clickstream_join" -> (EventStreamOps.a2ClickstreamJoin _),
+    "a3_selectkey_repartition" -> (EventStreamOps.a3SelectKeyRepartition _),
+    "a4_windowed_reduce" -> (EventStreamOps.a4WindowedReduce _),
+    "a5_hopping_window" -> (EventStreamOps.a5HoppingWindow _),
+    "a6_session_window" -> (EventStreamOps.a6SessionWindow _),
+    "a7_stream_enrich_dim" -> (EventStreamOps.a7StreamEnrichDim _),
+    "a8_event_time_stats" -> (EventStreamOps.a8EventTimeStats _),
     "b1_agg_pricing" -> (Relational.b1AggPricing _),
     "b2_join_topn" -> (Relational.b2JoinTopn _),
     "b3_multi_join" -> (Relational.b3MultiJoin _),
@@ -32,6 +40,72 @@ object SparkEntry {
     * Non-SQL-expressible queries are omitted → weaker rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
+    "a1_dedup_windowed" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+        |w AS (SELECT *, epoch_ms(CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 900) * 900 AS BIGINT) * 1000) AS window_start FROM ev),
+        |ranked AS (SELECT user_id, event_type, window_start, event_id, ts,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id, event_type, window_start ORDER BY ts, event_id) AS rn FROM w)
+        |SELECT user_id, event_type, window_start, event_id AS kept_event_id, ts AS kept_ts
+        |FROM ranked WHERE rn = 1""".stripMargin,
+    "a2_clickstream_join" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+        |clicks AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM ev WHERE event_type = 'click'),
+        |views AS (SELECT event_id AS v_id, user_id AS v_user, ts AS v_ts FROM ev WHERE event_type = 'view'),
+        |ranked AS (
+        |  SELECT c.click_id, v.v_id, v.v_ts,
+        |         ROW_NUMBER() OVER (PARTITION BY c.click_id ORDER BY v.v_ts DESC, v.v_id DESC) AS rn
+        |  FROM clicks c JOIN views v ON c.user_id = v.v_user
+        |   AND v.v_ts <= c.click_ts AND v.v_ts >= c.click_ts - INTERVAL 10 MINUTE)
+        |SELECT c.click_id, c.user_id, c.click_ts, b.v_id AS view_id, b.v_ts AS view_ts
+        |FROM clicks c LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) b USING (click_id)""".stripMargin,
+    "a3_selectkey_repartition" ->
+      """SELECT event_type || '#' || CAST(user_id % 7 AS VARCHAR) AS part_key,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "a4_windowed_reduce" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+        |w AS (SELECT *, epoch_ms(CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600) * 3600 AS BIGINT) * 1000) AS window_start FROM ev),
+        |ranked AS (SELECT user_id, window_start, event_id, event_type,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id, window_start ORDER BY ts, event_id) AS rn FROM w)
+        |SELECT user_id, window_start, event_id AS first_event_id, event_type AS first_event_type
+        |FROM ranked WHERE rn = 1""".stripMargin,
+    "a5_hopping_window" ->
+      """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |hop AS (SELECT ev.*, k FROM ev CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k))
+        |SELECT epoch_ms(CAST((floor(CAST(floor(epoch(ts)) AS BIGINT) / 900) - k) * 900 * 1000 AS BIGINT)) AS window_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM hop GROUP BY 1, 2""".stripMargin,
+    "a6_session_window" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) >= 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM ev),
+        |sessions AS (
+        |  SELECT user_id, ts, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS last_event_ts, COUNT(*) AS n_events
+        |FROM sessions GROUP BY user_id, session_seq""".stripMargin,
+    "a7_stream_enrich_dim" ->
+      """SELECT COALESCE(c_mktsegment, 'unknown') AS segment, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+    "a8_event_time_stats" ->
+      """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events),
+        |wm AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) - 600 AS wm_sec FROM ev),
+        |w AS (SELECT *, floor(CAST(floor(epoch(ts)) AS BIGINT) / 900) * 900 AS ws_sec FROM ev)
+        |SELECT epoch_ms(CAST(ws_sec * 1000 AS BIGINT)) AS window_start, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w, wm WHERE ws_sec + 900 <= wm_sec
+        |GROUP BY 1""".stripMargin,
     "b1_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

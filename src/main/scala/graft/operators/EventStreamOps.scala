@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Batch re-expressions of the reference's stream semantics
+  * (SURVEY.md §2 A-series), so the DuckDB oracle can verify the exact
+  * window/join/dedup behavior that the streaming module
+  * ([[graft.streaming]]) applies incrementally.
+  *
+  * Reference: /root/reference/src/main/scala/example —
+  * DeduplicationExample.scala (windowed first-wins dedup),
+  * ClickstreamJoinExample.scala (windowed left join, selectKey
+  * repartitioning, windowed reduce).
+  *
+  * Design notes for 100 TB: every operator is a single hash shuffle on
+  * its key; "first/last per group" is expressed as `min/max(struct(...))`
+  * rather than `row_number`, because struct-min folds map-side (partial
+  * aggregation) instead of requiring a full sort of each partition.
+  */
+object EventStreamOps {
+
+  /** Tumbling-window start: floor(epoch_seconds / width) * width, the
+    * same alignment Spark's `window()` uses, spelled explicitly so the
+    * oracle SQL can reproduce it bit-for-bit.
+    */
+  private def windowStart(ts: Column, widthSec: Int): Column =
+    timestamp_seconds(floor(unix_timestamp(ts) / widthSec) * widthSec)
+
+  private def sumValue: Column = sum(col("value").cast("decimal(18,2)")).cast("double")
+
+  /** A1: windowed first-wins dedup — DeduplicationExample.scala:126-142.
+    * Keep the earliest event per (user_id, event_type) in each 15-min
+    * tumbling window; `min(struct(ts, event_id, value))` is the
+    * map-side-combinable form of the reference's WindowStore guard.
+    */
+  def a1DedupWindowed(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .events(spark, sfDir)
+      .withColumn("window_start", windowStart(col("ts"), 900))
+      .groupBy(col("user_id"), col("event_type"), col("window_start"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("first"))
+      .select(
+        col("user_id"),
+        col("event_type"),
+        col("window_start"),
+        col("first.event_id").as("kept_event_id"),
+        col("first.ts").as("kept_ts")
+      )
+
+  /** A2: windowed left join — ClickstreamJoinExample.scala:222-234 and
+    * the Processor-API variant at :333-352. Each 'click' is enriched
+    * with the latest 'view' by the same user within the preceding
+    * 10 minutes; clicks with no view in the window keep null view
+    * columns (the reference's `EvPv(ev, None, None)` branch).
+    * Scale: both sides shuffle once on user_id; the range predicate is
+    * evaluated inside the sort-merge join, and the best-match reduction
+    * is a struct-max partial agg, not a per-click sort.
+    */
+  def a2ClickstreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val views = ev
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+
+    val best = clicks
+      .join(
+        views,
+        col("user_id") === col("v_user") &&
+          col("v_ts") <= col("click_ts") &&
+          col("v_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES")
+      )
+      .groupBy(col("click_id"))
+      .agg(max(struct(col("v_ts"), col("v_id"))).as("best"))
+      .select(
+        col("click_id").as("m_click_id"),
+        col("best.v_id").as("view_id"),
+        col("best.v_ts").as("view_ts")
+      )
+
+    clicks
+      .join(best, col("click_id") === col("m_click_id"), "left")
+      .select(col("click_id"), col("user_id"), col("click_ts"), col("view_id"), col("view_ts"))
+  }
+
+  /** A3: selectKey + repartition — ClickstreamJoinExample.scala:208-219.
+    * Derive a new key from the record and aggregate on it; in Spark the
+    * repartition IS the groupBy shuffle, there is no separate re-key
+    * materialization (Kafka Streams writes an internal topic here).
+    */
+  def a3SelectKeyRepartition(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .events(spark, sfDir)
+      .select(
+        concat(col("event_type"), lit("#"), (col("user_id") % 7).cast("string")).as("part_key"),
+        col("value")
+      )
+      .groupBy(col("part_key"))
+      .agg(count(lit(1)).as("n"), sumValue.as("sum_value"))
+
+  /** A4: tumbling-window group-reduce, first-wins —
+    * ClickstreamJoinExample.scala:243-257 (`reduce((a, _) => a)`).
+    * First event per user per 1-hour window.
+    */
+  def a4WindowedReduce(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .events(spark, sfDir)
+      .withColumn("window_start", windowStart(col("ts"), 3600))
+      .groupBy(col("user_id"), col("window_start"))
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type"))).as("first"))
+      .select(
+        col("user_id"),
+        col("window_start"),
+        col("first.event_id").as("first_event_id"),
+        col("first.event_type").as("first_event_type")
+      )
+
+  /** A5: hopping-window aggregation (1 h window, 15 min hop) — the
+    * `TimeWindows.of(...).advanceBy(...)` surface. Each event lands in 4
+    * windows; the explode is map-side and the aggregate still folds
+    * partially before the single shuffle.
+    */
+  def a5HoppingWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .events(spark, sfDir)
+      .select(col("ts"), col("event_type"), col("value"))
+      .withColumn("k", explode(array((0 until 4).map(lit): _*)))
+      .withColumn(
+        "window_start",
+        timestamp_seconds((floor(unix_timestamp(col("ts")) / 900) - col("k")) * 900)
+      )
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValue.as("sum_value"))
+
+  /** A6: session windows (30-min inactivity gap) per user — the
+    * SessionWindows surface. Expressed as gaps-and-islands so the
+    * semantics are explicit: a new session starts when the gap from the
+    * previous event reaches the timeout. One shuffle on user_id; the
+    * per-user sort is bounded by the user's own event count.
+    */
+  def a6SessionWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(spark, sfDir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(
+          col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") >= 1800,
+          1
+        ).otherwise(0)
+      )
+      .withColumn("session_seq", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("last_event_ts"),
+        count(lit(1)).as("n_events")
+      )
+  }
+
+  /** A7: stream-table enrichment join — the KTable/GlobalKTable join
+    * surface. The customer dim is broadcast: no shuffle of the event
+    * stream at all, which is the only plan that survives 100 TB of
+    * events against a small dimension.
+    */
+  def a7StreamEnrichDim(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_mktsegment"))
+    Tables
+      .events(spark, sfDir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+      .groupBy(coalesce(col("c_mktsegment"), lit("unknown")).as("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumValue.as("sum_value"))
+  }
+
+  /** A8: event-time windowed stats behind a watermark — only 15-min
+    * windows that are fully closed 10 minutes before the stream's max
+    * event time are emitted (the batch shape of
+    * `withWatermark("ts", "10 minutes")` + append-mode window agg).
+    */
+  def a8EventTimeStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val wm = ev.agg((max(unix_timestamp(col("ts"))) - 600).as("wm_sec"))
+    ev.withColumn("ws_sec", floor(unix_timestamp(col("ts")) / 900) * 900)
+      .join(broadcast(wm))
+      .filter(col("ws_sec") + 900 <= col("wm_sec"))
+      .groupBy(timestamp_seconds(col("ws_sec")).as("window_start"))
+      .agg(
+        count(lit(1)).as("n"),
+        count_distinct(col("user_id")).as("n_users"),
+        sumValue.as("sum_value")
+      )
+  }
+}
