@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.TextDedup.{MinHashParams, ShingleSize, JaccardNum, JaccardDen, SimHashBits, HammingMax}
+
+/** Generates the DuckDB oracle SQL for the hash-heavy C-series
+  * operators from the SAME constants the Spark pipelines use
+  * (TextDedup.MinHashParams etc.), so pipeline and oracle can never
+  * drift apart.
+  */
+object OracleGen {
+
+  private val n1 = ShingleSize - 1
+
+  /** Shared CTEs: docs → distinct word-5-gram shingles. */
+  private val shingleCtes: String =
+    s"""docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+       |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |  generate_series(1, greatest(len(w) - $n1, 0)),
+       |  i -> array_to_string(w[i:i+$n1], ' ')))) AS s FROM docs)""".stripMargin
+
+  private val jaccardTail: String =
+    s"""n AS (SELECT doc_id, count(*) ns FROM sh0 GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |          FROM sh0 a JOIN sh0 b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)""".stripMargin
+
+  val c2NgramJaccard: String =
+    s"""WITH $shingleCtes,
+       |$jaccardTail
+       |SELECT doc_a, doc_b, common, CAST(common AS DOUBLE) / (na.ns + nb.ns - common) AS jaccard
+       |FROM pairs JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+       |WHERE common * $JaccardDen >= (na.ns + nb.ns - common) * $JaccardNum""".stripMargin
+
+  val c3MinHashLsh: String = {
+    import MinHashParams._
+    val minCols = (0 until NumPerms)
+      .map(j => s"min((h * ${A(j)} + ${B(j)}) % $P) AS m$j")
+      .mkString(", ")
+    val bandSelects = (0 until Bands)
+      .map { b =>
+        val ms = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}").mkString(", ")
+        s"SELECT doc_id, $b AS band_idx, md5(concat_ws('_', $ms)) AS bkey FROM sig"
+      }
+      .mkString(" UNION ALL ")
+    s"""WITH $shingleCtes,
+       |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h FROM sh0),
+       |sig AS (SELECT doc_id, $minCols FROM h GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |$jaccardTail
+       |SELECT doc_a, doc_b, common, CAST(common AS DOUBLE) / (na.ns + nb.ns - common) AS jaccard
+       |FROM pairs JOIN cand USING (doc_a, doc_b)
+       |  JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+       |WHERE common * $JaccardDen >= (na.ns + nb.ns - common) * $JaccardNum""".stripMargin
+  }
+
+  val c4SimHash: String = {
+    val voteCols = (0 until SimHashBits)
+      .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN cnt ELSE -cnt END) AS v$i")
+      .mkString(", ")
+    val shiftSum = (0 until SimHashBits)
+      .map(i => s"(CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+       |tok AS (SELECT doc_id, unnest(w) AS t FROM docs),
+       |tc AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
+       |h AS (SELECT doc_id, cnt, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tc),
+       |votes AS (SELECT doc_id, $voteCols FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($shiftSum AS BIGINT) AS simhash FROM votes)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax""".stripMargin
+  }
+
+  val c11Fingerprint: String =
+    s"""WITH $shingleCtes,
+       |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h FROM sh0)
+       |SELECT doc_id, min(h) AS fp_min, CAST(SUM(h) % ${MinHashParams.P} AS BIGINT) AS fp_sum
+       |FROM h GROUP BY doc_id""".stripMargin
+}

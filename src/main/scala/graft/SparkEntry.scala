@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{EventStreamOps, Relational}
+import graft.operators.{EventStreamOps, Multimodal, Relational, TextAnalysis, TextDedup, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -32,7 +32,19 @@ object SparkEntry {
     "b9_percentiles" -> (Relational.b9Percentiles _),
     "b10_string_date" -> (Relational.b10StringDate _),
     "b11_scalar_subquery" -> (Relational.b11ScalarSubquery _),
-    "b12_approx_sketch" -> (Relational.b12ApproxSketch _)
+    "b12_approx_sketch" -> (Relational.b12ApproxSketch _),
+    "c1_dedup_exact" -> (TextDedup.c1DedupExact _),
+    "c2_dedup_ngram_jaccard" -> (TextDedup.c2NgramJaccard _),
+    "c3_dedup_minhash_lsh" -> (TextDedup.c3MinHashLsh _),
+    "c4_dedup_simhash" -> (TextDedup.c4SimHash _),
+    "c5_dedup_embedding" -> (VectorOps.c5EmbeddingDedup _),
+    "c6_ann_bruteforce" -> (VectorOps.c6AnnBruteforce _),
+    "c7_ann_lsh" -> (VectorOps.c7AnnLsh _),
+    "c8_text_langid" -> (TextAnalysis.c8TextLangid _),
+    "c9_text_quality" -> (TextAnalysis.c9TextQuality _),
+    "c10_text_tokens" -> (TextAnalysis.c10TextTokens _),
+    "c11_text_fingerprint" -> (TextAnalysis.c11TextFingerprint _),
+    "c12_multimodal_decode" -> (Multimodal.c12MultimodalDecode _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -203,6 +215,69 @@ object SparkEntry {
         |SELECT o_orderpriority, COUNT(*) AS n_above
         |FROM orders JOIN class_avg ON o_orderpriority = prio
         |WHERE o_totalprice > avg_price * 1.5
-        |GROUP BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority""".stripMargin,
+    "c1_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "c2_dedup_ngram_jaccard" -> OracleGen.c2NgramJaccard,
+    "c3_dedup_minhash_lsh" -> OracleGen.c3MinHashLsh,
+    "c4_dedup_simhash" -> OracleGen.c4SimHash,
+    "c5_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45""".stripMargin,
+    "c6_ann_bruteforce" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e WHERE vec_id >= 10),
+        |s AS (SELECT query_id, neighbor_id,
+        |  list_dot_product(qv, cv) /
+        |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        |  FROM q, c)
+        |SELECT query_id, neighbor_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+        |  cos
+        |FROM s
+        |QUALIFY rank <= 10""".stripMargin,
+    "c8_text_langid" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(w, t -> t = 'data' OR t = 'table')) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(w, t -> t = 'merge' OR t = 'line')) AS BIGINT) AS s_fr,
+        |  CAST(len(list_filter(w, t -> t = 'order' OR t = 'group')) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(w, t -> t = 'key' OR t = 'value')) AS BIGINT) AS s_zh
+        |FROM docs)
+        |SELECT doc_id,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es >= s_en AND s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+        |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       ELSE 'zh' END AS pred_lang,
+        |  s_en, s_es, s_fr, s_de, s_zh
+        |FROM s""".stripMargin,
+    "c9_text_quality" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_stop,
+        |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha_chars,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM d)
+        |SELECT doc_id, n_tokens, n_stop, alpha_chars, n_chars,
+        |  CAST(n_stop AS DOUBLE) / n_tokens * 0.4 +
+        |  CAST(alpha_chars AS DOUBLE) / n_chars * 0.3 +
+        |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3 AS quality_score
+        |FROM m""".stripMargin,
+    "c10_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+    "c11_text_fingerprint" -> OracleGen.c11Fingerprint
   )
 }

