@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming re-expressions of the reference topologies
+  * (SURVEY.md §2 D-series).
+  *
+  * Reference: /root/reference/src/main/scala/example —
+  * DeduplicationExample.scala:96-142 (windowed first-wins dedup over a
+  * WindowStore) and ClickstreamJoinExample.scala:163-270 (windowed
+  * join + dedup, Processor API and DSL).
+  *
+  * The Kafka Streams state stores map to Spark's keyed state:
+  * `flatMapGroupsWithState` holds exactly the per-key bit the
+  * reference's WindowStore guard held, with event-time timeout playing
+  * the role of retention; windowed aggregation + watermark replaces
+  * `TimeWindows.of(...).until(...)`; the interval stream-stream join
+  * replaces `JoinWindows`. State is partitioned by key across
+  * executors, so the topology scales horizontally exactly like a
+  * Streams app scales by task — but with Spark's shuffle service and
+  * checkpointing underneath.
+  */
+object StreamingOps {
+
+  /** The event record used by the streaming operators (mirrors the
+    * events table / the reference's keyed messages).
+    */
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  case class DedupKey(user_id: Long, event_type: String, window_start: Long)
+
+  /** Windowed first-wins dedup — DeduplicationExample.DeduplicationProcessor
+    * (:126-142): forward a record only if its key has not been seen in
+    * the current window; state expires via event-time timeout (the
+    * WindowStore's retention).
+    */
+  def firstWinsDedup(
+      events: Dataset[Event],
+      windowSec: Long,
+      watermarkDelay: String = "30 minutes"
+  ): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => DedupKey(e.user_id, e.event_type, e.ts.getTime / 1000 / windowSec * windowSec))
+      .flatMapGroupsWithState[Boolean, Event](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: DedupKey, rows: Iterator[Event], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            Iterator.empty // duplicate within the window: drop
+          } else {
+            state.update(true)
+            // retain the seen-bit until the window is past the watermark
+            state.setTimeoutTimestamp((key.window_start + 2 * windowSec) * 1000)
+            // first within this micro-batch: earliest by (ts, event_id)
+            Iterator.single(rows.minBy(e => (e.ts.getTime, e.event_id)))
+          }
+      }
+  }
+
+  /** Built-in variant: Spark's own watermark-backed dedup operator —
+    * semantically the reference's guard with arrival-order wins.
+    */
+  def dropDuplicatesDedup(events: Dataset[Event], watermarkDelay: String): Dataset[Event] =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Windowed stream-stream LEFT join —
+    * ClickstreamJoinExample.clickstreamJoinDsl (:199-270): events
+    * (clicks) enriched with the page view that precedes them within
+    * `joinWindowSec`; unmatched clicks emit null view columns once the
+    * watermark closes the window.
+    *
+    * Input frames: clicks(click_id, user_id, click_ts),
+    * views(v_id, v_user, v_ts).
+    */
+  def clickstreamLeftJoin(clicks: DataFrame, views: DataFrame, joinWindowSec: Long): DataFrame = {
+    val c = clicks.withWatermark("click_ts", "10 minutes")
+    val v = views.withWatermark("v_ts", "10 minutes")
+    c.join(
+      v,
+      expr(
+        s"user_id = v_user AND v_ts BETWEEN click_ts - INTERVAL $joinWindowSec SECONDS AND click_ts"
+      ),
+      "leftOuter"
+    )
+  }
+
+  /** Tumbling-window aggregation with watermark — the
+    * `groupByKey.windowedBy(TimeWindows...).reduce` surface. Append
+    * mode: a window only emits once the watermark passes its end (the
+    * reference's `until()` retention).
+    */
+  def windowedCounts(events: DataFrame, windowDur: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        col("n"),
+        col("sum_value")
+      )
+
+  /** Session-window aggregation (SessionWindows surface). */
+  def sessionCounts(events: DataFrame, gap: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"),
+        col("n")
+      )
+}

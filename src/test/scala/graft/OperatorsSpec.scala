@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Batch operator invariants on the sf0.001 test tables. The DuckDB
+  * oracle (driver-side) checks exact values; these specs pin the
+  * semantic properties that must hold at any scale factor.
+  */
+class OperatorsSpec extends SparkSpec {
+
+  test("b1 pricing summary: one row per (returnflag, linestatus), positive sums") {
+    val df = Relational.b1AggPricing(spark, sf0001).cache()
+    val n = df.count()
+    assert(n > 0 && n <= 6)
+    assert(df.filter(col("sum_qty") <= 0 || col("count_order") <= 0).count() == 0)
+    assert(df.select("l_returnflag", "l_linestatus").distinct().count() == n)
+  }
+
+  test("b2 top-n: at most 10 rows, revenue strictly ordered with orderkey tiebreak") {
+    val rows = Relational.b2JoinTopn(spark, sf0001).collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val revs = rows.map(r => (r.getDouble(r.fieldIndex("revenue")), r.getLong(r.fieldIndex("l_orderkey"))))
+    assert(revs.sliding(2).forall {
+      case Array((r1, k1), (r2, k2)) => r1 > r2 || (r1 == r2 && k1 < k2)
+      case _ => true
+    })
+  }
+
+  test("b4 semi/anti: every kept customer has an urgent order and no F order") {
+    val kept = Relational.b4SemiAntiJoin(spark, sf0001)
+    val orders = graft.sources.Tables.orders(spark, sf0001)
+    val violating = kept
+      .join(orders.filter(col("o_orderstatus") === "F"), col("c_custkey") === col("o_custkey"), "left_semi")
+    assert(violating.count() == 0)
+    val noUrgent = kept
+      .join(
+        orders.filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti"
+      )
+    assert(noUrgent.count() == 0)
+  }
+
+  test("a1 windowed dedup: kept events are unique per (user, type, window) and are the earliest") {
+    val df = EventStreamOps.a1DedupWindowed(spark, sf0001).cache()
+    assert(df.count() > 0)
+    assert(df.groupBy("user_id", "event_type", "window_start").count().filter(col("count") > 1).count() == 0)
+    // kept_ts lies inside [window_start, window_start + 15 min)
+    assert(
+      df.filter(
+        col("kept_ts") < col("window_start") ||
+          col("kept_ts") >= col("window_start") + expr("INTERVAL 15 MINUTES")
+      ).count() == 0
+    )
+  }
+
+  test("a2 clickstream join: view always precedes click within 10 minutes, or is null") {
+    val df = EventStreamOps.a2ClickstreamJoin(spark, sf0001).cache()
+    assert(df.count() > 0)
+    val matched = df.filter(col("view_id").isNotNull)
+    assert(
+      matched
+        .filter(
+          col("view_ts") > col("click_ts") ||
+            col("view_ts") < col("click_ts") - expr("INTERVAL 10 MINUTES")
+        )
+        .count() == 0
+    )
+    // every click appears exactly once (left join did not duplicate)
+    assert(df.groupBy("click_id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("a6 sessions: no session spans a gap >= 30 minutes and sessions don't overlap") {
+    val df = EventStreamOps.a6SessionWindow(spark, sf0001)
+    val bad = df
+      .withColumn(
+        "next_start",
+        lead(col("session_start"), 1).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("session_start")
+        )
+      )
+      .filter(col("next_start").isNotNull &&
+        col("next_start").cast("long") - col("last_event_ts").cast("long") < 1800)
+    assert(bad.count() == 0)
+  }
+
+  test("c1 exact dedup: copies counted, canonical id is minimal") {
+    val df = TextDedup.c1DedupExact(spark, sf0001)
+    val total = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(df.agg(sum("n_copies")).head.getLong(0) == total)
+  }
+
+  test("c2/c3: LSH candidate generation loses no near-dup pair found exhaustively") {
+    val exhaustive = TextDedup.c2NgramJaccard(spark, sf0001).select("doc_a", "doc_b").collect().toSet
+    val lsh = TextDedup.c3MinHashLsh(spark, sf0001).select("doc_a", "doc_b").collect().toSet
+    assert(exhaustive == lsh)
+  }
+
+  test("c4 simhash: hamming bounded and symmetric-free (a < b)") {
+    val df = TextDedup.c4SimHash(spark, sf0001).cache()
+    assert(df.filter(col("hamming") > TextDedup.HammingMax).count() == 0)
+    assert(df.filter(col("doc_a") >= col("doc_b")).count() == 0)
+  }
+
+  test("c6 ANN: exactly top-k ranks per query, cosine non-increasing in rank") {
+    val rows = VectorOps.c6AnnBruteforce(spark, sf0001).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    byQuery.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq == (1L to sorted.length))
+      assert(sorted.sliding(2).forall {
+        case Array(x, y) => x.getDouble(3) >= y.getDouble(3)
+        case _ => true
+      })
+    }
+  }
+
+  test("c8 langid: prediction always carries a maximal score") {
+    val df = TextAnalysis.c8TextLangid(spark, sf0001)
+    val langs = TextAnalysis.Markers.map(_._1)
+    val best = greatest(langs.map(l => col(s"s_$l")): _*)
+    val predScore = coalesce(langs.map(l => when(col("pred_lang") === l, col(s"s_$l"))): _*)
+    assert(df.filter(predScore < best).count() == 0)
+  }
+
+  test("c12 multimodal: features in range for every doc") {
+    val df = Multimodal.c12MultimodalDecode(spark, sf0001).cache()
+    assert(df.count() == graft.sources.Tables.documents(spark, sf0001).count())
+    assert(df.filter(col("brightness") < 0 || col("brightness") > 1).count() == 0)
+    assert(df.filter(col("width") < 16 || col("height") < 16 || col("n_frames") < 1).count() == 0)
+  }
+}

@@ -1,0 +1,156 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+
+/** Streaming semantics against the reference topologies, driven through
+  * MemoryStream micro-batches so arrival order and out-of-order
+  * delivery are controlled exactly like the reference's producer
+  * script (ClickstreamJoinExample.clickstream:115-161 sends a page
+  * view, impressions, a duplicate, an out-of-order event and a late
+  * event).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+
+  test("firstWinsDedup drops in-window duplicates, forwards first arrival (DeduplicationExample)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Event]
+    val q = StreamingOps
+      .firstWinsDedup(input.toDS(), windowSec = 15)
+      .writeStream
+      .format("memory")
+      .queryName("dedup_out")
+      .outputMode("append")
+      .start()
+
+    // batch 1: key (1, click) twice in the same 15s window + another key
+    input.addData(
+      Event(1, ts(100), 1, "click", 1.0),
+      Event(2, ts(105), 1, "click", 2.0), // duplicate: same window
+      Event(3, ts(103), 2, "view", 3.0)
+    )
+    q.processAllAvailable()
+    // batch 2: same key again in-window (drop), and in a NEW window (keep)
+    input.addData(
+      Event(4, ts(107), 1, "click", 4.0), // still window [90,105): no — [105,120): dup of 2? window = 105
+      Event(5, ts(130), 1, "click", 5.0) // window [120,135): new → keep
+    )
+    q.processAllAvailable()
+
+    val out = spark.table("dedup_out").as[Event].collect().map(_.event_id).toSet
+    q.stop()
+    // windows of 15s: ev1 @[90,105) kept; ev2 @[105,120) first of its window kept;
+    // ev3 kept; ev4 @[105,120) duplicate dropped; ev5 @[120,135) kept
+    assert(out == Set(1L, 2L, 3L, 5L))
+  }
+
+  test("clickstreamLeftJoin enriches clicks with preceding view, null when absent (ClickstreamJoinExample)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val cDf = clicks.toDF().toDF("click_id", "user_id", "click_ts")
+    val vDf = views.toDF().toDF("v_id", "v_user", "v_ts")
+
+    val q = StreamingOps
+      .clickstreamLeftJoin(cDf, vDf, joinWindowSec = 15)
+      .writeStream
+      .format("memory")
+      .queryName("join_out")
+      .outputMode("append")
+      .start()
+
+    // view at t=100 for user 1; click at t=110 joins it.
+    // click at t=200 for user 2 has no view → must emit with nulls
+    // once the watermark passes.
+    views.addData((501L, 1L, ts(100)))
+    clicks.addData((601L, 1L, ts(110)), (602L, 2L, ts(200)))
+    q.processAllAvailable()
+    // advance watermark far past 200 so the unmatched click is emitted
+    views.addData((502L, 9L, ts(10000)))
+    clicks.addData((603L, 9L, ts(10000)))
+    q.processAllAvailable()
+
+    val rows = spark
+      .table("join_out")
+      .select(col("click_id"), col("v_id"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    q.stop()
+    assert(rows(601L) == 501L) // matched within window
+    assert(rows(602L) == -1L) // left-outer null emission
+  }
+
+  test("windowedCounts emits closed windows only (append + watermark)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Event]
+    val q = StreamingOps
+      .windowedCounts(input.toDF(), "15 seconds", "5 seconds")
+      .writeStream
+      .format("memory")
+      .queryName("wc_out")
+      .outputMode("append")
+      .start()
+
+    input.addData(
+      Event(1, ts(100), 1, "click", 1.0),
+      Event(2, ts(101), 2, "click", 2.0),
+      Event(3, ts(104), 1, "view", 3.0)
+    )
+    q.processAllAvailable()
+    // nothing emitted yet: watermark (104-5=99) has not passed window end 105
+    assert(spark.table("wc_out").count() == 0)
+
+    input.addData(Event(9, ts(200), 3, "view", 1.0)) // watermark → 195, closes [90,105)
+    q.processAllAvailable()
+    val rows = spark
+      .table("wc_out")
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+      .toMap
+    q.stop()
+    assert(rows == Map("click" -> 2L, "view" -> 1L))
+  }
+
+  test("batch and streaming dedup agree on the same input (stream-batch parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val events = Seq(
+      Event(1, ts(10), 1, "a", 0), Event(2, ts(12), 1, "a", 0), Event(3, ts(20), 1, "a", 0),
+      Event(4, ts(11), 2, "b", 0), Event(5, ts(14), 2, "b", 0), Event(6, ts(44), 2, "b", 0)
+    )
+    // batch semantics: first per (user, type, 15s window)
+    val batch = events
+      .groupBy(e => (e.user_id, e.event_type, e.ts.getTime / 1000 / 15 * 15))
+      .map { case (_, es) => es.minBy(e => (e.ts.getTime, e.event_id)).event_id }
+      .toSet
+
+    val input = MemoryStream[Event]
+    val q = StreamingOps
+      .firstWinsDedup(input.toDS(), windowSec = 15)
+      .writeStream
+      .format("memory")
+      .queryName("parity_out")
+      .outputMode("append")
+      .start()
+    input.addData(events: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("parity_out").as[Event].collect().map(_.event_id).toSet
+    q.stop()
+    assert(streamed == batch)
+  }
+}
