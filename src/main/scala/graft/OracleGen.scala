@@ -11,17 +11,20 @@ object OracleGen {
 
   private val n1 = ShingleSize - 1
 
-  /** Shared CTEs: docs → distinct word-5-gram shingles. */
+  /** Shared CTEs: docs → distinct word-5-gram shingles → distinct
+    * 32-bit shingle hashes (mirrors TextDedup.shingleHashes).
+    */
   private val shingleCtes: String =
     s"""docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
        |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
        |  generate_series(1, greatest(len(w) - $n1, 0)),
-       |  i -> array_to_string(w[i:i+$n1], ' ')))) AS s FROM docs)""".stripMargin
+       |  i -> array_to_string(w[i:i+$n1], ' ')))) AS s FROM docs),
+       |shh AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h FROM sh0)""".stripMargin
 
   private val jaccardTail: String =
-    s"""n AS (SELECT doc_id, count(*) ns FROM sh0 GROUP BY doc_id),
+    s"""n AS (SELECT doc_id, count(*) ns FROM shh GROUP BY doc_id),
        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-       |          FROM sh0 a JOIN sh0 b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)""".stripMargin
 
   val c2NgramJaccard: String =
@@ -43,8 +46,7 @@ object OracleGen {
       }
       .mkString(" UNION ALL ")
     s"""WITH $shingleCtes,
-       |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h FROM sh0),
-       |sig AS (SELECT doc_id, $minCols FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $minCols FROM shh GROUP BY doc_id),
        |bands AS ($bandSelects),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bands a JOIN bands b
@@ -76,8 +78,7 @@ object OracleGen {
   }
 
   val c11Fingerprint: String =
-    s"""WITH $shingleCtes,
-       |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h FROM sh0)
+    s"""WITH $shingleCtes
        |SELECT doc_id, min(h) AS fp_min, CAST(SUM(h) % ${MinHashParams.P} AS BIGINT) AS fp_sum
-       |FROM h GROUP BY doc_id""".stripMargin
+       |FROM shh GROUP BY doc_id""".stripMargin
 }

@@ -223,20 +223,17 @@ object SparkEntry {
     "c3_dedup_minhash_lsh" -> OracleGen.c3MinHashLsh,
     "c4_dedup_simhash" -> OracleGen.c4SimHash,
     "c5_dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  list_dot_product(a.v, b.v) /
-        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.v, b.v) /
-        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45""".stripMargin,
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, list_dot_product(a.vn, b.vn) AS cos
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.vn, b.vn) >= 0.45""".stripMargin,
     "c6_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
-        |c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e WHERE vec_id >= 10),
-        |s AS (SELECT query_id, neighbor_id,
-        |  list_dot_product(qv, cv) /
-        |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        |nm AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),
+        |q AS (SELECT vec_id AS query_id, vn AS qv FROM nm WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, vn AS cv FROM nm WHERE vec_id >= 10),
+        |s AS (SELECT query_id, neighbor_id, list_dot_product(qv, cv) AS cos
         |  FROM q, c)
         |SELECT query_id, neighbor_id,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,

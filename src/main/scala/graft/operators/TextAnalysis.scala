@@ -91,11 +91,8 @@ object TextAnalysis {
     * engine-reproducible, and stable under shingle reordering.
     */
   def c11TextFingerprint(spark: SparkSession, sfDir: String): DataFrame =
-    Tables
-      .documents(spark, sfDir)
-      .select(col("doc_id"), shingles(tokens(col("text")), ShingleSize).as("sh"))
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .withColumn("h", hash32(col("s")))
+    TextDedup
+      .shingleHashes(spark, sfDir)
       .groupBy(col("doc_id"))
       .agg(
         min(col("h")).as("fp_min"),

