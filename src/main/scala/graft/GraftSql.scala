@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.graft.shims
+
+import graft.plans.GraftExtensions
+import graft.sources.Tables
+
+/** SQL surface of the engine: the star schema as temp views plus
+  * graft's native functions, so every capability is reachable through
+  * `spark.sql(...)` as well as the DataFrame API.
+  */
+object GraftSql {
+
+  val TableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings"
+  )
+
+  /** Register the sf tables as temp views and graft functions into the
+    * session (idempotent).
+    */
+  def register(spark: SparkSession, sfDir: String): Unit = {
+    TableNames.foreach(n => Tables.table(spark, sfDir, n).createOrReplaceTempView(n))
+    // events view with the nanos→micros conversion applied
+    Tables.events(spark, sfDir).createOrReplaceTempView("events")
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      shims.registerFunction(spark, name, info, builder)
+    }
+  }
+
+  def sql(spark: SparkSession, sfDir: String, query: String): DataFrame = {
+    register(spark, sfDir)
+    spark.sql(query)
+  }
+
+  /** B13: pure-SQL query (TPC-H Q6 shape) — demonstrates the SQL
+    * entry point; single scan with every predicate pushed down.
+    */
+  def b13SqlQ6(spark: SparkSession, sfDir: String): DataFrame =
+    sql(
+      spark,
+      sfDir,
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin
+    )
+
+  /** C13: vector search through SQL using graft's registered native
+    * functions (array_l2_normalize / array_dot) — the
+    * SparkSessionExtensions surface.
+    */
+  def c13SqlVector(spark: SparkSession, sfDir: String): DataFrame =
+    sql(
+      spark,
+      sfDir,
+      """WITH e AS (SELECT vec_id,
+        |             array_l2_normalize(transform(embedding, x -> CAST(x AS DOUBLE))) AS vn
+        |           FROM embeddings),
+        |q AS (SELECT vn AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id AS neighbor_id, array_dot(e.vn, q.qv) AS cos
+        |FROM e CROSS JOIN q
+        |WHERE e.vec_id >= 10
+        |ORDER BY cos DESC, neighbor_id
+        |LIMIT 5""".stripMargin
+    )
+}

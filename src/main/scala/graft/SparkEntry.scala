@@ -44,7 +44,11 @@ object SparkEntry {
     "c9_text_quality" -> (TextAnalysis.c9TextQuality _),
     "c10_text_tokens" -> (TextAnalysis.c10TextTokens _),
     "c11_text_fingerprint" -> (TextAnalysis.c11TextFingerprint _),
-    "c12_multimodal_decode" -> (Multimodal.c12MultimodalDecode _)
+    "c12_multimodal_decode" -> (Multimodal.c12MultimodalDecode _),
+    "b13_sql_q6" -> (GraftSql.b13SqlQ6 _),
+    "c13_sql_vector" -> (GraftSql.c13SqlVector _),
+    "s1_format_roundtrip" -> (graft.sources.Formats.s1FormatRoundtrip _),
+    "s2_partitioned_write" -> (graft.sources.Formats.s2PartitionedWrite _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -275,6 +279,39 @@ object SparkEntry {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
         |FROM documents""".stripMargin,
-    "c11_text_fingerprint" -> OracleGen.c11Fingerprint
+    "c11_text_fingerprint" -> OracleGen.c11Fingerprint,
+    "b13_sql_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "c13_sql_vector" ->
+      """WITH e AS (SELECT vec_id,
+        |             list_transform(CAST(embedding AS DOUBLE[]),
+        |               x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS vn
+        |           FROM embeddings),
+        |q AS (SELECT vn AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id AS neighbor_id, list_dot_product(e.vn, q.qv) AS cos
+        |FROM e CROSS JOIN q
+        |WHERE e.vec_id >= 10
+        |ORDER BY cos DESC, neighbor_id
+        |LIMIT 5""".stripMargin,
+    "s1_format_roundtrip" ->
+      """WITH src AS (SELECT event_id, user_id, event_type, value FROM events WHERE event_id < 1000),
+        |agg AS (SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id,
+        |               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |        FROM src)
+        |SELECT 'parquet' AS fmt, n, sum_id, sum_value FROM agg
+        |UNION ALL SELECT 'csv', n, sum_id, sum_value FROM agg
+        |UNION ALL SELECT 'json', n, sum_id, sum_value FROM agg""".stripMargin,
+    "s2_partitioned_write" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE year(o_orderdate) IN (1996, 1997)
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -1,0 +1,43 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions as SQL functions, so `spark.sql("SELECT array_dot(a, b)")`
+  * works next to the DataFrame API.
+  *
+  * Activate with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
+  * programmatically via `SparkSession.builder.withExtensions(new
+  * GraftExtensions)` — both are plain public Spark API, no spark-submit
+  * needed.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "", "", "", "", "", "", "built-in")
+
+  val functions: Seq[(String, ExpressionInfo, FunctionBuilder)] = Seq(
+    (
+      "array_dot",
+      info("array_dot", "array_dot(a, b) - dot product of two double arrays (strict sequential sum)"),
+      (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))
+    ),
+    (
+      "array_l2_normalize",
+      info("array_l2_normalize", "array_l2_normalize(a) - L2-normalize a double array in one pass"),
+      (children: Seq[Expression]) => ArrayNormalize(children.head)
+    )
+  )
+}

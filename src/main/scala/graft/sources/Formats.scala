@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink format coverage: parquet, CSV and JSON write→read
+  * roundtrips and partitioned layout (the batch analogues of the
+  * reference's Kafka topics — see graft.streaming.KafkaIO for the
+  * streaming side).
+  */
+object Formats {
+
+  /** S1: write a deterministic slice of events to parquet, CSV and
+    * JSON, read each back, and aggregate identically — proves schema
+    * and value fidelity across every format (the oracle computes the
+    * same aggregate straight from the source table, so any roundtrip
+    * loss breaks the match).
+    */
+  def s1FormatRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = "/tmp/graft_formats"
+    val src = Tables
+      .events(spark, sfDir)
+      .filter(col("event_id") < 1000)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val schema = "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+
+    src.write.mode("overwrite").parquet(s"$base/parquet")
+    src.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    src.write.mode("overwrite").json(s"$base/json")
+
+    val back = Map(
+      "parquet" -> spark.read.parquet(s"$base/parquet"),
+      "csv" -> spark.read.schema(schema).option("header", "true").csv(s"$base/csv"),
+      "json" -> spark.read.schema(schema).json(s"$base/json")
+    )
+    back
+      .map { case (fmt, df) =>
+        df.agg(
+          count(lit(1)).as("n"),
+          sum(col("event_id")).as("sum_id"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value")
+        ).withColumn("fmt", lit(fmt))
+      }
+      .reduce(_.unionByName(_))
+      .select(col("fmt"), col("n"), col("sum_id"), col("sum_value"))
+  }
+
+  /** S2: partitioned parquet layout + partition pruning — the physical
+    * design that matters most at 100 TB (a date-partitioned table lets
+    * every time-bounded query skip almost all files; the filter below
+    * reads only 2 of ~7 year partitions, visible as PartitionFilters in
+    * the plan).
+    */
+  def s2PartitionedWrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = "/tmp/graft_part_orders"
+    Tables
+      .orders(spark, sfDir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write
+      .mode("overwrite")
+      .partitionBy("o_year")
+      .parquet(tmp)
+
+    spark.read
+      .parquet(tmp)
+      .filter(col("o_year").isin(1996, 1997))
+      .groupBy(col("o_year"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price")
+      )
+  }
+}

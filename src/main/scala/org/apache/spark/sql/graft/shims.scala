@@ -1,7 +1,9 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Bridge into Spark's `private[sql]` Column↔Expression converters —
@@ -14,4 +16,15 @@ object shims {
   def columnOf(e: Expression): Column = ExpressionUtils.column(e)
 
   def expressionOf(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a function into an EXISTING session's registry (the
+    * extensions path only applies at session build time).
+    */
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      info: ExpressionInfo,
+      builder: FunctionBuilder
+  ): Unit =
+    spark.sessionState.functionRegistry.registerFunction(FunctionIdentifier(name), info, builder)
 }
