@@ -56,10 +56,25 @@ object StreamingDemo {
       .start()
     counts.awaitTermination()
 
+    // Processor-API topology: stateful join+dedup per user key
+    // (join window widened to 10 min for the synthetic event density)
+    val papi = ProcessorApiJoin(events, joinWindowSec = 600, dedupWindowSec = 60)
+      .writeStream
+      .format("memory")
+      .queryName("demo_papi")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    papi.awaitTermination()
+
     val nDedup = spark.table("demo_dedup").count()
     val nWindows = spark.table("demo_counts").count()
+    val nClicks = spark.table("demo_papi").count()
+    val nJoined = spark.table("demo_papi").filter("view_id IS NOT NULL").count()
     val total = spark.read.parquet(s"$sfDir/events.parquet").count()
-    println(s"""{"streaming_demo":{"input_events":$total,"deduped_kept":$nDedup,"closed_windows":$nWindows}}""")
+    println(
+      s"""{"streaming_demo":{"input_events":$total,"deduped_kept":$nDedup,"closed_windows":$nWindows,"enriched_clicks":$nClicks,"clicks_with_view":$nJoined}}"""
+    )
     spark.stop()
   }
 }
