@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{EventStreamOps, Multimodal, Relational, TextAnalysis, TextDedup, VectorOps}
+import graft.operators.{EventStreamOps, Multimodal, Relational, ScaleJoins, TextAnalysis, TextDedup, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -48,7 +48,9 @@ object SparkEntry {
     "b13_sql_q6" -> (GraftSql.b13SqlQ6 _),
     "c13_sql_vector" -> (GraftSql.c13SqlVector _),
     "s1_format_roundtrip" -> (graft.sources.Formats.s1FormatRoundtrip _),
-    "s2_partitioned_write" -> (graft.sources.Formats.s2PartitionedWrite _)
+    "s2_partitioned_write" -> (graft.sources.Formats.s2PartitionedWrite _),
+    "s3_bucketed_join" -> (ScaleJoins.s3BucketedJoin _),
+    "s4_salted_join" -> (ScaleJoins.s4SaltedJoin _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -312,6 +314,16 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders
         |WHERE year(o_orderdate) IN (1996, 1997)
+        |GROUP BY 1""".stripMargin,
+    "s3_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "s4_salted_join" ->
+      """SELECT c_mktsegment AS segment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1""".stripMargin
   )
 }

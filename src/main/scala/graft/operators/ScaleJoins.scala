@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Physical join strategies for the 100 TB posture (SURVEY.md §5):
+  * bucketed co-located joins (the shuffle you pay once at write time
+  * instead of on every query) and salted joins (the skew escape hatch
+  * when one key holds a disproportionate share of rows).
+  */
+object ScaleJoins {
+
+  val Buckets = 8
+  val SaltBuckets = 8
+
+  /** S3: bucketed co-located join. Both fact tables are written
+    * bucketed on the join key; Spark then joins bucket-to-bucket with
+    * NO Exchange in the plan (asserted in PlanSpec). At 100 TB this is
+    * the difference between shuffling terabytes per query and never
+    * shuffling them again.
+    */
+  /** Drop a managed table AND its orphaned warehouse location (the
+    * in-memory catalog forgets tables across sessions; the filesystem
+    * does not).
+    */
+  private def dropManaged(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val dir = new java.io.File(wh, name)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
+  def s3BucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    dropManaged(spark, "graft_orders_bucketed")
+    dropManaged(spark, "graft_lineitem_bucketed")
+    Tables
+      .orders(spark, sfDir)
+      .write
+      .format("parquet")
+      .bucketBy(Buckets, "o_orderkey")
+      .sortBy("o_orderkey")
+      .mode("overwrite")
+      .saveAsTable("graft_orders_bucketed")
+    Tables
+      .lineitem(spark, sfDir)
+      .write
+      .format("parquet")
+      .bucketBy(Buckets, "l_orderkey")
+      .sortBy("l_orderkey")
+      .mode("overwrite")
+      .saveAsTable("graft_lineitem_bucketed")
+
+    spark
+      .table("graft_lineitem_bucketed")
+      .join(spark.table("graft_orders_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price")
+      )
+  }
+
+  /** S4: salted join. The fact side gets a deterministic salt; the dim
+    * side is exploded across all salt values; the join key becomes
+    * (key, salt), spreading any hot key over `SaltBuckets` reducers.
+    * Result is semantically identical to the unsalted join (the oracle
+    * computes the plain join), only the partitioning differs.
+    */
+  def s4SaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val fact = Tables
+      .events(spark, sfDir)
+      .withColumn("salt", pmod(col("event_id"), lit(SaltBuckets)).cast("int"))
+    val dim = Tables
+      .customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("salt", explode(array((0 until SaltBuckets).map(lit): _*)))
+
+    fact
+      .join(dim, fact("user_id") === dim("c_custkey") && fact("salt") === dim("salt"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value")
+      )
+  }
+}

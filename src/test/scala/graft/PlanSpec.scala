@@ -69,4 +69,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("Join") )
   }
+
+  test("s3: bucketed join runs with no shuffle exchange on either side") {
+    val df = ScaleJoins.s3BucketedJoin(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    // the only exchange allowed is the final single-partition agg shuffle;
+    // the join itself must read buckets directly
+    val joinSection = p.substring(p.indexOf("SortMergeJoin").max(0))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"))
+    if (p.contains("SortMergeJoin")) assert(!joinSection.contains("Exchange hashpartitioning"))
+  }
+
+  test("s4: salted join equals the plain join (semantics preserved under salting)") {
+    import org.apache.spark.sql.functions._
+    val salted = ScaleJoins.s4SaltedJoin(spark, sf0001).orderBy("segment").collect()
+    val plain = graft.sources.Tables
+      .events(spark, sf0001)
+      .join(
+        graft.sources.Tables.customer(spark, sf0001),
+        col("user_id") === col("c_custkey")
+      )
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value")
+      )
+      .orderBy("segment")
+      .collect()
+    assert(salted.toSeq == plain.toSeq)
+  }
 }
