@@ -21,6 +21,9 @@ object SparkEntry {
     "a6_session_window" -> (EventStreamOps.a6SessionWindow _),
     "a7_stream_enrich_dim" -> (EventStreamOps.a7StreamEnrichDim _),
     "a8_event_time_stats" -> (EventStreamOps.a8EventTimeStats _),
+    "a9_funnel" -> (EventStreamOps.a9Funnel _),
+    "a10_cohort" -> (EventStreamOps.a10Cohort _),
+    "c14_tfidf" -> (TextAnalysis.c14TfIdf _),
     "b1_agg_pricing" -> (Relational.b1AggPricing _),
     "b2_join_topn" -> (Relational.b2JoinTopn _),
     "b3_multi_join" -> (Relational.b3MultiJoin _),
@@ -124,6 +127,34 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM w, wm WHERE ws_sec + 900 <= wm_sec
         |GROUP BY 1""".stripMargin,
+    "a9_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |u AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+        |  min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+        |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        |FROM ev GROUP BY user_id)
+        |SELECT COUNT(first_view) AS n_view,
+        |  COUNT(CASE WHEN first_click > first_view THEN 1 END) AS n_view_then_click,
+        |  COUNT(CASE WHEN first_click > first_view AND first_purchase > first_click THEN 1 END) AS n_full_funnel
+        |FROM u""".stripMargin,
+    "a10_cohort" ->
+      """WITH ev AS (SELECT user_id,
+        |  CAST(floor(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) / 604800) AS BIGINT) AS week
+        |FROM events),
+        |fw AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id)
+        |SELECT cohort_week, ev.week - cohort_week AS week_offset, COUNT(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN fw USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    "c14_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |nd AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (SELECT doc_id, term, tf, df,
+        |  CAST(tf AS DOUBLE) * (SELECT n FROM nd) / df AS score FROM tf JOIN df USING (term)),
+        |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank FROM scored)
+        |SELECT doc_id, rank, term, tf, df, score FROM ranked WHERE rank <= 3""".stripMargin,
     "b1_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

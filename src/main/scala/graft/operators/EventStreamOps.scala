@@ -180,6 +180,45 @@ object EventStreamOps {
       .agg(count(lit(1)).as("n"), sumValue.as("sum_value"))
   }
 
+  /** A9: funnel analysis — users progressing view → click → purchase in
+    * event-time order. One shuffle on user_id; stage membership is a
+    * conditional-min aggregate, so partials fold map-side and the
+    * whole funnel is a single pass at any scale.
+    */
+  def a9Funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    def firstTs(t: String) = min(when(col("event_type") === t, col("ts"))).as(s"first_$t")
+    Tables
+      .events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(firstTs("view"), firstTs("click"), firstTs("purchase"))
+      .agg(
+        count(col("first_view")).as("n_view"),
+        count(when(col("first_click") > col("first_view"), 1)).as("n_view_then_click"),
+        count(
+          when(
+            col("first_click") > col("first_view") && col("first_purchase") > col("first_click"),
+            1
+          )
+        ).as("n_full_funnel")
+      )
+  }
+
+  /** A10: cohort retention — users grouped by first-seen 7-day bucket,
+    * counted per activity-week offset. Two shuffles (per-user min, then
+    * cohort grid) regardless of data size.
+    */
+  def a10Cohort(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, sfDir)
+      .select(col("user_id"), floor(unix_timestamp(col("ts")) / 604800).as("week"))
+    val firstWeek = ev
+      .groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    ev.join(firstWeek, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
+
   /** A8: event-time windowed stats behind a watermark — only 15-min
     * windows that are fully closed 10 minutes before the stream's max
     * event time are emitted (the batch shape of

@@ -90,6 +90,31 @@ object TextAnalysis {
     * shingle hashes (a rolling-hash family): order-independent,
     * engine-reproducible, and stable under shingle reordering.
     */
+  /** C14: TF-IDF top terms — term frequency × inverse document
+    * frequency, ranked per doc. The score uses only mult/div (no log)
+    * so it is IEEE-exact cross-engine; rank ties break on the term.
+    * Scale: tf is one shuffle on (doc, term); df one on term; the rank
+    * is a bounded per-doc sort.
+    */
+  def c14TfIdf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .withColumn("score", col("tf").cast("double") * nDocs / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+  }
+
   def c11TextFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     TextDedup
       .shingleHashes(spark, sfDir)
