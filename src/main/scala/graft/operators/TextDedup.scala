@@ -140,26 +140,20 @@ object TextDedup {
   }
 
   /** Per-doc 60-bit SimHash signature: weighted bit votes over
-    * md5-derived token hashes (weight = token multiplicity).
+    * md5-derived token hashes (weight = token multiplicity), computed
+    * by the native [[graft.plans.SimHashAgg]] aggregate — one primitive
+    * vote buffer per group instead of 60 SUM(CASE) columns, same bit
+    * semantics (the oracle still runs the 60-column formulation).
     */
-  def simHashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
-    val tok = Tables
+  def simHashSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
       .documents(spark, sfDir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .groupBy(col("doc_id"), col("t"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("h", hash60(col("t")))
-    val votes: Seq[Column] = (0 until SimHashBits).map { i =>
-      sum(
-        when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("cnt")).otherwise(-col("cnt"))
-      ).as(s"v$i")
-    }
-    val sig = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val simhash = (0 until SimHashBits)
-      .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    sig.select(col("doc_id"), simhash.as("simhash"))
-  }
+      .groupBy(col("doc_id"))
+      .agg(graft.plans.SimHashAgg.simHash(col("h"), col("cnt"), SimHashBits).as("simhash"))
 
   /** C4: SimHash near-dup pairs, hamming ≤ 8. Candidates come from the
     * 9-block pigeonhole join (exhaustive for the threshold), then exact
