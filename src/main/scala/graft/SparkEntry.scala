@@ -36,6 +36,8 @@ object SparkEntry {
     "b10_string_date" -> (Relational.b10StringDate _),
     "b11_scalar_subquery" -> (Relational.b11ScalarSubquery _),
     "b12_approx_sketch" -> (Relational.b12ApproxSketch _),
+    "b14_cube" -> (Relational.b14Cube _),
+    "b15_running_sum" -> (Relational.b15RunningSum _),
     "c1_dedup_exact" -> (TextDedup.c1DedupExact _),
     "c2_dedup_ngram_jaccard" -> (TextDedup.c2NgramJaccard _),
     "c3_dedup_minhash_lsh" -> (TextDedup.c3MinHashLsh _),
@@ -313,6 +315,19 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
         |FROM documents""".stripMargin,
     "c11_text_fingerprint" -> OracleGen.c11Fingerprint,
+    "b14_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "b15_running_sum" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders
+        |WHERE o_custkey < 100""".stripMargin,
     "b13_sql_q6" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
         |       COUNT(*) AS n

@@ -211,6 +211,36 @@ object Relational {
       .agg(count(lit(1)).as("n_above"))
   }
 
+  /** B14: CUBE over (returnflag, linestatus) — all grouping-set
+    * combinations in one shuffle.
+    */
+  def b14Cube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(moneySum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** B15: window frames — per-customer running order total (ROWS
+    * UNBOUNDED PRECEDING). Decimal running sum: exact at every prefix,
+    * so each row compares cross-engine. Restricted to custkey < 100 to
+    * keep the dump bounded.
+    */
+  def b15RunningSum(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .orders(spark, sfDir)
+      .filter(col("o_custkey") < 100)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        col("o_orderdate"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").as("running_total")
+      )
+  }
+
   /** B12: sketches — approx distinct users + approx value quantiles per
     * event type. Not bit-equal across engines (rows-only check); the
     * point is the sketch mergeability: HLL partials merge associatively,
