@@ -98,7 +98,7 @@ object VectorOps {
     val e = vecs(spark, sfDir)
     val bucket: Column = (0 until NumPlanes)
       .map { j =>
-        val plane = array(planes(j).map(lit): _*)
+        val plane = array(planes(j).toIndexedSeq.map(lit): _*)
         when(arrayDot(col("vn"), plane) >= 0, lit(1 << j)).otherwise(lit(0))
       }
       .reduce(_ + _)

@@ -67,7 +67,7 @@ object KafkaIO {
   ): DataStreamWriter[Row] =
     df.select(
       col(keyCol).cast("string").as("key"),
-      to_json(struct(df.columns.map(col): _*)).as("value")
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value")
     ).writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", cfg.bootstrapServers)
