@@ -11,15 +11,25 @@ object OracleGen {
 
   private val n1 = ShingleSize - 1
 
-  /** Shared CTEs: docs → distinct word-5-gram shingles → distinct
-    * 32-bit shingle hashes (mirrors TextDedup.shingleHashes).
+  /** Shared CTEs: docs → token hashes → rolling polynomial shingle
+    * hashes, distinct per doc (mirrors TextDedup.shingleHashes /
+    * TextFunctions.rollingShingleHashes bit-for-bit).
     */
-  private val shingleCtes: String =
+  private val shingleCtes: String = {
+    import graft.functions.TextFunctions.{RollK, RollP}
+    val n = ShingleSize
+    val terms = (0 until n)
+      .map { j =>
+        val k = math.pow(RollK.toDouble, (n - 1 - j).toDouble).toLong
+        s"ht[i + $j] * $k"
+      }
+      .mkString(" + ")
     s"""docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-       |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
-       |  generate_series(1, greatest(len(w) - $n1, 0)),
-       |  i -> array_to_string(w[i:i+$n1], ' ')))) AS s FROM docs),
-       |shh AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h FROM sh0)""".stripMargin
+       |toks AS (SELECT doc_id, list_transform(w, t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)) AS ht FROM docs),
+       |shh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+       |  generate_series(1, greatest(len(ht) - $n1, 0)),
+       |  i -> ($terms) % $RollP)) AS h FROM toks)""".stripMargin
+  }
 
   private val jaccardTail: String =
     s"""n AS (SELECT doc_id, count(*) ns FROM shh GROUP BY doc_id),

@@ -57,9 +57,8 @@ object TextDedup {
   def shingleHashes(spark: SparkSession, sfDir: String): DataFrame =
     Tables
       .documents(spark, sfDir)
-      .select(col("doc_id"), shingles(tokens(col("text")), ShingleSize).as("sh"))
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), hash32(col("s")).as("h"))
+      .select(col("doc_id"), transform(tokens(col("text")), t => hash32(t)).as("ht"))
+      .select(col("doc_id"), explode(rollingShingleHashes(col("ht"), ShingleSize)).as("h"))
       .distinct()
 
   /** C1: exact dedup — hash-groupBy on md5(text), keep the smallest
