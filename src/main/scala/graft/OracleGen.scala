@@ -16,13 +16,10 @@ object OracleGen {
     * TextFunctions.rollingShingleHashes bit-for-bit).
     */
   private val shingleCtes: String = {
-    import graft.functions.TextFunctions.{RollK, RollP}
+    import graft.functions.TextFunctions.{rollCoeffs, RollP}
     val n = ShingleSize
-    val terms = (0 until n)
-      .map { j =>
-        val k = math.pow(RollK.toDouble, (n - 1 - j).toDouble).toLong
-        s"ht[i + $j] * $k"
-      }
+    val terms = rollCoeffs(n).zipWithIndex
+      .map { case (k, j) => s"ht[i + $j] * $k" }
       .mkString(" + ")
     s"""docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
        |toks AS (SELECT doc_id, list_transform(w, t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)) AS ht FROM docs),

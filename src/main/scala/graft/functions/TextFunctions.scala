@@ -15,21 +15,6 @@ object TextFunctions {
   /** Whitespace tokens (single-space split, preserving multiplicity). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles (distinct), e.g. n=5: ["a b c d e", ...].
-    * Guarded so texts shorter than n yield an empty set (Spark's
-    * `sequence(1, 0)` would count down, not return empty).
-    */
-  def shingles(words: Column, n: Int): Column =
-    when(
-      size(words) >= n,
-      array_distinct(
-        transform(
-          sequence(lit(1), size(words) - (n - 1)),
-          i => array_join(slice(words, i, lit(n)), " ")
-        )
-      )
-    ).otherwise(array().cast("array<string>"))
-
   /** 32-bit hash of a string: first 8 hex digits of md5, as a long in
     * [0, 2^32). md5 is identical everywhere, so unlike `hash()` (engine
     * private) this is cross-engine reproducible.
@@ -49,6 +34,17 @@ object TextFunctions {
   val RollK = 33L
   val RollP = 4294967311L // smallest prime > 2^32
 
+  /** Polynomial coefficients K^(n-1), …, K, 1 — the single source both
+    * the Spark pipeline and the generated oracle SQL draw from, so the
+    * two hash definitions cannot drift.
+    */
+  def rollCoeffs(n: Int): Seq[Long] = {
+    // overflow bound: sum_j K^j * (P-1) must stay inside a signed long;
+    // for K=33 that holds up to n = 7
+    require(n >= 1 && n <= 7, s"rolling shingle width $n would overflow a signed long")
+    (0 until n).map(j => (0 until (n - 1 - j)).foldLeft(1L)((acc, _) => acc * RollK))
+  }
+
   /** Rolling shingle hashes over a PRE-MATERIALIZED token-hash array
     * column: combine each n-window of token hashes polynomially —
     * (h_i·K^4 + … + h_{i+4}) mod P. ~3x faster than building+md5-ing
@@ -63,7 +59,7 @@ object TextFunctions {
     * A named multi-referenced column is not collapsed into the lambda.
     */
   def rollingShingleHashes(ht: Column, n: Int): Column = {
-    val ks = (0 until n).map(j => math.pow(RollK.toDouble, (n - 1 - j).toDouble).toLong)
+    val ks = rollCoeffs(n)
     when(
       size(ht) >= n,
       transform(

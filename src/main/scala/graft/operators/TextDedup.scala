@@ -24,7 +24,8 @@ object TextDedup {
 
   /** MinHash parameters, shared by the Spark pipeline and the generated
     * oracle SQL (SparkEntry). a_j bounded < 2^30 so a*h + b stays well
-    * inside a signed 64-bit long for h < 2^32.
+    * inside a signed 64-bit long for h < P (shingle hashes are produced
+    * mod P = 4294967311, so h can slightly exceed 2^32).
     */
   object MinHashParams {
     val P: Long = 4294967311L // smallest prime > 2^32
