@@ -67,13 +67,26 @@ object StreamingDemo {
       .start()
     papi.awaitTermination()
 
+    // exactly-once parquet sink for the deduped stream
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_demo_sink").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_demo_ckpt").toString
+    val sink = StreamingSink
+      .idempotentParquet(
+        StreamingOps.firstWinsDedup(events, windowSec = 900).toDF(),
+        sinkDir,
+        ckptDir
+      )
+      .start()
+    sink.awaitTermination()
+    val nSunk = spark.read.parquet(sinkDir).count()
+
     val nDedup = spark.table("demo_dedup").count()
     val nWindows = spark.table("demo_counts").count()
     val nClicks = spark.table("demo_papi").count()
     val nJoined = spark.table("demo_papi").filter("view_id IS NOT NULL").count()
     val total = spark.read.parquet(s"$sfDir/events.parquet").count()
     println(
-      s"""{"streaming_demo":{"input_events":$total,"deduped_kept":$nDedup,"closed_windows":$nWindows,"enriched_clicks":$nClicks,"clicks_with_view":$nJoined}}"""
+      s"""{"streaming_demo":{"input_events":$total,"deduped_kept":$nDedup,"closed_windows":$nWindows,"enriched_clicks":$nClicks,"clicks_with_view":$nJoined,"sink_rows":$nSunk}}"""
     )
     spark.stop()
   }
