@@ -84,6 +84,37 @@ object OracleGen {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax""".stripMargin
   }
 
+  val c15BigramLm: String = {
+    import graft.functions.TextFunctions.{rollCoeffs, RollP}
+    val terms = rollCoeffs(2).zipWithIndex
+      .map { case (k, j) => s"ht[i + $j] * $k" }
+      .mkString(" + ")
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+       |toks AS (SELECT doc_id, list_transform(w, t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)) AS ht FROM docs),
+       |bg AS (SELECT doc_id, unnest(list_transform(
+       |  generate_series(1, greatest(len(ht) - 1, 0)),
+       |  i -> ($terms) % $RollP)) AS h FROM toks),
+       |freq AS (SELECT h, COUNT(*) AS freq FROM bg GROUP BY h)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  CAST(SUM(freq) AS DOUBLE) / COUNT(*) AS lm_score
+       |FROM bg JOIN freq USING (h)
+       |GROUP BY doc_id""".stripMargin
+  }
+
+  val c16Clusters: String =
+    s"""WITH RECURSIVE $shingleCtes,
+       |$jaccardTail,
+       |nd AS (SELECT doc_a, doc_b FROM pairs
+       |       JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+       |       WHERE common * $JaccardDen >= (na.ns + nb.ns - common) * $JaccardNum),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM nd UNION SELECT doc_b, doc_a FROM nd),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |)
+       |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id FROM reach GROUP BY a""".stripMargin
+
   val c11Fingerprint: String =
     s"""WITH $shingleCtes
        |SELECT doc_id, min(h) AS fp_min, CAST(SUM(h) % ${MinHashParams.P} AS BIGINT) AS fp_sum

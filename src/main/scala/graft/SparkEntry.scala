@@ -24,6 +24,8 @@ object SparkEntry {
     "a9_funnel" -> (EventStreamOps.a9Funnel _),
     "a10_cohort" -> (EventStreamOps.a10Cohort _),
     "c14_tfidf" -> (TextAnalysis.c14TfIdf _),
+    "c15_bigram_lm" -> (TextAnalysis.c15BigramLmScore _),
+    "c16_dedup_clusters" -> (TextAnalysis.c16DedupClusters _),
     "b1_agg_pricing" -> (Relational.b1AggPricing _),
     "b2_join_topn" -> (Relational.b2JoinTopn _),
     "b3_multi_join" -> (Relational.b3MultiJoin _),
@@ -315,6 +317,8 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
         |FROM documents""".stripMargin,
     "c11_text_fingerprint" -> OracleGen.c11Fingerprint,
+    "c15_bigram_lm" -> OracleGen.c15BigramLm,
+    "c16_dedup_clusters" -> OracleGen.c16Clusters,
     "b14_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

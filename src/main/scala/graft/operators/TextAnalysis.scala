@@ -115,6 +115,67 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** C15: n-gram language-model quality score — the perplexity-filter
+    * analogue for training-data pipelines. The corpus bigram table is
+    * the "language model"; a doc scores the average corpus frequency of
+    * its bigrams (integer counts, one double division at the end, so
+    * the score is engine-exact). Low score = improbable token
+    * sequences = candidate for filtering. Two shuffles total (bigram
+    * counts, per-doc agg) at any corpus size.
+    */
+  def c15BigramLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val bg = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), transform(tokens(col("text")), t => hash32(t)).as("ht"))
+      .select(col("doc_id"), explode(rollingShingleHashes(col("ht"), 2)).as("h"))
+    val freq = bg.groupBy(col("h")).agg(count(lit(1)).as("freq"))
+    bg.join(freq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("freq")).as("sum_freq"))
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        (col("sum_freq").cast("double") / col("n_bigrams")).as("lm_score")
+      )
+  }
+
+  /** C16: near-dup clustering — connected components over the Jaccard
+    * near-dup pair graph, labels = smallest doc_id in the component
+    * (the canonical survivor of "keep one per cluster"). Iterative
+    * min-label propagation, the standard Pregel-style loop: rounds =
+    * component diameter (tiny for dedup graphs), each round one keyed
+    * join — no driver-side data beyond the convergence counter.
+    */
+  def c16DedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = TextDedup.c2NgramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges
+      .select(col("doc_a").as("doc_id"))
+      .distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("nb"), col("label").as("nlabel")), col("doc_b") === col("nb"))
+        .groupBy(col("doc_a").as("nd"))
+        .agg(min(col("nlabel")).as("best"))
+      val updated = labels
+        .join(neighborMin, col("doc_id") === col("nd"), "left")
+        .select(
+          col("doc_id"),
+          least(col("label"), coalesce(col("best"), col("label"))).as("label"),
+          (col("best") < col("label")).as("improved")
+        )
+      changed = updated.filter(col("improved")).count()
+      labels = updated.select(col("doc_id"), col("label")).localCheckpoint()
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
   def c11TextFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     TextDedup
       .shingleHashes(spark, sfDir)
