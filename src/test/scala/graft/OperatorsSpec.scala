@@ -86,6 +86,37 @@ class OperatorsSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("a5 hopping windows: every event lands in exactly 4 windows") {
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val total = EventStreamOps
+      .a5HoppingWindow(spark, sf0001)
+      .agg(sum("n"))
+      .head
+      .getLong(0)
+    assert(total == 4 * ev.count())
+  }
+
+  test("a8 watermark: no emitted window end is within 10 minutes of max event time") {
+    import graft.sources.Tables
+    val maxTs = Tables.events(spark, sf0001).agg(max(unix_timestamp(col("ts")))).head.getLong(0)
+    val bad = EventStreamOps
+      .a8EventTimeStats(spark, sf0001)
+      .filter(unix_timestamp(col("window_start")) + 900 > maxTs - 600)
+    assert(bad.count() == 0)
+  }
+
+  test("c16 clusters: every member pairs with something in its own cluster (soundness)") {
+    val clusters = TextAnalysis.c16DedupClusters(spark, sf0001)
+    val pairs = TextDedup.c2NgramJaccard(spark, sf0001)
+    // the canonical label is a member of the cluster and minimal
+    assert(clusters.filter(col("cluster_id") > col("doc_id")).count() == 0)
+    // every near-dup pair ends up in the same cluster
+    val joined = pairs
+      .join(clusters.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca")), "doc_a")
+      .join(clusters.select(col("doc_id").as("doc_b"), col("cluster_id").as("cb")), "doc_b")
+    assert(joined.filter(col("ca") =!= col("cb")).count() == 0)
+  }
+
   test("c1 exact dedup: copies counted, canonical id is minimal") {
     val df = TextDedup.c1DedupExact(spark, sf0001)
     val total = graft.sources.Tables.documents(spark, sf0001).count()
