@@ -17,15 +17,24 @@ object Bench {
     // JIT across the job; a cold local JVM would charge it to the first
     // query)
     spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count().collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+      }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
+    }
+    // a failed query must not masquerade as a fast one: report it as -1
+    val qs = runs
+      .map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = runs.filterNot(_._3).map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
+    val total = runs.filter(_._3).map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    )
     spark.stop()
   }
 }

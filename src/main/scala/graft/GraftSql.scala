@@ -21,8 +21,9 @@ object GraftSql {
     * session (idempotent).
     */
   def register(spark: SparkSession, sfDir: String): Unit = {
-    TableNames.foreach(n => Tables.table(spark, sfDir, n).createOrReplaceTempView(n))
-    // events view with the nanos→micros conversion applied
+    TableNames.filterNot(_ == "events")
+      .foreach(n => Tables.table(spark, sfDir, n).createOrReplaceTempView(n))
+    // events needs the nanos→micros ts conversion — never expose the raw view
     Tables.events(spark, sfDir).createOrReplaceTempView("events")
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       shims.registerFunction(spark, name, info, builder)

@@ -115,6 +115,30 @@ object OracleGen {
        |)
        |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id FROM reach GROUP BY a""".stripMargin
 
+  val c5EmbeddingDedup: String = {
+    import graft.operators.VectorOps.NearDupThreshold
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, list_dot_product(a.vn, b.vn) AS cos
+       |FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |WHERE list_dot_product(a.vn, b.vn) >= $NearDupThreshold""".stripMargin
+  }
+
+  val c6AnnBruteforce: String = {
+    import graft.operators.VectorOps.{NumQueryVecs, TopK}
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |nm AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),
+       |q AS (SELECT vec_id AS query_id, vn AS qv FROM nm WHERE vec_id < $NumQueryVecs),
+       |c AS (SELECT vec_id AS neighbor_id, vn AS cv FROM nm WHERE vec_id >= $NumQueryVecs),
+       |s AS (SELECT query_id, neighbor_id, list_dot_product(qv, cv) AS cos
+       |  FROM q, c)
+       |SELECT query_id, neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+       |  cos
+       |FROM s
+       |QUALIFY rank <= $TopK""".stripMargin
+  }
+
   val c11Fingerprint: String =
     s"""WITH $shingleCtes
        |SELECT doc_id, min(h) AS fp_min, CAST(SUM(h) % ${MinHashParams.P} AS BIGINT) AS fp_sum

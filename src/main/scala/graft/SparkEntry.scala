@@ -263,24 +263,8 @@ object SparkEntry {
     "c2_dedup_ngram_jaccard" -> OracleGen.c2NgramJaccard,
     "c3_dedup_minhash_lsh" -> OracleGen.c3MinHashLsh,
     "c4_dedup_simhash" -> OracleGen.c4SimHash,
-    "c5_dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-        |n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, list_dot_product(a.vn, b.vn) AS cos
-        |FROM n a JOIN n b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.vn, b.vn) >= 0.45""".stripMargin,
-    "c6_ann_bruteforce" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-        |nm AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),
-        |q AS (SELECT vec_id AS query_id, vn AS qv FROM nm WHERE vec_id < 10),
-        |c AS (SELECT vec_id AS neighbor_id, vn AS cv FROM nm WHERE vec_id >= 10),
-        |s AS (SELECT query_id, neighbor_id, list_dot_product(qv, cv) AS cos
-        |  FROM q, c)
-        |SELECT query_id, neighbor_id,
-        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
-        |  cos
-        |FROM s
-        |QUALIFY rank <= 10""".stripMargin,
+    "c5_dedup_embedding" -> OracleGen.c5EmbeddingDedup,
+    "c6_ann_bruteforce" -> OracleGen.c6AnnBruteforce,
     "c8_text_langid" ->
       """WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |s AS (SELECT doc_id,

@@ -29,7 +29,7 @@ object EventStreamOps {
   private def windowStart(ts: Column, widthSec: Int): Column =
     timestamp_seconds(floor(unix_timestamp(ts) / widthSec) * widthSec)
 
-  private def sumValue: Column = sum(col("value").cast("decimal(18,2)")).cast("double")
+  private def sumValue: Column = graft.functions.ExactAgg.moneySum(col("value"))
 
   /** A1: windowed first-wins dedup — DeduplicationExample.scala:126-142.
     * Keep the earliest event per (user_id, event_type) in each 15-min

@@ -63,7 +63,7 @@ object Multimodal {
         element_at(array(lit("image"), lit("audio"), lit("video")), (col("doc_id") % 3 + 1).cast("int"))
           .as("fmt"),
         encode(col("text"), "UTF-8").as("media"),
-        col("n_chars").as("n_bytes")
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes")
       )
       .as[MediaRow]
 

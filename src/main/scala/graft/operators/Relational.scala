@@ -17,13 +17,8 @@ import graft.sources.Tables
   */
 object Relational {
 
-  /** Exact, order-independent sum of a money expression. The input is a
-    * 2-decimal-valued double; casting it to DECIMAL(18,2) recovers the
-    * exact value, so the sum is exact and identical on any engine and
-    * any partitioning.
-    */
   private def moneySum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sum(c.cast("decimal(18,2)")).cast("double")
+    graft.functions.ExactAgg.moneySum(c)
 
   /** Exact revenue term: extendedprice × (1 − discount), computed in
     * decimal end-to-end. Double products cast to decimal round

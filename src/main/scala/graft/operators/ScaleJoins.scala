@@ -64,7 +64,7 @@ object ScaleJoins {
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price")
+        graft.functions.ExactAgg.moneySum(col("l_extendedprice")).as("sum_price")
       )
   }
 
@@ -88,7 +88,7 @@ object ScaleJoins {
       .groupBy(col("c_mktsegment").as("segment"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value")
+        graft.functions.ExactAgg.moneySum(col("value")).as("sum_value")
       )
   }
 }

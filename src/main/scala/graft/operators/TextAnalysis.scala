@@ -86,10 +86,6 @@ object TextAnalysis {
         regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]")).cast("long").as("n_bpe_tokens")
       )
 
-  /** C11: document fingerprinting — min and mod-P sum of md5-derived
-    * shingle hashes (a rolling-hash family): order-independent,
-    * engine-reproducible, and stable under shingle reordering.
-    */
   /** C14: TF-IDF top terms — term frequency × inverse document
     * frequency, ranked per doc. The score uses only mult/div (no log)
     * so it is IEEE-exact cross-engine; rank ties break on the term.
@@ -176,6 +172,10 @@ object TextAnalysis {
     labels.withColumnRenamed("label", "cluster_id")
   }
 
+  /** C11: document fingerprinting — min and mod-P sum of md5-derived
+    * shingle hashes (a rolling-hash family): order-independent,
+    * engine-reproducible, and stable under shingle reordering.
+    */
   def c11TextFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     TextDedup
       .shingleHashes(spark, sfDir)

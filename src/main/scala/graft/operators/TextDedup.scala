@@ -73,20 +73,32 @@ object TextDedup {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
   /** Exact pairwise Jaccard ≥ 0.8 for a candidate pair set
-    * (doc_a < doc_b), computed through the shingle inverted index.
-    * The threshold test is pure integer arithmetic
+    * (doc_a < doc_b). The threshold test is pure integer arithmetic
     * (den·common ≥ num·union) — no float boundary anywhere.
+    *
+    * With no candidate set, pairs come from the full shingle
+    * inverted-index self-join. With candidates (the LSH path), the
+    * common-shingle count is computed by expanding ONLY the candidate
+    * pairs against the per-doc shingle sets — the exhaustive self-join
+    * never runs, which is the whole point of LSH at scale.
     */
   private def jaccardVerified(sh: DataFrame, candidates: Option[DataFrame]): DataFrame = {
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
-    val common = sh
-      .select(col("doc_id").as("doc_a"), col("h"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("h")), "h")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    val withCand = candidates.fold(common)(c => common.join(c, Seq("doc_a", "doc_b"), "left_semi"))
-    withCand
+    val common = candidates match {
+      case None =>
+        sh.select(col("doc_id").as("doc_a"), col("h"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("h")), "h")
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("common"))
+      case Some(cand) =>
+        cand
+          .join(sh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("common"))
+    }
+    common
       .join(n.select(col("doc_id").as("doc_a"), col("ns").as("na")), "doc_a")
       .join(n.select(col("doc_id").as("doc_b"), col("ns").as("nb")), "doc_b")
       .withColumn("union_sz", col("na") + col("nb") - col("common"))
@@ -113,10 +125,9 @@ object TextDedup {
   def c3MinHashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import MinHashParams._
     val sh = shingleHashes(spark, sfDir).localCheckpoint()
-    val h = sh
     val mins: Seq[Column] =
       (0 until NumPerms).map(j => min((col("h") * A(j) + B(j)) % P).as(s"m$j"))
-    val sig = h.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
 
     val bandCols = (0 until Bands).map { b =>
       val rows = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))

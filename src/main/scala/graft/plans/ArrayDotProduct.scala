@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.shims
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression: dot product of two double arrays.
   *
@@ -23,6 +24,17 @@ case class ArrayDotProduct(left: Expression, right: Expression) extends BinaryEx
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "array_dot"
+
+  // the SQL-registered form accepts arbitrary expressions, so reject
+  // non-double arrays at analysis time instead of mis-reading them
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = DataType.equalsStructurally(left.dataType, ArrayType(DoubleType), ignoreNullability = true) &&
+      DataType.equalsStructurally(right.dataType, ArrayType(DoubleType), ignoreNullability = true)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, got ${left.dataType.sql} and ${right.dataType.sql}"
+    )
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     ArrayDotProduct.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

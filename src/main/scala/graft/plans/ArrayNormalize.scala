@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -22,6 +23,15 @@ case class ArrayNormalize(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
   override def prettyName: String = "array_l2_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (DataType.equalsStructurally(child.dataType, ArrayType(DoubleType), ignoreNullability = true)) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<double> argument, got ${child.dataType.sql}"
+      )
+    }
 
   override protected def nullSafeEval(a: Any): Any =
     ArrayNormalize.normalize(a.asInstanceOf[ArrayData])

@@ -38,7 +38,7 @@ object Formats {
         df.agg(
           count(lit(1)).as("n"),
           sum(col("event_id")).as("sum_id"),
-          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value")
+          graft.functions.ExactAgg.moneySum(col("value")).as("sum_value")
         ).withColumn("fmt", lit(fmt))
       }
       .reduce(_.unionByName(_))
@@ -67,7 +67,7 @@ object Formats {
       .groupBy(col("o_year"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price")
+        graft.functions.ExactAgg.moneySum(col("o_totalprice")).as("sum_price")
       )
   }
 }

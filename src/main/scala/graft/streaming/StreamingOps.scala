@@ -37,6 +37,19 @@ object StreamingOps {
     * (:126-142): forward a record only if its key has not been seen in
     * the current window; state expires via event-time timeout (the
     * WindowStore's retention).
+    *
+    * Semantics note: like the reference, "first" means first ARRIVAL —
+    * a later-arriving record with an earlier event time inside an
+    * already-claimed window is dropped, not swapped in (Kafka Streams
+    * forwards whatever reached the processor first). Within one
+    * micro-batch, arrival order is undefined, so the event-time minimum
+    * is taken for determinism. The batch analogue
+    * ([[graft.operators.EventStreamOps.a1DedupWindowed]]) has no
+    * arrival order at all and always keeps the event-time minimum; the
+    * two agree exactly when records arrive in event-time order (the
+    * replay case StreamingDemo verifies), and differ only for
+    * out-of-order arrivals across micro-batches — where the reference
+    * itself is arrival-dependent.
     */
   def firstWinsDedup(
       events: Dataset[Event],
