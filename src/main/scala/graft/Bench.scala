@@ -19,7 +19,9 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count().collect()
     val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      // noop write materializes EVERY column (a bare count() lets Catalyst
+      // prune projection-only queries down to a row count — measuring nothing)
+      val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false

@@ -17,18 +17,29 @@ object GraftSql {
     "orders", "lineitem", "events", "documents", "embeddings"
   )
 
+  // last sfDir registered per live session — registering is 10 parquet
+  // schema reads + file listings, far too expensive to repeat per query
+  private val registeredDir =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
   /** Register the sf tables as temp views and graft functions into the
-    * session (idempotent).
+    * session (idempotent; cached per (session, sfDir) — re-registers only
+    * when the data directory changes).
     */
-  def register(spark: SparkSession, sfDir: String): Unit = {
-    TableNames.filterNot(_ == "events")
-      .foreach(n => Tables.table(spark, sfDir, n).createOrReplaceTempView(n))
-    // events needs the nanos→micros ts conversion — never expose the raw view
-    Tables.events(spark, sfDir).createOrReplaceTempView("events")
-    GraftExtensions.functions.foreach { case (name, info, builder) =>
-      shims.registerFunction(spark, name, info, builder)
+  def register(spark: SparkSession, sfDir: String): Unit =
+    registeredDir.synchronized {
+      if (registeredDir.get(spark) != sfDir) {
+        TableNames.filterNot(_ == "events")
+          .foreach(n => Tables.table(spark, sfDir, n).createOrReplaceTempView(n))
+        // events needs the nanos→micros ts conversion — never expose the raw view
+        Tables.events(spark, sfDir).createOrReplaceTempView("events")
+        GraftExtensions.functions.foreach { case (name, info, builder) =>
+          shims.registerFunction(spark, name, info, builder)
+        }
+        registeredDir.put(spark, sfDir)
+      }
     }
-  }
 
   def sql(spark: SparkSession, sfDir: String, query: String): DataFrame = {
     register(spark, sfDir)

@@ -243,8 +243,8 @@ object SparkEntry {
         |SELECT c_mktsegment, n_nations, median_bal, p90_bal
         |FROM nd JOIN med USING (c_mktsegment) JOIN p90 USING (c_mktsegment)""".stripMargin,
     "b10_string_date" ->
-      """SELECT date_trunc('month', CAST(ts AS TIMESTAMP)) AS month, upper(event_type) AS etype,
-        |  SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+      """SELECT CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS month, upper(event_type) AS etype,
+        |  CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(*) AS n
         |FROM events
         |GROUP BY 1, 2""".stripMargin,

@@ -95,17 +95,22 @@ object TextAnalysis {
   def c14TfIdf(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
-    val nDocs = docs.count()
+    // scalar agg folded into the plan (single-row broadcast) — a
+    // docs.count() would be an extra job/scan at every call site
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    // no broadcast hint on df: the vocabulary is corpus-sized (billions
+    // of terms at 100 TB) — AQE broadcasts when it is actually small
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(df), "term")
-      .withColumn("score", col("tf").cast("double") * nDocs / col("df"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
