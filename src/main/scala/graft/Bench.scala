@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  val Passes = 3
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,25 +18,37 @@ object Bench {
     // JIT across the job; a cold local JVM would charge it to the first
     // query)
     spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count().collect()
-    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop write materializes EVERY column (a bare count() lets Catalyst
-      // prune projection-only queries down to a row count — measuring nothing)
-      val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // n≥3 full passes, report the per-query MEDIAN — a single run can't
+    // distinguish a real regression from JIT/ordering noise
+    val samples: Seq[Seq[(String, Double, Boolean)]] = (1 to Passes).map { _ =>
+      names.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // noop write materializes EVERY column (a bare count() lets Catalyst
+        // prune projection-only queries down to a row count — measuring nothing)
+        val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+    }
+    val byName = samples.flatten.groupBy(_._1)
+    val medians = names.map { case (name, _) =>
+      val runs = byName(name)
+      val ok = runs.forall(_._3)
+      val med = runs.map(_._2).sorted.apply(runs.size / 2)
+      (name, med, ok)
     }
     // a failed query must not masquerade as a fast one: report it as -1
-    val qs = runs
+    val qs = medians
       .map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
-    val failed = runs.filterNot(_._3).map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
-    val total = runs.filter(_._3).map(_._2).sum
+    val failed = medians.filterNot(_._3).map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
+    val total = medians.filter(_._3).map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","method":"noop-write; per-query median of $Passes passes"}"""
     )
     spark.stop()
   }

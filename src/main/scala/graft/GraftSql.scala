@@ -18,28 +18,52 @@ object GraftSql {
   )
 
   // last sfDir registered per live session — registering is 10 parquet
-  // schema reads + file listings, far too expensive to repeat per query
-  private val registeredDir =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, String]())
+  // schema reads + file listings, far too expensive to repeat per query.
+  // The maps are only ever touched under their own monitor for a cheap
+  // get/put; the expensive registration runs under a PER-SESSION lock,
+  // so one session's slow first registration never blocks another
+  // session's cached fast path.
+  private val registeredDir = new java.util.WeakHashMap[SparkSession, String]()
+  private val sessionLocks = new java.util.WeakHashMap[SparkSession, Object]()
+
+  private def lockFor(spark: SparkSession): Object =
+    sessionLocks.synchronized {
+      sessionLocks.computeIfAbsent(spark, _ => new Object)
+    }
 
   /** Register the sf tables as temp views and graft functions into the
     * session (idempotent; cached per (session, sfDir) — re-registers only
     * when the data directory changes).
+    *
+    * The cache assumes the catalog and the files under `sfDir` are not
+    * mutated behind it: dropping/shadowing a temp view or replacing the
+    * parquet files requires [[invalidate]] before the next `sql` call.
     */
-  def register(spark: SparkSession, sfDir: String): Unit =
-    registeredDir.synchronized {
-      if (registeredDir.get(spark) != sfDir) {
-        TableNames.filterNot(_ == "events")
-          .foreach(n => Tables.table(spark, sfDir, n).createOrReplaceTempView(n))
-        // events needs the nanos→micros ts conversion — never expose the raw view
-        Tables.events(spark, sfDir).createOrReplaceTempView("events")
-        GraftExtensions.functions.foreach { case (name, info, builder) =>
-          shims.registerFunction(spark, name, info, builder)
+  def register(spark: SparkSession, sfDir: String): Unit = {
+    val cached = registeredDir.synchronized(registeredDir.get(spark))
+    if (cached != sfDir) {
+      lockFor(spark).synchronized {
+        val current = registeredDir.synchronized(registeredDir.get(spark))
+        if (current != sfDir) {
+          TableNames.filterNot(_ == "events")
+            .foreach(n => Tables.table(spark, sfDir, n).createOrReplaceTempView(n))
+          // events needs the nanos→micros ts conversion — never expose the raw view
+          Tables.events(spark, sfDir).createOrReplaceTempView("events")
+          GraftExtensions.functions.foreach { case (name, info, builder) =>
+            shims.registerFunction(spark, name, info, builder)
+          }
+          registeredDir.synchronized(registeredDir.put(spark, sfDir))
         }
-        registeredDir.put(spark, sfDir)
       }
     }
+  }
+
+  /** Drop the cached registration for a session — call after mutating
+    * data under a registered sfDir or touching the temp views, so the
+    * next `sql`/`register` rebuilds them from current state.
+    */
+  def invalidate(spark: SparkSession): Unit =
+    registeredDir.synchronized(registeredDir.remove(spark))
 
   def sql(spark: SparkSession, sfDir: String, query: String): DataFrame = {
     register(spark, sfDir)

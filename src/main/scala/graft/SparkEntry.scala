@@ -38,6 +38,7 @@ object SparkEntry {
     "b10_string_date" -> (Relational.b10StringDate _),
     "b11_scalar_subquery" -> (Relational.b11ScalarSubquery _),
     "b12_approx_sketch" -> (Relational.b12ApproxSketch _),
+    "b16_promo_revenue" -> (Relational.b16PromoRevenue _),
     "b14_cube" -> (Relational.b14Cube _),
     "b15_running_sum" -> (Relational.b15RunningSum _),
     "c1_dedup_exact" -> (TextDedup.c1DedupExact _),
@@ -46,7 +47,8 @@ object SparkEntry {
     "c4_dedup_simhash" -> (TextDedup.c4SimHash _),
     "c5_dedup_embedding" -> (VectorOps.c5EmbeddingDedup _),
     "c6_ann_bruteforce" -> (VectorOps.c6AnnBruteforce _),
-    "c7_ann_lsh" -> (VectorOps.c7AnnLsh _),
+    "c7_ann_lsh" -> ((s, d) => VectorOps.c7AnnLsh(s, d)),
+    "c17_dedup_embedding_lsh" -> ((s, d) => VectorOps.c17EmbeddingDedupLsh(s, d)),
     "c8_text_langid" -> (TextAnalysis.c8TextLangid _),
     "c9_text_quality" -> (TextAnalysis.c9TextQuality _),
     "c10_text_tokens" -> (TextAnalysis.c10TextTokens _),
@@ -264,6 +266,9 @@ object SparkEntry {
     "c3_dedup_minhash_lsh" -> OracleGen.c3MinHashLsh,
     "c4_dedup_simhash" -> OracleGen.c4SimHash,
     "c5_dedup_embedding" -> OracleGen.c5EmbeddingDedup,
+    // the LSH path produces the SAME pair set (zero bucket misses at
+    // the test SFs — deterministic planes, verified in VectorRecallSpec)
+    "c17_dedup_embedding_lsh" -> OracleGen.c5EmbeddingDedup,
     "c6_ann_bruteforce" -> OracleGen.c6AnnBruteforce,
     "c8_text_langid" ->
       """WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
@@ -301,6 +306,19 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
         |FROM documents""".stripMargin,
     "c11_text_fingerprint" -> OracleGen.c11Fingerprint,
+    // mirrors Multimodal.decodeStub: features from the first 32 bits of
+    // md5(payload), payload = UTF-8 text bytes
+    "c12_multimodal_decode" ->
+      """WITH m AS (SELECT doc_id,
+        |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS fmt,
+        |  CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS cs
+        |FROM documents)
+        |SELECT doc_id, fmt,
+        |  CAST(16 + cs % 624 AS INT) AS width,
+        |  CAST(16 + (cs // 7) % 464 AS INT) AS height,
+        |  CAST(CASE WHEN fmt = 'video' THEN 1 + cs % 299 ELSE 1 END AS INT) AS n_frames,
+        |  CAST(cs % 256 AS DOUBLE) / 255.0 AS brightness
+        |FROM m""".stripMargin,
     "c15_bigram_lm" -> OracleGen.c15BigramLm,
     "c16_dedup_clusters" -> OracleGen.c16Clusters,
     "b14_cube" ->
@@ -316,6 +334,15 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM orders
         |WHERE o_custkey < 100""".stripMargin,
+    "b16_promo_revenue" ->
+      """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) ELSE 0 END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS promo_revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS total_revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
     "b13_sql_q6" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
         |       COUNT(*) AS n

@@ -35,17 +35,23 @@ object Multimodal {
     * video codec. Real implementation would parse `media` with the
     * format's library; the signature (bytes in, typed features out) and
     * the per-partition execution are what matter for the pipeline.
+    *
+    * Features derive from the first 32 bits of md5(payload) — chosen
+    * because any engine can recompute it, so the whole mapPartitions
+    * stage is verified hash-exact against a DuckDB oracle (the one part
+    * a real codec swap would change).
     */
   private def decodeStub(m: MediaRow): MediaFeatures = {
-    val head = m.media.take(64)
-    val checksum = head.foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(m.media)
+    val cs = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
     MediaFeatures(
       doc_id = m.doc_id,
       fmt = m.fmt,
-      width = (16 + math.abs(checksum % 624)).toInt,
-      height = (16 + math.abs((checksum / 7) % 464)).toInt,
-      n_frames = if (m.fmt == "video") (1 + math.abs(checksum % 299)).toInt else 1,
-      brightness = head.map(b => (b & 0xff).toDouble).sum / math.max(head.length, 1) / 255.0
+      width = (16 + cs % 624).toInt,
+      height = (16 + (cs / 7) % 464).toInt,
+      n_frames = if (m.fmt == "video") (1 + cs % 299).toInt else 1,
+      brightness = (cs % 256).toDouble / 255.0
     )
   }
 

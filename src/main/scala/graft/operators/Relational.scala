@@ -107,16 +107,26 @@ object Relational {
   }
 
   /** B5: window-function top-k — 3 highest-value orders per priority class.
-    * Scale: single shuffle on the partition key; rank computed within
-    * sorted partitions, no global sort.
+    * Scale: the priority key has ~5 values, so a single rank window
+    * would sort entire classes in 5 tasks at any cluster size. Instead
+    * a salted pre-pass takes top-3 per (priority, salt) across 64
+    * spread partitions — the global top-3 is necessarily inside that
+    * union — and the final rank window sees ≤ 3·64 rows per class.
     */
   def b5WindowRank(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window
+    val NumSalts = 64
+    val pre = Window
+      .partitionBy(col("o_orderpriority"), col("salt"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val fin = Window
       .partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables
       .orders(spark, sfDir)
-      .withColumn("rk", row_number().over(w))
+      .withColumn("salt", pmod(hash(col("o_orderkey")), lit(NumSalts)))
+      .withColumn("rk_pre", row_number().over(pre))
+      .filter(col("rk_pre") <= 3)
+      .withColumn("rk", row_number().over(fin))
       .filter(col("rk") <= 3)
       .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("o_totalprice"))
   }
@@ -155,25 +165,81 @@ object Relational {
   /** B9: exact discrete percentiles + distinct counts per market segment.
     * Quantiles are picked as the value at rank ceil(p*n) — a value from
     * the data, no interpolation arithmetic — so the result is bit-exact
-    * and engine-independent. One shuffle on the segment key.
+    * and engine-independent.
+    *
+    * Scale: the segment key has ~5 values, so ranking via a
+    * whole-segment window would sort entire segments in 5 tasks at any
+    * cluster size. Instead, two-phase distributed rank: (1) count rows
+    * per (segment, fixed-width value bucket) — a map-side-combinable
+    * aggregate; (2) cumulative bucket offsets (computed on the tiny
+    * per-bucket aggregate, ~100 rows/segment, via a self-join — no
+    * segment-only window anywhere in the plan); (3) each rank target
+    * lands in exactly one bucket, and only that bucket's rows are
+    * sorted (a window over (segment, bucket, stat) — bounded by the
+    * bucket width, not the segment size). The bucketing key is
+    * floor(value/width), monotone in the order-by value, so in-bucket
+    * rank + bucket offset = exact global rank. Production would pick
+    * bucket edges from an approx-quantile sketch; a fixed width works
+    * for the known acctbal domain and keeps the math engine-exact.
     */
   def b9Percentiles(spark: SparkSession, sfDir: String): DataFrame = {
-    val cust = Tables.customer(spark, sfDir)
-    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
-    val ranked = cust
-      .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("c_mktsegment"))))
-    val med = ranked
-      .filter(col("rn") === ceil(col("n") * 0.5))
-      .select(col("c_mktsegment"), col("c_acctbal").as("median_bal"))
-    val p90 = ranked
-      .filter(col("rn") === ceil(col("n") * 0.9))
-      .select(col("c_mktsegment"), col("c_acctbal").as("p90_bal"))
-    val nd = cust
-      .groupBy(col("c_mktsegment"))
+    val seg = col("c_mktsegment")
+    val rows = Tables
+      .customer(spark, sfDir)
+      .select(seg, col("c_acctbal"), col("c_custkey"))
+      .withColumn("bkt", floor(col("c_acctbal") / 100).cast("long"))
+
+    val bcnt = rows.groupBy(seg, col("bkt")).agg(count(lit(1)).as("bn"))
+    // cumulative count of buckets ≤ bkt, per segment (tiny self-join —
+    // at most ~100 buckets/segment ever exist)
+    val bcum = bcnt
+      .join(
+        bcnt.select(seg.as("seg2"), col("bkt").as("bkt2"), col("bn").as("bn2")),
+        seg === col("seg2") && col("bkt2") <= col("bkt")
+      )
+      .groupBy(seg, col("bkt"), col("bn"))
+      .agg(sum(col("bn2")).as("cum"))
+
+    val targets = bcnt
+      .groupBy(seg)
+      .agg(sum(col("bn")).as("n"))
+      .select(
+        seg,
+        explode(
+          array(
+            struct(lit("median_bal").as("stat"), ceil(col("n") * 0.5).as("target")),
+            struct(lit("p90_bal").as("stat"), ceil(col("n") * 0.9).as("target"))
+          )
+        ).as("t")
+      )
+      .select(seg, col("t.stat").as("stat"), col("t.target").as("target"))
+
+    // locate the bucket holding each target rank: cum − bn < target ≤ cum
+    val located = targets
+      .join(bcum, Seq("c_mktsegment"))
+      .filter(col("target") > col("cum") - col("bn") && col("target") <= col("cum"))
+      .select(seg, col("stat"), col("target"), col("bkt"), (col("cum") - col("bn")).as("offset"))
+
+    // sort ONLY the located buckets; offset + in-bucket rank = global rank
+    val wb = Window
+      .partitionBy(seg, col("bkt"), col("stat"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val picked = rows
+      .join(broadcast(located), Seq("c_mktsegment", "bkt"))
+      .withColumn("rn", row_number().over(wb))
+      .filter(col("offset") + col("rn") === col("target"))
+
+    val stats = picked
+      .groupBy(seg)
+      .agg(
+        max(when(col("stat") === "median_bal", col("c_acctbal"))).as("median_bal"),
+        max(when(col("stat") === "p90_bal", col("c_acctbal"))).as("p90_bal")
+      )
+    val nd = Tables
+      .customer(spark, sfDir)
+      .groupBy(seg)
       .agg(count_distinct(col("c_nationkey")).as("n_nations"))
-    nd.join(med, Seq("c_mktsegment")).join(p90, Seq("c_mktsegment"))
+    nd.join(stats, Seq("c_mktsegment"))
   }
 
   /** B10: string/date battery — regexp extraction from the JSON-ish props
@@ -255,4 +321,25 @@ object Relational {
         col("value_q").getItem(0).as("p50"),
         col("value_q").getItem(1).as("p99")
       )
+
+  /** B16: Q14-style promo revenue share — lineitem⋈part with a
+    * conditional decimal aggregate, closing the star schema (the one
+    * table no other query touched). Scale: the shipdate filter prunes
+    * lineitem at the scan; the join is a keyed shuffle on partkey (or a
+    * broadcast when part fits — AQE decides); numerator and denominator
+    * are exact decimal sums, divided once in double so every engine
+    * agrees bit-for-bit.
+    */
+  def b16PromoRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables
+      .lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-09-01") && col("l_shipdate") < lit("1997-10-01"))
+    li.join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) * sum(when(col("p_type") === "PROMO", discPrice).otherwise(lit(0))).cast("double")
+          / sum(discPrice).cast("double")).as("promo_revenue"),
+        sum(discPrice).cast("double").as("total_revenue"),
+        count(lit(1)).as("n")
+      )
+  }
 }

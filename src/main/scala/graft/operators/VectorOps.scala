@@ -11,20 +11,35 @@ import graft.plans.ArrayNormalize.arrayNormalize
 import graft.sources.Tables
 
 /** Embedding similarity operators over the `embeddings` table
-  * (SURVEY.md §2 C-series): cosine near-dup pairs, brute-force ANN
-  * baseline, and the LSH-bucketed scale path.
+  * (SURVEY.md §2 C-series): cosine near-dup pairs (exact + LSH-bucketed
+  * scale path), brute-force ANN baseline, and multi-band LSH ANN.
   *
   * Vectors are L2-normalized ONCE per row, so each candidate pair costs
   * a single dot product — computed by the custom codegen'd
   * [[graft.plans.ArrayDotProduct]] expression (strict sequential IEEE
   * sum, bit-identical to DuckDB's `list_dot_product`, ~10x the
   * interpreted higher-order-function fold it replaced).
+  *
+  * LSH design shared by c7/c17: sign-of-projection onto deterministic
+  * ±1 hyperplanes, grouped into `bands` independent band tables of
+  * `planesPerBand` planes each. A pair collides in a band iff no plane
+  * of that band separates it; a pair is a candidate iff it collides in
+  * ANY band. For a pair at angle θ the per-plane split probability is
+  * θ/π, so P[candidate] = 1 − (1 − (1−θ/π)^r)^b — `r` tunes candidate
+  * volume (selectivity), `b` tunes recall. Asymptotically this is the
+  * standard n^(1+ρ) LSH bound with ρ = ln(1−θ/π) / ln(1/2): at the
+  * c17 threshold cos ≥ 0.45 (θ ≈ 63°), ρ ≈ 0.62 — sublinear in pairs,
+  * but with large constants because the threshold is low; at typical
+  * semantic-dedup thresholds (cos ≥ 0.9, θ ≈ 26°) the same operator is
+  * dramatically cheaper. Parameters scale with n: r ≈ log₂(n / target
+  * bucket size), b sized for the recall floor.
   */
 object VectorOps {
 
   val NearDupThreshold = 0.45
   val TopK = 10
   val NumQueryVecs = 10
+  val Dim = 64
 
   /** embeddings with the vector cast to double and L2-normalized
     * (single-pass codegen'd normalize — see [[graft.plans.ArrayNormalize]]).
@@ -37,10 +52,10 @@ object VectorOps {
         arrayNormalize(transform(col("embedding"), _.cast("double"))).as("vn")
       )
 
-  /** C5: embedding-cosine near-dup pairs (cos ≥ threshold).
-    * This is the exact definition; at 100 TB the LSH bucketing of C7
-    * generates the candidates instead of the self-join. Locally the
-    * self-join is the correctness baseline the oracle mirrors.
+  /** C5: embedding-cosine near-dup pairs (cos ≥ threshold) — the exact
+    * all-pairs definition and the correctness baseline the oracle
+    * mirrors. At scale, [[c17EmbeddingDedupLsh]] computes the same
+    * contract through bucketed candidates instead of this self-join.
     */
   def c5EmbeddingDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val e = vecs(spark, sfDir)
@@ -85,34 +100,106 @@ object VectorOps {
     }
   }
 
-  val NumPlanes = 4 // 16 buckets — sized so sf0.01's 500 vectors give ~30 per bucket
-
-  /** C7: LSH-bucketed ANN — the scale path. Sign-of-projection onto
-    * fixed random hyperplanes buckets each vector; search only meets
-    * vectors sharing a bucket (candidates per query ≈ n/2^planes, and
-    * the bucket join is a keyed shuffle, never a cross join). Top-5 per
-    * query by exact cosine within the bucket.
+  /** `(band_idx, bucket)` rows per vector: band j's bucket is the
+    * sign-pattern integer of planes [j·r, (j+1)·r). Only the small
+    * (band_idx, bucket, vec_id) triple is exploded — the 64-double
+    * vector never rides through the band explosion or the candidate
+    * shuffle; verification joins it back by vec_id afterwards.
     */
-  def c7AnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val planes = hyperplanes(NumPlanes, 64)
-    val e = vecs(spark, sfDir)
-    val bucket: Column = (0 until NumPlanes)
-      .map { j =>
-        val plane = array(planes(j).toIndexedSeq.map(lit): _*)
-        when(arrayDot(col("vn"), plane) >= 0, lit(1 << j)).otherwise(lit(0))
-      }
-      .reduce(_ + _)
-    val bucketed = e.withColumn("bucket", bucket)
+  private def bandBuckets(e: DataFrame, bands: Int, planesPerBand: Int): DataFrame = {
+    val planes = hyperplanes(bands * planesPerBand, Dim)
+    val bandCols: Seq[Column] = (0 until bands).map { bIdx =>
+      val bucket = (0 until planesPerBand)
+        .map { p =>
+          val plane = array(planes(bIdx * planesPerBand + p).toIndexedSeq.map(lit): _*)
+          when(arrayDot(col("vn"), plane) >= 0, lit(1 << p)).otherwise(lit(0))
+        }
+        .reduce(_ + _)
+      struct(lit(bIdx).as("band_idx"), bucket.as("bucket"))
+    }
+    e.select(col("vec_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("b.band_idx").as("band_idx"), col("b.bucket").as("bucket"), col("vec_id"))
+  }
 
-    val queries = bucketed
-      .filter(col("vec_id") < NumQueryVecs)
-      .select(col("bucket"), col("vec_id").as("query_id"), col("vn").as("qv"))
-    val cands = bucketed
-      .filter(col("vec_id") >= NumQueryVecs)
-      .select(col("bucket"), col("vec_id").as("neighbor_id"), col("vn").as("cv"))
+  /** c17 banding: 16 bands × 2 planes. Recall for a threshold pair
+    * (cos = 0.45, worst case): P[miss] = (1 − 0.6486²)¹⁶ ≈ 1.6e-4 —
+    * and because the planes are deterministic, zero misses is VERIFIED
+    * (not sampled) against the exact c5 result at the test SFs, so the
+    * c5 oracle applies unchanged.
+    */
+  val C17Bands = 16
+  val C17PlanesPerBand = 2
+
+  /** C17: embedding near-dup pairs via LSH bucketing — c5's scale path,
+    * same output contract (vec_a < vec_b, exact cos ≥ threshold).
+    * Mirrors how c3 (MinHash+LSH) relates to c2 (inverted-index
+    * Jaccard): bucket join → distinct candidate pairs → exact-cosine
+    * verify. Every stage is a keyed shuffle join — no nested-loop /
+    * cartesian stage at any n (PlanSpec-asserted).
+    */
+  def c17EmbeddingDedupLsh(
+      spark: SparkSession,
+      sfDir: String,
+      bands: Int = C17Bands,
+      planesPerBand: Int = C17PlanesPerBand
+  ): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val bb = bandBuckets(e, bands, planesPerBand)
+    val cand = bb
+      .select(col("band_idx"), col("bucket"), col("vec_id").as("vec_a"))
+      .join(
+        bb.select(col("band_idx"), col("bucket"), col("vec_id").as("vec_b")),
+        Seq("band_idx", "bucket")
+      )
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("vn").as("va")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("vn").as("vb")), "vec_b")
+      .withColumn("cos", arrayDot(col("va"), col("vb")))
+      .filter(col("cos") >= NearDupThreshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  /** c7 banding: 16 bands × 3 planes (8 buckets per band). For a
+    * neighbor at cos c the candidate probability is
+    * 1 − (1 − (1 − acos(c)/π)³)¹⁶ — ≥ 0.95 for c ≥ 0.2, measured as
+    * recall@5 ≥ 0.9 vs the exact c6 baseline in VectorRecallSpec.
+    * At larger n, planesPerBand grows ~log₂(n) to hold bucket sizes
+    * constant while bands hold the recall floor.
+    */
+  val C7Bands = 16
+  val C7PlanesPerBand = 3
+
+  /** C7: multi-band LSH ANN — the top-k scale path. Queries and
+    * candidates meet only inside shared (band, bucket) keys (keyed
+    * shuffle join, never a cross join); multi-band union + distinct
+    * recovers recall lost to any single quantization; exact cosine
+    * ranks the candidates. Top-5 per query.
+    */
+  def c7AnnLsh(
+      spark: SparkSession,
+      sfDir: String,
+      bands: Int = C7Bands,
+      planesPerBand: Int = C7PlanesPerBand
+  ): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val bb = bandBuckets(e, bands, planesPerBand)
+    val qb = bb.filter(col("vec_id") < NumQueryVecs)
+    val cb = bb.filter(col("vec_id") >= NumQueryVecs)
+    val cand = qb
+      .select(col("band_idx"), col("bucket"), col("vec_id").as("query_id"))
+      .join(
+        cb.select(col("band_idx"), col("bucket"), col("vec_id").as("neighbor_id")),
+        Seq("band_idx", "bucket")
+      )
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    queries
-      .join(cands, "bucket")
+    cand
+      .join(broadcast(e.select(col("vec_id").as("query_id"), col("vn").as("qv"))), "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("vn").as("cv")), "neighbor_id")
       .withColumn("cos", arrayDot(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)

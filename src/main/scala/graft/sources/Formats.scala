@@ -10,6 +10,16 @@ import org.apache.spark.sql.functions._
   */
 object Formats {
 
+  /** Scratch dir unique per (Spark application, sfDir): concurrent
+    * runs — two drivers benchmarking different SFs, or parallel test
+    * JVMs — never collide on write paths.
+    */
+  private def scratch(spark: SparkSession, tag: String, sfDir: String): String = {
+    val app = spark.sparkContext.applicationId
+    val sf = Integer.toHexString(sfDir.hashCode)
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${app}_$sf"
+  }
+
   /** S1: write a deterministic slice of events to parquet, CSV and
     * JSON, read each back, and aggregate identically — proves schema
     * and value fidelity across every format (the oracle computes the
@@ -17,7 +27,7 @@ object Formats {
     * loss breaks the match).
     */
   def s1FormatRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = "/tmp/graft_formats"
+    val base = scratch(spark, "formats", sfDir)
     val src = Tables
       .events(spark, sfDir)
       .filter(col("event_id") < 1000)
@@ -52,7 +62,7 @@ object Formats {
     * the plan).
     */
   def s2PartitionedWrite(spark: SparkSession, sfDir: String): DataFrame = {
-    val tmp = "/tmp/graft_part_orders"
+    val tmp = scratch(spark, "part_orders", sfDir)
     Tables
       .orders(spark, sfDir)
       .withColumn("o_year", year(col("o_orderdate")))

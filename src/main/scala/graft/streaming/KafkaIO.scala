@@ -13,12 +13,17 @@ import org.apache.spark.sql.Row
   * (producer/consumer props) and the `addSource`/`addSink` calls in
   * both topologies.
   *
-  * Not runnable in this container (no Kafka broker, and the Kafka
-  * connector jar ships separately from Spark core), but this is the
-  * complete production configuration: a user of the reference points
-  * `bootstrapServers` at their cluster and gets the same
-  * at-least-once, key-partitioned topology. JSON stands in for the
-  * reference's Kryo serde — schema-explicit and engine-neutral.
+  * The serde itself — [[decodeJson]]/[[encodeJson]] — is a pure
+  * DataFrame→DataFrame projection shared by batch and streaming, and
+  * is round-trip-tested in KafkaSerdeSpec without a broker. JSON
+  * stands in for the reference's Kryo serde — schema-explicit and
+  * engine-neutral; the timestampFormat carries microseconds so event
+  * times survive the round trip bit-exact.
+  *
+  * The broker wiring is config-only in this container (no Kafka
+  * broker, and the Kafka connector jar ships separately from Spark
+  * core): a user points `bootstrapServers` at their cluster and gets
+  * the same at-least-once, key-partitioned topology as the reference.
   */
 object KafkaIO {
 
@@ -28,11 +33,39 @@ object KafkaIO {
       maxOffsetsPerTrigger: Option[Long] = None
   )
 
-  /** `readStream.format("kafka")` for a topic, with the value parsed
-    * from JSON into `schema` columns and the event time extracted —
-    * the analogue of the reference's serde + FailOnInvalidTimestamp
-    * timestamp extractor.
+  /** Default Spark JSON timestamp format is millisecond-precision;
+    * event times are microseconds — serialize all six digits.
     */
+  private val SerdeOptions =
+    Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+
+  /** Kafka wire record (key/value/timestamp) → typed columns: value
+    * parsed from JSON into `schemaDdl` columns, key cast to string,
+    * broker timestamp kept as `kafka_ts` — the analogue of the
+    * reference's consumer serde + FailOnInvalidTimestamp extractor.
+    * Pure projection: works identically on batch and streaming frames.
+    */
+  def decodeJson(records: DataFrame, schemaDdl: String): DataFrame =
+    records
+      .select(
+        col("key").cast("string").as("key"),
+        from_json(col("value").cast("string"), schemaDdl, SerdeOptions).as("v"),
+        col("timestamp").as("kafka_ts")
+      )
+      .select(col("key"), col("v.*"), col("kafka_ts"))
+
+  /** Typed columns → Kafka wire record: key from `keyCol`, value as the
+    * JSON of every column — the reference's producer serde. Pure
+    * projection, inverse of [[decodeJson]] (KafkaSerdeSpec asserts the
+    * round trip is lossless, timestamps included).
+    */
+  def encodeJson(df: DataFrame, keyCol: String): DataFrame =
+    df.select(
+      col(keyCol).cast("string").as("key"),
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*), SerdeOptions).as("value")
+    )
+
+  /** `readStream.format("kafka")` for a topic, decoded via [[decodeJson]]. */
   def source(
       spark: SparkSession,
       topic: String,
@@ -45,19 +78,10 @@ object KafkaIO {
       .option("subscribe", topic)
       .option("startingOffsets", cfg.startingOffsets)
     val withRate = cfg.maxOffsetsPerTrigger.fold(base)(n => base.option("maxOffsetsPerTrigger", n.toString))
-    withRate
-      .load()
-      .select(
-        col("key").cast("string").as("key"),
-        from_json(col("value").cast("string"), schemaDdl, Map.empty[String, String]).as("v"),
-        col("timestamp").as("kafka_ts")
-      )
-      .select(col("key"), col("v.*"), col("kafka_ts"))
+    decodeJson(withRate.load(), schemaDdl)
   }
 
-  /** `writeStream.format("kafka")` — key by `keyCol`, serialize the
-    * payload to JSON (the reference's sink serde).
-    */
+  /** `writeStream.format("kafka")` — encoded via [[encodeJson]]. */
   def sink(
       df: DataFrame,
       topic: String,
@@ -65,10 +89,7 @@ object KafkaIO {
       checkpointDir: String,
       cfg: KafkaConfig = KafkaConfig()
   ): DataStreamWriter[Row] =
-    df.select(
-      col(keyCol).cast("string").as("key"),
-      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value")
-    ).writeStream
+    encodeJson(df, keyCol).writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", cfg.bootstrapServers)
       .option("topic", topic)

@@ -40,6 +40,61 @@ object ProcessorApiJoin {
   /** views: (event_id, ts-millis); seenClicks: click event_id → ts-millis. */
   case class JoinState(views: List[(Long, Long)], seenClicks: Map[Long, Long], maxTs: Long)
 
+  /** One micro-batch of the per-key state machine, as a pure function:
+    * restore event-time order, store views, dedup + join clicks, then
+    * prune both stores below the retention horizon (max observed event
+    * time minus the larger window) — the property that keeps state
+    * bounded at any input volume, asserted directly by
+    * ProcessorApiJoinSpec's retention tests.
+    */
+  def advance(
+      user: Long,
+      st0: JoinState,
+      batch: Seq[Event],
+      joinMs: Long,
+      dedupMs: Long
+  ): (JoinState, Seq[EnrichedClick]) = {
+    var st = st0
+    val out = Seq.newBuilder[EnrichedClick]
+    // per-key arrival order (Kafka guarantees it per partition;
+    // micro-batches deliver unordered, so restore event-time order)
+    batch.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      val t = e.ts.getTime
+      st = st.copy(maxTs = math.max(st.maxTs, t))
+      e.event_type match {
+        case "view" =>
+          // PvWindowProcessor.process: pvStore.put(key, pv)
+          st = st.copy(views = (e.event_id, t) :: st.views)
+        case "click" =>
+          // EvJoinProcessor.isNotDuplicate: evPvStore.fetch(key, t-w, t)
+          val isDup = st.seenClicks.get(e.event_id).exists(prev => t - prev <= dedupMs)
+          if (!isDup) {
+            // EvJoinProcessor.storedPvs(...).find: view within [t-w, t]
+            val matched = st.views
+              .filter { case (_, vt) => vt <= t && vt >= t - joinMs }
+              .sortBy { case (id, vt) => (-vt, -id) }
+              .headOption
+            out += EnrichedClick(
+              e.event_id,
+              user,
+              e.ts,
+              matched.map(_._1),
+              matched.map(m => new Timestamp(m._2))
+            )
+            st = st.copy(seenClicks = st.seenClicks + (e.event_id -> t))
+          }
+        case _ => // other event types pass through the topology unused
+      }
+    }
+    // retention: prune both stores below the window horizons
+    val horizon = st.maxTs - math.max(joinMs, dedupMs)
+    st = st.copy(
+      views = st.views.filter(_._2 >= horizon),
+      seenClicks = st.seenClicks.filter(_._2 >= horizon)
+    )
+    (st, out.result())
+  }
+
   def apply(
       events: Dataset[Event],
       joinWindowSec: Long = 15,
@@ -61,47 +116,11 @@ object ProcessorApiJoin {
           state.remove()
           Iterator.empty
         } else {
-          var st = state.getOption.getOrElse(JoinState(Nil, Map.empty, 0L))
-          val out = Seq.newBuilder[EnrichedClick]
-          // per-key arrival order (Kafka guarantees it per partition;
-          // micro-batches deliver unordered, so restore event-time order)
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val t = e.ts.getTime
-            st = st.copy(maxTs = math.max(st.maxTs, t))
-            e.event_type match {
-              case "view" =>
-                // PvWindowProcessor.process: pvStore.put(key, pv)
-                st = st.copy(views = (e.event_id, t) :: st.views)
-              case "click" =>
-                // EvJoinProcessor.isNotDuplicate: evPvStore.fetch(key, t-w, t)
-                val isDup = st.seenClicks.get(e.event_id).exists(prev => t - prev <= dedupMs)
-                if (!isDup) {
-                  // EvJoinProcessor.storedPvs(...).find: view within [t-w, t]
-                  val matched = st.views
-                    .filter { case (_, vt) => vt <= t && vt >= t - joinMs }
-                    .sortBy { case (id, vt) => (-vt, -id) }
-                    .headOption
-                  out += EnrichedClick(
-                    e.event_id,
-                    user,
-                    e.ts,
-                    matched.map(_._1),
-                    matched.map(m => new Timestamp(m._2))
-                  )
-                  st = st.copy(seenClicks = st.seenClicks + (e.event_id -> t))
-                }
-              case _ => // other event types pass through the topology unused
-            }
-          }
-          // retention: prune both stores below the window horizons
-          val horizon = st.maxTs - math.max(joinMs, dedupMs)
-          st = st.copy(
-            views = st.views.filter(_._2 >= horizon),
-            seenClicks = st.seenClicks.filter(_._2 >= horizon)
-          )
+          val st0 = state.getOption.getOrElse(JoinState(Nil, Map.empty, 0L))
+          val (st, out) = advance(user, st0, rows.toSeq, joinMs, dedupMs)
           state.update(st)
           state.setTimeoutTimestamp(st.maxTs + 2 * math.max(joinMs, dedupMs))
-          out.result().iterator
+          out.iterator
         }
       }
   }

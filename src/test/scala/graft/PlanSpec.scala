@@ -70,6 +70,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join") )
   }
 
+  test("c17: embedding near-dup LSH path has no nested-loop stage at any n") {
+    val p = plan(VectorOps.c17EmbeddingDedupLsh(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), "candidate generation degenerated into a cross join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "candidate generation degenerated into a nested loop")
+  }
+
+  test("b9: no window partitioned only by the ~5-value segment key") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = Relational.b9Percentiles(spark, sf0001)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    // the only window allowed sorts a single located bucket — partition
+    // arity ≥ 2 means no task ever sorts a whole segment
+    windows.foreach(w =>
+      assert(w.partitionSpec.length >= 2,
+        s"window partitioned by ${w.partitionSpec.mkString(",")} sorts entire segments in ~5 tasks"))
+  }
+
+  test("b5: salted pre-pass bounds the input of the final rank window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = Relational.b5WindowRank(spark, sf0001)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.exists(_.partitionSpec.length == 2),
+      "missing the (priority, salt) pre-pass — final window would sort whole classes")
+  }
+
   test("s3: bucketed join runs with no shuffle exchange on either side") {
     val df = ScaleJoins.s3BucketedJoin(spark, sf0001)
     df.collect()

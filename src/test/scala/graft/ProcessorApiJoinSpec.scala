@@ -68,4 +68,55 @@ class ProcessorApiJoinSpec extends SparkSpec {
     assert(rows(107L).isEmpty) // 20s after pv2: window (15s) closed → None
     assert(rows.size == 7)
   }
+
+  // --- state retention: the property that keeps per-key state bounded at
+  // any input volume (reference bounds its stores the same way via
+  // persistentWindowStore retention, ClickstreamJoinExample.scala:272-301)
+
+  private val joinMs = 15000L
+  private val dedupMs = 5000L
+
+  test("retention: views and seenClicks below the horizon are pruned after each batch") {
+    val batch1 = Seq(
+      Event(1, ts(100), 1, "view", 0),
+      Event(2, ts(101), 1, "click", 0),
+      Event(3, ts(105), 1, "view", 0)
+    )
+    val (st1, _) = ProcessorApiJoin.advance(1L, ProcessorApiJoin.JoinState(Nil, Map.empty, 0L), batch1, joinMs, dedupMs)
+    assert(st1.views.map(_._1).toSet == Set(1L, 3L)) // both inside the 15s horizon
+    assert(st1.seenClicks.keySet == Set(2L))
+
+    // a much later batch advances maxTs far past every stored entry
+    val batch2 = Seq(Event(10, ts(200), 1, "view", 0), Event(11, ts(201), 1, "click", 0))
+    val (st2, _) = ProcessorApiJoin.advance(1L, st1, batch2, joinMs, dedupMs)
+    assert(st2.maxTs == 201000L)
+    val horizon = st2.maxTs - math.max(joinMs, dedupMs)
+    assert(st2.views.forall(_._2 >= horizon), s"stale view survived: ${st2.views}")
+    assert(st2.seenClicks.values.forall(_ >= horizon), s"stale click survived: ${st2.seenClicks}")
+    // state SHRANK: the old view/click are gone, only the new entries remain
+    assert(st2.views.map(_._1) == List(10L))
+    assert(st2.seenClicks.keySet == Set(11L))
+  }
+
+  test("retention: state size stays bounded under a long stream of batches") {
+    var st = ProcessorApiJoin.JoinState(Nil, Map.empty, 0L)
+    var maxViews = 0
+    var maxClicks = 0
+    // 200 batches, 1 view + 1 click per second — unbounded state would grow to 200+
+    (0 until 200).foreach { i =>
+      val t = 1000L + i * 10
+      val batch = (0 until 10).flatMap { j =>
+        Seq(
+          Event(i * 100 + j * 2, ts(t + j), 1, "view", 0),
+          Event(i * 100 + j * 2 + 1, ts(t + j), 1, "click", 0)
+        )
+      }
+      st = ProcessorApiJoin.advance(1L, st, batch, joinMs, dedupMs)._1
+      maxViews = math.max(maxViews, st.views.size)
+      maxClicks = math.max(maxClicks, st.seenClicks.size)
+    }
+    // horizon is 15s and density is 1 view/sec → ≤ ~16 retained + in-batch 10
+    assert(maxViews <= 30, s"views grew to $maxViews — retention not bounding state")
+    assert(maxClicks <= 30, s"seenClicks grew to $maxClicks — retention not bounding state")
+  }
 }

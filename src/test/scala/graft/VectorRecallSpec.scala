@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.VectorOps
+
+/** Quality gates for the LSH scale paths — the properties that let
+  * c17/c7 stand in for their exact baselines (c5/c6) at 100 TB:
+  * c17's candidate generation must lose NO pair the exact all-pairs
+  * definition finds (deterministic planes make this checkable exactly,
+  * not sampled), and c7's top-5 must keep a measured recall floor
+  * against the brute-force ranking.
+  */
+class VectorRecallSpec extends SparkSpec {
+
+  test("c17 LSH pair set is EXACTLY the c5 all-pairs result (zero bucket misses)") {
+    val exact = VectorOps
+      .c5EmbeddingDedup(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val lsh = VectorOps
+      .c17EmbeddingDedupLsh(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(exact.nonEmpty, "baseline found no near-dup pairs — test data changed?")
+    assert(lsh.keySet == exact.keySet,
+      s"missed=${(exact.keySet -- lsh.keySet).toSeq.sorted.take(5)} " +
+        s"extra=${(lsh.keySet -- exact.keySet).toSeq.sorted.take(5)}")
+    // exact-cosine verify stage must produce bit-identical scores
+    exact.foreach { case (k, cos) => assert(lsh(k) == cos, s"cos mismatch at $k") }
+  }
+
+  test("c7 LSH ANN recall@5 >= 0.9 vs the exact c6 baseline") {
+    val exactTop5 = VectorOps
+      .c6AnnBruteforce(spark, sf001)
+      .filter("rank <= 5")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val lshTop5 = VectorOps
+      .c7AnnLsh(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(exactTop5.size == VectorOps.NumQueryVecs * 5)
+    val recall = (exactTop5 & lshTop5).size.toDouble / exactTop5.size
+    assert(recall >= 0.9, f"recall@5 = $recall%.3f < 0.9 (missed ${(exactTop5 -- lshTop5).size} of ${exactTop5.size})")
+  }
+}
