@@ -15,6 +15,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_dedup_windowed" -> (EventStreamOps.a1DedupWindowed _),
     "a2_clickstream_join" -> (EventStreamOps.a2ClickstreamJoin _),
+    "a11_pv_equi_join" -> (EventStreamOps.a11PvEquiJoin _),
     "a3_selectkey_repartition" -> (EventStreamOps.a3SelectKeyRepartition _),
     "a4_windowed_reduce" -> (EventStreamOps.a4WindowedReduce _),
     "a5_hopping_window" -> (EventStreamOps.a5HoppingWindow _),
@@ -85,6 +86,18 @@ object SparkEntry {
         |   AND v.v_ts <= c.click_ts AND v.v_ts >= c.click_ts - INTERVAL 10 MINUTE)
         |SELECT c.click_id, c.user_id, c.click_ts, b.v_id AS view_id, b.v_ts AS view_ts
         |FROM clicks c LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) b USING (click_id)""".stripMargin,
+    "a11_pv_equi_join" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events WHERE event_type IN ('view', 'click')),
+        |attr AS (SELECT *,
+        |  LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv_id,
+        |  LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv_ts
+        | FROM ev),
+        |clicks AS (SELECT user_id, pv_id, ts, value FROM attr WHERE event_type = 'click' AND pv_id IS NOT NULL AND ts <= pv_ts + INTERVAL 6 HOUR),
+        |views AS (SELECT user_id, event_id AS pv_id, value AS pv_value FROM ev WHERE event_type = 'view')
+        |SELECT c.user_id, c.pv_id, v.pv_value, COUNT(*) AS n_clicks, MIN(c.ts) AS first_click_ts, MAX(c.ts) AS last_click_ts,
+        |  CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_click_value
+        |FROM clicks c JOIN views v ON c.user_id = v.user_id AND c.pv_id = v.pv_id
+        |GROUP BY 1, 2, 3""".stripMargin,
     "a3_selectkey_repartition" ->
       """SELECT event_type || '#' || CAST(user_id % 7 AS VARCHAR) AS part_key,
         |  COUNT(*) AS n,

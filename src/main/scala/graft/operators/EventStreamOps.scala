@@ -88,6 +88,55 @@ object EventStreamOps {
       .select(col("click_id"), col("user_id"), col("click_ts"), col("view_id"), col("view_ts"))
   }
 
+  /** A11: per-pv-id EQUI-join — the reference's exact join-key
+    * structure. ClickstreamJoinExample.scala:208-219, 339-341 re-keys
+    * both streams to the composite (clientId, pvId) and joins on that
+    * key; a2 approximates it with an interval condition because the
+    * test events carry no pv_id. Here the pv_id is derived first —
+    * last-view attribution per user via an ignore-nulls running window,
+    * what a client-side tracker does when stamping events with the
+    * current page-view id — and the Ev↔Pv join is then a pure equi-join
+    * on (user_id, pv_id), closing the key-structure gap.
+    *
+    * Scale: the attribution window partitions by user_id (high
+    * cardinality — parallelism grows with users, per-user data is
+    * bounded); the join is one hash shuffle per side on the composite
+    * key with no range predicate inside the join. Output: per-page-view
+    * click rollup (clicks within 6 h of their page view).
+    */
+  def a11PvEquiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables
+      .events(spark, sfDir)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attributed = ev
+      .withColumn("pv_id", last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("pv_ts", last(when(col("event_type") === "view", col("ts")), ignoreNulls = true).over(w))
+    val clicks = attributed
+      .filter(
+        col("event_type") === "click" && col("pv_id").isNotNull &&
+          col("ts") <= col("pv_ts") + expr("INTERVAL 6 HOURS")
+      )
+      .select(col("user_id"), col("pv_id"), col("ts"), col("value"))
+    val views = ev
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("pv_id"), col("value").as("pv_value"))
+    clicks
+      .join(views, Seq("user_id", "pv_id"))
+      .groupBy(col("user_id"), col("pv_id"), col("pv_value"))
+      .agg(
+        count(lit(1)).as("n_clicks"),
+        min(col("ts")).as("first_click_ts"),
+        max(col("ts")).as("last_click_ts"),
+        sumValue.as("sum_click_value")
+      )
+  }
+
   /** A3: selectKey + repartition — ClickstreamJoinExample.scala:208-219.
     * Derive a new key from the record and aggregate on it; in Spark the
     * repartition IS the groupBy shuffle, there is no separate re-key

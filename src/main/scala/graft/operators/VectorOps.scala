@@ -101,24 +101,42 @@ object VectorOps {
   }
 
   /** `(band_idx, bucket)` rows per vector: band j's bucket is the
-    * sign-pattern integer of planes [j·r, (j+1)·r). Only the small
-    * (band_idx, bucket, vec_id) triple is exploded — the 64-double
-    * vector never rides through the band explosion or the candidate
-    * shuffle; verification joins it back by vec_id afterwards.
+    * sign-pattern integer of planes [j·r, (j+1)·r). All sign bits come
+    * from ONE single-pass codegen'd projection
+    * ([[graft.plans.HyperplaneSignBits]] — the vector is read once, not
+    * once per plane); per-band buckets are then just shift-and-mask on
+    * the packed long. Only the small (band_idx, bucket, vec_id) triple
+    * is exploded — the 64-double vector never rides through the band
+    * explosion or the candidate shuffle; verification joins it back by
+    * vec_id afterwards.
     */
   private def bandBuckets(e: DataFrame, bands: Int, planesPerBand: Int): DataFrame = {
     val planes = hyperplanes(bands * planesPerBand, Dim)
+    val bits = graft.plans.HyperplaneSignBits.hyperplaneBits(col("vn"), planes)
+    val mask = (1 << planesPerBand) - 1
     val bandCols: Seq[Column] = (0 until bands).map { bIdx =>
-      val bucket = (0 until planesPerBand)
-        .map { p =>
-          val plane = array(planes(bIdx * planesPerBand + p).toIndexedSeq.map(lit): _*)
-          when(arrayDot(col("vn"), plane) >= 0, lit(1 << p)).otherwise(lit(0))
-        }
-        .reduce(_ + _)
+      val bucket = shiftright(col("bits"), bIdx * planesPerBand).bitwiseAND(lit(mask.toLong)).cast("int")
       struct(lit(bIdx).as("band_idx"), bucket.as("bucket"))
     }
-    e.select(col("vec_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("b.band_idx").as("band_idx"), col("b.bucket").as("bucket"), col("vec_id"))
+    e.select(col("vec_id"), bits.as("bits"))
+      .select(col("vec_id"), col("bits"), explode(array(bandCols: _*)).as("b"))
+      .select(col("b.band_idx").as("band_idx"), col("b.bucket").as("bucket"), col("vec_id"), col("bits"))
+  }
+
+  /** Index of the FIRST band where two sign-bit longs agree on every
+    * plane — pure bit math on `bitsA ^ bitsB`. A pair meeting in the
+    * join at band k collides at k, so keeping only `band_idx ===
+    * firstCollidingBand` emits each candidate pair EXACTLY ONCE
+    * globally: the multi-band dedup becomes a codegen'd filter inside
+    * the join stage instead of a `distinct()` shuffle over every
+    * (pair × band) duplicate — at sf0.1 that shuffle was tens of
+    * millions of rows and dominated the operator's runtime.
+    */
+  private def firstCollidingBand(xorBits: Column, bands: Int, planesPerBand: Int): Column = {
+    val mask = (1L << planesPerBand) - 1
+    (bands - 1 to 0 by -1).foldLeft(lit(-1): Column) { (tail, k) =>
+      when(shiftright(xorBits, k * planesPerBand).bitwiseAND(lit(mask)) === 0, lit(k)).otherwise(tail)
+    }
   }
 
   /** c17 banding: 16 bands × 2 planes. Recall for a threshold pair
@@ -133,9 +151,10 @@ object VectorOps {
   /** C17: embedding near-dup pairs via LSH bucketing — c5's scale path,
     * same output contract (vec_a < vec_b, exact cos ≥ threshold).
     * Mirrors how c3 (MinHash+LSH) relates to c2 (inverted-index
-    * Jaccard): bucket join → distinct candidate pairs → exact-cosine
-    * verify. Every stage is a keyed shuffle join — no nested-loop /
-    * cartesian stage at any n (PlanSpec-asserted).
+    * Jaccard): bucket join → first-band candidate dedup (bit math in
+    * the join stage, no distinct shuffle) → exact-cosine verify. Every
+    * stage is a keyed shuffle join — no nested-loop / cartesian stage
+    * at any n (PlanSpec-asserted).
     */
   def c17EmbeddingDedupLsh(
       spark: SparkSession,
@@ -146,14 +165,16 @@ object VectorOps {
     val e = vecs(spark, sfDir)
     val bb = bandBuckets(e, bands, planesPerBand)
     val cand = bb
-      .select(col("band_idx"), col("bucket"), col("vec_id").as("vec_a"))
+      .select(col("band_idx"), col("bucket"), col("vec_id").as("vec_a"), col("bits").as("bits_a"))
       .join(
-        bb.select(col("band_idx"), col("bucket"), col("vec_id").as("vec_b")),
+        bb.select(col("band_idx"), col("bucket"), col("vec_id").as("vec_b"), col("bits").as("bits_b")),
         Seq("band_idx", "bucket")
       )
-      .filter(col("vec_a") < col("vec_b"))
+      .filter(
+        col("vec_a") < col("vec_b") &&
+          col("band_idx") === firstCollidingBand(col("bits_a").bitwiseXOR(col("bits_b")), bands, planesPerBand)
+      )
       .select(col("vec_a"), col("vec_b"))
-      .distinct()
     cand
       .join(e.select(col("vec_id").as("vec_a"), col("vn").as("va")), "vec_a")
       .join(e.select(col("vec_id").as("vec_b"), col("vn").as("vb")), "vec_b")
@@ -189,13 +210,13 @@ object VectorOps {
     val qb = bb.filter(col("vec_id") < NumQueryVecs)
     val cb = bb.filter(col("vec_id") >= NumQueryVecs)
     val cand = qb
-      .select(col("band_idx"), col("bucket"), col("vec_id").as("query_id"))
+      .select(col("band_idx"), col("bucket"), col("vec_id").as("query_id"), col("bits").as("bits_q"))
       .join(
-        cb.select(col("band_idx"), col("bucket"), col("vec_id").as("neighbor_id")),
+        cb.select(col("band_idx"), col("bucket"), col("vec_id").as("neighbor_id"), col("bits").as("bits_n")),
         Seq("band_idx", "bucket")
       )
+      .filter(col("band_idx") === firstCollidingBand(col("bits_q").bitwiseXOR(col("bits_n")), bands, planesPerBand))
       .select(col("query_id"), col("neighbor_id"))
-      .distinct()
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     cand
       .join(broadcast(e.select(col("vec_id").as("query_id"), col("vn").as("qv"))), "query_id")

@@ -70,6 +70,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join") )
   }
 
+  test("a11: Ev-Pv join is a pure equi-join on the composite (user, pv) key") {
+    val df = EventStreamOps.a11PvEquiJoin(spark, sf0001)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    // the reference's key structure: every join condition is pure equality
+    // (the interval filter runs BEFORE the join, not inside it)
+    joins.foreach { j =>
+      val cond = j.condition.map(_.toString).getOrElse("")
+      assert(!cond.contains(">=") && !cond.contains("<="),
+        s"range predicate leaked into the join condition: $cond")
+    }
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("c17: embedding near-dup LSH path has no nested-loop stage at any n") {
     val p = plan(VectorOps.c17EmbeddingDedupLsh(spark, sf0001))
     assert(!p.contains("CartesianProduct"), "candidate generation degenerated into a cross join")
