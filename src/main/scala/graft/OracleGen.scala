@@ -139,6 +139,29 @@ object OracleGen {
        |QUALIFY rank <= $TopK""".stripMargin
   }
 
+  val c18AnnIvf: String = {
+    import graft.operators.VectorOps.{IvfLists, IvfProbes, NumQueryVecs}
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |nm AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),
+       |cent AS (SELECT vec_id AS cid, vn AS cv FROM nm WHERE vec_id >= $NumQueryVecs AND vec_id < $NumQueryVecs + $IvfLists),
+       |asgr AS (SELECT n.vec_id, c.cid,
+       |  ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.vn, c.cv) DESC, c.cid) rn
+       |  FROM nm n CROSS JOIN cent c WHERE n.vec_id >= $NumQueryVecs),
+       |asg AS (SELECT vec_id, cid AS list_id FROM asgr WHERE rn = 1),
+       |pr AS (SELECT q.vec_id AS query_id, c.cid AS list_id,
+       |  ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY list_dot_product(q.vn, c.cv) DESC, c.cid) pn
+       |  FROM nm q CROSS JOIN cent c WHERE q.vec_id < $NumQueryVecs),
+       |s AS (SELECT p.query_id, a.vec_id AS neighbor_id, list_dot_product(qn.vn, nn.vn) AS cos
+       |  FROM (SELECT query_id, list_id FROM pr WHERE pn <= $IvfProbes) p
+       |  JOIN asg a ON a.list_id = p.list_id
+       |  JOIN nm qn ON qn.vec_id = p.query_id JOIN nm nn ON nn.vec_id = a.vec_id)
+       |SELECT query_id, neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+       |  cos
+       |FROM s
+       |QUALIFY rank <= 5""".stripMargin
+  }
+
   val c11Fingerprint: String =
     s"""WITH $shingleCtes
        |SELECT doc_id, min(h) AS fp_min, CAST(SUM(h) % ${MinHashParams.P} AS BIGINT) AS fp_sum

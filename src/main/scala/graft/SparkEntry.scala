@@ -50,6 +50,7 @@ object SparkEntry {
     "c6_ann_bruteforce" -> (VectorOps.c6AnnBruteforce _),
     "c7_ann_lsh" -> ((s, d) => VectorOps.c7AnnLsh(s, d)),
     "c17_dedup_embedding_lsh" -> ((s, d) => VectorOps.c17EmbeddingDedupLsh(s, d)),
+    "c18_ann_ivf" -> ((s, d) => VectorOps.c18AnnIvf(s, d)),
     "c8_text_langid" -> (TextAnalysis.c8TextLangid _),
     "c9_text_quality" -> (TextAnalysis.c9TextQuality _),
     "c10_text_tokens" -> (TextAnalysis.c10TextTokens _),
@@ -283,6 +284,7 @@ object SparkEntry {
     // the test SFs — deterministic planes, verified in VectorRecallSpec)
     "c17_dedup_embedding_lsh" -> OracleGen.c5EmbeddingDedup,
     "c6_ann_bruteforce" -> OracleGen.c6AnnBruteforce,
+    "c18_ann_ivf" -> OracleGen.c18AnnIvf,
     "c8_text_langid" ->
       """WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |s AS (SELECT doc_id,

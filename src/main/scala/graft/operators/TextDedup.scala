@@ -129,23 +129,33 @@ object TextDedup {
       (0 until NumPerms).map(j => min((col("h") * A(j) + B(j)) % P).as(s"m$j"))
     val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
 
+    // band key = xxhash64 of the band's minhash rows (band index baked
+    // in). A 64-bit collision can only ADD a candidate — equal rows
+    // always hash equal — and exact Jaccard verification removes it, so
+    // the output contract is unchanged while keys stay 8-byte longs.
     val bandCols = (0 until Bands).map { b =>
       val rows = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
-      struct(lit(b).as("band_idx"), md5(concat_ws("_", rows: _*)).as("bkey"))
+      xxhash64(lit(b) +: rows: _*)
     }
     val bands = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_idx").as("band_idx"), col("band.bkey").as("bkey"))
+      .select(col("doc_id"), array(bandCols: _*).as("bkeys"))
+      .select(col("doc_id"), col("bkeys"), posexplode(col("bkeys")).as(Seq("band_idx", "bkey")))
 
+    // each colliding pair is kept ONLY in its first matching band —
+    // multi-band dedup as a row-local filter in the join stage instead
+    // of a distinct() shuffle over every (pair × band) duplicate
+    // (zip_with runs over an 8-element array; cheap next to a shuffle)
     val cand = bands
-      .select(col("band_idx"), col("bkey"), col("doc_id").as("doc_a"))
+      .select(col("band_idx"), col("bkey"), col("doc_id").as("doc_a"), col("bkeys").as("bkeys_a"))
       .join(
-        bands.select(col("band_idx"), col("bkey"), col("doc_id").as("doc_b")),
+        bands.select(col("band_idx"), col("bkey"), col("doc_id").as("doc_b"), col("bkeys").as("bkeys_b")),
         Seq("band_idx", "bkey")
       )
-      .filter(col("doc_a") < col("doc_b"))
+      .filter(
+        col("doc_a") < col("doc_b") &&
+          array_position(zip_with(col("bkeys_a"), col("bkeys_b"), _ === _), lit(true)) === col("band_idx") + 1
+      )
       .select(col("doc_a"), col("doc_b"))
-      .distinct()
 
     jaccardVerified(sh, Some(cand))
   }
@@ -185,16 +195,24 @@ object TextDedup {
       .select(col("doc_id"), col("simhash"), explode(array(blockCols: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.block_idx").as("bi"), col("b.bval").as("bv"))
 
+    // a pair sharing several blocks is kept ONLY at its first matching
+    // block — pure bit math on xor(sig_a, sig_b), so the whole
+    // multi-block dedup AND the hamming threshold run as one row-local
+    // filter inside the join stage: no distinct() shuffle, nothing
+    // downstream of the join but the final projection
+    val xorSig = col("sig_a").bitwiseXOR(col("sig_b"))
+    val firstBlock = widths.zip(offsets).zipWithIndex.reverse
+      .foldLeft(lit(-1): Column) { case (tail, ((w, off), i)) =>
+        when(shiftright(xorSig, off).bitwiseAND((1L << w) - 1) === 0, lit(i)).otherwise(tail)
+      }
     blocks
       .select(col("bi"), col("bv"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
       .join(
         blocks.select(col("bi"), col("bv"), col("doc_id").as("doc_b"), col("simhash").as("sig_b")),
         Seq("bi", "bv")
       )
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("doc_a") < col("doc_b") && col("bi") === firstBlock)
+      .withColumn("hamming", bit_count(xorSig).cast("long"))
       .filter(col("hamming") <= HammingMax)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }

@@ -183,6 +183,78 @@ object VectorOps {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
+  /** c18 IVF geometry: k = 25 lists (≈√n at sf0.01, the standard IVF
+    * sizing), centroid seeds = the k candidate vectors with the lowest
+    * ids (deterministic, training-free — Lloyd iterations would make
+    * centroid coordinates depend on double-summation order and break
+    * cross-engine exactness; the list structure, not centroid quality,
+    * is what the operator demonstrates). nprobe = 20: measured
+    * recall@5 vs c6 on the test embeddings is 0.20/0.30/0.42/0.58/
+    * 0.76/0.92 at nprobe 3/5/8/12/16/20 — the data is isotropic
+    * (max pairwise cos 0.51), so distances concentrate and EVERY
+    * cell-probe index degenerates toward exhaustive search; on real
+    * clustered embeddings with trained centroids the same operator
+    * runs at nprobe ≈ k/20 with k ≈ √n.
+    */
+  val IvfLists = 25
+  val IvfProbes = 20
+
+  /** C18: IVF (inverted-file) ANN — the cell-probe alternative to c7's
+    * LSH. Build: every candidate is assigned to its argmax-cosine
+    * centroid (broadcast quantizer → map-side dot products; the argmax
+    * collapses map-side via partial `max(struct)` so only (id, list)
+    * rows shuffle). Search: each query ranks the centroids, probes its
+    * top-`nprobe` lists via a keyed join on list_id — never a cross
+    * join against the corpus — and exact cosine ranks the probed
+    * candidates. Deterministic end-to-end, so hash-exact against the
+    * DuckDB oracle.
+    */
+  def c18AnnIvf(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = IvfLists,
+      nprobe: Int = IvfProbes
+  ): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val cent = e
+      .filter(col("vec_id") >= NumQueryVecs && col("vec_id") < NumQueryVecs + k)
+      .select(col("vec_id").as("cid"), col("vn").as("cv"))
+    val queries = e
+      .filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("vn").as("qv"))
+
+    // build: argmax-cosine assignment; ties go to the lowest centroid id
+    // (max of (cos, -cid)), matching the oracle's ORDER BY cos DESC, cid
+    val asg = e
+      .filter(col("vec_id") >= NumQueryVecs)
+      .crossJoin(broadcast(cent))
+      .withColumn("cos_c", arrayDot(col("vn"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(struct(col("cos_c"), (-col("cid")).as("ncid"))).as("best"),
+        first(col("vn")).as("vn")
+      )
+      .select(col("vec_id").as("neighbor_id"), (-col("best.ncid")).as("list_id"), col("vn"))
+
+    // search: rank centroids per query, probe the top-nprobe lists
+    val wp = Window.partitionBy(col("query_id")).orderBy(col("cos_c").desc, col("cid"))
+    val probes = queries
+      .crossJoin(broadcast(cent))
+      .withColumn("cos_c", arrayDot(col("qv"), col("cv")))
+      .withColumn("pn", row_number().over(wp))
+      .filter(col("pn") <= nprobe)
+      .select(col("query_id"), col("cid").as("list_id"))
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    asg
+      .join(broadcast(probes), "list_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("cos", arrayDot(col("qv"), col("vn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** c7 banding: 16 bands × 3 planes (8 buckets per band). For a
     * neighbor at cos c the candidate probability is
     * 1 − (1 − (1 − acos(c)/π)³)¹⁶ — ≥ 0.95 for c ≥ 0.2, measured as

@@ -30,6 +30,22 @@ class VectorRecallSpec extends SparkSpec {
     exact.foreach { case (k, cos) => assert(lsh(k) == cos, s"cos mismatch at $k") }
   }
 
+  test("c18 IVF ANN recall@5 >= 0.9 vs the exact c6 baseline at default nprobe") {
+    val exactTop5 = VectorOps
+      .c6AnnBruteforce(spark, sf001)
+      .filter("rank <= 5")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val ivfTop5 = VectorOps
+      .c18AnnIvf(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recall = (exactTop5 & ivfTop5).size.toDouble / exactTop5.size
+    assert(recall >= 0.9, f"recall@5 = $recall%.3f < 0.9")
+  }
+
   test("c7 LSH ANN recall@5 >= 0.9 vs the exact c6 baseline") {
     val exactTop5 = VectorOps
       .c6AnnBruteforce(spark, sf001)
