@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{EventStreamOps, Multimodal, Relational, ScaleJoins, TextAnalysis, TextDedup, VectorOps}
+import graft.operators.{EventStreamOps, Multimodal, Relational, Sampling, ScaleJoins, TextAnalysis, TextDedup, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -51,6 +51,8 @@ object SparkEntry {
     "c7_ann_lsh" -> ((s, d) => VectorOps.c7AnnLsh(s, d)),
     "c17_dedup_embedding_lsh" -> ((s, d) => VectorOps.c17EmbeddingDedupLsh(s, d)),
     "c18_ann_ivf" -> ((s, d) => VectorOps.c18AnnIvf(s, d)),
+    "c19_stratified_sample" -> (Sampling.c19StratifiedSample _),
+    "c20_training_pipeline" -> (Sampling.c20TrainingPipeline _),
     "c8_text_langid" -> (TextAnalysis.c8TextLangid _),
     "c9_text_quality" -> (TextAnalysis.c9TextQuality _),
     "c10_text_tokens" -> (TextAnalysis.c10TextTokens _),
@@ -285,6 +287,49 @@ object SparkEntry {
     "c17_dedup_embedding_lsh" -> OracleGen.c5EmbeddingDedup,
     "c6_ann_bruteforce" -> OracleGen.c6AnnBruteforce,
     "c18_ann_ivf" -> OracleGen.c18AnnIvf,
+    "c19_stratified_sample" ->
+      """SELECT doc_id, lang,
+        |  CAST(concat('0x', substr(md5('sample_' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket
+        |FROM documents
+        |WHERE CAST(concat('0x', substr(md5('sample_' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+        |  < CASE WHEN lang = 'en' THEN 300 ELSE 800 END""".stripMargin,
+    "c20_training_pipeline" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_stop,
+        |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha_chars,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM d),
+        |qs AS (SELECT doc_id, n_tokens,
+        |  CAST(n_stop AS DOUBLE) / n_tokens * 0.4 +
+        |  CAST(alpha_chars AS DOUBLE) / n_chars * 0.3 +
+        |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3 AS quality_score
+        |FROM m),
+        |sc AS (SELECT doc_id,
+        |  CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(w, t -> t = 'data' OR t = 'table')) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(w, t -> t = 'merge' OR t = 'line')) AS BIGINT) AS s_fr,
+        |  CAST(len(list_filter(w, t -> t = 'order' OR t = 'group')) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(w, t -> t = 'key' OR t = 'value')) AS BIGINT) AS s_zh
+        |FROM d),
+        |lang AS (SELECT doc_id,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es >= s_en AND s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+        |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       ELSE 'zh' END AS pred_lang
+        |FROM sc),
+        |kept AS (SELECT d.doc_id, d.text, qs.n_tokens, qs.quality_score
+        |  FROM d JOIN qs USING (doc_id) WHERE qs.quality_score >= 0.42),
+        |canonical AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+        |samp AS (SELECT k.doc_id, k.n_tokens, k.quality_score, l.pred_lang
+        |  FROM kept k JOIN canonical USING (doc_id) JOIN lang l USING (doc_id)
+        |  WHERE CAST(concat('0x', substr(md5('sample_' || CAST(k.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+        |    < CASE WHEN l.pred_lang = 'en' THEN 300 ELSE 800 END)
+        |SELECT pred_lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |  MIN(quality_score) AS min_quality, MAX(quality_score) AS max_quality
+        |FROM samp GROUP BY 1""".stripMargin,
     "c8_text_langid" ->
       """WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |s AS (SELECT doc_id,

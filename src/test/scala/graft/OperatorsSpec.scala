@@ -162,4 +162,63 @@ class OperatorsSpec extends SparkSpec {
     assert(df.filter(col("brightness") < 0 || col("brightness") > 1).count() == 0)
     assert(df.filter(col("width") < 16 || col("height") < 16 || col("n_frames") < 1).count() == 0)
   }
+
+  test("b12 sketches: HLL within 5x rsd of exact; quantiles hit their rank window") {
+    val ev = graft.sources.Tables.events(spark, sf001)
+    val exact = ev
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val rows = Relational.b12ApproxSketch(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val approx = r.getLong(1)
+      val err = math.abs(approx - exact(et)).toDouble / exact(et)
+      assert(err <= 0.10, s"$et: approx=$approx exact=${exact(et)} err=$err (rsd=0.02)")
+      // rank check: the fraction of values <= the approx quantile must
+      // sit inside the quantile's accuracy window (1/1000 rank error,
+      // widened for ties/finite n)
+      val vals = ev.filter(col("event_type") === et)
+      val n = vals.count().toDouble
+      val fr50 = vals.filter(col("value") <= r.getDouble(2)).count() / n
+      val fr99 = vals.filter(col("value") <= r.getDouble(3)).count() / n
+      assert(fr50 >= 0.47 && fr50 <= 0.53, s"$et p50 rank fraction $fr50")
+      assert(fr99 >= 0.97, s"$et p99 rank fraction $fr99")
+    }
+  }
+
+  test("c19 stratified sample: deterministic, rate-bounded per stratum") {
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    val s1 = Sampling.c19StratifiedSample(spark, sf001).collect().map(_.getLong(0)).sorted.toSeq
+    val s2 = Sampling.c19StratifiedSample(spark, sf001).collect().map(_.getLong(0)).sorted.toSeq
+    assert(s1 == s2, "hash-Bernoulli sample must be identical across runs")
+    val perLang = Sampling
+      .c19StratifiedSample(spark, sf001)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val totals = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, n) =>
+      val rate = if (lang == "en") 0.3 else 0.8
+      val expected = totals(lang) * rate
+      // binomial-ish tolerance at these stratum sizes
+      assert(math.abs(n - expected) <= totals(lang) * 0.15 + 5, s"$lang: sampled $n of ${totals(lang)} (rate $rate)")
+    }
+  }
+
+  test("c20 pipeline: stats cover only deduped, quality-filtered, sampled docs") {
+    val rows = Sampling.c20TrainingPipeline(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0) // n_docs
+      assert(r.getDouble(3) >= Sampling.QualityThreshold) // min_quality respects the filter
+      assert(r.getDouble(4) >= r.getDouble(3))
+    }
+  }
 }
