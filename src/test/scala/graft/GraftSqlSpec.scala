@@ -1,0 +1,26 @@
+package graft
+
+/** Registration-cache contract for the SQL entry point: cached per
+  * (session, sfDir), rebuilt on a directory switch, and recoverable via
+  * invalidate() after a caller mutates the catalog behind the cache.
+  */
+class GraftSqlSpec extends SparkSpec {
+
+  test("sql() runs against the registered sfDir and re-registers on a dir switch") {
+    val n1 = GraftSql.sql(spark, sf0001, "SELECT count(*) AS n FROM orders").collect()(0).getLong(0)
+    val n2 = GraftSql.sql(spark, sf001, "SELECT count(*) AS n FROM orders").collect()(0).getLong(0)
+    assert(n1 > 0 && n2 > n1, s"sf0.01 must register more orders than sf0.001 (got $n1, $n2)")
+  }
+
+  test("invalidate() restores sql() after a caller drops a temp view behind the cache") {
+    GraftSql.sql(spark, sf0001, "SELECT 1").collect()
+    spark.catalog.dropTempView("nation")
+    // cache still thinks the session is registered — the view is gone
+    intercept[Exception] {
+      GraftSql.sql(spark, sf0001, "SELECT count(*) FROM nation").collect()
+    }
+    GraftSql.invalidate(spark)
+    val n = GraftSql.sql(spark, sf0001, "SELECT count(*) AS n FROM nation").collect()(0).getLong(0)
+    assert(n > 0)
+  }
+}

@@ -113,6 +113,11 @@ class PlanSpec extends SparkSpec {
       "missing the (priority, salt) pre-pass — final window would sort whole classes")
   }
 
+  test("c19: stratified sample is a pure narrow scan — no exchange anywhere") {
+    val p = plan(Sampling.c19StratifiedSample(spark, sf0001))
+    assert(!p.contains("Exchange"), "hash-Bernoulli sampling must not shuffle")
+  }
+
   test("s3: bucketed join runs with no shuffle exchange on either side") {
     val df = ScaleJoins.s3BucketedJoin(spark, sf0001)
     df.collect()
