@@ -162,6 +162,31 @@ object OracleGen {
        |QUALIFY rank <= 5""".stripMargin
   }
 
+  val c21Decontamination: String = {
+    import graft.operators.Sampling.EvalEvery
+    s"""WITH $shingleCtes,
+       |ev AS (SELECT DISTINCT h FROM shh WHERE doc_id % $EvalEvery = 0),
+       |corpus AS (SELECT doc_id, h FROM shh WHERE doc_id % $EvalEvery <> 0),
+       |ovl AS (SELECT doc_id, count(*) AS n_overlap FROM corpus JOIN ev USING (h) GROUP BY doc_id),
+       |tot AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id)
+       |SELECT t.doc_id, o.n_overlap, t.n_shingles,
+       |  CAST(o.n_overlap AS DOUBLE) / t.n_shingles AS contamination_ratio
+       |FROM tot t JOIN ovl o USING (doc_id)""".stripMargin
+  }
+
+  val c22PiiRedact: String = {
+    import graft.operators.Sampling.{DigitRunPattern, EmailPattern}
+    s"""WITH r AS (SELECT doc_id, text,
+       |  regexp_replace(regexp_replace(text, '$EmailPattern', '<EMAIL>', 'g'), '$DigitRunPattern', '<NUM>', 'g') AS red
+       |FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$EmailPattern')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$DigitRunPattern')) AS BIGINT) AS n_digit_runs,
+       |  md5(red) AS redacted_md5,
+       |  CAST(length(red) AS BIGINT) AS redacted_len
+       |FROM r""".stripMargin
+  }
+
   val c11Fingerprint: String =
     s"""WITH $shingleCtes
        |SELECT doc_id, min(h) AS fp_min, CAST(SUM(h) % ${MinHashParams.P} AS BIGINT) AS fp_sum

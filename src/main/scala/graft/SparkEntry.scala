@@ -53,6 +53,8 @@ object SparkEntry {
     "c18_ann_ivf" -> ((s, d) => VectorOps.c18AnnIvf(s, d)),
     "c19_stratified_sample" -> (Sampling.c19StratifiedSample _),
     "c20_training_pipeline" -> (Sampling.c20TrainingPipeline _),
+    "c21_decontamination" -> (Sampling.c21Decontamination _),
+    "c22_pii_redact" -> (Sampling.c22PiiRedact _),
     "c8_text_langid" -> (TextAnalysis.c8TextLangid _),
     "c9_text_quality" -> (TextAnalysis.c9TextQuality _),
     "c10_text_tokens" -> (TextAnalysis.c10TextTokens _),
@@ -287,6 +289,8 @@ object SparkEntry {
     "c17_dedup_embedding_lsh" -> OracleGen.c5EmbeddingDedup,
     "c6_ann_bruteforce" -> OracleGen.c6AnnBruteforce,
     "c18_ann_ivf" -> OracleGen.c18AnnIvf,
+    "c21_decontamination" -> OracleGen.c21Decontamination,
+    "c22_pii_redact" -> OracleGen.c22PiiRedact,
     "c19_stratified_sample" ->
       """SELECT doc_id, lang,
         |  CAST(concat('0x', substr(md5('sample_' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket

@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.hash32
 import graft.sources.Tables
 
+import org.apache.spark.sql.Column
+
 /** Training-data selection operators (SURVEY.md §2 C-series):
   * deterministic stratified sampling and the end-to-end corpus
   * curation pipeline that composes the quality / language / dedup /
@@ -89,4 +91,65 @@ object Sampling {
         max(col("quality_score")).as("max_quality")
       )
   }
+
+  /** Stand-in benchmark set for decontamination: every 50th document.
+    * In production this is the held-out eval suite — thousands of
+    * documents against a corpus of billions, hence the broadcast.
+    */
+  val EvalEvery = 50
+
+  /** C21: benchmark decontamination — flag corpus documents sharing
+    * word-5-gram shingles with the eval set (the standard n-gram
+    * overlap test run before training). Scale: the eval side's distinct
+    * shingle hashes are benchmark-sized → broadcast; the corpus side
+    * streams through one broadcast semi-ish join and aggregates
+    * map-side. The corpus text itself never shuffles — only (doc_id,
+    * shingle-hash) pairs.
+    */
+  def c21Decontamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = TextDedup.shingleHashes(spark, sfDir)
+    val isEval = col("doc_id") % EvalEvery === 0
+    val evalShingles = sh.filter(isEval).select(col("h")).distinct()
+    val corpus = sh.filter(!isEval)
+    val overlap = corpus
+      .join(broadcast(evalShingles), "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    corpus
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+      .join(overlap, "doc_id")
+      .select(
+        col("doc_id"),
+        col("n_overlap"),
+        col("n_shingles"),
+        (col("n_overlap").cast("double") / col("n_shingles")).as("contamination_ratio")
+      )
+  }
+
+  /** PII patterns — simple enough to mean the same thing in Java
+    * regex (Spark) and RE2 (DuckDB): email-shaped tokens and long
+    * digit runs (phone/account/card-shaped).
+    */
+  val EmailPattern = "[A-Za-z0-9.]+@[A-Za-z0-9.]+"
+  val DigitRunPattern = "[0-9]{6,}"
+
+  private def redacted(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"), DigitRunPattern, "<NUM>")
+
+  /** C22: PII scrubbing — count and redact email-shaped tokens and
+    * long digit runs. Pure per-row column expressions (narrow scan, no
+    * shuffle); the redacted text is fingerprinted with md5 so the
+    * transform itself is oracle-verified without dumping full text.
+    */
+  def c22PiiRedact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(EmailPattern)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(DigitRunPattern)).cast("long").as("n_digit_runs"),
+        md5(redacted(col("text"))).as("redacted_md5"),
+        length(redacted(col("text"))).cast("long").as("redacted_len")
+      )
 }
