@@ -16,6 +16,7 @@ object SparkEntry {
     "a1_dedup_windowed" -> (EventStreamOps.a1DedupWindowed _),
     "a2_clickstream_join" -> (EventStreamOps.a2ClickstreamJoin _),
     "a11_pv_equi_join" -> (EventStreamOps.a11PvEquiJoin _),
+    "a12_range_join" -> (EventStreamOps.a12RangeJoin _),
     "a3_selectkey_repartition" -> (EventStreamOps.a3SelectKeyRepartition _),
     "a4_windowed_reduce" -> (EventStreamOps.a4WindowedReduce _),
     "a5_hopping_window" -> (EventStreamOps.a5HoppingWindow _),
@@ -40,6 +41,7 @@ object SparkEntry {
     "b11_scalar_subquery" -> (Relational.b11ScalarSubquery _),
     "b12_approx_sketch" -> (Relational.b12ApproxSketch _),
     "b16_promo_revenue" -> (Relational.b16PromoRevenue _),
+    "b17_topk_native" -> (Relational.b17TopkNative _),
     "b14_cube" -> (Relational.b14Cube _),
     "b15_running_sum" -> (Relational.b15RunningSum _),
     "c1_dedup_exact" -> (TextDedup.c1DedupExact _),
@@ -91,6 +93,15 @@ object SparkEntry {
         |   AND v.v_ts <= c.click_ts AND v.v_ts >= c.click_ts - INTERVAL 10 MINUTE)
         |SELECT c.click_id, c.user_id, c.click_ts, b.v_id AS view_id, b.v_ts AS view_ts
         |FROM clicks c LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) b USING (click_id)""".stripMargin,
+    "a12_range_join" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |w AS (SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) AS incident_id, count(*) AS n_err, min(ts) AS spike_ts
+        |      FROM ev WHERE event_type = 'error' GROUP BY 1),
+        |inc AS (SELECT incident_id, spike_ts - INTERVAL 5 MINUTE AS lo, spike_ts + INTERVAL 10 MINUTE AS hi
+        |        FROM w WHERE n_err >= 3)
+        |SELECT i.incident_id, i.lo AS incident_start, COUNT(*) AS n_events, COUNT(DISTINCT e.user_id) AS n_users
+        |FROM inc i JOIN ev e ON e.ts >= i.lo AND e.ts < i.hi
+        |GROUP BY 1, 2""".stripMargin,
     "a11_pv_equi_join" ->
       """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events WHERE event_type IN ('view', 'click')),
         |attr AS (SELECT *,
@@ -398,6 +409,11 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM orders
         |WHERE o_custkey < 100""".stripMargin,
+    "b17_topk_native" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
     "b16_promo_revenue" ->
       """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
         |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) ELSE 0 END) AS DOUBLE)

@@ -268,6 +268,53 @@ object EventStreamOps {
       .agg(count_distinct(col("user_id")).as("n_users"))
   }
 
+  /** A12: interval/range join WITHOUT an equi key — the operator family
+    * Spark has no native strategy for (the naive formulation plans as a
+    * nested-loop join against the whole stream). "Incidents" are
+    * derived intervals [spike_ts − 5 min, spike_ts + 10 min) around
+    * error spikes; every event — any user — is matched to the incidents
+    * containing its timestamp.
+    *
+    * Scale: both sides bucketize to 15-min chunks. Each incident
+    * explodes to the 2-3 chunks it overlaps; each event has exactly ONE
+    * chunk — so the interval predicate becomes a keyed equi-join on
+    * chunk plus a row-local containment filter, and a given (event,
+    * incident) pair can meet only once (no post-join dedup exists at
+    * all). Chunk width trades interval replication (span/width per
+    * incident) against bucket selectivity. The incident side is
+    * alert-scale → broadcast; drop the hint and the same plan shuffles
+    * both sides on chunk.
+    */
+  def a12RangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ChunkSec = 900
+    val ErrThreshold = 3
+    val ev = Tables
+      .events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("chunk", floor(unix_timestamp(col("ts")) / ChunkSec))
+    val incidents = ev
+      .filter(col("event_type") === "error")
+      .groupBy(col("chunk").as("incident_id"))
+      .agg(count(lit(1)).as("n_err"), min(col("ts")).as("spike_ts"))
+      .filter(col("n_err") >= ErrThreshold)
+      .select(
+        col("incident_id"),
+        (col("spike_ts") - expr("INTERVAL 5 MINUTES")).as("lo"),
+        (col("spike_ts") + expr("INTERVAL 10 MINUTES")).as("hi")
+      )
+    val incChunks = incidents
+      .withColumn(
+        "chunk",
+        explode(
+          sequence(floor(unix_timestamp(col("lo")) / ChunkSec), floor(unix_timestamp(col("hi")) / ChunkSec))
+        )
+      )
+    ev.join(broadcast(incChunks), "chunk")
+      .filter(col("ts") >= col("lo") && col("ts") < col("hi"))
+      .groupBy(col("incident_id"), col("lo").as("incident_start"))
+      .agg(count(lit(1)).as("n_events"), count_distinct(col("user_id")).as("n_users"))
+  }
+
   /** A8: event-time windowed stats behind a watermark — only 15-min
     * windows that are fully closed 10 minutes before the stream's max
     * event time are emitted (the batch shape of

@@ -322,6 +322,23 @@ object Relational {
         col("value_q").getItem(1).as("p99")
       )
 
+  /** B17: native top-k-per-key — the same contract as b5 computed by
+    * the custom [[graft.plans.TopKPerKey]] operator (LogicalPlan +
+    * SparkStrategy + two-phase SparkPlan) instead of a rank window:
+    * bounded per-partition heaps, shuffle of ≤ k·partitions candidate
+    * rows per key, heap merge. No sort of any key partition exists in
+    * the plan at any key cardinality.
+    */
+  def b17TopkNative(spark: SparkSession, sfDir: String): DataFrame =
+    graft.plans.TopKPerKey.topKPerKey(
+      Tables
+        .orders(spark, sfDir)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+      keyCols = Seq("o_orderpriority"),
+      orderBy = Seq(("o_totalprice", false), ("o_orderkey", true)),
+      k = 3
+    )
+
   /** B16: Q14-style promo revenue share — lineitem⋈part with a
     * conditional decimal aggregate, closing the star schema (the one
     * table no other query touched). Scale: the shipdate filter prunes

@@ -113,6 +113,34 @@ class PlanSpec extends SparkSpec {
       "missing the (priority, salt) pre-pass — final window would sort whole classes")
   }
 
+  test("b17: native top-k plans as partial heap -> exchange -> final heap, no sort") {
+    val df = Relational.b17TopkNative(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("TopKPerKey "), p.linesIterator.take(8).mkString("\n"))
+    // partial + final pair with the key exchange between them (AQE
+    // prints the pair once per plan section)
+    assert("TopKPerKey \\[".r.findAllIn(p).size >= 2)
+    assert(p.contains(", true") && p.contains(", false"))
+    assert(p.contains("Exchange hashpartitioning"))
+    // and no sort operator anywhere — the heap replaces it
+    assert(!p.contains("Sort "), "native top-k must not sort key partitions")
+  }
+
+  test("b17: native top-k result equals the rank-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val native = Relational.b17TopkNative(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val windowed = graft.sources.Tables.orders(spark, sf0001)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(native == windowed)
+  }
+
   test("c19: stratified sample is a pure narrow scan — no exchange anywhere") {
     val p = plan(Sampling.c19StratifiedSample(spark, sf0001))
     assert(!p.contains("Exchange"), "hash-Bernoulli sampling must not shuffle")
