@@ -56,6 +56,7 @@ object SparkEntry {
     "c19_stratified_sample" -> (Sampling.c19StratifiedSample _),
     "c20_training_pipeline" -> (Sampling.c20TrainingPipeline _),
     "c21_decontamination" -> (Sampling.c21Decontamination _),
+    "c23_frame_sample" -> (Multimodal.c23FrameSample _),
     "c22_pii_redact" -> (Sampling.c22PiiRedact _),
     "c8_text_langid" -> (TextAnalysis.c8TextLangid _),
     "c9_text_quality" -> (TextAnalysis.c9TextQuality _),
@@ -301,6 +302,24 @@ object SparkEntry {
     "c6_ann_bruteforce" -> OracleGen.c6AnnBruteforce,
     "c18_ann_ivf" -> OracleGen.c18AnnIvf,
     "c21_decontamination" -> OracleGen.c21Decontamination,
+    "c23_frame_sample" ->
+      """WITH m AS (SELECT doc_id,
+        |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS fmt,
+        |  CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS cs
+        |FROM documents),
+        |v AS (SELECT doc_id, CAST(16 + cs % 624 AS INT) AS width, CAST(16 + (cs // 7) % 464 AS INT) AS height,
+        |  CAST(1 + cs % 299 AS INT) AS n_frames
+        |FROM m WHERE fmt = 'video'),
+        |f AS (SELECT doc_id, n_frames, width, height,
+        |  least(n_frames, 4) AS cnt, unnest(generate_series(0, least(n_frames, 4) - 1)) AS i
+        |FROM v)
+        |SELECT doc_id,
+        |  CAST(i * n_frames // cnt AS BIGINT) AS frame_idx,
+        |  n_frames,
+        |  CAST(width * 224 // greatest(width, height) AS INT) AS resized_w,
+        |  CAST(height * 224 // greatest(width, height) AS INT) AS resized_h,
+        |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '_' || CAST(i * n_frames // cnt AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS DOUBLE) / 255.0 AS frame_score
+        |FROM f""".stripMargin,
     "c22_pii_redact" -> OracleGen.c22PiiRedact,
     "c19_stratified_sample" ->
       """SELECT doc_id, lang,

@@ -55,6 +55,37 @@ object Multimodal {
     )
   }
 
+  /** C23: frame sampling + resize planning — the remaining multimodal
+    * ops from the pipeline surface (decode and feature-extract are
+    * c12). For each video, sample up to 4 evenly spaced frame indices
+    * (explode — one row per sampled frame, the batch shape a real
+    * frame extractor feeds downstream) and compute the
+    * aspect-preserving resize of the decoded dimensions into a 224×224
+    * budget in pure integer arithmetic. Per-frame scores come from the
+    * same md5 stub codec, so the entire explode/resize stage is
+    * oracle-exact; a real decoder replaces only the score expression.
+    */
+  def c23FrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val FrameBudget = 4
+    val SizeBudget = 224
+    val cnt = least(col("n_frames"), lit(FrameBudget))
+    val longSide = greatest(col("width"), col("height"))
+    c12MultimodalDecode(spark, sfDir)
+      .filter(col("fmt") === "video")
+      .withColumn("i", explode(sequence(lit(0), cnt - 1)))
+      .select(
+        col("doc_id"),
+        floor(col("i") * col("n_frames") / cnt).cast("long").as("frame_idx"),
+        col("n_frames"),
+        floor(col("width") * SizeBudget / longSide).cast("int").as("resized_w"),
+        floor(col("height") * SizeBudget / longSide).cast("int").as("resized_h"),
+        (graft.functions.TextFunctions
+          .hash32(concat(col("doc_id").cast("string"), lit("_"), floor(col("i") * col("n_frames") / cnt).cast("long").cast("string"))) % 256)
+          .cast("double")./(255.0)
+          .as("frame_score")
+      )
+  }
+
   /** C12: media table → per-partition decode → typed feature table.
     * The media column is synthesized from document text bytes (the
     * driver test data has no real media); everything downstream of the

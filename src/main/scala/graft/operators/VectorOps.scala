@@ -67,10 +67,32 @@ object VectorOps {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
+  /** Exact top-k per query over scored (query_id, neighbor_id, cos)
+    * rows via the native [[graft.plans.TopKPerKey]] operator: bounded
+    * per-partition heaps + a ≤ k·partitions-row exchange — never a
+    * whole-partition sort, which matters because query_id has LOW
+    * cardinality (a rank window would sort every scored row in
+    * #queries tasks, the same shape b5 works around). The rank column
+    * is derived afterwards by a window over the ≤ k surviving rows per
+    * query — bounded input, so the sort is trivial.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val top = graft.plans.TopKPerKey.topKPerKey(
+      scored.select(col("query_id"), col("neighbor_id"), col("cos")),
+      keyCols = Seq("query_id"),
+      orderBy = Seq(("cos", false), ("neighbor_id", true)),
+      k = k
+    )
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** C6: brute-force cosine top-k — the ANN correctness baseline.
     * Queries (vec_id < 10) are broadcast against the candidate set, so
-    * the big side streams once with no shuffle; ranking happens per
-    * query partition.
+    * the big side streams once with no shuffle; the native top-k heap
+    * bounds what survives each partition.
     */
   def c6AnnBruteforce(spark: SparkSession, sfDir: String): DataFrame = {
     val e = vecs(spark, sfDir)
@@ -80,13 +102,12 @@ object VectorOps {
     val cands = e
       .filter(col("vec_id") >= NumQueryVecs)
       .select(col("vec_id").as("neighbor_id"), col("vn").as("cv"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    cands
-      .crossJoin(broadcast(queries))
-      .withColumn("cos", arrayDot(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+    rankTopK(
+      cands
+        .crossJoin(broadcast(queries))
+        .withColumn("cos", arrayDot(col("qv"), col("cv"))),
+      TopK
+    )
   }
 
   /** Deterministic ±1 random hyperplanes derived from MD5 — public,
@@ -245,14 +266,13 @@ object VectorOps {
       .filter(col("pn") <= nprobe)
       .select(col("query_id"), col("cid").as("list_id"))
 
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    asg
-      .join(broadcast(probes), "list_id")
-      .join(broadcast(queries), "query_id")
-      .withColumn("cos", arrayDot(col("qv"), col("vn")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+    rankTopK(
+      asg
+        .join(broadcast(probes), "list_id")
+        .join(broadcast(queries), "query_id")
+        .withColumn("cos", arrayDot(col("qv"), col("vn"))),
+      5
+    )
   }
 
   /** c7 banding: 16 bands × 3 planes (8 buckets per band). For a
@@ -289,13 +309,12 @@ object VectorOps {
       )
       .filter(col("band_idx") === firstCollidingBand(col("bits_q").bitwiseXOR(col("bits_n")), bands, planesPerBand))
       .select(col("query_id"), col("neighbor_id"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    cand
-      .join(broadcast(e.select(col("vec_id").as("query_id"), col("vn").as("qv"))), "query_id")
-      .join(e.select(col("vec_id").as("neighbor_id"), col("vn").as("cv")), "neighbor_id")
-      .withColumn("cos", arrayDot(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+    rankTopK(
+      cand
+        .join(broadcast(e.select(col("vec_id").as("query_id"), col("vn").as("qv"))), "query_id")
+        .join(e.select(col("vec_id").as("neighbor_id"), col("vn").as("cv")), "neighbor_id")
+        .withColumn("cos", arrayDot(col("qv"), col("cv"))),
+      5
+    )
   }
 }
