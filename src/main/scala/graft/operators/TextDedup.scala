@@ -59,8 +59,17 @@ object TextDedup {
     Tables
       .documents(spark, sfDir)
       .select(col("doc_id"), transform(tokens(col("text")), t => hash32(t)).as("ht"))
-      .select(col("doc_id"), explode(rollingShingleHashes(col("ht"), ShingleSize)).as("h"))
-      .distinct()
+      // per-doc dedup happens IN the row (array_distinct) before the
+      // explode — a global .distinct() here would shuffle every
+      // (doc, shingle) pair for something each row can decide alone.
+      // explode_OUTER on purpose: plain explode makes Catalyst infer a
+      // `size(hs) > 0` filter and push it below both projections,
+      // substituting the whole token-hash transform into the filter
+      // 5× per row (observed 80× slowdown at sf0.1); the outer variant
+      // infers nothing, and the post-generate isNotNull is row-local.
+      .select(col("doc_id"), array_distinct(rollingShingleHashes(col("ht"), ShingleSize)).as("hs"))
+      .select(col("doc_id"), explode_outer(col("hs")).as("h"))
+      .filter(col("h").isNotNull)
 
   /** C1: exact dedup — hash-groupBy on md5(text), keep the smallest
     * doc_id as the canonical copy. One shuffle on the 128-bit hash, the
@@ -162,26 +171,35 @@ object TextDedup {
 
   /** Per-doc 60-bit SimHash signature: weighted bit votes over
     * md5-derived token hashes (weight = token multiplicity), computed
-    * by the native [[graft.plans.SimHashAgg]] aggregate — one primitive
-    * vote buffer per group instead of 60 SUM(CASE) columns, same bit
-    * semantics (the oracle still runs the 60-column formulation).
+    * entirely within the row by [[graft.plans.SimHashOfTokens]] — the
+    * signature is a scalar function of the document's own token array,
+    * so the explode → count → aggregate pipeline (two token-level
+    * shuffles) collapses to a narrow scan with zero shuffles. Bit
+    * semantics unchanged (the oracle still runs the 60-column SUM(CASE)
+    * formulation; [[graft.plans.SimHashAgg]] remains the SQL-surface
+    * aggregate for pre-counted inputs).
     */
   def simHashSignatures(spark: SparkSession, sfDir: String): DataFrame =
     Tables
       .documents(spark, sfDir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .groupBy(col("doc_id"), col("t"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("h", hash60(col("t")))
-      .groupBy(col("doc_id"))
-      .agg(graft.plans.SimHashAgg.simHash(col("h"), col("cnt"), SimHashBits).as("simhash"))
+      .select(col("doc_id"), transform(tokens(col("text")), t => hash60(t)).as("hts"))
+      .select(
+        col("doc_id"),
+        graft.plans.SimHashOfTokens.simHashOfTokens(col("hts"), SimHashBits).as("simhash")
+      )
 
   /** C4: SimHash near-dup pairs, hamming ≤ 8. Candidates come from the
     * 9-block pigeonhole join (exhaustive for the threshold), then exact
     * hamming via bit_count(xor). No O(n²) stage.
     */
   def c4SimHash(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = simHashSignatures(spark, sfDir)
+    // checkpoint: signatures are (doc_id, long) — tiny — and the
+    // barrier keeps the join's inferred isnotnull(sig) filter from
+    // being substituted below the projection, which would evaluate
+    // the signature expression twice per row per side (the old
+    // aggregate formulation was an implicit barrier; the zero-shuffle
+    // scalar formulation needs an explicit one)
+    val sig = simHashSignatures(spark, sfDir).localCheckpoint()
     // block widths: 60 bits over 9 blocks → 6 blocks of 7 bits, 3 of 6
     val widths = Seq.fill(6)(7) ++ Seq.fill(3)(6)
     val offsets = widths.scanLeft(0)(_ + _).init
