@@ -31,8 +31,17 @@ object Sampling {
   val DefaultRatePerMille = 800
   val QualityThreshold = 0.42
 
-  private def sampleBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private def sampleBucket(id: Column): Column =
     hash32(concat(lit("sample_"), id.cast("string"))) % 1000
+
+  /** The sampling predicate as a pure column — stateless and
+    * deterministic, so it applies VERBATIM to a stream (no RNG state to
+    * checkpoint, no reconciliation between batch backfill and
+    * incremental ingestion; StreamingSpec asserts stream-batch parity).
+    */
+  def stratifiedKeep(docId: Column, lang: Column): Column =
+    sampleBucket(docId) <
+      when(lang === "en", lit(EnRatePerMille)).otherwise(lit(DefaultRatePerMille))
 
   /** C19: stratified deterministic sample over `documents` — per-lang
     * Bernoulli rates keyed on md5(doc_id). Pure narrow scan + filter:
@@ -41,12 +50,8 @@ object Sampling {
   def c19StratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
     Tables
       .documents(spark, sfDir)
-      .withColumn("bucket", sampleBucket(col("doc_id")))
-      .filter(
-        col("bucket") <
-          when(col("lang") === "en", lit(EnRatePerMille)).otherwise(lit(DefaultRatePerMille))
-      )
-      .select(col("doc_id"), col("lang"), col("bucket"))
+      .filter(stratifiedKeep(col("doc_id"), col("lang")))
+      .select(col("doc_id"), col("lang"), sampleBucket(col("doc_id")).as("bucket"))
 
   /** C20: the full training-data curation pipeline, composed from the
     * already-verified stages: quality scoring (c9) → threshold filter →

@@ -153,4 +153,29 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(streamed == batch)
   }
+
+  test("stratified sample predicate is stream-applicable (stream-batch parity)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = (0L until 300L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+    val batch = docs.toDF("doc_id", "lang")
+      .filter(graft.operators.Sampling.stratifiedKeep(col("doc_id"), col("lang")))
+      .as[(Long, String)].collect().toSet
+    assert(batch.nonEmpty && batch.size < docs.size)
+
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "lang")
+      .filter(graft.operators.Sampling.stratifiedKeep(col("doc_id"), col("lang")))
+      .writeStream.format("memory").queryName("sample_out").outputMode("append").start()
+    // two micro-batches — the stateless predicate must not care
+    input.addData(docs.take(150): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(150): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("sample_out").as[(Long, String)].collect().toSet
+    q.stop()
+    assert(streamed == batch)
+  }
 }
