@@ -11,23 +11,28 @@ import graft.operators.VectorOps
   */
 class VectorRecallSpec extends SparkSpec {
 
-  test("c17 LSH pair set is EXACTLY the c5 all-pairs result (zero bucket misses)") {
-    val exact = VectorOps
-      .c5EmbeddingDedup(spark, sf001)
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
-      .toMap
-    val lsh = VectorOps
-      .c17EmbeddingDedupLsh(spark, sf001)
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
-      .toMap
-    assert(exact.nonEmpty, "baseline found no near-dup pairs — test data changed?")
-    assert(lsh.keySet == exact.keySet,
-      s"missed=${(exact.keySet -- lsh.keySet).toSeq.sorted.take(5)} " +
-        s"extra=${(lsh.keySet -- exact.keySet).toSeq.sorted.take(5)}")
-    // exact-cosine verify stage must produce bit-identical scores
-    exact.foreach { case (k, cos) => assert(lsh(k) == cos, s"cos mismatch at $k") }
+  // checked at sf0.01 AND sf0.1 — the larger SF has 10× the vectors and
+  // ~100× the threshold pairs, so a band-geometry recall problem that
+  // small data hides would surface here
+  for (sf <- Seq(sf001, "/root/testdata/sf0.1")) {
+    test(s"c17 LSH pair set is EXACTLY the c5 all-pairs result (zero bucket misses, $sf)") {
+      val exact = VectorOps
+        .c5EmbeddingDedup(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      val lsh = VectorOps
+        .c17EmbeddingDedupLsh(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      assert(exact.nonEmpty, "baseline found no near-dup pairs — test data changed?")
+      assert(lsh.keySet == exact.keySet,
+        s"missed=${(exact.keySet -- lsh.keySet).toSeq.sorted.take(5)} " +
+          s"extra=${(lsh.keySet -- exact.keySet).toSeq.sorted.take(5)}")
+      // exact-cosine verify stage must produce bit-identical scores
+      exact.foreach { case (k, cos) => assert(lsh(k) == cos, s"cos mismatch at $k") }
+    }
   }
 
   test("c18 IVF ANN recall@5 >= 0.9 vs the exact c6 baseline at default nprobe") {
