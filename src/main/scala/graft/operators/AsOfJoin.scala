@@ -35,25 +35,28 @@ object AsOfJoin {
       toleranceMs: Long
   ): DataFrame = {
     require(keyCols.nonEmpty, "asOf requires at least one key column")
-    val leftPayload = left.columns.toSeq.filterNot(c => keyCols.contains(c))
+    val leftPayload = left.columns.toSeq.filterNot(c => keyCols.contains(c) || c == leftTime)
     val rightPayload = right.columns.toSeq.filterNot(c => keyCols.contains(c) || c == rightTime)
 
     // common shape: keys, _t, _side (right=0 so it sorts first at equal
-    // times), left payload (null on right rows), right payload (null on
-    // left rows)
+    // times), left payload (null on right rows), right payload carried
+    // as ONE struct — per-column running-last would skip a null FIELD of
+    // the matched row and stitch in a value from an older (possibly
+    // out-of-tolerance) row; a struct is non-null for every right row,
+    // so the running last always returns the matched row wholesale
+    val rStruct = struct(col(rightTime).as("_rt") +: rightPayload.map(col): _*)
+    val rStructType = r0StructType(right, rightTime, rightPayload)
     val l = left.select(
       keyCols.map(col) ++
         Seq(col(leftTime).as("_t"), lit(1).as("_side")) ++
-        leftPayload.map(col) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"right_$c")) ++
-        Seq(lit(null).cast(right.schema(rightTime).dataType).as("_rt")): _*
+        leftPayload.map(col) :+
+        lit(null).cast(rStructType).as("_r"): _*
     )
     val r = right.select(
       keyCols.map(col) ++
         Seq(col(rightTime).as("_t"), lit(0).as("_side")) ++
-        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(c => col(c).as(s"right_$c")) ++
-        Seq(col(rightTime).as("_rt")): _*
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        rStruct.as("_r"): _*
     )
 
     val w = Window
@@ -61,29 +64,36 @@ object AsOfJoin {
       .orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val matchedT = last(when(col("_side") === 0, col("_rt")), ignoreNulls = true).over(w)
-    val carried = rightPayload.map { c =>
-      last(when(col("_side") === 0, col(s"right_$c")), ignoreNulls = true).over(w).as(s"right_$c")
-    }
+    val matched = last(when(col("_side") === 0, col("_r")), ignoreNulls = true).over(w)
 
     // microsecond-precision tolerance (a timestamp→long cast truncates
     // to seconds and would mis-round sub-second tolerances)
     val inTolerance =
-      col("_matched_t").isNotNull &&
-        unix_micros(col("_t")) - unix_micros(col("_matched_t")) <= toleranceMs * 1000L
+      col("_m").isNotNull &&
+        unix_micros(col("_t")) - unix_micros(col("_m._rt")) <= toleranceMs * 1000L
 
     l.unionByName(r)
       .select(
-        (keyCols.map(col) :+ col("_t") :+ col("_side")) ++ leftPayload.map(col) ++
-          carried :+ matchedT.as("_matched_t"): _*
+        (keyCols.map(col) :+ col("_t") :+ col("_side")) ++ leftPayload.map(col) :+
+          matched.as("_m"): _*
       )
       .filter(col("_side") === 1)
       .select(
         keyCols.map(col) ++
           Seq(col("_t").as(leftTime)) ++
           leftPayload.map(col) ++
-          rightPayload.map(c => when(inTolerance, col(s"right_$c")).as(s"right_$c")) :+
-          when(inTolerance, col("_matched_t")).as(s"right_$rightTime"): _*
+          rightPayload.map(c => when(inTolerance, col(s"_m.$c")).as(s"right_$c")) :+
+          when(inTolerance, col("_m._rt")).as(s"right_$rightTime"): _*
       )
   }
+
+  private def r0StructType(
+      right: DataFrame,
+      rightTime: String,
+      rightPayload: Seq[String]
+  ): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("_rt", right.schema(rightTime).dataType) +:
+        rightPayload.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType))
+    )
 }

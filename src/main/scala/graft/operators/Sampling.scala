@@ -84,10 +84,7 @@ object Sampling {
     kept
       .join(canonical, "doc_id")
       .join(lang, "doc_id")
-      .filter(
-        sampleBucket(col("doc_id")) <
-          when(col("pred_lang") === "en", lit(EnRatePerMille)).otherwise(lit(DefaultRatePerMille))
-      )
+      .filter(stratifiedKeep(col("doc_id"), col("pred_lang")))
       .groupBy(col("pred_lang"))
       .agg(
         count(lit(1)).as("n_docs"),

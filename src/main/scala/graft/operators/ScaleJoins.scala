@@ -38,15 +38,20 @@ object ScaleJoins {
     }
   }
 
-  // sfDir whose bucketed layout a session already holds — bucketing is
+  // sfDir whose bucketed layout a catalog already holds — bucketing is
   // the shuffle you pay ONCE at write time; repeat calls (every bench
   // pass, every query in a session) must pay only the exchange-free
-  // join, exactly as a production warehouse amortizes table maintenance
+  // join, exactly as a production warehouse amortizes table maintenance.
+  // Keyed on the SparkContext (the shared-catalog owner), NOT the
+  // session: sibling sessions from newSession() share the managed
+  // tables, and a session-keyed cache would let one session's rebuild
+  // silently serve another session's different sfDir
   private val bucketedFor =
-    java.util.Collections.synchronizedMap(new java.util.WeakHashMap[SparkSession, String]())
+    java.util.Collections.synchronizedMap(new java.util.WeakHashMap[AnyRef, String]())
 
   def s3BucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val fresh = bucketedFor.get(spark) != sfDir ||
+    val catalogKey: AnyRef = spark.sparkContext
+    val fresh = bucketedFor.get(catalogKey) != sfDir ||
       !spark.catalog.tableExists("graft_orders_bucketed") ||
       !spark.catalog.tableExists("graft_lineitem_bucketed")
     if (fresh) {
@@ -68,7 +73,7 @@ object ScaleJoins {
         .sortBy("l_orderkey")
         .mode("overwrite")
         .saveAsTable("graft_lineitem_bucketed")
-      bucketedFor.put(spark, sfDir): Unit
+      bucketedFor.put(catalogKey, sfDir): Unit
     }
 
     spark

@@ -309,9 +309,14 @@ object VectorOps {
       )
       .filter(col("band_idx") === firstCollidingBand(col("bits_q").bitwiseXOR(col("bits_n")), bands, planesPerBand))
       .select(col("query_id"), col("neighbor_id"))
+    // only the query vectors broadcast — the unfiltered table would ship
+    // the whole corpus to every executor for a 10-row lookup
+    val queries = e
+      .filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("vn").as("qv"))
     rankTopK(
       cand
-        .join(broadcast(e.select(col("vec_id").as("query_id"), col("vn").as("qv"))), "query_id")
+        .join(broadcast(queries), "query_id")
         .join(e.select(col("vec_id").as("neighbor_id"), col("vn").as("cv")), "neighbor_id")
         .withColumn("cos", arrayDot(col("qv"), col("cv"))),
       5

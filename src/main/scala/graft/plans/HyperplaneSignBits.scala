@@ -22,10 +22,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * sequential dot product, so the sign bits — and therefore every
   * bucket — are bit-for-bit the ones the per-plane expression produced.
   */
-case class HyperplaneSignBits(child: Expression, signs: Array[Byte], numPlanes: Int)
+case class HyperplaneSignBits(child: Expression, signs: Array[Byte], numPlanes: Int, dim: Int)
     extends UnaryExpression {
 
   require(numPlanes >= 1 && numPlanes <= 64, s"numPlanes must be in [1, 64], got $numPlanes")
+  require(dim >= 1 && signs.length == numPlanes * dim, "sign matrix must be numPlanes x dim")
 
   override def dataType: DataType = LongType
 
@@ -40,14 +41,14 @@ case class HyperplaneSignBits(child: Expression, signs: Array[Byte], numPlanes: 
       )
 
   override protected def nullSafeEval(v: Any): Any =
-    HyperplaneSignBits.bits(v.asInstanceOf[ArrayData], signs, numPlanes)
+    HyperplaneSignBits.bits(v.asInstanceOf[ArrayData], signs, numPlanes, dim)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val signsRef = ctx.addReferenceObj("planeSigns", signs, "byte[]")
     nullSafeCodeGen(
       ctx,
       ev,
-      v => s"${ev.value} = graft.plans.HyperplaneSignBits.bits($v, $signsRef, $numPlanes);"
+      v => s"${ev.value} = graft.plans.HyperplaneSignBits.bits($v, $signsRef, $numPlanes, $dim);"
     )
   }
 
@@ -60,9 +61,16 @@ object HyperplaneSignBits {
   /** One pass over the vector; per-plane sums accumulate in dimension
     * order, matching the sequential [[ArrayDotProduct.dot]] exactly
     * (±1.0 multiplication is IEEE-exact, so sign-flip == multiply).
+    * The sign matrix stride is the BUILD-time `dim` — a vector of any
+    * other length would silently read the wrong planes' signs, so it is
+    * rejected loudly instead.
     */
-  def bits(v: ArrayData, signs: Array[Byte], numPlanes: Int): Long = {
-    val dim = v.numElements()
+  def bits(v: ArrayData, signs: Array[Byte], numPlanes: Int, dim: Int): Long = {
+    if (v.numElements() != dim) {
+      throw new IllegalArgumentException(
+        s"hyperplane_sign_bits: expected a $dim-element vector, got ${v.numElements()}"
+      )
+    }
     val acc = new Array[Double](numPlanes)
     var d = 0
     while (d < dim) {
@@ -99,6 +107,6 @@ object HyperplaneSignBits {
       }
       j += 1
     }
-    shims.columnOf(HyperplaneSignBits(shims.expressionOf(v), signs, numPlanes))
+    shims.columnOf(HyperplaneSignBits(shims.expressionOf(v), signs, numPlanes, dim))
   }
 }

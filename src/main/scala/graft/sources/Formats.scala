@@ -12,12 +12,28 @@ object Formats {
 
   /** Scratch dir unique per (Spark application, sfDir): concurrent
     * runs — two drivers benchmarking different SFs, or parallel test
-    * JVMs — never collide on write paths.
+    * JVMs — never collide on write paths. Dirs are deleted on JVM exit
+    * (they must outlive the call — the returned DataFrames read them
+    * lazily), so repeated runs don't accumulate under tmp.
     */
+  private val scratchDirs = java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+  private lazy val cleanupHook: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    scratchDirs.forEach { p =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(p))
+    }
+  }))
+
   private def scratch(spark: SparkSession, tag: String, sfDir: String): String = {
+    cleanupHook
     val app = spark.sparkContext.applicationId
     val sf = Integer.toHexString(sfDir.hashCode)
-    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${app}_$sf"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${app}_$sf"
+    scratchDirs.add(dir): Unit
+    dir
   }
 
   /** S1: write a deterministic slice of events to parquet, CSV and

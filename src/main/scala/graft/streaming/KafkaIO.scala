@@ -34,9 +34,14 @@ object KafkaIO {
   )
 
   /** Default Spark JSON timestamp format is millisecond-precision;
-    * event times are microseconds — serialize all six digits.
+    * event times are microseconds — serialize all six digits. NOTE:
+    * this makes encode/decode a SELF-CONSISTENT pair (the sink always
+    * writes 6 fraction digits). A topic populated by a producer using a
+    * different timestamp layout needs its format passed via `options` —
+    * with an explicit format Spark disables the lenient fallback, so a
+    * mismatched layout nulls the record rather than mis-parsing it.
     */
-  private val SerdeOptions =
+  val SerdeOptions: Map[String, String] =
     Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
 
   /** Kafka wire record (key/value/timestamp) → typed columns: value
@@ -45,11 +50,15 @@ object KafkaIO {
     * reference's consumer serde + FailOnInvalidTimestamp extractor.
     * Pure projection: works identically on batch and streaming frames.
     */
-  def decodeJson(records: DataFrame, schemaDdl: String): DataFrame =
+  def decodeJson(
+      records: DataFrame,
+      schemaDdl: String,
+      options: Map[String, String] = SerdeOptions
+  ): DataFrame =
     records
       .select(
         col("key").cast("string").as("key"),
-        from_json(col("value").cast("string"), schemaDdl, SerdeOptions).as("v"),
+        from_json(col("value").cast("string"), schemaDdl, options).as("v"),
         col("timestamp").as("kafka_ts")
       )
       .select(col("key"), col("v.*"), col("kafka_ts"))

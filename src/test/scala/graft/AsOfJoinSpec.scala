@@ -52,6 +52,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.size == 5) // every left row survives
   }
 
+  test("asOf carries the matched row WHOLESALE — a null field never stitches in an older row's value") {
+    import spark.implicits._
+    val trades = Seq(Trade("a", ts(2100), 1)).toDF()
+    val quotes = Seq(
+      Quote("a", ts(1000), 5.0),
+      Quote("a", ts(2000), Double.NaN) // stand-in for a null field below
+    ).toDF()
+      .withColumn("px", when(col("qt") === ts(2000), lit(null)).otherwise(col("px")))
+
+    // tolerance 500ms: the matched quote is qt=2000 (px=null); the
+    // qt=1000 quote is OUTSIDE tolerance — its px must NOT leak in
+    val out = AsOfJoin
+      .asOf(trades, quotes, Seq("sym"), "t", "qt", toleranceMs = 500)
+      .select(col("right_qt"), col("right_px"))
+      .collect()
+      .head
+    assert(out.getTimestamp(0) == ts(2000), "must match the latest in-tolerance row")
+    assert(out.isNullAt(1), s"null px of the matched row must stay null, got ${out.get(1)}")
+  }
+
   test("asOf equals the brute-force range-join formulation on the events table") {
     val ev = graft.sources.Tables.events(spark, sf0001)
     val clicks = ev.filter(col("event_type") === "click")
