@@ -42,6 +42,7 @@ object SparkEntry {
     "b12_approx_sketch" -> (Relational.b12ApproxSketch _),
     "b16_promo_revenue" -> (Relational.b16PromoRevenue _),
     "b17_topk_native" -> (Relational.b17TopkNative _),
+    "b18_custdist" -> (Relational.b18Custdist _),
     "b14_cube" -> (Relational.b14Cube _),
     "b15_running_sum" -> (Relational.b15RunningSum _),
     "c1_dedup_exact" -> (TextDedup.c1DedupExact _),
@@ -428,6 +429,12 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM orders
         |WHERE o_custkey < 100""".stripMargin,
+    "b18_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
     "b17_topk_native" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

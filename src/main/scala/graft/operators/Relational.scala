@@ -339,6 +339,26 @@ object Relational {
       k = 3
     )
 
+  /** B18: Q13-style customer order-count distribution — the outer-join
+    * shape: customers with NO orders must survive with count 0, then a
+    * second aggregation histograms the counts. Scale: one shuffle per
+    * agg level; the left-outer join shuffles both sides on custkey
+    * (AQE may broadcast customer at small SF).
+    */
+  def b18Custdist(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .customer(spark, sfDir)
+      .select(col("c_custkey"))
+      .join(
+        Tables.orders(spark, sfDir).select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"),
+        "left"
+      )
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
   /** B16: Q14-style promo revenue share — lineitem⋈part with a
     * conditional decimal aggregate, closing the star schema (the one
     * table no other query touched). Scale: the shipdate filter prunes

@@ -148,7 +148,11 @@ object TextAnalysis {
     * join — no driver-side data beyond the convergence counter.
     */
   def c16DedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = TextDedup.c2NgramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    // pairs come from the LSH scale path (c3), not the inverted-index
+    // baseline (c2) — identical verified output contract (both emit
+    // exactly the Jaccard ≥ 0.8 pairs; zero-miss banding is the c3
+    // invariant), but candidates stay bucket-bounded at corpus scale
+    val pairs = TextDedup.c3MinHashLsh(spark, sfDir).select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct()
