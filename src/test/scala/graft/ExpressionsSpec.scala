@@ -38,6 +38,61 @@ class ExpressionsSpec extends SparkSpec {
     assert(got == Seq(0.6, 0.8, 0.0))
   }
 
+  test("hyperplane_sign_bits equals per-plane sequential dot signs, bit-exact") {
+    import spark.implicits._
+    import graft.plans.HyperplaneSignBits
+    val dim = 64
+    val planes = graft.operators.VectorOps.hyperplanes(32, dim)
+    val rnd = new scala.util.Random(7)
+    val vecs = (1 to 50).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    val got = vecs.map(Tuple1(_)).toDF("v")
+      .select(HyperplaneSignBits.hyperplaneBits(col("v"), planes))
+      .collect().map(_.getLong(0))
+    got.zip(vecs).foreach { case (bits, v) =>
+      (0 until 32).foreach { j =>
+        val dot = refDot(v.toSeq, planes(j).toSeq)
+        assert(((bits >> j) & 1L) == (if (dot >= 0) 1L else 0L), s"plane $j: dot=$dot bits=$bits")
+      }
+    }
+  }
+
+  test("hyperplane_sign_bits rejects a vector of the wrong dimension loudly") {
+    import spark.implicits._
+    import graft.plans.HyperplaneSignBits
+    val planes = graft.operators.VectorOps.hyperplanes(4, 64)
+    val ex = intercept[Exception] {
+      Seq(Tuple1(Array(1.0, 2.0))).toDF("v")
+        .select(HyperplaneSignBits.hyperplaneBits(col("v"), planes))
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => Option(c.getMessage).exists(_.contains("expected a 64-element vector"))))
+  }
+
+  test("simhash_of_tokens equals the grouped vote formulation") {
+    import spark.implicits._
+    import graft.plans.SimHashOfTokens
+    val rnd = new scala.util.Random(11)
+    val docs = (1 to 30).map { _ =>
+      // duplicates on purpose — multiplicity weighting must match
+      val base = Array.fill(1 + rnd.nextInt(40))(rnd.nextLong() & ((1L << 60) - 1))
+      base ++ Array.fill(rnd.nextInt(10))(base(rnd.nextInt(base.length)))
+    }
+    def refSig(hs: Seq[Long], bits: Int): Long = {
+      val votes = new Array[Long](bits)
+      hs.groupBy(identity).foreach { case (h, occ) =>
+        (0 until bits).foreach(i => votes(i) += (if (((h >> i) & 1L) == 1L) occ.size else -occ.size))
+      }
+      (0 until bits).foldLeft(0L)((s, i) => if (votes(i) > 0) s | (1L << i) else s)
+    }
+    val got = docs.map(Tuple1(_)).toDF("h")
+      .select(SimHashOfTokens.simHashOfTokens(col("h"), 60))
+      .collect().map(_.getLong(0))
+    got.zip(docs).foreach { case (g, hs) => assert(g == refSig(hs.toSeq, 60)) }
+  }
+
   test("SQL surface: array_dot and array_l2_normalize callable from spark.sql") {
     GraftSql.register(spark, sf0001)
     val r = spark
