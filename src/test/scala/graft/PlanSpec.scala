@@ -127,6 +127,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort "), "native top-k must not sort key partitions")
   }
 
+  test("TopKPerKey equals the rank-window formulation on randomized data (10 seeded trials)") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val sparkS = spark
+    import sparkS.implicits._
+    val rnd = new scala.util.Random(123)
+    (1 to 10).foreach { trial =>
+      val nKeys = 1 + rnd.nextInt(8)
+      val n = 200 + rnd.nextInt(2000)
+      val k = 1 + rnd.nextInt(7)
+      // duplicate values on purpose — the unique id must break ties
+      val rows = (0 until n).map(i => (s"k${rnd.nextInt(nKeys)}", rnd.nextInt(50).toDouble, i.toLong))
+      val df = rows.toDF("key", "value", "id").repartition(1 + rnd.nextInt(7))
+      val native = graft.plans.TopKPerKey
+        .topKPerKey(df, Seq("key"), Seq(("value", false), ("id", true)), k)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      val w = W.partitionBy(col("key")).orderBy(col("value").desc, col("id"))
+      val windowed = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .select(col("key"), col("value"), col("id"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(native == windowed, s"trial $trial (nKeys=$nKeys n=$n k=$k): " +
+        s"missing=${(windowed -- native).take(3)} extra=${(native -- windowed).take(3)}")
+    }
+  }
+
   test("b17: native top-k result equals the rank-window formulation") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
