@@ -7,7 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql("SELECT array_dot(a, b)")`
-  * works next to the DataFrame API.
+  * works next to the DataFrame API, and the [[TopKPerKey]] planner
+  * strategy, so sessions built with the extension plan the custom
+  * operator without the lazy `experimental.extraStrategies` injection.
   *
   * Activate with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
@@ -17,10 +19,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectPlannerStrategy(_ => TopKPerKey.TopKPerKeyStrategy)
+  }
 }
 
 object GraftExtensions {
