@@ -30,6 +30,8 @@ object GraftSession {
       // events.ts is parquet TIMESTAMP(NANOS): read as long nanos, see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // native SQL functions + the TopKPerKey planner strategy
+      .withExtensions(new graft.plans.GraftExtensions)
 
   def getOrCreate(): SparkSession = {
     val spark = builder().getOrCreate()
