@@ -337,9 +337,10 @@ object SparkEntry {
         |  CAST(length(text) AS BIGINT) AS n_chars
         |FROM d),
         |qs AS (SELECT doc_id, n_tokens,
-        |  CAST(n_stop AS DOUBLE) / n_tokens * 0.4 +
-        |  CAST(alpha_chars AS DOUBLE) / n_chars * 0.3 +
-        |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3 AS quality_score
+        |  CASE WHEN n_chars = 0 THEN 0.0 ELSE
+        |    CAST(n_stop AS DOUBLE) / n_tokens * 0.4 +
+        |    CAST(alpha_chars AS DOUBLE) / n_chars * 0.3 +
+        |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3 END AS quality_score
         |FROM m),
         |sc AS (SELECT doc_id,
         |  CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS BIGINT) AS s_en,
@@ -391,9 +392,10 @@ object SparkEntry {
         |  CAST(length(text) AS BIGINT) AS n_chars
         |FROM d)
         |SELECT doc_id, n_tokens, n_stop, alpha_chars, n_chars,
-        |  CAST(n_stop AS DOUBLE) / n_tokens * 0.4 +
-        |  CAST(alpha_chars AS DOUBLE) / n_chars * 0.3 +
-        |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3 AS quality_score
+        |  CASE WHEN n_chars = 0 THEN 0.0 ELSE
+        |    CAST(n_stop AS DOUBLE) / n_tokens * 0.4 +
+        |    CAST(alpha_chars AS DOUBLE) / n_chars * 0.3 +
+        |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3 END AS quality_score
         |FROM m""".stripMargin,
     "c10_text_tokens" ->
       """SELECT doc_id,

@@ -229,10 +229,15 @@ object EventStreamOps {
       .agg(count(lit(1)).as("n"), sumValue.as("sum_value"))
   }
 
-  /** A9: funnel analysis — users progressing view → click → purchase in
-    * event-time order. One shuffle on user_id; stage membership is a
-    * conditional-min aggregate, so partials fold map-side and the
-    * whole funnel is a single pass at any scale.
+  /** A9: funnel analysis — FIRST-TOUCH attribution: a user counts for a
+    * stage iff their first view strictly precedes their first click
+    * (and that their first purchase). A user whose first click predates
+    * any view does NOT count, even if a later view→click→purchase
+    * sequence exists — the standard first-touch funnel definition (a
+    * any-ordered-subsequence funnel is a different, sort-based
+    * operator). One shuffle on user_id; stage membership is a
+    * conditional-min aggregate, so partials fold map-side and the whole
+    * funnel is a single pass at any scale.
     */
   def a9Funnel(spark: SparkSession, sfDir: String): DataFrame = {
     def firstTs(t: String) = min(when(col("event_type") === t, col("ts"))).as(s"first_$t")

@@ -68,9 +68,15 @@ object TextAnalysis {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn(
         "quality_score",
-        col("n_stop").cast("double") / col("n_tokens") * 0.4 +
-          col("alpha_chars").cast("double") / col("n_chars") * 0.3 +
-          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.3
+        // empty text scores 0, not NULL — the 0/0 division would yield
+        // NULL and silently pass every `quality_score < t` filter, the
+        // opposite of what a quality gate must do with an empty doc
+        // (n_tokens is never 0: split("", " ") yields [""])
+        when(col("n_chars") === 0, lit(0.0)).otherwise(
+          col("n_stop").cast("double") / col("n_tokens") * 0.4 +
+            col("alpha_chars").cast("double") / col("n_chars") * 0.3 +
+            least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.3
+        )
       )
       .select(col("doc_id"), col("n_tokens"), col("n_stop"), col("alpha_chars"), col("n_chars"), col("quality_score"))
 
@@ -125,10 +131,17 @@ object TextAnalysis {
     * counts, per-doc agg) at any corpus size.
     */
   def c15BigramLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    // explode_OUTER + isNotNull for the same reason as
+    // TextDedup.shingleHashes (plain explode's inferred size() filter
+    // re-evaluates the token-hash transform below the projection), and
+    // localCheckpoint because bg feeds BOTH the frequency aggregation
+    // and the join — without it the tokenize+md5 pipeline runs twice
     val bg = Tables
       .documents(spark, sfDir)
       .select(col("doc_id"), transform(tokens(col("text")), t => hash32(t)).as("ht"))
-      .select(col("doc_id"), explode(rollingShingleHashes(col("ht"), 2)).as("h"))
+      .select(col("doc_id"), explode_outer(rollingShingleHashes(col("ht"), 2)).as("h"))
+      .filter(col("h").isNotNull)
+      .localCheckpoint()
     val freq = bg.groupBy(col("h")).agg(count(lit(1)).as("freq"))
     bg.join(freq, "h")
       .groupBy(col("doc_id"))

@@ -18,7 +18,8 @@ import graft.streaming.StreamingOps.Event
   *
   * Here the two RocksDB window stores become one typed state value per
   * user key inside `flatMapGroupsWithState`; retention is explicit
-  * pruning below the max observed event time. Views are 'view' events,
+  * pruning below the watermark-derived horizon (see [[advance]]).
+  * Views are 'view' events,
   * clicks are 'click' events; at-least-once duplicates are detected by
   * event_id within the dedup window, like the reference's EvPvKey
   * store.
@@ -42,17 +43,26 @@ object ProcessorApiJoin {
 
   /** One micro-batch of the per-key state machine, as a pure function:
     * restore event-time order, store views, dedup + join clicks, then
-    * prune both stores below the retention horizon (max observed event
-    * time minus the larger window) — the property that keeps state
-    * bounded at any input volume, asserted directly by
+    * prune both stores below the retention horizon — the property that
+    * keeps state bounded at any input volume, asserted directly by
     * ProcessorApiJoinSpec's retention tests.
+    *
+    * The horizon is `watermarkMs − max(joinMs, dedupMs)` when a
+    * watermark is known (every future admitted event has ts ≥ watermark,
+    * so its dedup/join lookback can never reach below that), falling
+    * back to per-key maxTs when it is not (`watermarkMs = 0`). Pruning
+    * on per-key maxTs ALONE would be wrong under at-least-once
+    * delivery: a redelivered click above the watermark but below the
+    * key's max event time would find its dedup entry already pruned and
+    * be emitted twice.
     */
   def advance(
       user: Long,
       st0: JoinState,
       batch: Seq[Event],
       joinMs: Long,
-      dedupMs: Long
+      dedupMs: Long,
+      watermarkMs: Long = 0L
   ): (JoinState, Seq[EnrichedClick]) = {
     var st = st0
     val out = Seq.newBuilder[EnrichedClick]
@@ -87,7 +97,8 @@ object ProcessorApiJoin {
       }
     }
     // retention: prune both stores below the window horizons
-    val horizon = st.maxTs - math.max(joinMs, dedupMs)
+    val timeBase = if (watermarkMs > 0) watermarkMs else st.maxTs
+    val horizon = timeBase - math.max(joinMs, dedupMs)
     st = st.copy(
       views = st.views.filter(_._2 >= horizon),
       seenClicks = st.seenClicks.filter(_._2 >= horizon)
@@ -117,7 +128,8 @@ object ProcessorApiJoin {
           Iterator.empty
         } else {
           val st0 = state.getOption.getOrElse(JoinState(Nil, Map.empty, 0L))
-          val (st, out) = advance(user, st0, rows.toSeq, joinMs, dedupMs)
+          val (st, out) =
+            advance(user, st0, rows.toSeq, joinMs, dedupMs, state.getCurrentWatermarkMs())
           state.update(st)
           state.setTimeoutTimestamp(st.maxTs + 2 * math.max(joinMs, dedupMs))
           out.iterator

@@ -66,7 +66,14 @@ object StreamingOps {
             state.remove()
             Iterator.empty
           } else if (state.exists) {
-            Iterator.empty // duplicate within the window: drop
+            // duplicate within the window: drop — but RE-SET the timeout:
+            // Spark re-creates GroupState with no stored timeout each
+            // invocation and persists whatever this call sets, so
+            // returning without setting it would CLEAR the expiry and
+            // leak this key's seen-bit forever (unbounded state under
+            // at-least-once delivery, the input this operator exists for)
+            state.setTimeoutTimestamp((key.window_start + 2 * windowSec) * 1000)
+            Iterator.empty
           } else {
             state.update(true)
             // retain the seen-bit until the window is past the watermark
@@ -90,6 +97,15 @@ object StreamingOps {
     * (clicks) enriched with the page view that precedes them within
     * `joinWindowSec`; unmatched clicks emit null view columns once the
     * watermark closes the window.
+    *
+    * CONTRACT: one output row per (click, matching view) pair — the
+    * stream-stream interval-join semantics (a click with two views in
+    * its window emits twice). Append mode cannot reduce to a single
+    * best match (a non-windowed per-click aggregation over a
+    * stream-stream join is unsupported); for the exact
+    * latest-view-per-click reduction use [[ProcessorApiJoin]]
+    * (streaming) or [[graft.operators.EventStreamOps.a2ClickstreamJoin]]
+    * (batch).
     *
     * Input frames: clicks(click_id, user_id, click_ts),
     * views(v_id, v_user, v_ts).
@@ -115,7 +131,7 @@ object StreamingOps {
     events
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowDur), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), graft.functions.ExactAgg.moneySum(col("value")).as("sum_value"))
       .select(
         col("window.start").as("window_start"),
         col("event_type"),

@@ -98,6 +98,26 @@ class ProcessorApiJoinSpec extends SparkSpec {
     assert(st2.seenClicks.keySet == Set(11L))
   }
 
+  test("retention honors the watermark: a redelivered click above the watermark is still deduped") {
+    // batch 1: click A at t=100s
+    val (st1, out1) =
+      ProcessorApiJoin.advance(1L, ProcessorApiJoin.JoinState(Nil, Map.empty, 0L),
+        Seq(Event(1, ts(100), 1, "click", 0)), joinMs, dedupMs, watermarkMs = 0L)
+    assert(out1.size == 1)
+    // batch 2: a later view advances per-key maxTs to 120s, but the
+    // WATERMARK lags at 95s — maxTs-based pruning would drop A's dedup
+    // entry (horizon 105s); watermark-based pruning retains it (80s)
+    val (st2, _) =
+      ProcessorApiJoin.advance(1L, st1, Seq(Event(2, ts(120), 1, "view", 0)), joinMs, dedupMs,
+        watermarkMs = 95000L)
+    assert(st2.seenClicks.contains(1L), "dedup entry above the watermark horizon must survive")
+    // batch 3: at-least-once redelivery of click A (t=100s >= watermark) — must NOT re-emit
+    val (_, out3) =
+      ProcessorApiJoin.advance(1L, st2, Seq(Event(1, ts(100), 1, "click", 0)), joinMs, dedupMs,
+        watermarkMs = 95000L)
+    assert(out3.isEmpty, s"redelivered click re-emitted: $out3")
+  }
+
   test("retention: state size stays bounded under a long stream of batches") {
     var st = ProcessorApiJoin.JoinState(Nil, Map.empty, 0L)
     var maxViews = 0
