@@ -70,21 +70,25 @@ object GraftSql {
     spark.sql(query)
   }
 
+  /** B13's query text — the SINGLE source for both the Spark run and
+    * the DuckDB oracle (the driver compare is only meaningful if the
+    * two sides execute character-identical SQL; a second copy would
+    * let them drift).
+    */
+  val Q6Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
   /** B13: pure-SQL query (TPC-H Q6 shape) — demonstrates the SQL
     * entry point; single scan with every predicate pushed down.
     */
   def b13SqlQ6(spark: SparkSession, sfDir: String): DataFrame =
-    sql(
-      spark,
-      sfDir,
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
-        |       COUNT(*) AS n
-        |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-        |  AND l_discount BETWEEN 0.05 AND 0.07
-        |  AND l_quantity < 24""".stripMargin
-    )
+    sql(spark, sfDir, Q6Sql)
 
   /** C13: vector search through SQL using graft's registered native
     * functions (array_l2_normalize / array_dot) — the

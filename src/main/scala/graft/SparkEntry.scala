@@ -451,14 +451,8 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
-    "b13_sql_q6" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
-        |       COUNT(*) AS n
-        |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-        |  AND l_discount BETWEEN 0.05 AND 0.07
-        |  AND l_quantity < 24""".stripMargin,
+    // same text object the Spark side executes — cannot drift
+    "b13_sql_q6" -> GraftSql.Q6Sql,
     "c13_sql_vector" ->
       """WITH e AS (SELECT vec_id,
         |             list_transform(CAST(embedding AS DOUBLE[]),

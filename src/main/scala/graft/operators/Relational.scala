@@ -58,8 +58,10 @@ object Relational {
     val cust = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.orders(spark, sfDir).filter(col("o_orderdate") < lit("1998-01-01"))
     val li = Tables.lineitem(spark, sfDir).filter(col("l_shipdate") > lit("1998-01-01"))
+    // no broadcast hint on customer — it grows with SF; AQE broadcasts
+    // when it actually fits instead of OOMing the driver at scale
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(discPrice).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -67,8 +69,9 @@ object Relational {
   }
 
   /** B3: Q5-style local-supplier volume — 6-table join through the
-    * region→nation hierarchy. Scale: region/nation/supplier/customer are
-    * broadcast dims; only orders↔lineitem shuffles.
+    * region→nation hierarchy. Scale: region/nation are hinted broadcast
+    * (constant size at every SF); supplier/customer broadcast only when
+    * AQE measures that they fit.
     */
   def b3MultiJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val region = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
@@ -80,10 +83,13 @@ object Relational {
       .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
     val li = Tables.lineitem(spark, sfDir)
 
+    // broadcast hints only on the FIXED-size dims (region: 5 rows,
+    // nation: 25 — constant at every SF); customer/supplier grow with
+    // the data, so AQE decides for them
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(
-        broadcast(cust),
+        cust,
         col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey")
       )
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))

@@ -48,32 +48,41 @@ object ScaleJoins {
   // silently serve another session's different sfDir
   private val bucketedFor =
     java.util.Collections.synchronizedMap(new java.util.WeakHashMap[AnyRef, String]())
+  private val rebuildLocks =
+    java.util.Collections.synchronizedMap(new java.util.WeakHashMap[AnyRef, Object]())
 
   def s3BucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val catalogKey: AnyRef = spark.sparkContext
-    val fresh = bucketedFor.get(catalogKey) != sfDir ||
-      !spark.catalog.tableExists("graft_orders_bucketed") ||
-      !spark.catalog.tableExists("graft_lineitem_bucketed")
-    if (fresh) {
-      dropManaged(spark, "graft_orders_bucketed")
-      dropManaged(spark, "graft_lineitem_bucketed")
-      Tables
-        .orders(spark, sfDir)
-        .write
-        .format("parquet")
-        .bucketBy(Buckets, "o_orderkey")
-        .sortBy("o_orderkey")
-        .mode("overwrite")
-        .saveAsTable("graft_orders_bucketed")
-      Tables
-        .lineitem(spark, sfDir)
-        .write
-        .format("parquet")
-        .bucketBy(Buckets, "l_orderkey")
-        .sortBy("l_orderkey")
-        .mode("overwrite")
-        .saveAsTable("graft_lineitem_bucketed")
-      bucketedFor.put(catalogKey, sfDir): Unit
+    // check-then-rebuild must serialize per catalog: two concurrent
+    // callers (newSession() siblings, parallel threads) otherwise race
+    // the drop/overwrite of the SAME managed tables — one drop deletes
+    // the warehouse dir mid-write of the other
+    val lock = rebuildLocks.computeIfAbsent(catalogKey, _ => new Object)
+    lock.synchronized {
+      val fresh = bucketedFor.get(catalogKey) != sfDir ||
+        !spark.catalog.tableExists("graft_orders_bucketed") ||
+        !spark.catalog.tableExists("graft_lineitem_bucketed")
+      if (fresh) {
+        dropManaged(spark, "graft_orders_bucketed")
+        dropManaged(spark, "graft_lineitem_bucketed")
+        Tables
+          .orders(spark, sfDir)
+          .write
+          .format("parquet")
+          .bucketBy(Buckets, "o_orderkey")
+          .sortBy("o_orderkey")
+          .mode("overwrite")
+          .saveAsTable("graft_orders_bucketed")
+        Tables
+          .lineitem(spark, sfDir)
+          .write
+          .format("parquet")
+          .bucketBy(Buckets, "l_orderkey")
+          .sortBy("l_orderkey")
+          .mode("overwrite")
+          .saveAsTable("graft_lineitem_bucketed")
+        bucketedFor.put(catalogKey, sfDir): Unit
+      }
     }
 
     spark
@@ -93,9 +102,12 @@ object ScaleJoins {
     * computes the plain join), only the partitioning differs.
     */
   def s4SaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    // null-safe salt: pmod(NULL) is NULL and the salt equi-predicate
+    // would silently DROP a null-id row the unsalted join (and the
+    // oracle) keeps
     val fact = Tables
       .events(spark, sfDir)
-      .withColumn("salt", pmod(col("event_id"), lit(SaltBuckets)).cast("int"))
+      .withColumn("salt", pmod(coalesce(col("event_id"), lit(0L)), lit(SaltBuckets)).cast("int"))
     val dim = Tables
       .customer(spark, sfDir)
       .select(col("c_custkey"), col("c_mktsegment"))

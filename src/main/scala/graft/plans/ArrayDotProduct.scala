@@ -51,10 +51,20 @@ case class ArrayDotProduct(left: Expression, right: Expression) extends BinaryEx
 object ArrayDotProduct {
 
   /** Strict sequential fold — the summation order every engine's naive
-    * loop uses, so cross-engine results are bit-equal.
+    * loop uses, so cross-engine results are bit-equal. Length mismatch
+    * fails loudly (DuckDB's list_dot_product errors too — silently
+    * truncating to the shorter array would produce a plausible wrong
+    * cosine exactly when the data is malformed). Null ELEMENTS are
+    * rejected upstream by [[ArrayNormalize]], once per vector, keeping
+    * this per-pair hot loop check-free.
     */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) {
+      throw new IllegalArgumentException(
+        s"array_dot: length mismatch ($n vs ${b.numElements()})"
+      )
+    }
     var s = 0.0
     var i = 0
     while (i < n) {

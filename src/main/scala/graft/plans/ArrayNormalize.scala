@@ -50,6 +50,16 @@ object ArrayNormalize {
     var s = 0.0
     var i = 0
     while (i < n) {
+      // strict at ingestion: normalize runs ONCE per vector (the pair
+      // loops downstream run millions of times and stay check-free), so
+      // this is where a null element gets rejected loudly instead of
+      // silently reading as 0.0 and fabricating a plausible cosine —
+      // and it is what makes the declared containsNull=false true
+      if (a.isNullAt(i)) {
+        throw new IllegalArgumentException(
+          s"array_l2_normalize: null element at index $i — embeddings must be dense"
+        )
+      }
       val x = a.getDouble(i)
       s += x * x
       i += 1

@@ -32,16 +32,38 @@ object GraftExtensions {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "", "", "", "", "", "", "built-in")
 
+  // wrong arity must be an analysis error naming the function — a bare
+  // children(1) would throw IndexOutOfBounds on too few args and
+  // SILENTLY IGNORE extras
+  private def arity(name: String, n: Int)(children: Seq[Expression]): Seq[Expression] = {
+    if (children.size != n) {
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name,
+          "expectedNum" -> n.toString,
+          "actualNum" -> children.size.toString,
+          "docroot" -> ""
+        )
+      )
+    }
+    children
+  }
+
   val functions: Seq[(String, ExpressionInfo, FunctionBuilder)] = Seq(
     (
       "array_dot",
       info("array_dot", "array_dot(a, b) - dot product of two double arrays (strict sequential sum)"),
-      (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))
+      (children: Seq[Expression]) => {
+        val c = arity("array_dot", 2)(children); ArrayDotProduct(c(0), c(1))
+      }
     ),
     (
       "array_l2_normalize",
       info("array_l2_normalize", "array_l2_normalize(a) - L2-normalize a double array in one pass"),
-      (children: Seq[Expression]) => ArrayNormalize(children.head)
+      (children: Seq[Expression]) => {
+        val c = arity("array_l2_normalize", 1)(children); ArrayNormalize(c.head)
+      }
     )
   )
 }
