@@ -17,6 +17,7 @@ object SparkEntry {
     "a2_clickstream_join" -> (EventStreamOps.a2ClickstreamJoin _),
     "a11_pv_equi_join" -> (EventStreamOps.a11PvEquiJoin _),
     "a12_range_join" -> (EventStreamOps.a12RangeJoin _),
+    "a13_asof_join" -> (EventStreamOps.a13AsofJoin _),
     "a3_selectkey_repartition" -> (EventStreamOps.a3SelectKeyRepartition _),
     "a4_windowed_reduce" -> (EventStreamOps.a4WindowedReduce _),
     "a5_hopping_window" -> (EventStreamOps.a5HoppingWindow _),
@@ -95,6 +96,15 @@ object SparkEntry {
         |   AND v.v_ts <= c.click_ts AND v.v_ts >= c.click_ts - INTERVAL 10 MINUTE)
         |SELECT c.click_id, c.user_id, c.click_ts, b.v_id AS view_id, b.v_ts AS view_ts
         |FROM clicks c LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) b USING (click_id)""".stripMargin,
+    "a13_asof_join" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+        |clicks AS (SELECT user_id, ts, event_id AS click_id FROM ev WHERE event_type = 'click'),
+        |views AS (SELECT user_id, ts AS vts, max(event_id) AS view_id FROM ev WHERE event_type = 'view' GROUP BY 1, 2),
+        |m AS (SELECT c.click_id, v.view_id, v.vts,
+        |  ROW_NUMBER() OVER (PARTITION BY c.click_id ORDER BY v.vts DESC) AS rn
+        |  FROM clicks c JOIN views v ON c.user_id = v.user_id AND v.vts <= c.ts AND v.vts >= c.ts - INTERVAL 10 MINUTE)
+        |SELECT c.user_id, c.ts, c.click_id, b.view_id AS right_view_id, b.vts AS right_vts
+        |FROM clicks c LEFT JOIN (SELECT * FROM m WHERE rn = 1) b USING (click_id)""".stripMargin,
     "a12_range_join" ->
       """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
         |w AS (SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) AS incident_id, count(*) AS n_err, min(ts) AS spike_ts

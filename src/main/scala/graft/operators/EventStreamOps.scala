@@ -273,6 +273,25 @@ object EventStreamOps {
       .agg(count_distinct(col("user_id")).as("n_users"))
   }
 
+  /** A13: the generic [[AsOfJoin]] operator through the oracle gate —
+    * every click enriched with the latest view at-or-before it within
+    * 10 minutes, per user (nulls when none). Views are pre-deduped to
+    * unique (user_id, ts) keeping the max view_id — AsOfJoin's
+    * documented uniqueness precondition, and exactly the tie the
+    * oracle's ORDER BY vts DESC, view_id DESC picks.
+    */
+  def a13AsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val views = ev
+      .filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts").as("vts"))
+      .agg(max(col("event_id")).as("view_id"))
+    AsOfJoin.asOf(clicks, views, keyCols = Seq("user_id"), leftTime = "ts", rightTime = "vts", toleranceMs = 600000L)
+  }
+
   /** A12: interval/range join WITHOUT an equi key — the operator family
     * Spark has no native strategy for (the naive formulation plans as a
     * nested-loop join against the whole stream). "Incidents" are
