@@ -1,17 +1,14 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 object Bench {
   val Passes = 3
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // the engine's own tuned session — benchmarking a hand-rolled config
+    // would measure plans the library never produces
+    val spark = graft.core.GraftSession
+      .builder(master = s"local[$cpus]", shufflePartitions = cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup outside the timed region (a cluster amortizes
@@ -27,7 +24,9 @@ object Bench {
         // noop write materializes EVERY column (a bare count() lets Catalyst
         // prune projection-only queries down to a row count — measuring nothing)
         val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true } catch {
-          case e: Throwable =>
+          // NonFatal only: after an OOM/linkage error the JVM's numbers
+          // are garbage — crash loudly instead of reporting them
+          case NonFatal(e) =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false
         }
@@ -41,12 +40,15 @@ object Bench {
       val med = runs.map(_._2).sorted.apply(runs.size / 2)
       (name, med, ok)
     }
-    // a failed query must not masquerade as a fast one: report it as -1
+    // a failed query must not masquerade as a fast one: per-query -1, and
+    // the TOTAL is -1 too — summing only survivors would make a crashing
+    // query SHRINK the headline number
     val qs = medians
       .map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
+    val anyFailed = medians.exists(!_._3)
     val failed = medians.filterNot(_._3).map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
-    val total = medians.filter(_._3).map(_._2).sum
+    val total = if (anyFailed) -1.0 else medians.map(_._2).sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","method":"noop-write; per-query median of $Passes passes"}"""
     )
