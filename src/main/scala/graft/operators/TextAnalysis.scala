@@ -181,6 +181,9 @@ object TextAnalysis {
         .join(labels.select(col("doc_id").as("nb"), col("label").as("nlabel")), col("doc_b") === col("nb"))
         .groupBy(col("doc_a").as("nd"))
         .agg(min(col("nlabel")).as("best"))
+      // checkpoint FIRST, then count from the checkpoint — counting the
+      // un-materialized frame and THEN eagerly checkpointing it would
+      // execute every round's join twice
       val updated = labels
         .join(neighborMin, col("doc_id") === col("nd"), "left")
         .select(
@@ -188,8 +191,9 @@ object TextAnalysis {
           least(col("label"), coalesce(col("best"), col("label"))).as("label"),
           (col("best") < col("label")).as("improved")
         )
+        .localCheckpoint()
       changed = updated.filter(col("improved")).count()
-      labels = updated.select(col("doc_id"), col("label")).localCheckpoint()
+      labels = updated.select(col("doc_id"), col("label"))
     }
     labels.withColumnRenamed("label", "cluster_id")
   }
