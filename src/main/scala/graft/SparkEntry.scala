@@ -106,21 +106,21 @@ object SparkEntry {
         |SELECT c.user_id, c.ts, c.click_id, b.view_id AS right_view_id, b.vts AS right_vts
         |FROM clicks c LEFT JOIN (SELECT * FROM m WHERE rn = 1) b USING (click_id)""".stripMargin,
     "a12_range_join" ->
-      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
-        |w AS (SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) AS incident_id, count(*) AS n_err, min(ts) AS spike_ts
+      s"""WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |w AS (SELECT CAST(floor(epoch(ts) / ${EventStreamOps.RangeChunkSec}) AS BIGINT) AS incident_id, count(*) AS n_err, min(ts) AS spike_ts
         |      FROM ev WHERE event_type = 'error' GROUP BY 1),
         |inc AS (SELECT incident_id, spike_ts - INTERVAL 5 MINUTE AS lo, spike_ts + INTERVAL 10 MINUTE AS hi
-        |        FROM w WHERE n_err >= 3)
+        |        FROM w WHERE n_err >= ${EventStreamOps.RangeErrThreshold})
         |SELECT i.incident_id, i.lo AS incident_start, COUNT(*) AS n_events, COUNT(DISTINCT e.user_id) AS n_users
         |FROM inc i JOIN ev e ON e.ts >= i.lo AND e.ts < i.hi
         |GROUP BY 1, 2""".stripMargin,
     "a11_pv_equi_join" ->
-      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events WHERE event_type IN ('view', 'click')),
+      s"""WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events WHERE event_type IN ('view', 'click')),
         |attr AS (SELECT *,
         |  LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv_id,
         |  LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv_ts
         | FROM ev),
-        |clicks AS (SELECT user_id, pv_id, ts, value FROM attr WHERE event_type = 'click' AND pv_id IS NOT NULL AND ts <= pv_ts + INTERVAL 6 HOUR),
+        |clicks AS (SELECT user_id, pv_id, ts, value FROM attr WHERE event_type = 'click' AND pv_id IS NOT NULL AND ts <= pv_ts + INTERVAL ${EventStreamOps.PvAttributionHours} HOUR),
         |views AS (SELECT user_id, event_id AS pv_id, value AS pv_value FROM ev WHERE event_type = 'view')
         |SELECT c.user_id, c.pv_id, v.pv_value, COUNT(*) AS n_clicks, MIN(c.ts) AS first_click_ts, MAX(c.ts) AS last_click_ts,
         |  CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_click_value
@@ -314,32 +314,32 @@ object SparkEntry {
     "c18_ann_ivf" -> OracleGen.c18AnnIvf,
     "c21_decontamination" -> OracleGen.c21Decontamination,
     "c23_frame_sample" ->
-      """WITH m AS (SELECT doc_id,
+      s"""WITH m AS (SELECT doc_id,
         |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS fmt,
         |  CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS cs
         |FROM documents),
-        |v AS (SELECT doc_id, CAST(16 + cs % 624 AS INT) AS width, CAST(16 + (cs // 7) % 464 AS INT) AS height,
-        |  CAST(1 + cs % 299 AS INT) AS n_frames
+        |v AS (SELECT doc_id, CAST(16 + cs % ${Multimodal.WidthSpan} AS INT) AS width, CAST(16 + (cs // 7) % ${Multimodal.HeightSpan} AS INT) AS height,
+        |  CAST(1 + cs % ${Multimodal.FrameSpan} AS INT) AS n_frames
         |FROM m WHERE fmt = 'video'),
         |f AS (SELECT doc_id, n_frames, width, height,
-        |  least(n_frames, 4) AS cnt, unnest(generate_series(0, least(n_frames, 4) - 1)) AS i
+        |  least(n_frames, ${Multimodal.FrameBudget}) AS cnt, unnest(generate_series(0, least(n_frames, ${Multimodal.FrameBudget}) - 1)) AS i
         |FROM v)
         |SELECT doc_id,
         |  CAST(i * n_frames // cnt AS BIGINT) AS frame_idx,
         |  n_frames,
-        |  CAST(width * 224 // greatest(width, height) AS INT) AS resized_w,
-        |  CAST(height * 224 // greatest(width, height) AS INT) AS resized_h,
+        |  CAST(width * ${Multimodal.SizeBudget} // greatest(width, height) AS INT) AS resized_w,
+        |  CAST(height * ${Multimodal.SizeBudget} // greatest(width, height) AS INT) AS resized_h,
         |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '_' || CAST(i * n_frames // cnt AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS DOUBLE) / 255.0 AS frame_score
         |FROM f""".stripMargin,
     "c22_pii_redact" -> OracleGen.c22PiiRedact,
     "c19_stratified_sample" ->
-      """SELECT doc_id, lang,
+      s"""SELECT doc_id, lang,
         |  CAST(concat('0x', substr(md5('sample_' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket
         |FROM documents
         |WHERE CAST(concat('0x', substr(md5('sample_' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
-        |  < CASE WHEN lang = 'en' THEN 300 ELSE 800 END""".stripMargin,
+        |  < CASE WHEN lang = 'en' THEN ${Sampling.EnRatePerMille} ELSE ${Sampling.DefaultRatePerMille} END""".stripMargin,
     "c20_training_pipeline" ->
-      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents),
+      s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents),
         |m AS (SELECT doc_id,
         |  CAST(len(w) AS BIGINT) AS n_tokens,
         |  CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_stop,
@@ -367,12 +367,12 @@ object SparkEntry {
         |       ELSE 'zh' END AS pred_lang
         |FROM sc),
         |kept AS (SELECT d.doc_id, d.text, qs.n_tokens, qs.quality_score
-        |  FROM d JOIN qs USING (doc_id) WHERE qs.quality_score >= 0.42),
+        |  FROM d JOIN qs USING (doc_id) WHERE qs.quality_score >= ${Sampling.QualityThreshold}),
         |canonical AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
         |samp AS (SELECT k.doc_id, k.n_tokens, k.quality_score, l.pred_lang
         |  FROM kept k JOIN canonical USING (doc_id) JOIN lang l USING (doc_id)
         |  WHERE CAST(concat('0x', substr(md5('sample_' || CAST(k.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
-        |    < CASE WHEN l.pred_lang = 'en' THEN 300 ELSE 800 END)
+        |    < CASE WHEN l.pred_lang = 'en' THEN ${Sampling.EnRatePerMille} ELSE ${Sampling.DefaultRatePerMille} END)
         |SELECT pred_lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
         |  MIN(quality_score) AS min_quality, MAX(quality_score) AS max_quality
         |FROM samp GROUP BY 1""".stripMargin,
@@ -416,14 +416,14 @@ object SparkEntry {
     // mirrors Multimodal.decodeStub: features from the first 32 bits of
     // md5(payload), payload = UTF-8 text bytes
     "c12_multimodal_decode" ->
-      """WITH m AS (SELECT doc_id,
+      s"""WITH m AS (SELECT doc_id,
         |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS fmt,
         |  CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS cs
         |FROM documents)
         |SELECT doc_id, fmt,
-        |  CAST(16 + cs % 624 AS INT) AS width,
-        |  CAST(16 + (cs // 7) % 464 AS INT) AS height,
-        |  CAST(CASE WHEN fmt = 'video' THEN 1 + cs % 299 ELSE 1 END AS INT) AS n_frames,
+        |  CAST(16 + cs % ${Multimodal.WidthSpan} AS INT) AS width,
+        |  CAST(16 + (cs // 7) % ${Multimodal.HeightSpan} AS INT) AS height,
+        |  CAST(CASE WHEN fmt = 'video' THEN 1 + cs % ${Multimodal.FrameSpan} ELSE 1 END AS INT) AS n_frames,
         |  CAST(cs % 256 AS DOUBLE) / 255.0 AS brightness
         |FROM m""".stripMargin,
     "c15_bigram_lm" -> OracleGen.c15BigramLm,

@@ -104,6 +104,9 @@ object EventStreamOps {
     * key with no range predicate inside the join. Output: per-page-view
     * click rollup (clicks within 6 h of their page view).
     */
+  /** a11 attribution window — interpolated into the oracle SQL too. */
+  val PvAttributionHours = 6
+
   def a11PvEquiJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables
@@ -120,7 +123,7 @@ object EventStreamOps {
     val clicks = attributed
       .filter(
         col("event_type") === "click" && col("pv_id").isNotNull &&
-          col("ts") <= col("pv_ts") + expr("INTERVAL 6 HOURS")
+          col("ts") <= col("pv_ts") + expr(s"INTERVAL $PvAttributionHours HOURS")
       )
       .select(col("user_id"), col("pv_id"), col("ts"), col("value"))
     val views = ev
@@ -309,9 +312,13 @@ object EventStreamOps {
     * alert-scale → broadcast; drop the hint and the same plan shuffles
     * both sides on chunk.
     */
+  /** a12 constants — interpolated into the oracle SQL too. */
+  val RangeChunkSec = 900
+  val RangeErrThreshold = 3
+
   def a12RangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val ChunkSec = 900
-    val ErrThreshold = 3
+    val ChunkSec = RangeChunkSec
+    val ErrThreshold = RangeErrThreshold
     val ev = Tables
       .events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))

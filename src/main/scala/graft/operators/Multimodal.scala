@@ -20,6 +20,16 @@ import graft.sources.Tables
   */
 object Multimodal {
 
+  /** Stub-codec feature moduli and pipeline budgets — the SINGLE source
+    * for both the Scala decode and the DuckDB oracle SQL (SparkEntry
+    * interpolates these, so the two sides cannot drift).
+    */
+  val WidthSpan = 624
+  val HeightSpan = 464
+  val FrameSpan = 299
+  val FrameBudget = 4
+  val SizeBudget = 224
+
   case class MediaRow(doc_id: Long, fmt: String, media: Array[Byte], n_bytes: Long)
 
   case class MediaFeatures(
@@ -48,9 +58,9 @@ object Multimodal {
     MediaFeatures(
       doc_id = m.doc_id,
       fmt = m.fmt,
-      width = (16 + cs % 624).toInt,
-      height = (16 + (cs / 7) % 464).toInt,
-      n_frames = if (m.fmt == "video") (1 + cs % 299).toInt else 1,
+      width = (16 + cs % WidthSpan).toInt,
+      height = (16 + (cs / 7) % HeightSpan).toInt,
+      n_frames = if (m.fmt == "video") (1 + cs % FrameSpan).toInt else 1,
       brightness = (cs % 256).toDouble / 255.0
     )
   }
@@ -66,8 +76,6 @@ object Multimodal {
     * oracle-exact; a real decoder replaces only the score expression.
     */
   def c23FrameSample(spark: SparkSession, sfDir: String): DataFrame = {
-    val FrameBudget = 4
-    val SizeBudget = 224
     val cnt = least(col("n_frames"), lit(FrameBudget))
     val longSide = greatest(col("width"), col("height"))
     c12MultimodalDecode(spark, sfDir)
