@@ -64,6 +64,18 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         val c = arity("array_l2_normalize", 1)(children); ArrayNormalize(c.head)
       }
+    ),
+    (
+      "simhash_agg",
+      info(
+        "simhash_agg",
+        "simhash_agg(hash, cnt) - 60-bit SimHash signature from pre-counted (token-hash, multiplicity) rows; " +
+          "the aggregate form of simhash for inputs already grouped (per-row arrays use SimHashOfTokens)"
+      ),
+      (children: Seq[Expression]) => {
+        val c = arity("simhash_agg", 2)(children)
+        SimHashAgg(c(0), c(1), bits = 60).toAggregateExpression()
+      }
     )
   )
 }

@@ -93,6 +93,21 @@ class ExpressionsSpec extends SparkSpec {
     got.zip(docs).foreach { case (g, hs) => assert(g == refSig(hs.toSeq, 60)) }
   }
 
+  test("SQL surface: simhash_agg aggregate equals the per-row scalar formulation") {
+    import spark.implicits._
+    import graft.plans.SimHashOfTokens
+    GraftSql.register(spark, sf0001)
+    val hs = Seq(5L, 5L, 9L, 123456789L)
+    val viaAgg = hs
+      .groupBy(identity).map { case (h, occ) => (h, occ.size.toLong) }.toSeq
+      .toDF("h", "cnt")
+      .createOrReplaceTempView("simhash_in")
+    val agg = spark.sql("SELECT simhash_agg(h, cnt) AS sig FROM simhash_in").head.getLong(0)
+    val scalar = Seq(Tuple1(hs.toArray)).toDF("hs")
+      .select(SimHashOfTokens.simHashOfTokens(col("hs"), 60)).head.getLong(0)
+    assert(agg == scalar)
+  }
+
   test("SQL surface: array_dot and array_l2_normalize callable from spark.sql") {
     GraftSql.register(spark, sf0001)
     val r = spark
