@@ -87,6 +87,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("a12: interval join is a keyed equi-join on chunks, never a nested loop") {
+    val p = plan(EventStreamOps.a12RangeJoin(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      "the chunk bucketization exists precisely so the interval predicate never plans as a cross join")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+  }
+
+  test("c21: eval shingles broadcast against the streaming corpus side") {
+    val df = Sampling.c21Decontamination(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), "benchmark-sized eval set must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("c17: embedding near-dup LSH path has no nested-loop stage at any n") {
     val p = plan(VectorOps.c17EmbeddingDedupLsh(spark, sf0001))
     assert(!p.contains("CartesianProduct"), "candidate generation degenerated into a cross join")
