@@ -170,10 +170,13 @@ object TextAnalysis {
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct()
       .localCheckpoint()
+    // seed with min(self, neighbors) — identical to what the first
+    // propagation round computes from self-labels, so the loop starts
+    // one round further along
     var labels = edges
-      .select(col("doc_a").as("doc_id"))
-      .distinct()
-      .withColumn("label", col("doc_id"))
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(min(col("doc_b")).as("mn"))
+      .select(col("doc_id"), least(col("doc_id"), col("mn")).as("label"))
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
