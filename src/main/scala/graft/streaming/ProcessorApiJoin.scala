@@ -106,7 +106,12 @@ object ProcessorApiJoin {
     (st, out.result())
   }
 
-  def apply(
+  /** The user-keyed single-stage variant: state keyed by user_id alone,
+    * clicks matched against "any view in the join window" — the a2-style
+    * simplification. Kept as the simpler topology; [[apply]] is the
+    * composite-key topology matching the reference's exact key structure.
+    */
+  def userKeyed(
       events: Dataset[Event],
       joinWindowSec: Long = 15,
       dedupWindowSec: Long = 5,
@@ -130,6 +135,207 @@ object ProcessorApiJoin {
           val st0 = state.getOption.getOrElse(JoinState(Nil, Map.empty, 0L))
           val (st, out) =
             advance(user, st0, rows.toSeq, joinMs, dedupMs, state.getCurrentWatermarkMs())
+          state.update(st)
+          state.setTimeoutTimestamp(st.maxTs + 2 * math.max(joinMs, dedupMs))
+          out.iterator
+        }
+      }
+  }
+
+  // --------------------------------------------------------------------
+  // Composite-key topology — the reference's exact key structure.
+  //
+  // ClickstreamJoinExample.scala:208-219 re-keys both streams from
+  // ClientKey to the composite (clientId, pvId) via selectKey (a Kafka
+  // repartition topic); :339-341 the Processor variant re-keys the same
+  // way before EvJoinProcessor. The dedup store is keyed EvPvKey
+  // (clientId, pvId, evId). Here:
+  //   stage 1 (attribute)   = the selectKey analogue: a per-user state
+  //     machine stamps each click with its pv_id by last-view
+  //     attribution (what the reference's client-side tracker does when
+  //     it writes Ev.pvId);
+  //   stage 2 (joinAdvance) = flatMapGroupsWithState KEYED BY the
+  //     composite PvKey(user_id, pv_id): state holds the page view for
+  //     that pv plus the per-(user, pv, ev) dedup store, exactly the
+  //     PvWindowProcessor + EvJoinProcessor store pair.
+  // Both stages are append-mode flatMapGroupsWithState (Spark supports
+  // chaining those); the shuffle between them IS the repartition topic.
+  // --------------------------------------------------------------------
+
+  /** The reference's composite key (PvKey): pv_id = -1 marks a click
+    * with no attributable page view (no prior view in the lookback).
+    */
+  case class PvKey(user_id: Long, pv_id: Long)
+
+  /** A re-keyed event: views carry their own event_id as pv_id. */
+  case class Attributed(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, pv_id: Long)
+
+  /** Stage-1 state: recent views (event_id, ts-millis) per user. */
+  case class AttributionState(views: List[(Long, Long)], maxTs: Long)
+
+  /** Stage-2 state per composite key: the page view (if it arrived) and
+    * the EvPvKey dedup store (click event_id → ts-millis).
+    */
+  case class PvJoinState(viewTs: Long, viewSeen: Boolean, seenClicks: Map[Long, Long], maxTs: Long)
+
+  /** Stage 1 as a pure function: stamp each event with its pv_id.
+    * Views attribute to themselves; a click attributes to the latest
+    * view at-or-before it — "latest" in (ts, event_id) order, the same
+    * tie rule as the batch attribution window in
+    * [[graft.operators.EventStreamOps.a11PvEquiJoin]] (last view in the
+    * frame ordered by (ts, event_id) up to the current row).
+    *
+    * Retention: views below `horizon − lookbackMs` are pruned after the
+    * batch — a click admitted later (ts ≥ watermark) that would have
+    * attributed to a pruned view is necessarily outside stage 2's join
+    * window too (lookbackMs = the join window), so it emits the same
+    * None either way and the output is invariant to the pruning.
+    */
+  def attribute(
+      st0: AttributionState,
+      batch: Seq[Event],
+      lookbackMs: Long,
+      watermarkMs: Long = 0L
+  ): (AttributionState, Seq[Attributed]) = {
+    var views = st0.views
+    var maxTs = st0.maxTs
+    val out = Seq.newBuilder[Attributed]
+    batch.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      val t = e.ts.getTime
+      maxTs = math.max(maxTs, t)
+      e.event_type match {
+        case "view" =>
+          views = (e.event_id, t) :: views
+          out += Attributed(e.event_id, e.ts, e.user_id, e.event_type, e.event_id)
+        case "click" =>
+          // latest view with (vt, vid) lex-before (t, clickId); ids are
+          // unique so strict comparison is exact
+          val attributed = views
+            .filter { case (vid, vt) => vt < t || (vt == t && vid < e.event_id) }
+            .sortBy { case (vid, vt) => (-vt, -vid) }
+            .headOption
+          out += Attributed(e.event_id, e.ts, e.user_id, e.event_type, attributed.map(_._1).getOrElse(-1L))
+        case _ => // other event types pass through the topology unused
+      }
+    }
+    val horizon = (if (watermarkMs > 0) watermarkMs else maxTs) - lookbackMs
+    (AttributionState(views.filter(_._2 >= horizon), maxTs), out.result())
+  }
+
+  /** Stage 2 as a pure function: the EvJoinProcessor against one
+    * composite key. The page view for this pv is stored when it arrives
+    * (PvWindowProcessor.process); each click is deduped by event_id
+    * within the dedup window against the per-(user, pv, ev) store
+    * (EvJoinProcessor.isNotDuplicate over EvPvKey), then joined to the
+    * stored view iff the view exists and lies within `[t − joinMs, t]`
+    * (WindowStore.fetch) — None fields otherwise, the reference's
+    * `EvPv(ev, None)` branch.
+    */
+  def joinAdvance(
+      key: PvKey,
+      st0: PvJoinState,
+      batch: Seq[Attributed],
+      joinMs: Long,
+      dedupMs: Long,
+      watermarkMs: Long = 0L
+  ): (PvJoinState, Seq[EnrichedClick]) = {
+    var st = st0
+    val out = Seq.newBuilder[EnrichedClick]
+    batch.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      val t = e.ts.getTime
+      st = st.copy(maxTs = math.max(st.maxTs, t))
+      e.event_type match {
+        case "view" =>
+          // first-wins under redelivery: the store already holds this pv
+          if (!st.viewSeen) st = st.copy(viewTs = t, viewSeen = true)
+        case "click" =>
+          val isDup = st.seenClicks.get(e.event_id).exists(prev => t - prev <= dedupMs)
+          if (!isDup) {
+            val matched = st.viewSeen && st.viewTs <= t && st.viewTs >= t - joinMs
+            out += EnrichedClick(
+              e.event_id,
+              key.user_id,
+              e.ts,
+              if (matched) Some(key.pv_id) else None,
+              if (matched) Some(new Timestamp(st.viewTs)) else None
+            )
+            st = st.copy(seenClicks = st.seenClicks + (e.event_id -> t))
+          }
+        case _ =>
+      }
+    }
+    // retention: dedup entries below the watermark horizon can never be
+    // probed again; the view can be dropped once no admissible click
+    // (ts ≥ watermark) can still fall in its join window
+    val timeBase = if (watermarkMs > 0) watermarkMs else st.maxTs
+    st = st.copy(seenClicks = st.seenClicks.filter(_._2 >= timeBase - math.max(joinMs, dedupMs)))
+    if (st.viewSeen && st.viewTs < timeBase - joinMs) st = st.copy(viewSeen = false, viewTs = 0L)
+    (st, out.result())
+  }
+
+  /** The composite-key topology: selectKey-style attribution shuffle,
+    * then the windowed join + dedup keyed by (user_id, pv_id) — the
+    * reference's exact key structure (PvKey / EvPvKey stores). Spec:
+    * ProcessorApiJoinSpec (scenario + redelivery) and stream-batch
+    * parity with a11's oracle-gated semantics.
+    */
+  def apply(
+      events: Dataset[Event],
+      joinWindowSec: Long = 15,
+      dedupWindowSec: Long = 5,
+      watermarkDelay: String = "10 minutes"
+  ): Dataset[EnrichedClick] = {
+    import events.sparkSession.implicits._
+    val joinMs = joinWindowSec * 1000
+    val dedupMs = dedupWindowSec * 1000
+
+    // Spark statically rejects chained stateful operators because a
+    // flatMapGroupsWithState MAY emit rows below the global watermark,
+    // which the next stateful operator would silently drop as late.
+    // Stage 1 here cannot: it emits each admitted input row exactly
+    // once with its ORIGINAL event timestamp (ts >= watermark, or the
+    // row would not have been admitted), so every stage-1 output
+    // survives stage 2's late filter under the same per-batch global
+    // watermark. The reference has no such cross-stage guarantee to
+    // lose — a Kafka Streams repartition topic carries no watermark at
+    // all. Hence the check is disabled for this session, documented
+    // here and asserted by the stream-batch parity spec.
+    events.sparkSession.conf
+      .set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+
+    val rekeyed: Dataset[Attributed] = events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttributionState, Attributed](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout
+      ) { (_: Long, rows: Iterator[Event], state: GroupState[AttributionState]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val st0 = state.getOption.getOrElse(AttributionState(Nil, 0L))
+          val (st, out) = attribute(st0, rows.toSeq, joinMs, state.getCurrentWatermarkMs())
+          state.update(st)
+          state.setTimeoutTimestamp(st.maxTs + 2 * joinMs)
+          out.iterator
+        }
+      }
+
+    rekeyed
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(a => PvKey(a.user_id, a.pv_id))
+      .flatMapGroupsWithState[PvJoinState, EnrichedClick](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout
+      ) { (key: PvKey, rows: Iterator[Attributed], state: GroupState[PvJoinState]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val st0 = state.getOption.getOrElse(PvJoinState(0L, viewSeen = false, Map.empty, 0L))
+          val (st, out) =
+            joinAdvance(key, st0, rows.toSeq, joinMs, dedupMs, state.getCurrentWatermarkMs())
           state.update(st)
           state.setTimeoutTimestamp(st.maxTs + 2 * math.max(joinMs, dedupMs))
           out.iterator
