@@ -2,6 +2,23 @@ package graft
 import scala.util.control.NonFatal
 object Bench {
   val Passes = 3
+
+  /** Per-query baseline seconds from BASELINE.md's `| query | sec |`
+    * table (frozen round-3 sf0.1 medians) — the denominator of the
+    * vs-baseline ratios. Empty when the file is absent (ratios omitted)
+    * so Bench still runs outside the repo root.
+    */
+  def readBaseline(path: String = "BASELINE.md"): Map[String, Double] = {
+    val f = new java.io.File(path)
+    if (!f.isFile) Map.empty
+    else {
+      val src = scala.io.Source.fromFile(f)(scala.io.Codec.UTF8)
+      try {
+        val Row = """\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|""".r
+        src.getLines().collect { case Row(name, sec) => name -> sec.toDouble }.toMap
+      } finally src.close()
+    }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -49,8 +66,23 @@ object Bench {
     val anyFailed = medians.exists(!_._3)
     val failed = medians.filterNot(_._3).map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
     val total = if (anyFailed) -1.0 else medians.map(_._2).sum
+    // vs the frozen round-3 baseline (BASELINE.md): per-query ratios for
+    // every query present in both, and the ratio of totals over that
+    // common set — a per-query ratio > 2.0 is a flagged regression
+    val baseline = readBaseline()
+    val common = medians.filter { case (k, _, ok) => ok && baseline.contains(k) }
+    val ratios = common
+      .map { case (k, v, _) => "\"" + k + "\":" + f"${v / baseline(k)}%.3f" }
+      .mkString("{", ",", "}")
+    val vsBaseline =
+      if (anyFailed || common.isEmpty) -1.0
+      else common.map(_._2).sum / common.map { case (k, _, _) => baseline(k) }.sum
+    val regressed = common
+      .filter { case (k, v, _) => v / baseline(k) > 2.0 }
+      .map(r => "\"" + r._1 + "\"")
+      .mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","method":"noop-write; per-query median of $Passes passes"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","baseline_queries":${common.size},"vs_baseline":${f"$vsBaseline%.3f"},"ratios":$ratios,"regressed":$regressed,"method":"noop-write; per-query median of $Passes passes; ratios vs BASELINE.md (r3 medians)"}"""
     )
     spark.stop()
   }
