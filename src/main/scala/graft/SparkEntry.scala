@@ -55,6 +55,7 @@ object SparkEntry {
     "c7_ann_lsh" -> ((s, d) => VectorOps.c7AnnLsh(s, d)),
     "c17_dedup_embedding_lsh" -> ((s, d) => VectorOps.c17EmbeddingDedupLsh(s, d)),
     "c18_ann_ivf" -> ((s, d) => VectorOps.c18AnnIvf(s, d)),
+    "c24_ann_ivf_trained" -> ((s, d) => VectorOps.c24AnnIvfTrained(s, d)),
     "c19_stratified_sample" -> (Sampling.c19StratifiedSample _),
     "c20_training_pipeline" -> (Sampling.c20TrainingPipeline _),
     "c21_decontamination" -> (Sampling.c21Decontamination _),

@@ -275,6 +275,143 @@ object VectorOps {
     )
   }
 
+  // --------------------------------------------------------------------
+  // Trained IVF (Lloyd / spherical k-means) — the quality path c18's
+  // deterministic seed quantizer stands in for. Centroids are DRIVER-HELD
+  // (k × dim doubles — tiny), so corpus assignment is a pure map-side
+  // projection: each row scores k dot products against literal centroid
+  // arrays and takes the argmax inside whole-stage codegen. No join, no
+  // shuffle, nothing collected but k×dim aggregates per training round.
+  // Training runs on a deterministic hash-sample of the corpus
+  // (FAISS-style: quantizer quality needs ~hundreds of points per
+  // centroid, not the corpus), so build cost is independent of corpus
+  // size; only the one-pass assignment scales with n.
+  // --------------------------------------------------------------------
+
+  /** Argmax-cosine list id against driver-held centroids — a single
+    * codegen'd projection (ties to the lowest list id via max of
+    * (cos, -id), c18's tie rule).
+    */
+  def assignList(cents: Array[Array[Double]], v: Column): Column = {
+    val scored = cents.zipWithIndex.map { case (c, j) =>
+      struct(arrayDot(v, typedlit(c.toSeq)).as("c"), lit(-j).as("nj"))
+    }
+    (-array_max(array(scored.toIndexedSeq: _*)).getField("nj")).cast("int")
+  }
+
+  /** Lloyd-iterated spherical k-means on a deterministic xxhash64-sample
+    * of `cands` (`neighbor_id`, `vn` L2-normalized). Init = first k
+    * sample vectors in hash order; each round assigns the sample
+    * map-side and recomputes centroids as the L2-normalized list means
+    * (k×dim sums collected — the only driver traffic). A list that
+    * loses all members keeps its previous centroid.
+    */
+  def trainCentroids(cands: DataFrame, k: Int, iters: Int, sampleN: Int = 6400): Array[Array[Double]] = {
+    val train = cands
+      .orderBy(xxhash64(col("neighbor_id")))
+      .limit(math.max(sampleN, k))
+      .select(col("neighbor_id"), col("vn"))
+      .localCheckpoint() // reused iters+1 times; cut the re-sort per round
+    var cents: Array[Array[Double]] = train
+      .orderBy(xxhash64(col("neighbor_id")))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    val dim = cents.head.length
+    (1 to iters).foreach { _ =>
+      val sums = train
+        .withColumn("list_id", assignList(cents, col("vn")))
+        .select(col("list_id"), posexplode(col("vn")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val acc = Array.fill(k)(new Array[Double](dim))
+      val cnt = new Array[Long](k)
+      sums.foreach { r =>
+        val (l, p) = (r.getInt(0), r.getInt(1))
+        acc(l)(p) = r.getDouble(2)
+        cnt(l) = r.getLong(3)
+      }
+      cents = cents.zipWithIndex.map { case (old, l) =>
+        if (cnt(l) == 0) old
+        else {
+          val mean = acc(l).map(_ / cnt(l))
+          val norm = math.sqrt(mean.map(x => x * x).sum)
+          if (norm == 0) old else mean.map(_ / norm)
+        }
+      }
+    }
+    cents
+  }
+
+  /** IVF search against driver-held centroids: map-side list assignment
+    * of the corpus, per-query centroid ranking as one sorted-literal
+    * projection (top-`nprobe` lists), then the keyed probe join + exact
+    * cosine + native top-k — the same probe shape as [[c18AnnIvf]] with
+    * the build-side join and shuffle gone.
+    */
+  def ivfAnnTrained(
+      cands: DataFrame,
+      queries: DataFrame,
+      cents: Array[Array[Double]],
+      nprobe: Int,
+      topK: Int
+  ): DataFrame = {
+    val asg = cands.withColumn("list_id", assignList(cents, col("vn")))
+    val scored = cents.zipWithIndex.map { case (c, j) =>
+      struct(arrayDot(col("qv"), typedlit(c.toSeq)).as("c"), lit(-j).as("nj"))
+    }
+    val probes = queries
+      .withColumn("p", explode(slice(reverse(array_sort(array(scored.toIndexedSeq: _*))), 1, nprobe)))
+      .select(col("query_id"), (-col("p.nj")).cast("int").as("list_id"))
+    rankTopK(
+      asg
+        .join(broadcast(probes), "list_id")
+        .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
+        .withColumn("cos", arrayDot(col("qv"), col("vn"))),
+      topK
+    )
+  }
+
+  /** Exact brute-force top-k on caller-supplied frames — the baseline
+    * the trained-IVF recall gate measures against (c6's shape, free of
+    * the table binding).
+    */
+  def annBruteforce(cands: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    rankTopK(
+      cands
+        .crossJoin(broadcast(queries.select(col("query_id"), col("qv"))))
+        .withColumn("cos", arrayDot(col("qv"), col("vn"))),
+      k
+    )
+
+  val C24Lists = 25
+  val C24Probes = 5 // k/5 — the index must PRUNE, not enumerate
+
+  /** C24: trained-quantizer IVF ANN over the embeddings table —
+    * rows-only gate (Lloyd means are order-of-summation floats, not
+    * oracle-reproducible); the recall bar lives in VectorRecallSpec on
+    * clustered data, where nprobe = k/5 must still hold recall@5 ≥ 0.9.
+    * On the isotropic test embeddings this probes 20% of the index —
+    * the honest speed/recall trade c18's near-exhaustive nprobe avoids.
+    */
+  def c24AnnIvfTrained(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = C24Lists,
+      nprobe: Int = C24Probes,
+      iters: Int = 3
+  ): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val queries = e
+      .filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("vn").as("qv"))
+    val cands = e
+      .filter(col("vec_id") >= NumQueryVecs)
+      .select(col("vec_id").as("neighbor_id"), col("vn"))
+    ivfAnnTrained(cands, queries, trainCentroids(cands, k, iters), nprobe, 5)
+  }
+
   /** c7 banding: 16 bands × 3 planes (8 buckets per band). For a
     * neighbor at cos c the candidate probability is
     * 1 − (1 − (1 − acos(c)/π)³)¹⁶ — ≥ 0.95 for c ≥ 0.2, measured as

@@ -51,6 +51,64 @@ class VectorRecallSpec extends SparkSpec {
     assert(recall >= 0.9, f"recall@5 = $recall%.3f < 0.9")
   }
 
+  // --- trained IVF: the quantizer must PRUNE (nprobe = k/5), which is
+  // only provable on data with cluster structure — the sf tables are
+  // isotropic by construction, so the corpus here is synthetic: 20
+  // well-separated clusters on the unit sphere, deterministic via MD5.
+
+  private def hashUnit(seed: String, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val v = Array.tabulate(dim) { d =>
+      val h = md.digest(s"${seed}_$d".getBytes("UTF-8"))
+      (h(0).toDouble + 0.5) / 128.0
+    }
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(_ / n)
+  }
+
+  test("trained IVF: recall@5 >= 0.9 at nprobe = k/5 on clustered embeddings") {
+    import spark.implicits._
+    val (nClusters, perCluster, dim) = (20, 200, 64)
+    val rows = for {
+      c <- 0 until nClusters
+      i <- 0 until perCluster
+    } yield {
+      val center = hashUnit(s"center_$c", dim)
+      val noise = hashUnit(s"noise_${c}_$i", dim)
+      val v = center.zip(noise).map { case (a, b) => a + 0.35 * b }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (c.toLong * perCluster + i, v.map(_ / n).toSeq)
+    }
+    val all = rows.toDF("vec_id", "vn").repartition(8).cache()
+    // one query per even-numbered cluster: member 0 of clusters 0,2,4,…
+    val queryIds = (0 until 10).map(q => (2L * q) * perCluster).toSet
+    val queries = all
+      .filter($"vec_id".isInCollection(queryIds))
+      .select($"vec_id".as("query_id"), $"vn".as("qv"))
+    val cands = all
+      .filter(!$"vec_id".isInCollection(queryIds))
+      .select($"vec_id".as("neighbor_id"), $"vn")
+
+    val exactTop5 = VectorOps
+      .annBruteforce(cands, queries, 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val k = nClusters
+    val cents = VectorOps.trainCentroids(cands, k, iters = 8)
+    val nprobe = k / 5
+    val ivfTop5 = VectorOps
+      .ivfAnnTrained(cands, queries, cents, nprobe, 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    all.unpersist()
+    assert(exactTop5.size == 50)
+    val recall = (exactTop5 & ivfTop5).size.toDouble / exactTop5.size
+    assert(recall >= 0.9,
+      f"trained-IVF recall@5 = $recall%.3f < 0.9 at nprobe=$nprobe of $k lists — quantizer not pruning correctly")
+  }
+
   test("c7 LSH ANN recall@5 >= 0.9 vs the exact c6 baseline") {
     val exactTop5 = VectorOps
       .c6AnnBruteforce(spark, sf001)
