@@ -184,16 +184,48 @@ object Relational {
     * sorted (a window over (segment, bucket, stat) — bounded by the
     * bucket width, not the segment size). The bucketing key is
     * floor(value/width), monotone in the order-by value, so in-bucket
-    * rank + bucket offset = exact global rank. Production would pick
-    * bucket edges from an approx-quantile sketch; a fixed width works
-    * for the known acctbal domain and keeps the math engine-exact.
+    * rank + bucket offset = exact global rank.
+    *
+    * Bucket edges are SKETCH-DERIVED: a per-segment
+    * `percentile_approx` pass (a map-side-combinable quantile sketch,
+    * one tiny edges-array row per segment) yields ~100 edges that adapt
+    * to ANY value distribution — a domain where all mass sits in one
+    * fixed-width bucket still splits into ~equal-count buckets here.
+    * The edges only steer bucket BALANCE; the located-bucket rank pick
+    * stays exact whatever the sketch returns, so the result is
+    * bit-identical to the oracle regardless of sketch error. (A true
+    * point-mass domain — every value identical — degenerates for any
+    * value-based bucketing; the tie-broken sort is then over equal
+    * values and cheap.)
     */
   def b9Percentiles(spark: SparkSession, sfDir: String): DataFrame = {
     val seg = col("c_mktsegment")
-    val rows = Tables
+    val base = Tables
       .customer(spark, sfDir)
       .select(seg, col("c_acctbal"), col("c_custkey"))
-      .withColumn("bkt", floor(col("c_acctbal") / 100).cast("long"))
+    // ~100 adaptive edges per segment from the quantile sketch; bucket id
+    // = #edges strictly below the value — monotone in the order-by value,
+    // which is all the two-phase rank needs
+    val edges = base
+      .groupBy(seg)
+      .agg(
+        percentile_approx(
+          col("c_acctbal"),
+          typedlit((1 to 99).map(_ / 100.0)),
+          lit(1000)
+        ).as("edges")
+      )
+    val rows = base
+      .join(broadcast(edges), Seq("c_mktsegment"))
+      .withColumn(
+        "bkt",
+        aggregate(
+          col("edges"),
+          lit(0L),
+          (acc, e) => acc + when(col("c_acctbal") > e, 1L).otherwise(0L)
+        )
+      )
+      .drop("edges")
 
     val bcnt = rows.groupBy(seg, col("bkt")).agg(count(lit(1)).as("bn"))
     // cumulative count of buckets ≤ bkt, per segment (tiny self-join —
