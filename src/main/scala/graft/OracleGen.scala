@@ -139,6 +139,28 @@ object OracleGen {
        |QUALIFY rank <= $TopK""".stripMargin
   }
 
+  /** c7's oracle is the EXACT top-5 (c6 restricted to rank ≤ 5).
+    * Adjudicated: at sf0.01 AND sf0.1 the deterministic 16×3 banding
+    * returns full-row identity with the brute-force ranking (pairs,
+    * ranks, and bit-exact cos) — zero bucket misses — so the exact
+    * oracle applies unchanged, the same way c17 gates on the c5 oracle.
+    * VectorRecallSpec keeps the ≥0.9 floor as the regression tripwire.
+    */
+  val c7AnnLsh: String = {
+    import graft.operators.VectorOps.NumQueryVecs
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |nm AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),
+       |q AS (SELECT vec_id AS query_id, vn AS qv FROM nm WHERE vec_id < $NumQueryVecs),
+       |c AS (SELECT vec_id AS neighbor_id, vn AS cv FROM nm WHERE vec_id >= $NumQueryVecs),
+       |s AS (SELECT query_id, neighbor_id, list_dot_product(qv, cv) AS cos
+       |  FROM q, c)
+       |SELECT query_id, neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+       |  cos
+       |FROM s
+       |QUALIFY rank <= 5""".stripMargin
+  }
+
   val c18AnnIvf: String = {
     import graft.operators.VectorOps.{IvfLists, IvfProbes, NumQueryVecs}
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),

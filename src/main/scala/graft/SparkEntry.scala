@@ -313,6 +313,9 @@ object SparkEntry {
     "c17_dedup_embedding_lsh" -> OracleGen.c5EmbeddingDedup,
     "c6_ann_bruteforce" -> OracleGen.c6AnnBruteforce,
     "c18_ann_ivf" -> OracleGen.c18AnnIvf,
+    // adjudicated zero-miss vs the exact top-5 at both test SFs → the
+    // exact oracle applies (see OracleGen.c7AnnLsh)
+    "c7_ann_lsh" -> OracleGen.c7AnnLsh,
     "c21_decontamination" -> OracleGen.c21Decontamination,
     "c23_frame_sample" ->
       s"""WITH m AS (SELECT doc_id,
