@@ -66,25 +66,35 @@ object Sampling {
     * are reported so every reduction is order-independent and
     * engine-exact.
     */
-  def c20TrainingPipeline(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-    val quality = TextAnalysis
-      .c9TextQuality(spark, sfDir)
-      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
-    val lang = TextAnalysis.c8TextLangid(spark, sfDir).select(col("doc_id"), col("pred_lang"))
-
-    val kept = docs
-      .join(quality, "doc_id")
+  /** The curation pipeline per-document rows on ANY (doc_id, text)
+    * frame: quality score+filter and language ID as single-pass
+    * row-local transforms (no self-joins — the quality/langid columns
+    * ride the same scan), exact dedup keeping the min doc_id per text
+    * hash (the ONE text-keyed shuffle; text itself never shuffles —
+    * only the 32-char hash), then the stratified sample predicate on
+    * the surviving canonical row.
+    */
+  def curationRows(docs: DataFrame): DataFrame = {
+    val kept = TextAnalysis
+      .langPredicted(TextAnalysis.qualityScored(docs))
       .filter(col("quality_score") >= QualityThreshold)
+      .select(col("doc_id"), md5(col("text")).as("text_hash"), col("pred_lang"), col("n_tokens"), col("quality_score"))
     val canonical = kept
-      .groupBy(md5(col("text")).as("text_hash"))
+      .groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-
     kept
       .join(canonical, "doc_id")
-      .join(lang, "doc_id")
       .filter(stratifiedKeep(col("doc_id"), col("pred_lang")))
+      .select(col("doc_id"), col("pred_lang"), col("n_tokens"), col("quality_score"))
+  }
+
+  /** The per-language corpus stats c20 reports, shared with the
+    * streaming parity spec: count / token sum / min-max quality (order-
+    * independent reductions only — engine-exact).
+    */
+  def curationStats(rows: DataFrame): DataFrame =
+    rows
       .groupBy(col("pred_lang"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -92,6 +102,52 @@ object Sampling {
         min(col("quality_score")).as("min_quality"),
         max(col("quality_score")).as("max_quality")
       )
+
+  def c20TrainingPipeline(spark: SparkSession, sfDir: String): DataFrame =
+    curationStats(curationRows(Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))))
+
+  /** A curated document surviving the streaming pipeline. */
+  case class CuratedDoc(doc_id: Long, text_hash: String, pred_lang: String, n_tokens: Long, quality_score: Double)
+
+  /** The curation pipeline as a STREAM: quality filter and language ID
+    * apply verbatim (row-local columns), the stratified-sample
+    * predicate applies verbatim (hash-Bernoulli, no RNG state — the
+    * design property c19 documents), and exact dedup becomes one keyed
+    * state: per text_hash, the first micro-batch containing the hash
+    * emits its min-doc_id row, later batches emit nothing. Replayed in
+    * doc_id order this is EXACTLY the batch keep-min contract (a later
+    * batch cannot carry a smaller id), asserted by StreamingSpec
+    * against [[c20TrainingPipeline]] on the same corpus — including
+    * duplicates landing in the same micro-batch, where min-of-batch
+    * (not partition arrival order, as plain dropDuplicates would give)
+    * keeps the result deterministic.
+    *
+    * State is one boolean per distinct text hash, partitioned across
+    * executors; production bounds it by retention the same way the
+    * dedup stores do (dropDuplicatesWithinWatermark semantics) when the
+    * corpus id-space is unbounded.
+    */
+  def curationStream(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scored = TextAnalysis
+      .langPredicted(TextAnalysis.qualityScored(docs))
+      .filter(col("quality_score") >= QualityThreshold)
+      .select(col("doc_id"), md5(col("text")).as("text_hash"), col("pred_lang"), col("n_tokens"), col("quality_score"))
+      .as[CuratedDoc]
+    scored
+      .groupByKey(_.text_hash)
+      .flatMapGroupsWithState[Boolean, CuratedDoc](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(rows.minBy(_.doc_id))
+          }
+      }
+      .filter(stratifiedKeep(col("doc_id"), col("pred_lang")))
+      .select(col("doc_id"), col("pred_lang"), col("n_tokens"), col("quality_score"))
   }
 
   /** Stand-in benchmark set for decontamination: every 50th document.

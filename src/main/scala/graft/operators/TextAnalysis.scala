@@ -28,13 +28,13 @@ object TextAnalysis {
   private def markerScore(words: Column, ms: Seq[String]): Column =
     size(filter(words, t => ms.map(m => t === m).reduce(_ || _))).cast("long")
 
-  /** C8: n-gram/marker-word language ID. Scores each language's marker
-    * list against the token stream; argmax with a fixed tie-break order.
+  /** c8's language ID as a df→df transform over any frame with a `text`
+    * column: adds per-language marker scores `s_<lang>` and the argmax
+    * `pred_lang` (fixed tie-break order). Pure row-local column math —
+    * applies verbatim to a stream (Sampling.curationStream).
     */
-  def c8TextLangid(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables
-      .documents(spark, sfDir)
-      .select(col("doc_id"), tokens(col("text")).as("w"))
+  def langPredicted(docs: DataFrame): DataFrame = {
+    val base = docs.withColumn("w", tokens(col("text")))
     val scored = Markers.foldLeft(base) { case (df, (lang, ms)) =>
       df.withColumn(s"s_$lang", markerScore(col("w"), ms))
     }
@@ -47,21 +47,25 @@ object TextAnalysis {
           .reduce(_ && _)
         when(geAll, lit(lang)).otherwise(elseCol)
       }
-    scored.select(
-      col("doc_id") +: pred.as("pred_lang") +: langs.map(l => col(s"s_$l")): _*
-    )
+    scored.withColumn("pred_lang", pred).drop("w")
   }
+
+  /** C8: n-gram/marker-word language ID. Scores each language's marker
+    * list against the token stream; argmax with a fixed tie-break order.
+    */
+  def c8TextLangid(spark: SparkSession, sfDir: String): DataFrame =
+    langPredicted(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+      .select(col("doc_id") +: col("pred_lang") +: Markers.map { case (l, _) => col(s"s_$l") }: _*)
 
   val Stopwords: Seq[String] = Seq("the", "a")
 
-  /** C9: quality scoring — length, alpha ratio, stopword ratio folded
-    * into one deterministic score (identical FP expression in the
-    * oracle).
+  /** c9's scoring as a df→df transform over any frame with a `text`
+    * column: adds n_tokens / n_stop / alpha_chars / n_chars /
+    * quality_score. Row-local, stream-applicable.
     */
-  def c9TextQuality(spark: SparkSession, sfDir: String): DataFrame =
-    Tables
-      .documents(spark, sfDir)
-      .select(col("doc_id"), col("text"), tokens(col("text")).as("w"))
+  def qualityScored(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", tokens(col("text")))
       .withColumn("n_tokens", size(col("w")).cast("long"))
       .withColumn("n_stop", markerScore(col("w"), Stopwords))
       .withColumn("alpha_chars", length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long"))
@@ -78,6 +82,14 @@ object TextAnalysis {
             least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.3
         )
       )
+      .drop("w")
+
+  /** C9: quality scoring — length, alpha ratio, stopword ratio folded
+    * into one deterministic score (identical FP expression in the
+    * oracle).
+    */
+  def c9TextQuality(spark: SparkSession, sfDir: String): DataFrame =
+    qualityScored(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("n_tokens"), col("n_stop"), col("alpha_chars"), col("n_chars"), col("quality_score"))
 
   /** C10: token counting — whitespace tokens and a BPE-ish regex count

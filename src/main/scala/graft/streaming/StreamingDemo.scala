@@ -67,6 +67,30 @@ object StreamingDemo {
       .start()
     papi.awaitTermination()
 
+    // curation pipeline as a stream: quality filter → keep-min dedup →
+    // stratified sample over the documents table replayed as files —
+    // the same predicates c20 runs in batch (StreamingSpec asserts
+    // row-for-row parity)
+    val docStream = spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .select(col("doc_id"), col("text"))
+    val curation = graft.operators.Sampling
+      .curationStream(docStream)
+      .writeStream
+      .format("memory")
+      .queryName("demo_curation")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    curation.awaitTermination()
+    val nCurated = spark.table("demo_curation").count()
+    val nCuratedBatch = graft.operators.Sampling
+      .curationRows(spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"), col("text")))
+      .count()
+    require(nCurated == nCuratedBatch, s"stream-batch curation divergence: $nCurated vs $nCuratedBatch")
+
     // exactly-once parquet sink for the deduped stream
     val sinkDir = java.nio.file.Files.createTempDirectory("graft_demo_sink").toString
     val ckptDir = java.nio.file.Files.createTempDirectory("graft_demo_ckpt").toString
@@ -86,7 +110,7 @@ object StreamingDemo {
     val nJoined = spark.table("demo_papi").filter("view_id IS NOT NULL").count()
     val total = spark.read.parquet(s"$sfDir/events.parquet").count()
     println(
-      s"""{"streaming_demo":{"input_events":$total,"deduped_kept":$nDedup,"closed_windows":$nWindows,"enriched_clicks":$nClicks,"clicks_with_view":$nJoined,"sink_rows":$nSunk}}"""
+      s"""{"streaming_demo":{"input_events":$total,"deduped_kept":$nDedup,"closed_windows":$nWindows,"enriched_clicks":$nClicks,"clicks_with_view":$nJoined,"curated_docs":$nCurated,"sink_rows":$nSunk}}"""
     )
     spark.stop()
   }

@@ -154,6 +154,69 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming curation pipeline matches the batch c20 semantics (stream-batch parity)") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // the sf0.001 corpus has no duplicate texts, so inject them: every
+    // 7th doc gets an ADJACENT-id copy (lands in the SAME micro-batch —
+    // exercises min-of-batch dedup), every 13th a far-id copy (lands
+    // BATCHES LATER — exercises the cross-batch seen-state)
+    val base = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .collect()
+    val rows = base
+      .flatMap { case (id, text) =>
+        Seq((id * 2, text)) ++
+          (if (id % 7 == 0) Seq((id * 2 + 1, text)) else Nil) ++
+          (if (id % 13 == 0) Seq((100000L + id, text)) else Nil)
+      }
+      .sortBy(_._1)
+    val staticDf = rows.toSeq.toDF("doc_id", "text")
+    val batchRows = Sampling
+      .curationRows(staticDf)
+      .as[(Long, String, Long, Double)]
+      .collect()
+      .toSet
+    assert(batchRows.nonEmpty)
+
+    val input = MemoryStream[(Long, String)]
+    val q = Sampling
+      .curationStream(input.toDS().toDF("doc_id", "text"))
+      .writeStream
+      .format("memory")
+      .queryName("curation_out")
+      .outputMode("append")
+      .start()
+    rows.grouped(250).foreach { chunk =>
+      input.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    }
+    val streamed = spark
+      .table("curation_out")
+      .as[(Long, String, Long, Double)]
+      .collect()
+      .toSet
+    q.stop()
+
+    // row-for-row parity, including bit-identical quality doubles
+    assert(streamed == batchRows,
+      s"missing=${(batchRows -- streamed).take(3)} extra=${(streamed -- batchRows).take(3)}")
+    // and the dedup actually bit: every surviving id is an even original —
+    // injected odd/far twins were all swallowed in favor of the min id
+    assert(streamed.forall { case (id, _, _, _) => id % 2 == 0 && id < 100000L },
+      "a duplicate copy survived the keep-min dedup")
+    // the aggregate view (what c20 reports) agrees too
+    val aggB = Sampling.curationStats(Sampling.curationRows(staticDf)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val aggS = Sampling.curationStats(spark.table("curation_out")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(aggB == aggS)
+  }
+
   test("stratified sample predicate is stream-applicable (stream-batch parity)") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
