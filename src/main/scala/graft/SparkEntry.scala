@@ -16,7 +16,7 @@ object SparkEntry {
     "a1_dedup_windowed" -> (EventStreamOps.a1DedupWindowed _),
     "a2_clickstream_join" -> (EventStreamOps.a2ClickstreamJoin _),
     "a11_pv_equi_join" -> (EventStreamOps.a11PvEquiJoin _),
-    "a12_range_join" -> (EventStreamOps.a12RangeJoin _),
+    "a12_range_join" -> ((s, d) => EventStreamOps.a12RangeJoin(s, d)),
     "a13_asof_join" -> (EventStreamOps.a13AsofJoin _),
     "a3_selectkey_repartition" -> (EventStreamOps.a3SelectKeyRepartition _),
     "a4_windowed_reduce" -> (EventStreamOps.a4WindowedReduce _),

@@ -316,7 +316,13 @@ object EventStreamOps {
   val RangeChunkSec = 900
   val RangeErrThreshold = 3
 
-  def a12RangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+  /** @param broadcastIncidents alert-scale incident sides broadcast
+    *   (the default); pass false when the incident side is itself large
+    *   (e.g. joining against months of incidents) — the SAME plan then
+    *   degrades gracefully to a chunk-keyed shuffle join on both sides,
+    *   still never a nested loop (PlanSpec asserts both shapes).
+    */
+  def a12RangeJoin(spark: SparkSession, sfDir: String, broadcastIncidents: Boolean = true): DataFrame = {
     val ChunkSec = RangeChunkSec
     val ErrThreshold = RangeErrThreshold
     val ev = Tables
@@ -340,7 +346,7 @@ object EventStreamOps {
           sequence(floor(unix_timestamp(col("lo")) / ChunkSec), floor(unix_timestamp(col("hi")) / ChunkSec))
         )
       )
-    ev.join(broadcast(incChunks), "chunk")
+    ev.join(if (broadcastIncidents) broadcast(incChunks) else incChunks, "chunk")
       .filter(col("ts") >= col("lo") && col("ts") < col("hi"))
       .groupBy(col("incident_id"), col("lo").as("incident_start"))
       .agg(count(lit(1)).as("n_events"), count_distinct(col("user_id")).as("n_users"))

@@ -95,6 +95,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
   }
 
+  test("a12: no-broadcast fallback shuffles BOTH sides on chunk — still no nested loop") {
+    // model a large incident side: kill auto-broadcast so the dropped
+    // hint must plan the documented chunk-keyed shuffle join
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(EventStreamOps.a12RangeJoin(spark, sf0001, broadcastIncidents = false))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        "interval predicate degenerated into a nested loop without the broadcast hint")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "expected the chunk-keyed shuffle join in the fallback plan")
+      assert(!p.contains("BroadcastHashJoin"),
+        "incident side still broadcast — the fallback parameter is not reaching the join")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("a12: fallback plan returns the same rows as the broadcast plan") {
+    val a = EventStreamOps.a12RangeJoin(spark, sf001).collect().toSet
+    val b = EventStreamOps.a12RangeJoin(spark, sf001, broadcastIncidents = false).collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("c21: eval shingles broadcast against the streaming corpus side") {
     val df = Sampling.c21Decontamination(spark, sf0001)
     df.collect()
