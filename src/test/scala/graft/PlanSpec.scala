@@ -190,6 +190,90 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("TopKPerKey sortedFinal mode equals hash mode and plans the spillable key sort") {
+    import org.apache.spark.sql.functions._
+    val sparkS = spark
+    import sparkS.implicits._
+    val rnd = new scala.util.Random(77)
+    val rows = (0 until 3000).map(i => (s"k${rnd.nextInt(500)}", rnd.nextInt(40).toDouble, i.toLong))
+    val df = rows.toDF("key", "value", "id").repartition(6)
+    val hash = graft.plans.TopKPerKey
+      .topKPerKey(df, Seq("key"), Seq(("value", false), ("id", true)), 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val sorted = graft.plans.TopKPerKey
+      .topKPerKey(df, Seq("key"), Seq(("value", false), ("id", true)), 3, sortedFinal = true)
+    val sortedRows = sorted.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(hash == sortedRows)
+    // the final phase runs over a key sort (Spark's spilling external
+    // sort) — O(k) operator memory at any key cardinality
+    assert(plan(sorted).contains("Sort "), "sortedFinal must require the key-sorted child")
+  }
+
+  test("TopKPerKey partial flush-on-overflow stays exact (maxKeysInMemory=7)") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val sparkS = spark
+    import sparkS.implicits._
+    spark.conf.set(graft.plans.TopKPerKey.MaxKeysConfKey, "7")
+    try {
+      val rnd = new scala.util.Random(55)
+      // 200 distinct keys vs a 7-heap cap → dozens of flush epochs per task
+      val rows = (0 until 4000).map(i => (s"k${rnd.nextInt(200)}", rnd.nextInt(30).toDouble, i.toLong))
+      val df = rows.toDF("key", "value", "id").repartition(5)
+      val native = graft.plans.TopKPerKey
+        .topKPerKey(df, Seq("key"), Seq(("value", false), ("id", true)), 4, sortedFinal = true)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      val w = W.partitionBy(col("key")).orderBy(col("value").desc, col("id"))
+      val windowed = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 4)
+        .select(col("key"), col("value"), col("id"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(native == windowed,
+        s"flush epochs broke exactness: missing=${(windowed -- native).take(3)} extra=${(native -- windowed).take(3)}")
+    } finally spark.conf.unset(graft.plans.TopKPerKey.MaxKeysConfKey)
+  }
+
+  test("TopKPerKey reports numOutputRows SQL metrics") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val sparkS = spark
+    import sparkS.implicits._
+    // AQE wraps finished stages in leaf QueryStageExec nodes that plain
+    // collect() cannot descend into — turn it off to inspect the execs
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (top, execs) =
+      try {
+        val df = (0 until 100).map(i => (s"k${i % 4}", i.toDouble, i.toLong)).toDF("key", "value", "id")
+        val t = graft.plans.TopKPerKey.topKPerKey(df, Seq("key"), Seq(("value", false), ("id", true)), 2)
+        assert(t.collect().length == 8)
+        def unwrap(p: SparkPlan): SparkPlan = p match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case o => o
+        }
+        (t, unwrap(t.queryExecution.executedPlan).collect {
+          case x: graft.plans.TopKPerKey.TopKPerKeyExec => x
+        })
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(execs.nonEmpty, "no TopKPerKeyExec in the executed plan")
+    val finalExec = execs.find(!_.partial)
+    assert(finalExec.exists(_.metrics("numOutputRows").value == 8),
+      s"final numOutputRows = ${finalExec.map(_.metrics("numOutputRows").value)}")
+  }
+
+  test("topKPerKey resolves case-insensitively and rejects ambiguity") {
+    import org.apache.spark.sql.functions.col
+    val sparkS = spark
+    import sparkS.implicits._
+    val df = (0 until 10).map(i => (s"k${i % 2}", i.toLong)).toDF("key", "id")
+    // session default resolver is case-insensitive → KEY resolves
+    val r = graft.plans.TopKPerKey.topKPerKey(df, Seq("KEY"), Seq(("ID", false)), 1).collect()
+    assert(r.length == 2)
+    val dup = df.select(col("key"), col("id").as("x"), col("id").cast("int").as("X"))
+    val ex = intercept[IllegalArgumentException] {
+      graft.plans.TopKPerKey.topKPerKey(dup, Seq("key"), Seq(("x", false)), 1)
+    }
+    assert(ex.getMessage.contains("ambiguous"))
+  }
+
   test("b17: native top-k result equals the rank-window formulation") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
