@@ -103,4 +103,72 @@ object KafkaIO {
       .option("kafka.bootstrap.servers", cfg.bootstrapServers)
       .option("topic", topic)
       .option("checkpointLocation", checkpointDir)
+
+  // --------------------------------------------------------------------
+  // Exactly-once-shaped sink. Kafka offers no file-marker idempotence
+  // (StreamingSink's trick), and Spark's kafka writer does not manage
+  // producer transactions — so the achievable contract, the SAME one the
+  // reference runs on, is at-least-once transport + keyed dedup at the
+  // consumer (EvJoinProcessor's EvPvKey store,
+  // ClickstreamJoinExample.scala:314-365). The sink's job is to make
+  // that dedup DETERMINISTIC: a replayed micro-batch (same checkpoint,
+  // same batchId — Structured Streaming's restart contract) must
+  // re-send byte-identical records carrying stable replay identifiers,
+  // so any consumer keyed on (graft_ckpt, graft_batch, key) collapses
+  // duplicates exactly. Producer-side, the config surface defaults to
+  // enable.idempotence + acks=all, removing broker-side duplication
+  // from retries within a producer session.
+  // --------------------------------------------------------------------
+
+  /** Producer hardening defaults for the exactly-once-shaped sink. */
+  val IdempotentProducerOptions: Map[String, String] = Map(
+    "kafka.enable.idempotence" -> "true",
+    "kafka.acks" -> "all"
+  )
+
+  /** The per-micro-batch wire payload as a PURE function — (key, value,
+    * headers) where headers carry the checkpoint location and batchId.
+    * Deterministic: replaying the same batch under the same batchId
+    * yields identical rows (KafkaSerdeSpec asserts this, plus that a
+    * different batchId changes ONLY the header). The headers column
+    * follows the kafka sink's contract: array<struct<key,value>> with
+    * `includeHeaders`.
+    */
+  def batchPayload(batch: DataFrame, keyCol: String, checkpointDir: String, batchId: Long): DataFrame =
+    encodeJson(batch, keyCol).select(
+      col("key"),
+      col("value"),
+      array(
+        struct(lit("graft_ckpt").as("key"), lit(checkpointDir.getBytes("UTF-8")).as("value")),
+        struct(lit("graft_batch").as("key"), lit(batchId.toString.getBytes("UTF-8")).as("value"))
+      ).as("headers")
+    )
+
+  /** foreachBatch Kafka sink with the exactly-once shape: each
+    * micro-batch is written as a BATCH kafka write of
+    * [[batchPayload]] rows under the idempotent-producer options.
+    * Broker-untested in this container (no broker and no kafka
+    * connector jar) — the payload determinism half, the part that makes
+    * consumer dedup exact, is spec-verified in KafkaSerdeSpec; the
+    * `.write.format("kafka")` call is config-only like [[sink]].
+    */
+  def exactlyOnceSink(
+      df: DataFrame,
+      topic: String,
+      keyCol: String,
+      checkpointDir: String,
+      cfg: KafkaConfig = KafkaConfig(),
+      trigger: org.apache.spark.sql.streaming.Trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()
+  ): DataStreamWriter[Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val writer = batchPayload(batch, keyCol, checkpointDir, batchId).write
+          .format("kafka")
+          .option("kafka.bootstrap.servers", cfg.bootstrapServers)
+          .option("topic", topic)
+          .option("includeHeaders", "true")
+        IdempotentProducerOptions.foldLeft(writer) { case (w, (k, v)) => w.option(k, v) }.save()
+      }
+      .trigger(trigger)
 }
