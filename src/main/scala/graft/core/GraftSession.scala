@@ -34,7 +34,22 @@ object GraftSession {
       .withExtensions(new graft.plans.GraftExtensions)
 
   def getOrCreate(): SparkSession = {
+    val preexisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
     val spark = builder().getOrCreate()
+    if (preexisting.contains(spark)) {
+      // getOrCreate returned a session built elsewhere: withExtensions was
+      // silently ignored, so the native SQL functions and the TopKPerKey
+      // strategy would be missing — inject them through the runtime paths
+      // (idempotent), keeping every GraftSession capability available on
+      // reused sessions too
+      graft.plans.GraftExtensions.functions.foreach { case (name, info, fb) =>
+        org.apache.spark.sql.graft.shims.registerFunction(spark, name, info, fb)
+      }
+      if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerKey.TopKPerKeyStrategy)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ graft.plans.TopKPerKey.TopKPerKeyStrategy
+      }
+    }
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

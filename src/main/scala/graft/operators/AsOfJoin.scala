@@ -35,8 +35,28 @@ object AsOfJoin {
       toleranceMs: Long
   ): DataFrame = {
     require(keyCols.nonEmpty, "asOf requires at least one key column")
+    // fail fast with a clear message instead of a confusing analysis
+    // error downstream: the times must be TIMESTAMP (unix_micros), and
+    // the internal/output column names must be free
+    def requireTimestamp(df: DataFrame, c: String, side: String): Unit = {
+      require(df.columns.contains(c), s"$side time column '$c' not found in ${df.columns.toSeq}")
+      require(df.schema(c).dataType == org.apache.spark.sql.types.TimestampType,
+        s"$side time column '$c' must be TIMESTAMP, got ${df.schema(c).dataType.simpleString}")
+    }
+    requireTimestamp(left, leftTime, "left")
+    requireTimestamp(right, rightTime, "right")
+    val reserved = Set("_t", "_side", "_r", "_m", "_rt")
+    (left.columns ++ right.columns).find(reserved.contains).foreach { c =>
+      throw new IllegalArgumentException(
+        s"column '$c' collides with asOf's internal names (${reserved.toSeq.sorted.mkString(", ")}) — rename it first")
+    }
     val leftPayload = left.columns.toSeq.filterNot(c => keyCols.contains(c) || c == leftTime)
     val rightPayload = right.columns.toSeq.filterNot(c => keyCols.contains(c) || c == rightTime)
+    val rightOut = rightPayload.map(c => s"right_$c").toSet + s"right_$rightTime"
+    (keyCols ++ Seq(leftTime) ++ leftPayload).find(rightOut.contains).foreach { c =>
+      throw new IllegalArgumentException(
+        s"left column '$c' collides with asOf's right_<col> output columns — rename it first")
+    }
 
     // common shape: keys, _t, _side (right=0 so it sorts first at equal
     // times), left payload (null on right rows), right payload carried

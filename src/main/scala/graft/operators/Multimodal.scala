@@ -50,6 +50,24 @@ object Multimodal {
     * because any engine can recompute it, so the whole mapPartitions
     * stage is verified hash-exact against a DuckDB oracle (the one part
     * a real codec swap would change).
+    *
+    * ==Codec swap contract==
+    * A real codec replaces EXACTLY this function: `MediaRow →
+    * MediaFeatures`, total (throw only on corrupt input you intend to
+    * fail the job; return a sentinel row to quarantine instead), pure
+    * per-row (no cross-row state — Spark may re-execute a partition
+    * after failure, so side effects must be idempotent). Expensive
+    * library handles (decoder contexts, model sessions) belong in a
+    * per-partition init: swap [[c12MultimodalDecode]]'s `mapPartitions`
+    * body to `iter => { val codec = Codec.open(); iter.map(decode(codec,
+    * _)) }` — the surrounding plan (binary column projection, partition
+    * sizing, downstream schema) is unchanged. After a swap the DuckDB
+    * oracle no longer reproduces the features; the gate then covers the
+    * plumbing only (row count + schema via a rows-only entry), and
+    * feature correctness moves to a golden-file spec beside the codec —
+    * c23's explode/resize stage stays oracle-exact either way because
+    * its integer math is codec-independent given (width, height,
+    * n_frames).
     */
   private def decodeStub(m: MediaRow): MediaFeatures = {
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -53,6 +53,11 @@ object SimHashOfTokens {
     val n = a.numElements()
     var t = 0
     while (t < n) {
+      // strict at ingestion, matching ArrayNormalize: a null token hash
+      // would otherwise vote as 0L and fabricate a plausible signature
+      if (a.isNullAt(t))
+        throw new IllegalArgumentException(
+          s"simhash: null token hash at index $t — hash the tokens with a null-free expression")
       val h = a.getLong(t)
       var i = 0
       while (i < bits) {

@@ -102,4 +102,38 @@ class AsOfJoinSpec extends SparkSpec {
       assert(fast(id) == brute.getOrElse(id, None), s"click $id")
     }
   }
+
+  test("asOf validates inputs up front with clear messages") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val l = Seq((1L, 100L, "a")).toDF("k", "t_long", "payload")
+    val r = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), 1.0)).toDF("k", "rt", "x")
+
+    // non-timestamp time column → immediate, named failure (not a
+    // confusing unix_micros analysis error)
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(l, r, Seq("k"), "t_long", "rt", 1000L)
+    }
+    assert(e1.getMessage.contains("t_long") && e1.getMessage.contains("TIMESTAMP"))
+
+    // missing time column named explicitly
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(l, r, Seq("k"), "nope", "rt", 1000L)
+    }
+    assert(e2.getMessage.contains("nope"))
+
+    // reserved internal names rejected
+    val lt = l.select(col("k"), col("t_long").cast("timestamp").as("t"), col("payload").as("_side"))
+    val e3 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(lt, r, Seq("k"), "t", "rt", 1000L)
+    }
+    assert(e3.getMessage.contains("_side"))
+
+    // left column shadowing a right_<col> output rejected
+    val lshadow = l.select(col("k"), col("t_long").cast("timestamp").as("t"), col("payload").as("right_x"))
+    val e4 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(lshadow, r, Seq("k"), "t", "rt", 1000L)
+    }
+    assert(e4.getMessage.contains("right_x"))
+  }
 }

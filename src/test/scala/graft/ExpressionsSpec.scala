@@ -93,6 +93,20 @@ class ExpressionsSpec extends SparkSpec {
     got.zip(docs).foreach { case (g, hs) => assert(g == refSig(hs.toSeq, 60)) }
   }
 
+  test("SimHashOfTokens rejects null token hashes loudly (no fabricated signature)") {
+    import spark.implicits._
+    import graft.plans.SimHashOfTokens
+    val df = Seq(Tuple1(Array[java.lang.Long](5L, null, 9L))).toDF("h")
+    val ex = intercept[Exception] {
+      df.select(SimHashOfTokens.simHashOfTokens(col("h"), 60)).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => c.getMessage != null && c.getMessage.contains("null token hash")),
+      s"expected the strict-at-ingestion error, got: ${ex.getMessage}")
+  }
+
   test("SQL surface: simhash_agg aggregate equals the per-row scalar formulation") {
     import spark.implicits._
     import graft.plans.SimHashOfTokens
