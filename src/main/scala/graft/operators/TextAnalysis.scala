@@ -34,7 +34,9 @@ object TextAnalysis {
     * applies verbatim to a stream (Sampling.curationStream).
     */
   def langPredicted(docs: DataFrame): DataFrame = {
-    val base = docs.withColumn("w", tokens(col("text")))
+    // reuse an upstream token array (qualityScored keeps its `w`) so a
+    // chained quality→langid pipeline splits each text ONCE
+    val base = if (docs.columns.contains("w")) docs else docs.withColumn("w", tokens(col("text")))
     val scored = Markers.foldLeft(base) { case (df, (lang, ms)) =>
       df.withColumn(s"s_$lang", markerScore(col("w"), ms))
     }
@@ -82,7 +84,8 @@ object TextAnalysis {
             least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.3
         )
       )
-      .drop("w")
+      // `w` is kept on purpose: langPredicted reuses it (single split),
+      // and both c9 and curationRows project it away explicitly
 
   /** C9: quality scoring — length, alpha ratio, stopword ratio folded
     * into one deterministic score (identical FP expression in the
