@@ -196,6 +196,38 @@ object OracleGen {
        |FROM tot t JOIN ovl o USING (doc_id)""".stripMargin
   }
 
+  /** c25's oracle recomputes the packing from the GLOBAL definition (one
+    * window over everything) — DuckDB runs at test SF where that is
+    * fine; the Spark side must reproduce it from the two-phase
+    * distributed prefix sum exactly.
+    */
+  val c25SequencePacking: String = {
+    import graft.operators.Sampling.PackBinTokens
+    s"""WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) n FROM documents),
+       |c AS (SELECT doc_id, n,
+       |  COALESCE(SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |FROM t)
+       |SELECT CAST(off // $PackBinTokens AS BIGINT) AS bin_id,
+       |  count(*) AS n_docs,
+       |  CAST(SUM(n) AS BIGINT) AS sum_tokens,
+       |  MIN(doc_id) AS first_doc,
+       |  MAX(doc_id) AS last_doc
+       |FROM c GROUP BY 1""".stripMargin
+  }
+
+  val c26DedupIncremental: String = {
+    import graft.operators.Sampling.IncrEvery
+    s"""WITH d AS (SELECT doc_id, lang, md5(text) h FROM documents),
+       |hist AS (SELECT DISTINCT h FROM d WHERE doc_id % $IncrEvery <> 0),
+       |batch AS (SELECT * FROM d WHERE doc_id % $IncrEvery = 0),
+       |canon AS (SELECT h, min(doc_id) doc_id FROM batch GROUP BY h),
+       |adm AS (SELECT b.doc_id, b.lang FROM batch b
+       |  JOIN canon c ON b.doc_id = c.doc_id
+       |  WHERE b.h NOT IN (SELECT h FROM hist))
+       |SELECT lang, count(*) AS n_admitted, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |FROM adm GROUP BY lang""".stripMargin
+  }
+
   val c22PiiRedact: String = {
     import graft.operators.Sampling.{DigitRunPattern, EmailPattern}
     s"""WITH r AS (SELECT doc_id, text,

@@ -59,6 +59,8 @@ object SparkEntry {
     "c19_stratified_sample" -> (Sampling.c19StratifiedSample _),
     "c20_training_pipeline" -> (Sampling.c20TrainingPipeline _),
     "c21_decontamination" -> (Sampling.c21Decontamination _),
+    "c25_sequence_packing" -> (Sampling.c25SequencePacking _),
+    "c26_dedup_incremental" -> (Sampling.c26DedupIncremental _),
     "c23_frame_sample" -> (Multimodal.c23FrameSample _),
     "c22_pii_redact" -> (Sampling.c22PiiRedact _),
     "c8_text_langid" -> (TextAnalysis.c8TextLangid _),
@@ -71,7 +73,8 @@ object SparkEntry {
     "s1_format_roundtrip" -> (graft.sources.Formats.s1FormatRoundtrip _),
     "s2_partitioned_write" -> (graft.sources.Formats.s2PartitionedWrite _),
     "s3_bucketed_join" -> (ScaleJoins.s3BucketedJoin _),
-    "s4_salted_join" -> (ScaleJoins.s4SaltedJoin _)
+    "s4_salted_join" -> (ScaleJoins.s4SaltedJoin _),
+    "s5_compaction" -> (graft.sources.Formats.s5Compaction _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -317,6 +320,8 @@ object SparkEntry {
     // exact oracle applies (see OracleGen.c7AnnLsh)
     "c7_ann_lsh" -> OracleGen.c7AnnLsh,
     "c21_decontamination" -> OracleGen.c21Decontamination,
+    "c25_sequence_packing" -> OracleGen.c25SequencePacking,
+    "c26_dedup_incremental" -> OracleGen.c26DedupIncremental,
     "c23_frame_sample" ->
       s"""WITH m AS (SELECT doc_id,
         |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS fmt,
@@ -491,6 +496,14 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders
         |WHERE year(o_orderdate) IN (1996, 1997)
+        |GROUP BY 1""".stripMargin,
+    // s5 aggregates the COMPACTED copy; the oracle reads the source
+    // table directly, so any row lost or mutated by the rewrite breaks
+    // the hash (layout effects asserted separately in PlanSpec)
+    "s5_compaction" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS ship_year, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
         |GROUP BY 1""".stripMargin,
     "s3_bucketed_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n,

@@ -150,6 +150,92 @@ object Sampling {
       .select(col("doc_id"), col("pred_lang"), col("n_tokens"), col("quality_score"))
   }
 
+  /** Tokens per packed training sequence (the "context window" of the
+    * packing), and the doc_id span per prefix-sum bucket.
+    */
+  val PackBinTokens = 1024L
+  val PackBucketSpan = 100L
+
+  /** C25: sequence packing — the concat-and-chunk step of an LLM
+    * pretraining pipeline: documents are laid end-to-end in doc_id
+    * order and cut into fixed-`PackBinTokens` bins; each document is
+    * assigned to the bin its first token lands in, and the query
+    * reports per-bin packing stats (docs, tokens, id range).
+    *
+    * The global token offset of every document is a PREFIX SUM — the
+    * naive window (`sum over (order by doc_id)`) would run the whole
+    * corpus through ONE task. Here it is two-phase, the distributed
+    * prefix-sum idiom: (1) per-bucket token totals (buckets = contiguous
+    * doc_id ranges, a map-side-combinable aggregate); (2) running bucket
+    * offsets via a window over the BUCKET AGGREGATE — thousands of rows,
+    * deliberately single-partition, the same tiny-global-stage shape as
+    * b9's cum-join; (3) broadcast offsets back and compute the in-bucket
+    * exclusive cumsum with a window partitioned by bucket — bounded by
+    * the bucket span, parallelism scales with corpus size. PlanSpec
+    * asserts no empty-partition window ever touches raw document rows.
+    */
+  def c25SequencePacking(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables
+      .documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n"),
+        floor(col("doc_id") / PackBucketSpan).as("bucket")
+      )
+    val bucketTotals = t.groupBy(col("bucket")).agg(sum(col("n")).as("bn"))
+    val wb = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTotals
+      .withColumn("bucket_off", coalesce(sum(col("bn")).over(wb), lit(0L)))
+      .select(col("bucket"), col("bucket_off"))
+    val wl = Window.partitionBy(col("bucket")).orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    t.join(broadcast(offsets), "bucket")
+      .withColumn("off", col("bucket_off") + coalesce(sum(col("n")).over(wl), lit(0L)))
+      .withColumn("bin_id", floor(col("off") / PackBinTokens))
+      .groupBy(col("bin_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc")
+      )
+  }
+
+  /** The "new batch" stand-in for incremental dedup: every 10th doc. */
+  val IncrEvery = 10
+
+  /** C26: incremental dedup — admit a NEW ingestion batch against an
+    * already-deduplicated historical corpus, the steady-state form of c1
+    * (a growing 100 TB corpus never re-dedups from scratch). A new doc
+    * survives iff its text hash appears nowhere in history AND it is
+    * the min-doc_id holder of its hash within the batch. Per-lang
+    * admission stats keep the output compact.
+    *
+    * Scale: only 32-char md5 hashes shuffle — history projects to its
+    * hash column for the anti-join (hash-keyed, map-side combinable on
+    * the batch side), text never leaves its scan. The anti-join keys on
+    * the same hash as c1, so an incremental pass composes with the
+    * batch dedup's invariants: (history ∪ admitted) stays exactly
+    * deduplicated.
+    */
+  def c26DedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+    val isNew = col("doc_id") % IncrEvery === 0
+    val history = docs.filter(!isNew).select(col("h")).distinct()
+    val batch = docs.filter(isNew)
+    val canonical = batch
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    batch
+      .join(canonical, "doc_id")
+      .join(history, Seq("h"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_admitted"), min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+  }
+
   /** Stand-in benchmark set for decontamination: every 50th document.
     * In production this is the held-out eval suite — thousands of
     * documents against a corpus of billions, hence the broadcast.

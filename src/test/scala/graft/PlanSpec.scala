@@ -288,6 +288,21 @@ class PlanSpec extends SparkSpec {
     assert(native == windowed)
   }
 
+  test("c25: prefix sum is two-phase — no whole-corpus single-partition window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = Sampling.c25SequencePacking(spark, sf0001)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    // a window with no partitioning runs in ONE task — it may only ever
+    // see the tiny bucket-level aggregate, never raw document rows
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.collect { case a: Aggregate => a }.nonEmpty,
+        "global running-offset window must sit over the bucket aggregate, not the corpus")
+    }
+    // and the per-row cumsum is partitioned (scales with the corpus)
+    assert(windows.exists(_.partitionSpec.nonEmpty))
+  }
+
   test("c19: stratified sample is a pure narrow scan — no exchange anywhere") {
     val p = plan(Sampling.c19StratifiedSample(spark, sf0001))
     assert(!p.contains("Exchange"), "hash-Bernoulli sampling must not shuffle")
@@ -302,6 +317,38 @@ class PlanSpec extends SparkSpec {
     val joinSection = p.substring(p.indexOf("SortMergeJoin").max(0))
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"))
     if (p.contains("SortMergeJoin")) assert(!joinSection.contains("Exchange hashpartitioning"))
+  }
+
+  test("s5: compaction collapses 64 fragments into ~target-size, range-clustered files") {
+    import graft.sources.Formats
+    Formats.s5Compaction(spark, sf0001).collect() // builds the layout
+    val dir = new java.io.File(Formats.s5CompactedDir(spark, sf0001))
+    val fragDir = new java.io.File(dir.getParent, "fragmented")
+    def parquets(d: java.io.File) = Option(d.listFiles()).get.filter(_.getName.endsWith(".parquet"))
+    assert(parquets(fragDir).length == 64, "before-state: micro-batch fragmentation missing")
+
+    val files = parquets(dir)
+    val n = spark.read.parquet(dir.toString).count()
+    val expected = math.max(1, math.ceil(n.toDouble / Formats.CompactTargetRows).toInt)
+    assert(files.length <= expected && files.length < 16,
+      s"compaction left ${files.length} files for $n rows (target $expected)")
+    // range clustering: per-file l_shipdate spans may touch only at
+    // boundaries (repartitionByRange), so min/max skipping works
+    val ranges = files.toSeq
+      .map { f =>
+        // ISO timestamp strings compare lexicographically in time order
+        // (and dodge the TIMESTAMP vs TIMESTAMP_NTZ JVM class split)
+        val r = spark.read.parquet(f.toString)
+          .selectExpr("min(cast(l_shipdate as string)) lo", "max(cast(l_shipdate as string)) hi")
+          .head
+        (r.getString(0), r.getString(1))
+      }
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, aHi), (bLo, _)) =>
+        assert(bLo >= aHi, s"file ranges overlap beyond the boundary: $aHi > $bLo")
+      case _ =>
+    }
   }
 
   test("s4: salted join equals the plain join (semantics preserved under salting)") {
