@@ -303,6 +303,18 @@ class PlanSpec extends SparkSpec {
     assert(windows.exists(_.partitionSpec.nonEmpty))
   }
 
+  test("c26: incremental dedup anti-join stays hash-keyed — no nested loop, text never shuffles") {
+    val df = Sampling.c26DedupIncremental(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // every exchange moves only hashes/ids — the text column must be
+    // projected away before any shuffle
+    p.linesIterator.filter(_.contains("Exchange")).foreach { line =>
+      assert(!line.contains("text"), s"text rode a shuffle: $line")
+    }
+  }
+
   test("c19: stratified sample is a pure narrow scan — no exchange anywhere") {
     val p = plan(Sampling.c19StratifiedSample(spark, sf0001))
     assert(!p.contains("Exchange"), "hash-Bernoulli sampling must not shuffle")
