@@ -90,6 +90,30 @@ object GraftSql {
   def b13SqlQ6(spark: SparkSession, sfDir: String): DataFrame =
     sql(spark, sfDir, Q6Sql)
 
+  /** B19: correlated scalar subqueries through SQL (TPC-H Q17 shape) —
+    * lineitems whose quantity exceeds 2× their part's average. The
+    * inner aggregates are correlated on the outer row's part key;
+    * Catalyst decorrelates them into aggregate + join
+    * (RewriteCorrelatedScalarSubquery, merged by
+    * MergeScalarSubqueries) — the naive per-row re-execution reading is
+    * never what runs, which is why the SQL surface is usable at 100 TB.
+    * The avg threshold is expressed as `qty · count > 2 · sum` in
+    * DECIMAL so both engines compare exact numbers (no double AVG).
+    */
+  val Q17Sql: String =
+    """SELECT p.p_brand, COUNT(*) AS n_heavy
+      |FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+      |WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * (
+      |    SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+      |  ) > (
+      |    SELECT 2 * SUM(CAST(l3.l_quantity AS DECIMAL(18,2)))
+      |    FROM lineitem l3 WHERE l3.l_partkey = p.p_partkey
+      |  )
+      |GROUP BY p.p_brand""".stripMargin
+
+  def b19SqlCorrelated(spark: SparkSession, sfDir: String): DataFrame =
+    sql(spark, sfDir, Q17Sql)
+
   /** C13: vector search through SQL using graft's registered native
     * functions (array_l2_normalize / array_dot) — the
     * SparkSessionExtensions surface.

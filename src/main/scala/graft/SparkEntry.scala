@@ -69,6 +69,7 @@ object SparkEntry {
     "c11_text_fingerprint" -> (TextAnalysis.c11TextFingerprint _),
     "c12_multimodal_decode" -> (Multimodal.c12MultimodalDecode _),
     "b13_sql_q6" -> (GraftSql.b13SqlQ6 _),
+    "b19_sql_correlated" -> (GraftSql.b19SqlCorrelated _),
     "c13_sql_vector" -> (GraftSql.c13SqlVector _),
     "s1_format_roundtrip" -> (graft.sources.Formats.s1FormatRoundtrip _),
     "s2_partitioned_write" -> (graft.sources.Formats.s2PartitionedWrite _),
@@ -472,6 +473,8 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
     // same text object the Spark side executes — cannot drift
     "b13_sql_q6" -> GraftSql.Q6Sql,
+    // same text both engines — the dialect-shared subset
+    "b19_sql_correlated" -> GraftSql.Q17Sql,
     "c13_sql_vector" ->
       """WITH e AS (SELECT vec_id,
         |             list_transform(CAST(embedding AS DOUBLE[]),

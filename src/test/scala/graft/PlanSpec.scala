@@ -303,6 +303,15 @@ class PlanSpec extends SparkSpec {
     assert(windows.exists(_.partitionSpec.nonEmpty))
   }
 
+  test("b19: correlated scalar subqueries decorrelate — no per-row subquery, no nested loop") {
+    val df = GraftSql.b19SqlCorrelated(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("ScalarSubquery"),
+      "correlated aggregate still executes per outer row — decorrelation failed")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("c26: incremental dedup anti-join stays hash-keyed — no nested loop, text never shuffles") {
     val df = Sampling.c26DedupIncremental(spark, sf0001)
     df.collect()
