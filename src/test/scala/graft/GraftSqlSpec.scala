@@ -1,5 +1,20 @@
 package graft
 
+/** Bench's BASELINE.md parsing — the denominator of the vs-baseline
+  * ratios the driver gates on.
+  */
+class BaselineSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("readBaseline parses the frozen per-query medians") {
+    val b = Bench.readBaseline("BASELINE.md")
+    assert(b.size >= 58, s"expected the 58 frozen r3 queries, got ${b.size}")
+    assert(b("b1_agg_pricing") > 0.1 && b("b1_agg_pricing") < 10.0)
+    assert(b.values.forall(v => v > 0 && v < 60), "implausible baseline second values")
+  }
+  test("readBaseline returns empty for a missing file (Bench still runs)") {
+    assert(Bench.readBaseline("/nonexistent/BASELINE.md").isEmpty)
+  }
+}
+
 /** Registration-cache contract for the SQL entry point: cached per
   * (session, sfDir), rebuilt on a directory switch, and recoverable via
   * invalidate() after a caller mutates the catalog behind the cache.
