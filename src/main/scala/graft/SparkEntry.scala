@@ -75,7 +75,8 @@ object SparkEntry {
     "s2_partitioned_write" -> (graft.sources.Formats.s2PartitionedWrite _),
     "s3_bucketed_join" -> (ScaleJoins.s3BucketedJoin _),
     "s4_salted_join" -> (ScaleJoins.s4SaltedJoin _),
-    "s5_compaction" -> (graft.sources.Formats.s5Compaction _)
+    "s5_compaction" -> (graft.sources.Formats.s5Compaction _),
+    "s6_schema_evolution" -> (graft.sources.Formats.s6SchemaEvolution _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -508,6 +509,16 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem
         |GROUP BY 1""".stripMargin,
+    // reconstructs the schema-merged union: even keys predate the
+    // o_orderpriority column (null-backfilled), odd keys carry it
+    "s6_schema_evolution" ->
+      """WITH m AS (
+        |  SELECT o_totalprice, NULL AS o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_totalprice, o_orderpriority FROM orders WHERE o_orderkey % 2 <> 0)
+        |SELECT COALESCE(o_orderpriority, 'PRE_SCHEMA') AS prio, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM m GROUP BY 1""".stripMargin,
     "s3_bucketed_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -150,6 +150,38 @@ object Formats {
       )
   }
 
+  /** S6: schema evolution — a long-lived table's files span schema
+    * generations (v1 lacks a column added in v2); `mergeSchema` unions
+    * the file schemas and back-fills nulls for files that predate the
+    * column. The gate aggregates across both generations with the
+    * evolved column coalesced, so the oracle (which reconstructs the
+    * union from the source table) breaks if merging drops rows, maps
+    * columns by position instead of name, or back-fills anything but
+    * null.
+    */
+  def s6SchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = scratch(spark, "evolve", sfDir)
+    if (!new java.io.File(s"$base/t/gen=2/_SUCCESS").exists()) {
+      val orders = Tables.orders(spark, sfDir)
+      orders
+        .filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$base/t/gen=1")
+      orders
+        .filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$base/t/gen=2")
+    }
+    spark.read
+      .option("mergeSchema", "true")
+      .parquet(s"$base/t")
+      .groupBy(coalesce(col("o_orderpriority"), lit("PRE_SCHEMA")).as("prio"))
+      .agg(
+        count(lit(1)).as("n"),
+        graft.functions.ExactAgg.moneySum(col("o_totalprice")).as("sum_price")
+      )
+  }
+
   /** The compacted directory for [[s5Compaction]]'s physical-layout
     * assertions (FormatsSpec) — valid after the query has run in the
     * same application.
