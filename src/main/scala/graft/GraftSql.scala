@@ -93,12 +93,18 @@ object GraftSql {
   /** B19: correlated scalar subqueries through SQL (TPC-H Q17 shape) —
     * lineitems whose quantity exceeds 2× their part's average. The
     * inner aggregates are correlated on the outer row's part key;
-    * Catalyst decorrelates them into aggregate + join
-    * (RewriteCorrelatedScalarSubquery, merged by
-    * MergeScalarSubqueries) — the naive per-row re-execution reading is
-    * never what runs, which is why the SQL surface is usable at 100 TB.
-    * The avg threshold is expressed as `qty · count > 2 · sum` in
-    * DECIMAL so both engines compare exact numbers (no double AVG).
+    * Catalyst decorrelates each into an aggregate + outer join
+    * (RewriteCorrelatedScalarSubquery) — the naive per-row re-execution
+    * reading is never what runs (PlanSpec asserts no ScalarSubquery
+    * survives). The avg threshold is expressed as `qty · count >
+    * 2 · sum` in DECIMAL so both engines compare exact numbers (no
+    * double AVG). Honest plan note: MergeScalarSubqueries only merges
+    * UNcorrelated subqueries in Spark 4.1, so the two correlated
+    * aggregates keep separate (narrow, pushdown-pruned) lineitem
+    * passes; when scan cost dominates at full scale, the hand-written
+    * single-pass form — one groupBy(partkey).agg(count, sum) joined
+    * back, b11's shape — is the equivalent the optimizer does not yet
+    * produce.
     */
   val Q17Sql: String =
     """SELECT p.p_brand, COUNT(*) AS n_heavy
