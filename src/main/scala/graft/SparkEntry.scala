@@ -46,6 +46,7 @@ object SparkEntry {
     "b18_custdist" -> (Relational.b18Custdist _),
     "b14_cube" -> (Relational.b14Cube _),
     "b15_running_sum" -> (Relational.b15RunningSum _),
+    "b20_rolling_window" -> (Relational.b20RollingWindow _),
     "c1_dedup_exact" -> (TextDedup.c1DedupExact _),
     "c2_dedup_ngram_jaccard" -> (TextDedup.c2NgramJaccard _),
     "c3_dedup_minhash_lsh" -> (TextDedup.c3MinHashLsh _),
@@ -452,6 +453,14 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM orders
         |WHERE o_custkey < 100""".stripMargin,
+    "b20_rolling_window" ->
+      s"""SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rolling_90d,
+        |  COUNT(*) OVER w AS n_orders_90d
+        |FROM orders
+        |WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |  RANGE BETWEEN INTERVAL ${graft.operators.Relational.RollingDays} DAYS PRECEDING AND CURRENT ROW)""".stripMargin,
     "b18_custdist" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (
         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count

@@ -340,6 +340,38 @@ object Relational {
       )
   }
 
+  /** B20: rolling TIME-window aggregate — per customer, each order's
+    * trailing-90-day revenue (a RANGE frame over event time, vs b15's
+    * ROWS frame over positions). Spark's RangeFrame needs a numeric
+    * order key, so the frame runs on epoch seconds with a ±90-day
+    * bound; peers (equal timestamps) are included wholesale on both
+    * engines, which is what makes the DuckDB `RANGE INTERVAL` oracle
+    * bit-comparable. Decimal sums per the exactness rules.
+    *
+    * Scale: partitioned by o_custkey (high cardinality — parallelism
+    * grows with customers, per-customer data is bounded), one shuffle,
+    * and the range frame is evaluated by a sliding accumulator over the
+    * sorted partition — never a per-row rescan.
+    */
+  val RollingDays = 90
+
+  def b20RollingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(unix_timestamp(col("o_orderdate")))
+      .rangeBetween(-RollingDays.toLong * 86400, 0)
+    Tables
+      .orders(spark, sfDir)
+      .filter(col("o_custkey") < 100)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        col("o_orderdate"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").as("rolling_90d"),
+        count(lit(1)).over(w).as("n_orders_90d")
+      )
+  }
+
   /** B12: sketches — approx distinct users + approx value quantiles per
     * event type. Not bit-equal across engines (rows-only check); the
     * point is the sketch mergeability: HLL partials merge associatively,
