@@ -372,6 +372,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("c24: quantizer training sample is a narrow scan+filter — no Sort, no TakeOrdered, no exchange") {
+    import org.apache.spark.sql.functions.{col, transform}
+    val cands = graft.sources.Tables
+      .embeddings(spark, sf001)
+      .select(
+        col("vec_id").as("neighbor_id"),
+        graft.plans.ArrayNormalize.arrayNormalize(transform(col("embedding"), _.cast("double"))).as("vn")
+      )
+    val n = cands.count()
+    val sampleN = 50
+    assert(n > sampleN, s"need the thresholded branch: corpus $n <= sampleN $sampleN")
+    val sample = VectorOps.trainingSample(cands, sampleN)
+    val p = plan(sample)
+    assert(!p.contains("Sort ") && !p.contains("TakeOrderedAndProject"),
+      "training sample must never sort the corpus or merge it driver-ward:\n" + p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("Exchange"), "hash-threshold sampling must not shuffle")
+    // the threshold is sized from the corpus count: ~sampleN rows survive
+    val got = sample.count()
+    assert(got >= sampleN / 2 && got <= sampleN * 2, s"sample size $got far from target $sampleN (n=$n)")
+  }
+
   test("s4: salted join equals the plain join (semantics preserved under salting)") {
     import org.apache.spark.sql.functions._
     val salted = ScaleJoins.s4SaltedJoin(spark, sf0001).orderBy("segment").collect()

@@ -109,6 +109,63 @@ class VectorRecallSpec extends SparkSpec {
       f"trained-IVF recall@5 = $recall%.3f < 0.9 at nprobe=$nprobe of $k lists — quantizer not pruning correctly")
   }
 
+  // --- build/serve split: production trains an IVF index once and
+  // serves many sessions; the persisted index must reproduce the
+  // training session's answers exactly (doubles round-trip parquet
+  // bit-for-bit, and the probe path is a pure function of centroids).
+
+  private def clusteredFrames(spark: org.apache.spark.sql.SparkSession, nClusters: Int, perCluster: Int) = {
+    import spark.implicits._
+    val dim = 64
+    val rows = for {
+      c <- 0 until nClusters
+      i <- 0 until perCluster
+    } yield {
+      val center = hashUnit(s"center_$c", dim)
+      val noise = hashUnit(s"noise_${c}_$i", dim)
+      val v = center.zip(noise).map { case (a, b) => a + 0.35 * b }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (c.toLong * perCluster + i, v.map(_ / n).toSeq)
+    }
+    val all = rows.toDF("vec_id", "vn")
+    val queryIds = (0 until 5).map(q => q.toLong * 2 * perCluster).toSet
+    (
+      all.filter(!$"vec_id".isInCollection(queryIds)).select($"vec_id".as("neighbor_id"), $"vn"),
+      all.filter($"vec_id".isInCollection(queryIds)).select($"vec_id".as("query_id"), $"vn".as("qv"))
+    )
+  }
+
+  test("IVF build/serve split: the persisted index serves identical top-k in a fresh session") {
+    val (nClusters, perCluster) = (8, 50)
+    val (cands, queries) = clusteredFrames(spark, nClusters, perCluster)
+    val cents = VectorOps.trainCentroids(cands, nClusters, iters = 4)
+    val trained = VectorOps
+      .ivfAnnTrained(cands, queries, cents, nprobe = 2, topK = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    VectorOps.saveIvfIndex(spark, dir, cents)
+
+    // a FRESH session (isolated SQL state — the serving-process model):
+    // load the index and serve the same probe path with zero training
+    val serve = spark.newSession()
+    val loaded = VectorOps.loadIvfIndex(serve, dir)
+    assert(loaded.length == cents.length)
+    loaded.zip(cents).foreach { case (a, b) =>
+      assert(a.sameElements(b), "centroids did not round-trip parquet bit-for-bit")
+    }
+    val (cands2, queries2) = clusteredFrames(serve, nClusters, perCluster)
+    val served = VectorOps
+      .ivfAnnTrained(cands2, queries2, loaded, nprobe = 2, topK = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(served == trained,
+      s"served top-k diverged from the training session: missing=${(trained -- served).take(3)} extra=${(served -- trained).take(3)}")
+  }
+
   test("c7 LSH ANN recall@5 >= 0.9 vs the exact c6 baseline") {
     val exactTop5 = VectorOps
       .c6AnnBruteforce(spark, sf001)
