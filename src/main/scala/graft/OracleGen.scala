@@ -28,18 +28,27 @@ object OracleGen {
        |  i -> ($terms) % $RollP)) AS h FROM toks)""".stripMargin
   }
 
-  private val jaccardTail: String =
-    s"""n AS (SELECT doc_id, count(*) ns FROM shh GROUP BY doc_id),
+  private def jaccardTailOn(src: String): String =
+    s"""n AS (SELECT doc_id, count(*) ns FROM $src GROUP BY doc_id),
        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-       |          FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |          FROM $src a JOIN $src b ON a.h = b.h AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)""".stripMargin
 
-  val c2NgramJaccard: String =
+  private val jaccardTail: String = jaccardTailOn("shh")
+
+  /** C2 mirrors the Spark side's shingle-df cap (TextDedup.MaxShingleDf)
+    * so the hot-key bound moves in lock-step with the output contract.
+    */
+  val c2NgramJaccard: String = {
+    import graft.operators.TextDedup.MaxShingleDf
     s"""WITH $shingleCtes,
-       |$jaccardTail
+       |hot AS (SELECT h FROM shh GROUP BY h HAVING count(*) > $MaxShingleDf),
+       |shc AS (SELECT doc_id, h FROM shh WHERE h NOT IN (SELECT h FROM hot)),
+       |${jaccardTailOn("shc")}
        |SELECT doc_a, doc_b, common, CAST(common AS DOUBLE) / (na.ns + nb.ns - common) AS jaccard
        |FROM pairs JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
        |WHERE common * $JaccardDen >= (na.ns + nb.ns - common) * $JaccardNum""".stripMargin
+  }
 
   val c3MinHashLsh: String = {
     import MinHashParams._

@@ -175,12 +175,22 @@ object TextAnalysis {
     * component diameter (tiny for dedup graphs), each round one keyed
     * join — no driver-side data beyond the convergence counter.
     */
-  def c16DedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+  def c16DedupClusters(spark: SparkSession, sfDir: String): DataFrame =
     // pairs come from the LSH scale path (c3), not the inverted-index
     // baseline (c2) — identical verified output contract (both emit
     // exactly the Jaccard ≥ 0.8 pairs; zero-miss banding is the c3
-    // invariant), but candidates stay bucket-bounded at corpus scale
-    val pairs = TextDedup.c3MinHashLsh(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    // invariant), but candidates stay bucket-bounded at corpus scale.
+    // c3MinHashLsh is amortized per (application, sfDir), so a session
+    // running both c3 and c16 computes the LSH pass once.
+    c16DedupClustersFrom(TextDedup.c3MinHashLsh(spark, sfDir))
+
+  /** Connected-components clustering over any near-dup pair frame with
+    * (doc_a, doc_b) columns — callers with pairs from another detector
+    * (c2's capped inverted index, c4's SimHash, c17's embedding LSH)
+    * cluster without re-running c3.
+    */
+  def c16DedupClustersFrom(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct()

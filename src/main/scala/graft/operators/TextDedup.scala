@@ -40,6 +40,20 @@ object TextDedup {
   val JaccardNum = 4 // threshold = JaccardNum / JaccardDen = 0.8
   val JaccardDen = 5
 
+  /** Document-frequency cap for C2's inverted index. A shingle shared
+    * by M documents contributes M² candidate pairs under ONE join key,
+    * so corpus boilerplate (license headers, navigation chrome) turns
+    * the exhaustive self-join into a single-key explosion at scale.
+    * Shingles with df > cap are dropped from C2's index — and from its
+    * Jaccard vocabulary, so the pair test stays internally consistent —
+    * identically on the Spark and oracle sides, bounding per-key join
+    * work at cap² rows regardless of corpus size. C3 (MinHash+LSH)
+    * remains the designated scale path; the C2↔C3 output contract is
+    * unchanged on any corpus whose shingles all have df ≤ cap (the gate
+    * tables qualify — their max df is far below 1000).
+    */
+  val MaxShingleDf = 1000
+
   /** SimHash: 60-bit signature, hamming threshold, 9 pigeonhole blocks
     * (9 blocks ≥ threshold+1 ⇒ any pair within threshold shares a
     * block, so blocked candidate generation is exhaustive).
@@ -120,18 +134,56 @@ object TextDedup {
       )
   }
 
-  /** C2: n-gram Jaccard near-dup pairs via the shingle inverted index. */
+  /** C2: n-gram Jaccard near-dup pairs via the shingle inverted index,
+    * df-capped (see [[MaxShingleDf]]) so a boilerplate shingle can
+    * never become a single-key join explosion.
+    */
   def c2NgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    jaccardVerified(shingleHashes(spark, sfDir).localCheckpoint(), None)
+    c2NgramJaccardCapped(spark, sfDir, MaxShingleDf)
+
+  def c2NgramJaccardCapped(spark: SparkSession, sfDir: String, maxDf: Int): DataFrame = {
+    val sh = shingleHashes(spark, sfDir).localCheckpoint()
+    // hot list = shingles over the df cap. The groupBy pre-reduces each
+    // hot key map-side (partial count), so even a shingle in 10^8 docs
+    // arrives at its reducer as one row per map task; the list itself
+    // is tiny by construction (≤ total-shingle-instances / cap), so AQE
+    // turns the anti-join into a broadcast. The shuffled fallback is
+    // also safe: it partitions both sides by h, and the inverted-index
+    // self-join below reuses that partitioning.
+    val hot = sh
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("h"))
+    val capped = sh.join(hot, Seq("h"), "left_anti").localCheckpoint()
+    jaccardVerified(capped, None)
+  }
 
   /** C3: MinHash + LSH. Signature = 32 permutation-mins of md5-derived
     * shingle hashes; 8 bands of 4 rows hashed to buckets; candidate
     * pairs share a bucket in some band; candidates are then exactly
-    * Jaccard-verified. Identical output contract to C2 (any pair LSH
-    * could miss would also be missed by the oracle, which runs the same
-    * hash math — and at these parameters P[miss | j ≥ 0.8] < 1e-4).
+    * Jaccard-verified. Identical output contract to C2 on corpora whose
+    * shingles all fall under C2's df cap (any pair LSH could miss would
+    * also be missed by the oracle, which runs the same hash math — and
+    * at these parameters P[miss | j ≥ 0.8] < 1e-4).
     */
-  def c3MinHashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  /** c3's verified pair set, localCheckpointed and amortized per
+    * (application, sfDir) — the same amortization pattern as c24's
+    * trained quantizer: a session computing both the pair gate (c3)
+    * and anything built on the pair graph (c16's clustering) pays the
+    * LSH + exact-verify cost once. Deterministic, so every consumer
+    * sees identical rows.
+    */
+  private val verifiedPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  def c3MinHashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    verifiedPairsCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, sfDir),
+      c3MinHashLshCompute(spark, sfDir).localCheckpoint()
+    )
+
+  private def c3MinHashLshCompute(spark: SparkSession, sfDir: String): DataFrame = {
     import MinHashParams._
     val sh = shingleHashes(spark, sfDir).localCheckpoint()
     val mins: Seq[Column] =

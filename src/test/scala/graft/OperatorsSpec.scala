@@ -129,6 +129,22 @@ class OperatorsSpec extends SparkSpec {
     assert(exhaustive == lsh)
   }
 
+  test("c2 df cap: boilerplate shingles over the cap are dropped before the self-join") {
+    import spark.implicits._
+    // 4 docs = 50 shared boilerplate tokens + 2 unique tokens each:
+    // every pair shares 46 pure-boilerplate shingles (J = 46/50 ≥ 0.8),
+    // so uncapped c2 pairs all of them — exactly the hot-shingle
+    // explosion shape. With the cap below the df of the boilerplate
+    // shingles (df = 4), those shingles leave the index and no pair
+    // survives; the default cap (1000) leaves the gate tables untouched.
+    val boiler = (1 to 50).map(i => s"b$i").mkString(" ")
+    val docs = (1 to 4).map(i => (i.toLong, s"$boiler u${i}x u${i}y")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("c2cap").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(TextDedup.c2NgramJaccardCapped(spark, dir, maxDf = Int.MaxValue).count() == 6)
+    assert(TextDedup.c2NgramJaccardCapped(spark, dir, maxDf = 3).count() == 0)
+  }
+
   test("c4 simhash: hamming bounded and symmetric-free (a < b)") {
     val df = TextDedup.c4SimHash(spark, sf0001).cache()
     assert(df.filter(col("hamming") > TextDedup.HammingMax).count() == 0)
