@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.streaming.StreamingOps.Event
@@ -273,9 +273,45 @@ object ProcessorApiJoin {
     (st, out.result())
   }
 
+  private val CheckCorrectnessKey =
+    "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+
+  /** Runs `body` — which must include STARTING any query over the
+    * composite topology — with Spark's chained-stateful-operator guard
+    * disabled, then restores the previous setting.
+    *
+    * Spark statically rejects chained stateful operators because a
+    * flatMapGroupsWithState MAY emit rows below the global watermark,
+    * which the next stateful operator would silently drop as late.
+    * Stage 1 of [[apply]] cannot: it emits each admitted input row
+    * exactly once with its ORIGINAL event timestamp (ts ≥ watermark, or
+    * the row would not have been admitted), so every stage-1 output
+    * survives stage 2's late filter under the same per-batch global
+    * watermark — asserted by the stream-batch parity spec. The
+    * reference has no such cross-stage guarantee to lose (a Kafka
+    * Streams repartition topic carries no watermark at all).
+    *
+    * The guard is session-wide, so the relaxation is scoped here
+    * instead of being set-and-forgotten in [[apply]]: unrelated
+    * streaming queries on the same session keep the safety check. The
+    * check runs during `.start()`'s analysis, and a started query
+    * executes on a cloned session whose conf was captured at start, so
+    * restoring on exit never disturbs a running query.
+    */
+  def withChainedStatefulAllowed[T](spark: SparkSession)(body: => T): T = {
+    val prev = spark.conf.getOption(CheckCorrectnessKey)
+    spark.conf.set(CheckCorrectnessKey, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(CheckCorrectnessKey, v)
+      case None => spark.conf.unset(CheckCorrectnessKey)
+    }
+  }
+
   /** The composite-key topology: selectKey-style attribution shuffle,
     * then the windowed join + dedup keyed by (user_id, pv_id) — the
-    * reference's exact key structure (PvKey / EvPvKey stores). Spec:
+    * reference's exact key structure (PvKey / EvPvKey stores). Start
+    * queries over it inside [[withChainedStatefulAllowed]]. Spec:
     * ProcessorApiJoinSpec (scenario + redelivery) and stream-batch
     * parity with a11's oracle-gated semantics.
     */
@@ -288,20 +324,6 @@ object ProcessorApiJoin {
     import events.sparkSession.implicits._
     val joinMs = joinWindowSec * 1000
     val dedupMs = dedupWindowSec * 1000
-
-    // Spark statically rejects chained stateful operators because a
-    // flatMapGroupsWithState MAY emit rows below the global watermark,
-    // which the next stateful operator would silently drop as late.
-    // Stage 1 here cannot: it emits each admitted input row exactly
-    // once with its ORIGINAL event timestamp (ts >= watermark, or the
-    // row would not have been admitted), so every stage-1 output
-    // survives stage 2's late filter under the same per-batch global
-    // watermark. The reference has no such cross-stage guarantee to
-    // lose — a Kafka Streams repartition topic carries no watermark at
-    // all. Hence the check is disabled for this session, documented
-    // here and asserted by the stream-batch parity spec.
-    events.sparkSession.conf
-      .set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
 
     val rekeyed: Dataset[Attributed] = events
       .withWatermark("ts", watermarkDelay)

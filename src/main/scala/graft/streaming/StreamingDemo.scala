@@ -58,13 +58,15 @@ object StreamingDemo {
 
     // Processor-API topology: stateful join+dedup per user key
     // (join window widened to 10 min for the synthetic event density)
-    val papi = ProcessorApiJoin(events, joinWindowSec = 600, dedupWindowSec = 60)
-      .writeStream
-      .format("memory")
-      .queryName("demo_papi")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    val papi = ProcessorApiJoin.withChainedStatefulAllowed(spark) {
+      ProcessorApiJoin(events, joinWindowSec = 600, dedupWindowSec = 60)
+        .writeStream
+        .format("memory")
+        .queryName("demo_papi")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     papi.awaitTermination()
 
     // curation pipeline as a stream: quality filter → keep-min dedup →

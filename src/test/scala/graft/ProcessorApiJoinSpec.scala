@@ -29,12 +29,14 @@ class ProcessorApiJoinSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
 
     val input = MemoryStream[Event]
-    val q = topology(input.toDS())
-      .writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .start()
+    val q = ProcessorApiJoin.withChainedStatefulAllowed(spark) {
+      topology(input.toDS())
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    }
 
     input.addData(
       // main page view (sendPv pv1)
@@ -81,6 +83,38 @@ class ProcessorApiJoinSpec extends SparkSpec {
     assertScenario(runScenario(ProcessorApiJoin(_, joinWindowSec = 15, dedupWindowSec = 5), "papi_out"))
   }
 
+  test("chained-stateful relaxation is scoped to the start block, not the session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, "true") // make the session guard explicit
+    try {
+      val input = MemoryStream[Event]
+      val q = ProcessorApiJoin.withChainedStatefulAllowed(spark) {
+        // the guard must read false inside the scope (start-time check)
+        assert(spark.conf.get(key) == "false")
+        ProcessorApiJoin(input.toDS())
+          .writeStream
+          .format("memory")
+          .queryName("papi_scoped")
+          .outputMode("append")
+          .start()
+      }
+      // ... and be restored the moment start() returns, while the
+      // already-started query keeps running on its cloned session
+      assert(spark.conf.get(key) == "true")
+      input.addData(Event(100, ts(100), 1, "view", 0), Event(101, ts(101), 1, "click", 0))
+      q.processAllAvailable()
+      assert(spark.table("papi_scoped").count() == 1)
+      q.stop()
+      assert(spark.conf.get(key) == "true")
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("reference clickstream scenario: user-keyed topology") {
     assertScenario(runScenario(ProcessorApiJoin.userKeyed(_, joinWindowSec = 15, dedupWindowSec = 5), "papi_user_out"))
   }
@@ -107,12 +141,14 @@ class ProcessorApiJoinSpec extends SparkSpec {
       .sortBy(e => (e.ts.getTime, e.event_id))
 
     val input = MemoryStream[Event]
-    val q = ProcessorApiJoin(input.toDS(), joinWindowSec = joinSec, dedupWindowSec = 60, watermarkDelay = "1 hour")
-      .writeStream
-      .format("memory")
-      .queryName("papi_parity")
-      .outputMode("append")
-      .start()
+    val q = ProcessorApiJoin.withChainedStatefulAllowed(spark) {
+      ProcessorApiJoin(input.toDS(), joinWindowSec = joinSec, dedupWindowSec = 60, watermarkDelay = "1 hour")
+        .writeStream
+        .format("memory")
+        .queryName("papi_parity")
+        .outputMode("append")
+        .start()
+    }
     all.grouped(200).foreach { chunk =>
       input.addData(chunk.toSeq)
       q.processAllAvailable()
@@ -158,12 +194,14 @@ class ProcessorApiJoinSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
 
     val input = MemoryStream[Event]
-    val q = ProcessorApiJoin(input.toDS(), joinWindowSec = 15, dedupWindowSec = 30)
-      .writeStream
-      .format("memory")
-      .queryName("papi_redeliver")
-      .outputMode("append")
-      .start()
+    val q = ProcessorApiJoin.withChainedStatefulAllowed(spark) {
+      ProcessorApiJoin(input.toDS(), joinWindowSec = 15, dedupWindowSec = 30)
+        .writeStream
+        .format("memory")
+        .queryName("papi_redeliver")
+        .outputMode("append")
+        .start()
+    }
     input.addData(Event(100, ts(100), 1, "view", 0), Event(101, ts(110), 1, "click", 0))
     q.processAllAvailable()
     // at-least-once: both the view and the click are redelivered in a
