@@ -29,6 +29,18 @@ object GraftSession {
       .config("spark.sql.parquet.filterPushdown", "true")
       // events.ts is parquet TIMESTAMP(NANOS): read as long nanos, see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // streaming keyed state lives in RocksDB, not on the JVM heap —
+      // the reference runs its window stores on RocksDB for the same
+      // reason (ClickstreamJoinExample.scala:281-299,
+      // Stores.persistentWindowStore): at 100 TB of keyed state the
+      // in-memory HDFSBackedStateStore is an executor OOM, while
+      // RocksDB spills to local disk and checkpoints changelogs.
+      // Spark ships the provider + JNI in core; StreamingSpec runs a
+      // stateful-parity leg on it.
+      .config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      )
       .config("spark.ui.enabled", "false")
       // native SQL functions + the TopKPerKey planner strategy
       .withExtensions(new graft.plans.GraftExtensions)

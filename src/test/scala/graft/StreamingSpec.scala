@@ -53,6 +53,53 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set(1L, 2L, 3L, 5L))
   }
 
+  test("stateful dedup runs unchanged on the RocksDB state store (GraftSession's default)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // the provider is read from the session conf at query start; scope
+    // it here so the rest of the suite keeps the default store
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val q = StreamingOps
+        .firstWinsDedup(input.toDS(), windowSec = 15)
+        .writeStream
+        .format("memory")
+        .queryName("dedup_rocksdb_out")
+        .outputMode("append")
+        .start()
+      input.addData(
+        Event(1, ts(100), 1, "click", 1.0),
+        Event(2, ts(105), 1, "click", 2.0),
+        Event(3, ts(103), 2, "view", 3.0)
+      )
+      q.processAllAvailable()
+      input.addData(
+        Event(4, ts(107), 1, "click", 4.0), // in-window duplicate of ev2 → dropped
+        Event(5, ts(130), 1, "click", 5.0)
+      )
+      q.processAllAvailable()
+
+      // same output contract as the default-store leg above...
+      val out = spark.table("dedup_rocksdb_out").as[Event].collect().map(_.event_id).toSet
+      assert(out == Set(1L, 2L, 3L, 5L))
+      // ...and proof the state actually lived in RocksDB: the provider
+      // publishes rocksdb* custom metrics in the operator progress
+      val rocksMetrics = q.recentProgress
+        .flatMap(_.stateOperators)
+        .flatMap(_.customMetrics.keySet().toArray(Array.empty[String]))
+        .filter(_.startsWith("rocksdb"))
+      q.stop()
+      assert(rocksMetrics.nonEmpty, "no rocksdb custom metrics in state operator progress")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("clickstreamLeftJoin enriches clicks with preceding view, null when absent (ClickstreamJoinExample)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
