@@ -522,10 +522,13 @@ object SparkEntry {
     // o_orderpriority column (null-backfilled), odd keys carry it
     "s6_schema_evolution" ->
       """WITH m AS (
-        |  SELECT o_totalprice, NULL AS o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+        |  SELECT o_totalprice, o_orderkey % 1000 AS o_units, NULL AS o_orderpriority FROM orders WHERE o_orderkey % 3 = 0
         |  UNION ALL
-        |  SELECT o_totalprice, o_orderpriority FROM orders WHERE o_orderkey % 2 <> 0)
+        |  SELECT o_totalprice, o_orderkey % 1000, o_orderpriority FROM orders WHERE o_orderkey % 3 = 1
+        |  UNION ALL
+        |  SELECT o_totalprice, o_orderkey % 1000, o_orderpriority FROM orders WHERE o_orderkey % 3 = 2)
         |SELECT COALESCE(o_orderpriority, 'PRE_SCHEMA') AS prio, COUNT(*) AS n,
+        |  CAST(SUM(o_units) AS BIGINT) AS sum_units,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM m GROUP BY 1""".stripMargin,
     "s3_bucketed_join" ->

@@ -1,5 +1,7 @@
 package graft.sources
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,6 +9,11 @@ import org.apache.spark.sql.functions._
   * roundtrips and partitioned layout (the batch analogues of the
   * reference's Kafka topics — see graft.streaming.KafkaIO for the
   * streaming side).
+  *
+  * All layout guards and cleanup go through the Hadoop FileSystem API
+  * (resolved from each path's scheme), so the amortization works
+  * unchanged when the scratch root is an object store instead of
+  * local disk — same posture as [[graft.streaming.StreamingSink]].
   */
 object Formats {
 
@@ -18,14 +25,18 @@ object Formats {
     */
   private val scratchDirs = java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
   private lazy val cleanupHook: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    val conf = new Configuration()
     scratchDirs.forEach { p =>
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(new java.io.File(p))
+      val path = new Path(p)
+      try path.getFileSystem(conf).delete(path, true): Unit
+      catch { case _: Exception => () }
     }
   }))
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
 
   private def scratch(spark: SparkSession, tag: String, sfDir: String): String = {
     cleanupHook
@@ -126,7 +137,7 @@ object Formats {
 
     // layout amortized per (app, sfDir) like s3's bucket build: the
     // fragment + compact rewrite runs once, later calls only query it
-    if (!new java.io.File(s"$base/compacted/_SUCCESS").exists()) {
+    if (!exists(spark, s"$base/compacted/_SUCCESS")) {
       // the "before": micro-batch-shaped fragmentation
       src.repartition(64).write.mode("overwrite").parquet(s"$base/fragmented")
 
@@ -150,34 +161,47 @@ object Formats {
       )
   }
 
-  /** S6: schema evolution — a long-lived table's files span schema
-    * generations (v1 lacks a column added in v2); `mergeSchema` unions
-    * the file schemas and back-fills nulls for files that predate the
-    * column. The gate aggregates across both generations with the
-    * evolved column coalesced, so the oracle (which reconstructs the
-    * union from the source table) breaks if merging drops rows, maps
-    * columns by position instead of name, or back-fills anything but
-    * null.
+  /** S6: schema evolution across three file generations of a
+    * long-lived table: gen=1 predates `o_orderpriority` (missing
+    * column → null back-fill), gen=2 adds the column, gen=3 widens
+    * `o_units` int→long. The table is read through the EVOLVED catalog
+    * schema rather than `mergeSchema`, for two reasons that both bite
+    * at 100 TB: parquet footer merging statically refuses the
+    * int→long conflict (CANNOT_MERGE_SCHEMAS — verified on 4.1), and
+    * mergeSchema reads every file footer at planning time, a scan of
+    * its own over millions of files. A real lakehouse keeps the
+    * current schema in its catalog; the parquet reader then back-fills
+    * absent columns with null and widens narrow numerics per file.
+    * The gate aggregates across all three generations, so the oracle
+    * (which reconstructs the union from the source table) breaks if
+    * the evolved read drops rows, maps columns by position instead of
+    * name, widens values wrongly, or back-fills anything but null.
     */
   def s6SchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
     val base = scratch(spark, "evolve", sfDir)
-    if (!new java.io.File(s"$base/t/gen=2/_SUCCESS").exists()) {
+    if (!exists(spark, s"$base/t/gen=3/_SUCCESS")) {
       val orders = Tables.orders(spark, sfDir)
+      val units = col("o_orderkey") % 1000
       orders
-        .filter(col("o_orderkey") % 2 === 0)
-        .select(col("o_orderkey"), col("o_totalprice"))
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"), units.cast("int").as("o_units"))
         .write.mode("overwrite").parquet(s"$base/t/gen=1")
       orders
-        .filter(col("o_orderkey") % 2 =!= 0)
-        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .filter(col("o_orderkey") % 3 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), units.cast("int").as("o_units"), col("o_orderpriority"))
         .write.mode("overwrite").parquet(s"$base/t/gen=2")
+      orders
+        .filter(col("o_orderkey") % 3 === 2)
+        .select(col("o_orderkey"), col("o_totalprice"), units.cast("long").as("o_units"), col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$base/t/gen=3")
     }
     spark.read
-      .option("mergeSchema", "true")
+      .schema("o_orderkey BIGINT, o_totalprice DOUBLE, o_units BIGINT, o_orderpriority STRING, gen INT")
       .parquet(s"$base/t")
       .groupBy(coalesce(col("o_orderpriority"), lit("PRE_SCHEMA")).as("prio"))
       .agg(
         count(lit(1)).as("n"),
+        sum(col("o_units")).as("sum_units"),
         graft.functions.ExactAgg.moneySum(col("o_totalprice")).as("sum_price")
       )
   }
@@ -188,4 +212,12 @@ object Formats {
     */
   def s5CompactedDir(spark: SparkSession, sfDir: String): String =
     s"${scratch(spark, "compact", sfDir)}/compacted"
+
+  /** The partitioned layout [[s2PartitionedWrite]] builds — for specs
+    * asserting partition pruning against it (same caveat as
+    * [[s5CompactedDir]]: valid after the query has run in this
+    * application).
+    */
+  def s2PartitionedDir(spark: SparkSession, sfDir: String): String =
+    scratch(spark, "part_orders", sfDir)
 }

@@ -134,7 +134,7 @@ class ExpressionsSpec extends SparkSpec {
   test("s2 partition pruning reaches the file source") {
     graft.sources.Formats.s2PartitionedWrite(spark, sf0001).count() // materialize layout
     val pruned = spark.read
-      .parquet("/tmp/graft_part_orders")
+      .parquet(graft.sources.Formats.s2PartitionedDir(spark, sf0001))
       .filter(col("o_year") === 1997)
     val planStr = pruned.queryExecution.executedPlan.toString
     assert(planStr.contains("PartitionFilters") && planStr.contains("o_year"))
