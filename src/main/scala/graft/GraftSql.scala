@@ -52,6 +52,18 @@ object GraftSql {
           GraftExtensions.functions.foreach { case (name, info, builder) =>
             shims.registerFunction(spark, name, info, builder)
           }
+          // the native top-k operator's SQL surface: the planner
+          // strategy plus the row_number()≤k rewrite rule, injected
+          // through the runtime extension points so sessions built
+          // without GraftExtensions still plan TopKPerKeyExec from SQL
+          if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerKey.TopKPerKeyStrategy)) {
+            spark.experimental.extraStrategies =
+              spark.experimental.extraStrategies :+ graft.plans.TopKPerKey.TopKPerKeyStrategy
+          }
+          if (!spark.experimental.extraOptimizations.contains(graft.plans.TopKPerKey.RowNumberLimitToTopK)) {
+            spark.experimental.extraOptimizations =
+              spark.experimental.extraOptimizations :+ graft.plans.TopKPerKey.RowNumberLimitToTopK
+          }
           registeredDir.synchronized(registeredDir.put(spark, sfDir))
         }
       }

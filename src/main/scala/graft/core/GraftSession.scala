@@ -61,6 +61,10 @@ object GraftSession {
         spark.experimental.extraStrategies =
           spark.experimental.extraStrategies :+ graft.plans.TopKPerKey.TopKPerKeyStrategy
       }
+      if (!spark.experimental.extraOptimizations.contains(graft.plans.TopKPerKey.RowNumberLimitToTopK)) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.TopKPerKey.RowNumberLimitToTopK
+      }
     }
     spark.sparkContext.setLogLevel("WARN")
     spark

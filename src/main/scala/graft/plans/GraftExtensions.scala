@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     ext.injectPlannerStrategy(_ => TopKPerKey.TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => TopKPerKey.RowNumberLimitToTopK)
   }
 }
 

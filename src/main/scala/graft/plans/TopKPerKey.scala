@@ -3,13 +3,15 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, Attribute, Descending, EqualTo, ExprId, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, PredicateHelper, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.graft.shims
+import org.apache.spark.sql.types.IntegerType
 
 /** Native whole-operator top-k-per-key — the (c)-level extension point:
   * a custom LogicalPlan planned by an injected SparkStrategy into a
@@ -215,6 +217,92 @@ object TopKPerKey {
           TopKPerKeyExec(keys, order, k, planLater(child), partial = true, maxKeysInMemory = maxKeys)
         TopKPerKeyExec(keys, order, k, part, partial = false, sortedFinal = sortedFinal, maxKeysInMemory = maxKeys) :: Nil
       case _ => Nil
+    }
+  }
+
+  /** Session conf key bounding [[RowNumberLimitToTopK]]'s rewrite: a
+    * SQL `row_number() ≤ k` filter is only rewritten when k stays at or
+    * under this (per-key heaps hold k rows in memory; past this size
+    * the declarative window's spillable sort is the safer plan).
+    */
+  val SqlRewriteMaxKKey = "spark.graft.topKPerKey.sqlRewriteMaxK"
+  val DefaultSqlRewriteMaxK = 1000
+
+  /** SQL surface of the native operator: an optimizer rule rewriting
+    * the canonical top-k-per-key SQL shape —
+    *
+    *   SELECT * FROM (SELECT *, row_number() OVER
+    *     (PARTITION BY k ORDER BY o) rn FROM t) WHERE rn <= 10
+    *
+    * — by planting [[TopKPerKeyNode]] UNDER the Window, so the heap
+    * prune runs first and the row_number only renumbers the ≤ k
+    * survivors per key (the final TopK phase leaves rows clustered by
+    * key, so the renumbering window reuses that exchange). The rn
+    * bound conjuncts that the prune makes vacuous are dropped from the
+    * filter — which also keeps Spark's own InferWindowGroupLimit from
+    * matching the already-rewritten shape — and if rn is unreferenced
+    * above, later column pruning removes the window entirely.
+    *
+    * Only the exact shape rewrites: a single row_number window
+    * expression, non-empty PARTITION BY (a global top-k has no key to
+    * cluster), an integer-literal upper bound ≥ 1 and ≤
+    * [[SqlRewriteMaxKKey]]. Ties under a non-total ORDER BY are
+    * nondeterministic in both formulations, so the rewrite never
+    * changes a deterministic result.
+    */
+  object RowNumberLimitToTopK extends Rule[LogicalPlan] with PredicateHelper {
+
+    /** Upper bound on rn implied by one conjunct, if any. */
+    private def bound(e: Expression, rn: ExprId): Option[Int] = e match {
+      case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType)) if a.exprId == rn => Some(v)
+      case LessThan(a: Attribute, Literal(v: Int, IntegerType)) if a.exprId == rn => Some(v - 1)
+      case EqualTo(a: Attribute, Literal(v: Int, IntegerType)) if a.exprId == rn => Some(v)
+      case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: Attribute) if a.exprId == rn => Some(v)
+      case GreaterThan(Literal(v: Int, IntegerType), a: Attribute) if a.exprId == rn => Some(v - 1)
+      case EqualTo(Literal(v: Int, IntegerType), a: Attribute) if a.exprId == rn => Some(v)
+      case _ => None
+    }
+
+    /** True when the k-prune makes the conjunct vacuous (pure upper
+      * bounds no tighter than k; equality still selects WITHIN the
+      * kept rows, so it must survive).
+      */
+    private def implied(e: Expression, rn: ExprId, k: Int): Boolean = e match {
+      case EqualTo(_, _) => false
+      case _ => bound(e, rn).exists(_ >= k)
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+      case f @ Filter(cond, w: Window)
+          if w.windowExpressions.size == 1 && w.partitionSpec.nonEmpty &&
+            w.orderSpec.nonEmpty && !w.child.isInstanceOf[TopKPerKeyNode] =>
+        w.windowExpressions.head match {
+          case alias @ Alias(WindowExpression(RowNumber(), _), _) =>
+            val rnId = alias.exprId
+            val conjuncts = splitConjunctivePredicates(cond)
+            val bounds = conjuncts.flatMap(bound(_, rnId))
+            val maxK = conf.getConfString(SqlRewriteMaxKKey, DefaultSqlRewriteMaxK.toString).toInt
+            if (bounds.nonEmpty && bounds.min >= 1 && bounds.min <= maxK) {
+              val k = bounds.min
+              // when injected through experimental.extraOptimizations the
+              // rule runs AFTER Spark's InferWindowGroupLimit; the TopK
+              // prune is at least as tight as the group limit it derived
+              // from the same filter, so drop the now-redundant
+              // sort-based pruner instead of stacking on top of it
+              val base = w.child match {
+                case wgl: WindowGroupLimit
+                    if wgl.partitionSpec == w.partitionSpec && wgl.orderSpec == w.orderSpec =>
+                  wgl.child
+                case other => other
+              }
+              val pruned = w.copy(child = TopKPerKeyNode(w.partitionSpec, w.orderSpec, k, sortedFinal = false, base))
+              conjuncts.filterNot(implied(_, rnId, k)).reduceOption(And) match {
+                case Some(residual) => Filter(residual, pruned)
+                case None => pruned
+              }
+            } else f
+          case _ => f
+        }
     }
   }
 

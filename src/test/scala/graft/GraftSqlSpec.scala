@@ -27,6 +27,46 @@ class GraftSqlSpec extends SparkSpec {
     assert(n1 > 0 && n2 > n1, s"sf0.01 must register more orders than sf0.001 (got $n1, $n2)")
   }
 
+  test("SQL row_number()<=k top-k plans the native TopKPerKeyExec and matches the window plan") {
+    val q =
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin
+    val rewritten = GraftSql.sql(spark, sf0001, q)
+    val planStr = rewritten.queryExecution.executedPlan.toString
+    // physical nodes print without the Exec suffix
+    assert(planStr.contains("TopKPerKey"), s"native operator missing from SQL plan:\n$planStr")
+    // Spark's own sort-based WindowGroupLimit (inserted before the
+    // late-batch rewrite runs) must be stripped, not stacked under TopK
+    assert(!planStr.contains("WindowGroupLimit"), s"redundant group limit left in plan:\n$planStr")
+
+    // semantics: identical rows to the declarative window formulation
+    // (total order via the orderkey tiebreak), rewrite disabled via conf
+    val key = graft.plans.TopKPerKey.SqlRewriteMaxKKey
+    spark.conf.set(key, "0")
+    try {
+      val plain = GraftSql.sql(spark, sf0001, q)
+      assert(!plain.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      assert(rewritten.collect().toSet == plain.collect().toSet)
+    } finally spark.conf.unset(key)
+  }
+
+  test("SQL rewrite keeps a selective rn predicate: rn = 2 returns exactly the runner-up") {
+    val q =
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 2""".stripMargin
+    val df = GraftSql.sql(spark, sf0001, q)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("TopKPerKey"), s"native operator missing:\n$planStr")
+    val key = graft.plans.TopKPerKey.SqlRewriteMaxKKey
+    spark.conf.set(key, "0")
+    try assert(df.collect().toSet == GraftSql.sql(spark, sf0001, q).collect().toSet)
+    finally spark.conf.unset(key)
+  }
+
   test("invalidate() restores sql() after a caller drops a temp view behind the cache") {
     GraftSql.sql(spark, sf0001, "SELECT 1").collect()
     spark.catalog.dropTempView("nation")
