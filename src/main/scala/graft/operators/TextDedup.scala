@@ -141,22 +141,27 @@ object TextDedup {
   def c2NgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     c2NgramJaccardCapped(spark, sfDir, MaxShingleDf)
 
-  def c2NgramJaccardCapped(spark: SparkSession, sfDir: String, maxDf: Int): DataFrame = {
+  def c2NgramJaccardCapped(spark: SparkSession, sfDir: String, maxDf: Int): DataFrame =
+    jaccardVerified(cappedShingleIndex(spark, sfDir, maxDf).localCheckpoint(), None)
+
+  /** The df-capped inverted index feeding [[c2NgramJaccardCapped]],
+    * un-checkpointed so PlanSpec can assert the cap's physical shape.
+    * The hot list = shingles over the df cap: the groupBy pre-reduces
+    * each hot key map-side (partial count), so even a shingle in 10^8
+    * docs arrives at its reducer as one row per map task; the list
+    * itself is tiny by construction (≤ total-shingle-instances / cap),
+    * so AQE turns the anti-join into a broadcast. The shuffled
+    * fallback is also safe: it partitions both sides by h, and the
+    * inverted-index self-join downstream reuses that partitioning.
+    */
+  def cappedShingleIndex(spark: SparkSession, sfDir: String, maxDf: Int): DataFrame = {
     val sh = shingleHashes(spark, sfDir).localCheckpoint()
-    // hot list = shingles over the df cap. The groupBy pre-reduces each
-    // hot key map-side (partial count), so even a shingle in 10^8 docs
-    // arrives at its reducer as one row per map task; the list itself
-    // is tiny by construction (≤ total-shingle-instances / cap), so AQE
-    // turns the anti-join into a broadcast. The shuffled fallback is
-    // also safe: it partitions both sides by h, and the inverted-index
-    // self-join below reuses that partitioning.
     val hot = sh
       .groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select(col("h"))
-    val capped = sh.join(hot, Seq("h"), "left_anti").localCheckpoint()
-    jaccardVerified(capped, None)
+    sh.join(hot, Seq("h"), "left_anti")
   }
 
   /** C3: MinHash + LSH. Signature = 32 permutation-mins of md5-derived

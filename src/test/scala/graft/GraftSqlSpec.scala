@@ -67,6 +67,28 @@ class GraftSqlSpec extends SparkSpec {
     finally spark.conf.unset(key)
   }
 
+  test("SQL rewrite stays out of shapes it cannot prove: rank(), no PARTITION BY, OR-bounds") {
+    // rank() admits ties past k — only row_number() rewrites
+    val rank =
+      """SELECT o_custkey FROM (
+        |  SELECT o_custkey, rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin
+    assert(!GraftSql.sql(spark, sf0001, rank).queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    // a global top-k has no key to cluster on
+    val global =
+      """SELECT o_orderkey FROM (
+        |  SELECT o_orderkey, row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin
+    assert(!GraftSql.sql(spark, sf0001, global).queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    // a disjunctive bound does not bound rn at all
+    val disjunct =
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3 OR o_orderkey = 1""".stripMargin
+    assert(!GraftSql.sql(spark, sf0001, disjunct).queryExecution.executedPlan.toString.contains("TopKPerKey"))
+  }
+
   test("invalidate() restores sql() after a caller drops a temp view behind the cache") {
     GraftSql.sql(spark, sf0001, "SELECT 1").collect()
     spark.catalog.dropTempView("nation")

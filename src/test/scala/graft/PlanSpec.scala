@@ -372,6 +372,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("c2: the shingle-df cap is a partial-agg hot list + anti-join (hot-key bound before the self-join)") {
+    val capped = TextDedup.cappedShingleIndex(spark, sf0001, TextDedup.MaxShingleDf)
+    val p = plan(capped)
+    // the hot-list aggregate must pre-reduce map-side (partial_count),
+    // so a single boilerplate shingle never concentrates its raw rows
+    // on one reducer, and the cap itself must be an anti-join — never
+    // a row-preserving window buffering the hot key's group
+    assert(p.contains("partial_count"), s"hot-list count not map-side partial:\n$p")
+    assert(p.contains("LeftAnti"), s"df cap is not an anti-join:\n$p")
+    assert(!p.contains("Window"), s"df cap must not buffer per-key groups:\n$p")
+  }
+
   test("c24: quantizer training sample is a narrow scan+filter — no Sort, no TakeOrdered, no exchange") {
     import org.apache.spark.sql.functions.{col, transform}
     val cands = graft.sources.Tables
