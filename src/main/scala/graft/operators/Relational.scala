@@ -205,16 +205,25 @@ object Relational {
       .select(seg, col("c_acctbal"), col("c_custkey"))
     // ~100 adaptive edges per segment from the quantile sketch; bucket id
     // = #edges strictly below the value — monotone in the order-by value,
-    // which is all the two-phase rank needs
-    val edges = base
+    // which is all the two-phase rank needs. n_nations rides the SAME
+    // aggregate pass (fused — a separate groupBy would re-scan customer),
+    // and the per-segment frame is checkpointed so its two consumers
+    // (the broadcast edge join and the final n_nations join) never
+    // recompute the sketch scan: customer is read 3x total (sketch,
+    // bucket counts, located-bucket sort), each a pruned columnar scan.
+    val segAgg = Tables
+      .customer(spark, sfDir)
       .groupBy(seg)
       .agg(
         percentile_approx(
           col("c_acctbal"),
           typedlit((1 to 99).map(_ / 100.0)),
           lit(1000)
-        ).as("edges")
+        ).as("edges"),
+        count_distinct(col("c_nationkey")).as("n_nations")
       )
+      .localCheckpoint()
+    val edges = segAgg.select(seg, col("edges"))
     val rows = base
       .join(broadcast(edges), Seq("c_mktsegment"))
       .withColumn(
@@ -273,11 +282,7 @@ object Relational {
         max(when(col("stat") === "median_bal", col("c_acctbal"))).as("median_bal"),
         max(when(col("stat") === "p90_bal", col("c_acctbal"))).as("p90_bal")
       )
-    val nd = Tables
-      .customer(spark, sfDir)
-      .groupBy(seg)
-      .agg(count_distinct(col("c_nationkey")).as("n_nations"))
-    nd.join(stats, Seq("c_mktsegment"))
+    segAgg.select(seg, col("n_nations")).join(stats, Seq("c_mktsegment"))
   }
 
   /** B10: string/date battery — regexp extraction from the JSON-ish props
