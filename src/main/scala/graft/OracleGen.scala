@@ -93,6 +93,25 @@ object OracleGen {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax""".stripMargin
   }
 
+  /** C27 mirrors the Spark side's non-deduped rolling shingle hashes:
+    * dup_ratio = 1 − distinct/total over the SAME hash math.
+    */
+  val c27DocRepetition: String = {
+    import graft.functions.TextFunctions.{rollCoeffs, RollP}
+    val terms = rollCoeffs(ShingleSize).zipWithIndex
+      .map { case (k, j) => s"ht[i + $j] * $k" }
+      .mkString(" + ")
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+       |toks AS (SELECT doc_id, list_transform(w, t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)) AS ht FROM docs),
+       |sh AS (SELECT doc_id, list_transform(
+       |  generate_series(1, greatest(len(ht) - $n1, 0)),
+       |  i -> ($terms) % $RollP) AS hs FROM toks)
+       |SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles,
+       |  CAST(len(list_distinct(hs)) AS BIGINT) AS n_distinct,
+       |  CASE WHEN len(hs) > 0 THEN 1.0 - CAST(len(list_distinct(hs)) AS DOUBLE) / len(hs) ELSE 0.0 END AS dup_ratio
+       |FROM sh""".stripMargin
+  }
+
   val c15BigramLm: String = {
     import graft.functions.TextFunctions.{rollCoeffs, RollP}
     val terms = rollCoeffs(2).zipWithIndex

@@ -62,6 +62,8 @@ object SparkEntry {
     "c21_decontamination" -> (Sampling.c21Decontamination _),
     "c25_sequence_packing" -> (Sampling.c25SequencePacking _),
     "c26_dedup_incremental" -> (Sampling.c26DedupIncremental _),
+    "c27_doc_repetition" -> (TextAnalysis.c27DocRepetition _),
+    "c28_domain_quota" -> (Sampling.c28DomainQuota _),
     "c23_frame_sample" -> (Multimodal.c23FrameSample _),
     "c22_pii_redact" -> (Sampling.c22PiiRedact _),
     "c8_text_langid" -> (TextAnalysis.c8TextLangid _),
@@ -77,7 +79,8 @@ object SparkEntry {
     "s3_bucketed_join" -> (ScaleJoins.s3BucketedJoin _),
     "s4_salted_join" -> (ScaleJoins.s4SaltedJoin _),
     "s5_compaction" -> (graft.sources.Formats.s5Compaction _),
-    "s6_schema_evolution" -> (graft.sources.Formats.s6SchemaEvolution _)
+    "s6_schema_evolution" -> (graft.sources.Formats.s6SchemaEvolution _),
+    "s7_orc_roundtrip" -> (graft.sources.Formats.s7OrcRoundtrip _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -325,6 +328,17 @@ object SparkEntry {
     "c21_decontamination" -> OracleGen.c21Decontamination,
     "c25_sequence_packing" -> OracleGen.c25SequencePacking,
     "c26_dedup_incremental" -> OracleGen.c26DedupIncremental,
+    "c27_doc_repetition" -> OracleGen.c27DocRepetition,
+    "c28_domain_quota" ->
+      s"""SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= ${Sampling.DomainQuota}""".stripMargin,
+    "s7_orc_roundtrip" ->
+      """SELECT 'orc' AS fmt, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_id < 1000""".stripMargin,
     "c23_frame_sample" ->
       s"""WITH m AS (SELECT doc_id,
         |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS fmt,

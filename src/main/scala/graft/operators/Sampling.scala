@@ -271,6 +271,28 @@ object Sampling {
       )
   }
 
+  /** Per-source document cap for [[c28DomainQuota]] — sized so the cap
+    * binds at every test SF (sources average ~25 docs at sf0.01).
+    */
+  val DomainQuota = 20
+
+  /** C28: per-domain quota sampling — cap each source's contribution
+    * at the [[DomainQuota]] best documents (longest first, doc_id
+    * tiebreak for a total order), the standard defense against one
+    * domain flooding a training mix. Runs on the native
+    * [[graft.plans.TopKPerKey]] operator: bounded per-key heaps on the
+    * map side, so the cap shuffles at most quota × partitions rows per
+    * source and never sorts a domain's full document set — the plan
+    * that survives a domain with 10^9 pages (PlanSpec-asserted).
+    */
+  def c28DomainQuota(spark: SparkSession, sfDir: String): DataFrame =
+    graft.plans.TopKPerKey.topKPerKey(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("source"), col("n_chars")),
+      keyCols = Seq("source"),
+      orderBy = Seq(("n_chars", false), ("doc_id", true)),
+      k = DomainQuota
+    )
+
   /** PII patterns — simple enough to mean the same thing in Java
     * regex (Spark) and RE2 (DuckDB): email-shaped tokens and long
     * digit runs (phone/account/card-shaped).

@@ -226,6 +226,28 @@ object TextAnalysis {
     labels.withColumnRenamed("label", "cluster_id")
   }
 
+  /** C27: intra-document repetition — the fraction of duplicated word
+    * 5-gram shingles per document, the Gopher-style repetition quality
+    * signal (high dup_ratio ⇒ looping/boilerplate text a training mix
+    * should drop). Both counts are array expressions over the doc's
+    * own (non-deduped) shingle array, so the operator is a zero-shuffle
+    * narrow scan at any corpus size (PlanSpec-asserted).
+    */
+  def c27DocRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), transform(tokens(col("text")), t => hash32(t)).as("ht"))
+      .select(col("doc_id"), rollingShingleHashes(col("ht"), ShingleSize).as("hs"))
+      .select(
+        col("doc_id"),
+        size(col("hs")).cast("long").as("n_shingles"),
+        size(array_distinct(col("hs"))).cast("long").as("n_distinct"),
+        when(
+          size(col("hs")) > 0,
+          lit(1.0) - size(array_distinct(col("hs"))).cast("double") / size(col("hs"))
+        ).otherwise(lit(0.0)).as("dup_ratio")
+      )
+
   /** C11: document fingerprinting — min and mod-P sum of md5-derived
     * shingle hashes (a rolling-hash family): order-independent,
     * engine-reproducible, and stable under shingle reordering.

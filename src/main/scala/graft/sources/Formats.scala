@@ -82,6 +82,29 @@ object Formats {
       .select(col("fmt"), col("n"), col("sum_id"), col("sum_value"))
   }
 
+  /** S7: ORC roundtrip — the same fidelity contract as
+    * [[s1FormatRoundtrip]] for the other columnar format Spark ships
+    * natively (the oracle aggregates straight from the source table, so
+    * any roundtrip loss or type drift breaks the hash match).
+    */
+  def s7OrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = scratch(spark, "orc", sfDir)
+    Tables
+      .events(spark, sfDir)
+      .filter(col("event_id") < 1000)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").orc(s"$base/orc")
+    spark.read
+      .orc(s"$base/orc")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("event_id")).as("sum_id"),
+        graft.functions.ExactAgg.moneySum(col("value")).as("sum_value")
+      )
+      .withColumn("fmt", lit("orc"))
+      .select(col("fmt"), col("n"), col("sum_id"), col("sum_value"))
+  }
+
   /** S2: partitioned parquet layout + partition pruning — the physical
     * design that matters most at 100 TB (a date-partitioned table lets
     * every time-bounded query skip almost all files; the filter below

@@ -384,6 +384,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"df cap must not buffer per-key groups:\n$p")
   }
 
+  test("c27: repetition signal is a zero-shuffle narrow scan") {
+    val df = TextAnalysis.c27DocRepetition(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"c27 must not shuffle:\n$p")
+  }
+
+  test("c28: domain quota plans the native TopKPerKey, no per-domain sort, cap holds") {
+    import org.apache.spark.sql.functions.col
+    val df = Sampling.c28DomainQuota(spark, sf001)
+    val p = plan(df)
+    assert(p.contains("TopKPerKey"), s"native operator missing:\n$p")
+    assert(!p.contains("Sort") && !p.contains("Window"), s"quota must not sort whole domains:\n$p")
+    assert(df.groupBy(col("source")).count().filter(col("count") > Sampling.DomainQuota).count() == 0)
+  }
+
   test("c24: quantizer training sample is a narrow scan+filter — no Sort, no TakeOrdered, no exchange") {
     import org.apache.spark.sql.functions.{col, transform}
     val cands = graft.sources.Tables
