@@ -189,6 +189,43 @@ object OracleGen {
        |QUALIFY rank <= 5""".stripMargin
   }
 
+  /** C29 mirrors the deterministic PQ pipeline end-to-end: seeded
+    * codebooks, argmax-dot encoding, ADC via a pivoted d0+d1+…+d7 sum
+    * (explicit left-association — a SUM() aggregate would reorder the
+    * float additions and break the hash), shortlist, exact re-rank.
+    */
+  val c29AnnPq: String = {
+    import graft.operators.VectorOps.{NumQueryVecs, PqM, PqSubDim, PqKs, PqReRank}
+    val dPivot = (0 until PqM).map(m => s"MAX(CASE WHEN m = $m THEN d END) AS d$m").mkString(", ")
+    val dSum = (0 until PqM).map(m => s"d$m").reduce((a, b) => s"($a + $b)")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |nm AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),
+       |ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+       |cb AS (SELECT ms.m, s.vec_id - $NumQueryVecs AS j,
+       |  list_slice(s.vn, ms.m * $PqSubDim + 1, ms.m * $PqSubDim + $PqSubDim) AS cw
+       |  FROM nm s CROSS JOIN ms WHERE s.vec_id >= $NumQueryVecs AND s.vec_id < ${NumQueryVecs + PqKs}),
+       |encr AS (SELECT n.vec_id, c.m, c.j,
+       |  ROW_NUMBER() OVER (PARTITION BY n.vec_id, c.m
+       |    ORDER BY list_dot_product(list_slice(n.vn, c.m * $PqSubDim + 1, c.m * $PqSubDim + $PqSubDim), c.cw) DESC, c.j) AS rn
+       |  FROM nm n CROSS JOIN cb c WHERE n.vec_id >= $NumQueryVecs),
+       |enc AS (SELECT vec_id AS neighbor_id, m, j AS code FROM encr WHERE rn = 1),
+       |perm AS (SELECT q.vec_id AS query_id, enc.neighbor_id, enc.m,
+       |  list_dot_product(list_slice(q.vn, enc.m * $PqSubDim + 1, enc.m * $PqSubDim + $PqSubDim), c.cw) AS d
+       |  FROM enc JOIN cb c ON c.m = enc.m AND c.j = enc.code
+       |  CROSS JOIN nm q WHERE q.vec_id < $NumQueryVecs),
+       |adcp AS (SELECT query_id, neighbor_id, $dPivot FROM perm GROUP BY 1, 2),
+       |adcv AS (SELECT query_id, neighbor_id, $dSum AS adc FROM adcp),
+       |sl AS (SELECT query_id, neighbor_id FROM adcv
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) <= $PqReRank),
+       |s AS (SELECT sl.query_id, sl.neighbor_id, list_dot_product(qn.vn, nn.vn) AS cos
+       |  FROM sl JOIN nm qn ON qn.vec_id = sl.query_id JOIN nm nn ON nn.vec_id = sl.neighbor_id)
+       |SELECT query_id, neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+       |  cos
+       |FROM s
+       |QUALIFY rank <= 5""".stripMargin
+  }
+
   val c18AnnIvf: String = {
     import graft.operators.VectorOps.{IvfLists, IvfProbes, NumQueryVecs}
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),

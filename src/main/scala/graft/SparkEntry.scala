@@ -57,6 +57,7 @@ object SparkEntry {
     "c17_dedup_embedding_lsh" -> ((s, d) => VectorOps.c17EmbeddingDedupLsh(s, d)),
     "c18_ann_ivf" -> ((s, d) => VectorOps.c18AnnIvf(s, d)),
     "c24_ann_ivf_trained" -> ((s, d) => VectorOps.c24AnnIvfTrained(s, d)),
+    "c29_ann_pq" -> (VectorOps.c29AnnPq _),
     "c19_stratified_sample" -> (Sampling.c19StratifiedSample _),
     "c20_training_pipeline" -> (Sampling.c20TrainingPipeline _),
     "c21_decontamination" -> (Sampling.c21Decontamination _),
@@ -322,6 +323,7 @@ object SparkEntry {
     "c17_dedup_embedding_lsh" -> OracleGen.c5EmbeddingDedup,
     "c6_ann_bruteforce" -> OracleGen.c6AnnBruteforce,
     "c18_ann_ivf" -> OracleGen.c18AnnIvf,
+    "c29_ann_pq" -> OracleGen.c29AnnPq,
     // adjudicated zero-miss vs the exact top-5 at both test SFs → the
     // exact oracle applies (see OracleGen.c7AnnLsh)
     "c7_ann_lsh" -> OracleGen.c7AnnLsh,

@@ -496,6 +496,123 @@ object VectorOps {
       .drop("n_hits")
   }
 
+  // --------------------------------------------------------------------
+  // Product quantization (PQ) — the memory side of billion-scale ANN.
+  // The corpus compresses to M small codes per vector (here 8 codes of
+  // 4 bits-worth each: 64 doubles → 8 ints), the ADC scan scores
+  // queries against CODES via codebook lookups (never touching the
+  // full vectors), and only the per-query shortlist is re-ranked with
+  // exact cosine over the original vectors. At 100 TB of embeddings
+  // this is the difference between scanning the 512-byte vector table
+  // and scanning a 64x smaller code table; composes with IVF (c18/c24)
+  // for list pruning on top.
+  // --------------------------------------------------------------------
+
+  val PqM = 8 // subspaces
+  val PqSubDim = Dim / PqM
+  val PqKs = 16 // codewords per subspace
+  val PqReRank = 50 // ADC shortlist re-ranked exactly
+
+  /** Deterministic PQ codebooks: codeword j of subspace m is the m-th
+    * subDim-slice of seed vector (NumQueryVecs + j) — the same
+    * training-free determinism contract as c18's coarse quantizer
+    * (Lloyd-trained codebooks are float-order-dependent and would break
+    * the cross-engine hash; [[trainCentroids]] is the quality path and
+    * plugs in per subspace unchanged). Driver-held: M × Ks × subDim
+    * doubles.
+    */
+  def pqCodebooks(e: DataFrame): Array[Array[Array[Double]]] =
+    pqCodebooksOf(
+      e.filter(col("vec_id") >= NumQueryVecs && col("vec_id") < NumQueryVecs + PqKs)
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getSeq[Double](1).toArray)
+    )
+
+  /** Slice caller-supplied seed vectors (≥ [[PqKs]]) into the M
+    * per-subspace codebooks.
+    */
+  def pqCodebooksOf(seeds: Array[Array[Double]]): Array[Array[Array[Double]]] =
+    Array.tabulate(PqM, PqKs)((m, j) => seeds(j).slice(m * PqSubDim, (m + 1) * PqSubDim))
+
+  /** Per-row PQ encoding: code m = argmax-dot codeword of subspace m
+    * (ties to the lowest codeword id — max of (dot, -j)). One codegen'd
+    * projection over literal codebooks; the vector is read once.
+    */
+  private def pqEncode(cb: Array[Array[Array[Double]]], v: Column): Column =
+    array((0 until PqM).map { m =>
+      val sub = slice(v, m * PqSubDim + 1, PqSubDim)
+      val scored = cb(m).zipWithIndex.map { case (cw, j) =>
+        struct(arrayDot(sub, typedlit(cw.toSeq)).as("c"), lit(-j).as("nj"))
+      }
+      (-array_max(array(scored.toIndexedSeq: _*)).getField("nj")).cast("int")
+    }: _*)
+
+  /** Asymmetric-distance (ADC) score: Σ_m dot(q_m, codebook_m[code_m]).
+    * Left-associated term order, mirrored exactly by the oracle's
+    * pivoted d0+d1+…+d7 so the double sum is bit-identical.
+    */
+  private def adcScore(cb: Array[Array[Array[Double]]], codes: Column, qv: Column): Column =
+    (0 until PqM)
+      .map { m =>
+        val cwTable = typedlit(cb(m).map(_.toSeq).toSeq)
+        arrayDot(
+          slice(qv, m * PqSubDim + 1, PqSubDim),
+          element_at(cwTable, element_at(codes, m + 1) + 1)
+        )
+      }
+      .reduce(_ + _)
+
+  /** C29: PQ-ADC ANN — encode the corpus once, scan codes per query,
+    * exact-rerank the [[PqReRank]]-row shortlist, emit top-5. The ADC
+    * stage broadcasts only the 10 query vectors and shuffles only
+    * (query_id, neighbor_id, adc) triples pruned to ≤ reRank rows per
+    * query by the native [[graft.plans.TopKPerKey]] heaps; the full
+    * vectors are joined back for the shortlist only. Deterministic
+    * end-to-end → hash-exact against the DuckDB oracle.
+    */
+  /** PQ-ADC search on caller-supplied frames: encode, ADC-scan the
+    * codes, exact-rerank the shortlist.
+    */
+  def annPq(
+      cands: DataFrame,
+      queries: DataFrame,
+      cb: Array[Array[Array[Double]]],
+      reRank: Int,
+      topK: Int
+  ): DataFrame = {
+    // the compressed table: 8 ints per vector — at scale this is the
+    // persisted artifact the ADC scan reads instead of the vectors
+    val codes = cands.select(col("neighbor_id"), pqEncode(cb, col("vn")).as("codes"))
+    val shortlist = graft.plans.TopKPerKey.topKPerKey(
+      codes
+        .crossJoin(broadcast(queries.select(col("query_id"), col("qv"))))
+        .withColumn("adc", adcScore(cb, col("codes"), col("qv")))
+        .select(col("query_id"), col("neighbor_id"), col("adc")),
+      keyCols = Seq("query_id"),
+      orderBy = Seq(("adc", false), ("neighbor_id", true)),
+      k = reRank
+    )
+    rankTopK(
+      shortlist
+        .join(cands, "neighbor_id")
+        .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
+        .withColumn("cos", arrayDot(col("qv"), col("vn"))),
+      topK
+    )
+  }
+
+  def c29AnnPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val queries = e
+      .filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("vn").as("qv"))
+    val cands = e
+      .filter(col("vec_id") >= NumQueryVecs)
+      .select(col("vec_id").as("neighbor_id"), col("vn"))
+    annPq(cands, queries, pqCodebooks(e), PqReRank, 5)
+  }
+
   /** c7 banding: 16 bands × 3 planes (8 buckets per band). For a
     * neighbor at cos c the candidate probability is
     * 1 − (1 − (1 − acos(c)/π)³)¹⁶ — ≥ 0.95 for c ≥ 0.2, measured as

@@ -166,6 +166,38 @@ class VectorRecallSpec extends SparkSpec {
       s"served top-k diverged from the training session: missing=${(trained -- served).take(3)} extra=${(served -- trained).take(3)}")
   }
 
+  test("PQ-ADC: recall@5 >= 0.9 on clustered embeddings (shortlist must contain the true top-5)") {
+    import org.apache.spark.sql.functions.col
+    val (cands, queries) = clusteredFrames(spark, nClusters = 20, perCluster = 200)
+    val exactTop5 = VectorOps
+      .annBruteforce(cands, queries, 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // corpus-drawn seed codebooks, hash-spread across the corpus (the
+    // trainingSample idiom) so every cluster is represented. With
+    // Ks=16 codewords against 20 tight clusters, all members of a
+    // cluster collapse onto the same code vector, so ADC ties within a
+    // cluster and the shortlist must cover the TIE CLASS (≥ cluster
+    // size) for the exact re-rank to recover the true top-5 — the
+    // seeded-codebook analogue of why real PQ deployments size reRank
+    // against quantization coarseness (or train finer codebooks).
+    import org.apache.spark.sql.functions.xxhash64
+    val seeds = cands
+      .orderBy(xxhash64(col("neighbor_id")))
+      .limit(VectorOps.PqKs)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    val reRank = 250 // > perCluster: covers a fully-tied cluster
+    val pqTop5 = VectorOps
+      .annPq(cands, queries, VectorOps.pqCodebooksOf(seeds), reRank, 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recall = (exactTop5 & pqTop5).size.toDouble / exactTop5.size
+    assert(recall >= 0.9, f"PQ recall@5 = $recall%.3f < 0.9 — ADC shortlist dropping true neighbors")
+  }
+
   test("c7 LSH ANN recall@5 >= 0.9 vs the exact c6 baseline") {
     val exactTop5 = VectorOps
       .c6AnnBruteforce(spark, sf001)
