@@ -65,6 +65,13 @@ object GraftSession {
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ graft.plans.TopKPerKey.RowNumberLimitToTopK
       }
+      // the state-store provider is read from the session conf at each
+      // query start, so the RocksDB posture applies to reused sessions
+      // through the runtime conf as well
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      )
     }
     spark.sparkContext.setLogLevel("WARN")
     spark
