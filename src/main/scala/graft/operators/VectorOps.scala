@@ -407,6 +407,18 @@ object VectorOps {
     * cosine + native top-k — the same probe shape as [[c18AnnIvf]] with
     * the build-side join and shuffle gone.
     */
+  /** Per-query top-`nprobe` list ids against driver-held centroids —
+    * one sorted-literal projection, no join.
+    */
+  private def probeLists(queries: DataFrame, cents: Array[Array[Double]], nprobe: Int): DataFrame = {
+    val scored = cents.zipWithIndex.map { case (c, j) =>
+      struct(arrayDot(col("qv"), typedlit(c.toSeq)).as("c"), lit(-j).as("nj"))
+    }
+    queries
+      .withColumn("p", explode(slice(reverse(array_sort(array(scored.toIndexedSeq: _*))), 1, nprobe)))
+      .select(col("query_id"), (-col("p.nj")).cast("int").as("list_id"))
+  }
+
   def ivfAnnTrained(
       cands: DataFrame,
       queries: DataFrame,
@@ -415,15 +427,9 @@ object VectorOps {
       topK: Int
   ): DataFrame = {
     val asg = cands.withColumn("list_id", assignList(cents, col("vn")))
-    val scored = cents.zipWithIndex.map { case (c, j) =>
-      struct(arrayDot(col("qv"), typedlit(c.toSeq)).as("c"), lit(-j).as("nj"))
-    }
-    val probes = queries
-      .withColumn("p", explode(slice(reverse(array_sort(array(scored.toIndexedSeq: _*))), 1, nprobe)))
-      .select(col("query_id"), (-col("p.nj")).cast("int").as("list_id"))
     rankTopK(
       asg
-        .join(broadcast(probes), "list_id")
+        .join(broadcast(probeLists(queries, cents, nprobe)), "list_id")
         .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
         .withColumn("cos", arrayDot(col("qv"), col("vn"))),
       topK
@@ -587,6 +593,48 @@ object VectorOps {
     val shortlist = graft.plans.TopKPerKey.topKPerKey(
       codes
         .crossJoin(broadcast(queries.select(col("query_id"), col("qv"))))
+        .withColumn("adc", adcScore(cb, col("codes"), col("qv")))
+        .select(col("query_id"), col("neighbor_id"), col("adc")),
+      keyCols = Seq("query_id"),
+      orderBy = Seq(("adc", false), ("neighbor_id", true)),
+      k = reRank
+    )
+    rankTopK(
+      shortlist
+        .join(cands, "neighbor_id")
+        .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
+        .withColumn("cos", arrayDot(col("qv"), col("vn"))),
+      topK
+    )
+  }
+
+  /** IVF-PQ: the full billion-scale serving composition (the
+    * IndexIVFPQ shape) — the coarse quantizer prunes to `nprobe` of
+    * `cents.length` lists, ADC scores CODES within the probed lists
+    * only, and the exact re-rank touches full vectors for just the
+    * shortlist. Per query the scan cost is ~(nprobe/k) of the code
+    * table — 64× smaller rows than the vector table — and nothing
+    * else; both prune stages are map-side against driver-held
+    * structures (no join for assignment or probing).
+    */
+  def annIvfPq(
+      cands: DataFrame,
+      queries: DataFrame,
+      cents: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]],
+      nprobe: Int,
+      reRank: Int,
+      topK: Int
+  ): DataFrame = {
+    val codes = cands.select(
+      col("neighbor_id"),
+      assignList(cents, col("vn")).as("list_id"),
+      pqEncode(cb, col("vn")).as("codes")
+    )
+    val shortlist = graft.plans.TopKPerKey.topKPerKey(
+      codes
+        .join(broadcast(probeLists(queries, cents, nprobe)), "list_id")
+        .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
         .withColumn("adc", adcScore(cb, col("codes"), col("qv")))
         .select(col("query_id"), col("neighbor_id"), col("adc")),
       keyCols = Seq("query_id"),

@@ -198,6 +198,32 @@ class VectorRecallSpec extends SparkSpec {
     assert(recall >= 0.9, f"PQ recall@5 = $recall%.3f < 0.9 — ADC shortlist dropping true neighbors")
   }
 
+  test("IVF-PQ composition: recall@5 >= 0.9 on clustered embeddings at nprobe = k/5") {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val (cands, queries) = clusteredFrames(spark, nClusters = 20, perCluster = 200)
+    val exactTop5 = VectorOps
+      .annBruteforce(cands, queries, 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val k = 20
+    val cents = VectorOps.trainCentroids(cands, k, iters = 8)
+    val seeds = cands
+      .orderBy(xxhash64(col("neighbor_id")))
+      .limit(VectorOps.PqKs)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    // nprobe = k/5 (the index must PRUNE); reRank covers the ADC tie
+    // class within a probed cluster, as in the PQ-only leg above
+    val ivfpqTop5 = VectorOps
+      .annIvfPq(cands, queries, cents, VectorOps.pqCodebooksOf(seeds), nprobe = k / 5, reRank = 250, topK = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recall = (exactTop5 & ivfpqTop5).size.toDouble / exactTop5.size
+    assert(recall >= 0.9, f"IVF-PQ recall@5 = $recall%.3f < 0.9 at nprobe=${k / 5} of $k lists")
+  }
+
   test("c7 LSH ANN recall@5 >= 0.9 vs the exact c6 baseline") {
     val exactTop5 = VectorOps
       .c6AnnBruteforce(spark, sf001)
