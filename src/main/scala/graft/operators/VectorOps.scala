@@ -577,6 +577,38 @@ object VectorOps {
     * vectors are joined back for the shortlist only. Deterministic
     * end-to-end → hash-exact against the DuckDB oracle.
     */
+  /** Persist PQ codebooks as parquet — one row per (subspace,
+    * codeword), the same build/serve contract as [[saveIvfIndex]]; a
+    * serving session loads the codebooks (M × Ks × subDim doubles) and
+    * runs the ADC path with no seed scan. Save both and a session
+    * serves the full [[annIvfPq]] composition from disk.
+    */
+  def savePqIndex(spark: SparkSession, path: String, cb: Array[Array[Array[Double]]]): Unit = {
+    import spark.implicits._
+    (for {
+      (sub, m) <- cb.zipWithIndex
+      (cw, j) <- sub.zipWithIndex
+    } yield (m, j, cw.toSeq)).toSeq
+      .toDF("m", "j", "codeword")
+      .repartition(1)
+      .write
+      .mode("overwrite")
+      .parquet(path)
+  }
+
+  /** Load persisted PQ codebooks (inverse of [[savePqIndex]]). */
+  def loadPqIndex(spark: SparkSession, path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read
+      .parquet(path)
+      .select(col("m"), col("j"), col("codeword"))
+      .collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val ks = rows.map(_.getInt(1)).max + 1
+    val cb = Array.ofDim[Array[Double]](m, ks)
+    rows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    cb
+  }
+
   /** PQ-ADC search on caller-supplied frames: encode, ADC-scan the
     * codes, exact-rerank the shortlist.
     */

@@ -224,6 +224,44 @@ class VectorRecallSpec extends SparkSpec {
     assert(recall >= 0.9, f"IVF-PQ recall@5 = $recall%.3f < 0.9 at nprobe=${k / 5} of $k lists")
   }
 
+  test("IVF-PQ build/serve split: persisted centroids + codebooks serve identical top-k in a fresh session") {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val (nClusters, perCluster) = (8, 50)
+    val (cands, queries) = clusteredFrames(spark, nClusters, perCluster)
+    val cents = VectorOps.trainCentroids(cands, nClusters, iters = 4)
+    val seeds = cands
+      .orderBy(xxhash64(col("neighbor_id")))
+      .limit(VectorOps.PqKs)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    val cb = VectorOps.pqCodebooksOf(seeds)
+    val built = VectorOps
+      .annIvfPq(cands, queries, cents, cb, nprobe = 2, reRank = 60, topK = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    VectorOps.saveIvfIndex(spark, s"$dir/ivf", cents)
+    VectorOps.savePqIndex(spark, s"$dir/pq", cb)
+
+    val serve = spark.newSession()
+    val cb2 = VectorOps.loadPqIndex(serve, s"$dir/pq")
+    cb.zip(cb2).foreach { case (subA, subB) =>
+      subA.zip(subB).foreach { case (a, b) =>
+        assert(a.sameElements(b), "codewords did not round-trip parquet bit-for-bit")
+      }
+    }
+    val (cands2, queries2) = clusteredFrames(serve, nClusters, perCluster)
+    val served = VectorOps
+      .annIvfPq(cands2, queries2, VectorOps.loadIvfIndex(serve, s"$dir/ivf"), cb2, nprobe = 2, reRank = 60, topK = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(served == built,
+      s"served IVF-PQ diverged: missing=${(built -- served).take(3)} extra=${(served -- built).take(3)}")
+  }
+
   test("c7 LSH ANN recall@5 >= 0.9 vs the exact c6 baseline") {
     val exactTop5 = VectorOps
       .c6AnnBruteforce(spark, sf001)
