@@ -151,4 +151,52 @@ object StreamingOps {
         col("user_id"),
         col("n")
       )
+
+  /** A document row for the streaming quota (mirrors c28's projection
+    * of the documents table).
+    */
+  case class DocRow(doc_id: Long, source: String, n_chars: Long)
+
+  /** One quota update: the key's current top-k after a micro-batch
+    * that changed it, with a per-key update sequence so a sink can
+    * identify the latest emission.
+    */
+  case class QuotaUpdate(source: String, seq: Long, doc_ids: Seq[Long], n_chars: Seq[Long])
+
+  /** Streaming per-domain quota — the incremental form of the batch
+    * [[graft.operators.Sampling.c28DomainQuota]] (and of the native
+    * batch TopKPerKey operator): per-key state is ONLY the current
+    * top-k under (n_chars DESC, doc_id ASC) — the same bounded-memory
+    * contract as the batch operator's heaps, whatever the stream's
+    * length — folded one row at a time (never buffering a batch's
+    * group). Runs in Update mode with no watermark: a quota has no
+    * event-time horizon, new documents may always displace old ones.
+    * StreamingSpec replays the documents table and asserts each key's
+    * LAST emission equals the batch quota row-for-row.
+    */
+  def streamingDomainQuota(docs: Dataset[DocRow], k: Int): Dataset[QuotaUpdate] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .mapGroupsWithState[(Long, Seq[(Long, Long)]), QuotaUpdate](GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[DocRow], state: GroupState[(Long, Seq[(Long, Long)])]) =>
+          val (seq0, prev) = state.getOption.getOrElse((0L, Seq.empty[(Long, Long)]))
+          // insert each row into the sorted top-k, truncating at k:
+          // O(k) memory and O(k) work per row, independent of batch size
+          val merged = rows.foldLeft(prev) { (acc, r) =>
+            val entry = (r.n_chars, r.doc_id)
+            // at-least-once: a redelivered document must not occupy two
+            // quota slots (same guard role as the reference's dedup store)
+            if (acc.contains(entry)) acc
+            else {
+              val pos = acc.indexWhere { case (n, id) => n < r.n_chars || (n == r.n_chars && id > r.doc_id) }
+              val inserted = if (pos < 0) acc :+ entry else (acc.take(pos) :+ entry) ++ acc.drop(pos)
+              inserted.take(k)
+            }
+          }
+          val seq = seq0 + 1
+          state.update((seq, merged))
+          QuotaUpdate(source, seq, merged.map(_._2), merged.map(_._1))
+      }
+  }
 }

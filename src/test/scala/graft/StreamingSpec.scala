@@ -172,6 +172,48 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Map("click" -> 2L, "view" -> 1L))
   }
 
+  test("streaming domain quota matches the batch c28 result (stream-batch parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = graft.sources.Tables
+      .documents(spark, sf001)
+      .select($"doc_id", $"source", $"n_chars")
+      .as[StreamingOps.DocRow]
+      .collect()
+
+    val input = MemoryStream[StreamingOps.DocRow]
+    val q = StreamingOps
+      .streamingDomainQuota(input.toDS(), graft.operators.Sampling.DomainQuota)
+      .writeStream
+      .format("memory")
+      .queryName("quota_out")
+      .outputMode("update")
+      .start()
+    docs.grouped(150).foreach { chunk =>
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    // redeliver a slice — the state dedup must keep the quota stable
+    input.addData(docs.take(50).toSeq)
+    q.processAllAvailable()
+
+    val updates = spark.table("quota_out").as[StreamingOps.QuotaUpdate].collect()
+    q.stop()
+    val streamed = updates
+      .groupBy(_.source)
+      .map { case (_, us) => us.maxBy(_.seq) }
+      .flatMap(u => u.doc_ids.map(id => (u.source, id)))
+      .toSet
+    val batch = graft.operators.Sampling
+      .c28DomainQuota(spark, sf001)
+      .collect()
+      .map(r => (r.getString(r.fieldIndex("source")), r.getLong(r.fieldIndex("doc_id"))))
+      .toSet
+    assert(streamed == batch,
+      s"quota divergence: missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+  }
+
   test("batch and streaming dedup agree on the same input (stream-batch parity)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
