@@ -65,6 +65,7 @@ object SparkEntry {
     "c26_dedup_incremental" -> (Sampling.c26DedupIncremental _),
     "c27_doc_repetition" -> (TextAnalysis.c27DocRepetition _),
     "c28_domain_quota" -> (Sampling.c28DomainQuota _),
+    "c30_token_budget" -> (Sampling.c30TokenBudget _),
     "c23_frame_sample" -> (Multimodal.c23FrameSample _),
     "c22_pii_redact" -> (Sampling.c22PiiRedact _),
     "c8_text_langid" -> (TextAnalysis.c8TextLangid _),
@@ -331,6 +332,26 @@ object SparkEntry {
     "c25_sequence_packing" -> OracleGen.c25SequencePacking,
     "c26_dedup_incremental" -> OracleGen.c26DedupIncremental,
     "c27_doc_repetition" -> OracleGen.c27DocRepetition,
+    // the flat cumulative-sum definition; the Spark side's two-phase
+    // banded plan computes exactly this cut (floor is monotone in q)
+    "c30_token_budget" ->
+      s"""WITH d AS (SELECT doc_id, lang, text, string_split(text, ' ') w FROM documents),
+        |m AS (SELECT doc_id, lang,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_stop,
+        |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha_chars,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM d),
+        |s AS (SELECT doc_id, lang, n_tokens,
+        |  CASE WHEN n_chars = 0 THEN 0.0 ELSE
+        |    CAST(n_stop AS DOUBLE) / n_tokens * 0.4 +
+        |    CAST(alpha_chars AS DOUBLE) / n_chars * 0.3 +
+        |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3 END AS q
+        |FROM m),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY lang ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |FROM s)
+        |SELECT doc_id, lang, n_tokens, cum_tokens FROM c WHERE cum_tokens <= ${Sampling.TokenBudgetPerLang}""".stripMargin,
     "c28_domain_quota" ->
       s"""SELECT doc_id, source, n_chars FROM (
         |  SELECT doc_id, source, n_chars,

@@ -293,6 +293,66 @@ object Sampling {
       k = DomainQuota
     )
 
+  /** Per-language token budget for [[c30TokenBudget]] — binds at every
+    * test SF (smallest language ≈ 3.5k tokens).
+    */
+  val TokenBudgetPerLang = 2500L
+
+  /** Quality bands for c30's two-phase fill: quality_score ∈ [0, 1] →
+    * int bands. More bands ⇒ smaller located windows; 50 keeps the
+    * per-band aggregate frame trivial (≤ 51 rows per language).
+    */
+  val BudgetBands = 50
+
+  /** C30: token-budget fill — per language, keep documents greedily by
+    * (quality DESC, doc_id) until the token budget is spent: the "fill
+    * a 1B-token budget per language from the best documents" selection
+    * every training-mix recipe ends with. Output carries each kept
+    * doc's running cumulative token count.
+    *
+    * Semantics are a per-language cumulative sum over the quality
+    * order (the oracle's flat window); the PLAN is two-phase, b9/c25
+    * style, because a language is a handful of giant partitions at
+    * corpus scale and a per-lang window would serialize each into one
+    * sort task: docs bucket into quality BANDS (floor(q·50)); band
+    * token totals aggregate map-side; a tiny window over the ≤ 51-row
+    * per-lang band frame yields each band's token offset; bands whose
+    * offset already exceeds the budget are PRUNED before any per-doc
+    * work; and the in-band cumulative windows partition by
+    * (lang, band) — parallelism bounded by bands × languages, never
+    * one task per language. (A point-mass quality distribution
+    * degenerates to one band — the same documented caveat as b9's
+    * value bucketing.) Ordering by (band DESC, q DESC, doc_id) equals
+    * (q DESC, doc_id) because floor is monotone, so the two-phase cut
+    * is EXACTLY the flat cumsum's.
+    */
+  def c30TokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = TextAnalysis
+      .qualityScored(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("text")))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score").as("q"))
+    val banded = t.withColumn("band", floor(col("q") * BudgetBands).cast("int"))
+    val wOff = Window
+      .partitionBy(col("lang"))
+      .orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = banded
+      .groupBy(col("lang"), col("band"))
+      .agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("offset", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+      .filter(col("offset") < TokenBudgetPerLang)
+      .select(col("lang"), col("band"), col("offset"))
+    val wIn = Window
+      .partitionBy(col("lang"), col("band"))
+      .orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    banded
+      .join(offsets, Seq("lang", "band"))
+      .withColumn("cum_tokens", col("offset") + sum(col("n_tokens")).over(wIn))
+      .filter(col("cum_tokens") <= TokenBudgetPerLang)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** PII patterns — simple enough to mean the same thing in Java
     * regex (Spark) and RE2 (DuckDB): email-shaped tokens and long
     * digit runs (phone/account/card-shaped).

@@ -117,6 +117,34 @@ class OperatorsSpec extends SparkSpec {
     assert(joined.filter(col("ca") =!= col("cb")).count() == 0)
   }
 
+  test("c30 token budget: two-phase banded plan equals the flat per-language cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Sampling
+      .c30TokenBudget(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val t = TextAnalysis
+      .qualityScored(graft.sources.Tables.documents(spark, sf0001).select(col("doc_id"), col("lang"), col("text")))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score").as("q"))
+    val w = Window
+      .partitionBy(col("lang"))
+      .orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flat = t
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= Sampling.TokenBudgetPerLang)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == flat, s"banded != flat: missing=${(flat -- got).take(3)} extra=${(got -- flat).take(3)}")
+    // the budget binds and is respected per language
+    val perLang = got.groupBy(_._2).view.mapValues(_.toSeq.map(_._3).sum)
+    assert(perLang.values.forall(_ <= Sampling.TokenBudgetPerLang))
+    assert(got.nonEmpty && perLang.nonEmpty)
+  }
+
   test("c1 exact dedup: copies counted, canonical id is minimal") {
     val df = TextDedup.c1DedupExact(spark, sf0001)
     val total = graft.sources.Tables.documents(spark, sf0001).count()
