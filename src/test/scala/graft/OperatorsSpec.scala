@@ -117,6 +117,23 @@ class OperatorsSpec extends SparkSpec {
     assert(joined.filter(col("ca") =!= col("cb")).count() == 0)
   }
 
+  test("c27 repetition: looping text scores near 1, distinct text scores 0") {
+    import spark.implicits._
+    val looping = (1 to 40).flatMap(_ => Seq("a", "b", "c", "d", "e")).mkString(" ")
+    val distinctText = (1 to 200).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, looping), (2L, distinctText)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("c27rep").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis
+      .c27DocRepetition(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(3))
+      .toMap
+    // 200 tokens of a 5-token loop: 196 shingles, 5 distinct → ratio 191/196
+    assert(rows(1L) > 0.95, s"looping doc scored ${rows(1L)}")
+    assert(rows(2L) == 0.0, s"all-distinct doc scored ${rows(2L)}")
+  }
+
   test("c30 token budget: two-phase banded plan equals the flat per-language cumsum") {
     import org.apache.spark.sql.expressions.Window
     val got = Sampling
