@@ -93,6 +93,33 @@ object StreamingDemo {
       .count()
     require(nCurated == nCuratedBatch, s"stream-batch curation divergence: $nCurated vs $nCuratedBatch")
 
+    // incremental per-domain quota over the same replayed documents;
+    // each key's last emission must equal the batch c28 quota
+    val quotaStream = spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .as[StreamingOps.DocRow]
+    val quota = StreamingOps
+      .streamingDomainQuota(quotaStream, graft.operators.Sampling.DomainQuota)
+      .writeStream
+      .format("memory")
+      .queryName("demo_quota")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    quota.awaitTermination()
+    val lastPerSource = spark
+      .table("demo_quota")
+      .as[StreamingOps.QuotaUpdate]
+      .collect()
+      .groupBy(_.source)
+      .map { case (_, us) => us.maxBy(_.seq) }
+    val nQuota = lastPerSource.map(_.doc_ids.size).sum
+    val nQuotaBatch = graft.operators.Sampling.c28DomainQuota(spark, sfDir).count()
+    require(nQuota.toLong == nQuotaBatch, s"stream-batch quota divergence: $nQuota vs $nQuotaBatch")
+
     // exactly-once parquet sink for the deduped stream
     val sinkDir = java.nio.file.Files.createTempDirectory("graft_demo_sink").toString
     val ckptDir = java.nio.file.Files.createTempDirectory("graft_demo_ckpt").toString
@@ -112,7 +139,7 @@ object StreamingDemo {
     val nJoined = spark.table("demo_papi").filter("view_id IS NOT NULL").count()
     val total = spark.read.parquet(s"$sfDir/events.parquet").count()
     println(
-      s"""{"streaming_demo":{"input_events":$total,"deduped_kept":$nDedup,"closed_windows":$nWindows,"enriched_clicks":$nClicks,"clicks_with_view":$nJoined,"curated_docs":$nCurated,"sink_rows":$nSunk}}"""
+      s"""{"streaming_demo":{"input_events":$total,"deduped_kept":$nDedup,"closed_windows":$nWindows,"enriched_clicks":$nClicks,"clicks_with_view":$nJoined,"curated_docs":$nCurated,"quota_docs":$nQuota,"sink_rows":$nSunk}}"""
     )
     spark.stop()
   }
