@@ -326,31 +326,55 @@ object Sampling {
     * (q DESC, doc_id) because floor is monotone, so the two-phase cut
     * is EXACTLY the flat cumsum's.
     */
-  def c30TokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+  def c30TokenBudget(spark: SparkSession, sfDir: String): DataFrame =
+    budgetFill(
+      TextAnalysis
+        .qualityScored(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("text")))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score").as("q")),
+      key = "lang",
+      score = "q",
+      id = "doc_id",
+      amount = "n_tokens",
+      budget = TokenBudgetPerLang
+    ).select(col("doc_id"), col("lang"), col("n_tokens"), col("cum").as("cum_tokens"))
+
+  /** Generic budget fill over any frame: per `key`, keep rows greedily
+    * by (`score` DESC, `id` ASC) while the running sum of `amount`
+    * stays within `budget`; emits the kept rows plus their running
+    * `cum`. `score` must lie in [0, 1] (the normalized-score contract —
+    * quality scores, sampling weights); `id` must be unique per key so
+    * the order is total. Plan shape documented at [[c30TokenBudget]].
+    */
+  def budgetFill(
+      rows: DataFrame,
+      key: String,
+      score: String,
+      id: String,
+      amount: String,
+      budget: Long,
+      bands: Int = BudgetBands
+  ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = TextAnalysis
-      .qualityScored(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("text")))
-      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score").as("q"))
-    val banded = t.withColumn("band", floor(col("q") * BudgetBands).cast("int"))
+    val banded = rows.withColumn("band", floor(col(score) * bands).cast("int"))
     val wOff = Window
-      .partitionBy(col("lang"))
+      .partitionBy(col(key))
       .orderBy(col("band").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = banded
-      .groupBy(col("lang"), col("band"))
-      .agg(sum(col("n_tokens")).as("bt"))
+      .groupBy(col(key), col("band"))
+      .agg(sum(col(amount)).as("bt"))
       .withColumn("offset", coalesce(sum(col("bt")).over(wOff), lit(0L)))
-      .filter(col("offset") < TokenBudgetPerLang)
-      .select(col("lang"), col("band"), col("offset"))
+      .filter(col("offset") < budget)
+      .select(col(key), col("band"), col("offset"))
     val wIn = Window
-      .partitionBy(col("lang"), col("band"))
-      .orderBy(col("q").desc, col("doc_id"))
+      .partitionBy(col(key), col("band"))
+      .orderBy(col(score).desc, col(id))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     banded
-      .join(offsets, Seq("lang", "band"))
-      .withColumn("cum_tokens", col("offset") + sum(col("n_tokens")).over(wIn))
-      .filter(col("cum_tokens") <= TokenBudgetPerLang)
-      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+      .join(offsets, Seq(key, "band"))
+      .withColumn("cum", col("offset") + sum(col(amount)).over(wIn))
+      .filter(col("cum") <= budget)
+      .drop("band", "offset")
   }
 
   /** PII patterns — simple enough to mean the same thing in Java
