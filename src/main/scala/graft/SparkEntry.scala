@@ -66,6 +66,7 @@ object SparkEntry {
     "c27_doc_repetition" -> (TextAnalysis.c27DocRepetition _),
     "c28_domain_quota" -> (Sampling.c28DomainQuota _),
     "c30_token_budget" -> (Sampling.c30TokenBudget _),
+    "c31_doc_chunking" -> (TextAnalysis.c31DocChunking _),
     "c23_frame_sample" -> (Multimodal.c23FrameSample _),
     "c22_pii_redact" -> (Sampling.c22PiiRedact _),
     "c8_text_langid" -> (TextAnalysis.c8TextLangid _),
@@ -332,6 +333,16 @@ object SparkEntry {
     "c25_sequence_packing" -> OracleGen.c25SequencePacking,
     "c26_dedup_incremental" -> OracleGen.c26DedupIncremental,
     "c27_doc_repetition" -> OracleGen.c27DocRepetition,
+    "c31_doc_chunking" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |n AS (SELECT doc_id, w, greatest(CAST(ceil(CAST(len(w) - ${TextAnalysis.ChunkSize} AS DOUBLE) / ${TextAnalysis.ChunkStride}) AS INT), 0) + 1 AS nc FROM d),
+        |c AS (SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS ci FROM n),
+        |s AS (SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+        |  list_slice(w, ci * ${TextAnalysis.ChunkStride} + 1, ci * ${TextAnalysis.ChunkStride} + ${TextAnalysis.ChunkSize}) AS cw
+        |FROM c)
+        |SELECT doc_id, chunk_idx, CAST(len(cw) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(cw, ' ')) AS chunk_md5
+        |FROM s""".stripMargin,
     // the flat cumulative-sum definition; the Spark side's two-phase
     // banded plan computes exactly this cut (floor is monotone in q)
     "c30_token_budget" ->

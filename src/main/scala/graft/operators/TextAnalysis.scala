@@ -248,6 +248,46 @@ object TextAnalysis {
         ).otherwise(lit(0.0)).as("dup_ratio")
       )
 
+  /** Chunking geometry for [[c31DocChunking]] — the standard
+    * pre-embedding overlapping-window split. Sized so the gate corpus
+    * (≈50-token docs) actually produces multi-chunk documents at every
+    * test SF; production geometry (128/96 etc.) is a parameter choice,
+    * not a structural one.
+    */
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  /** C31: document chunking — split each document into overlapping
+    * fixed-size token windows (the preprocessing step before embedding
+    * or packing long corpora). Entirely row-local: the chunk count and
+    * every chunk slice are array expressions over the doc's own token
+    * array, so the operator is a narrow scan + generate with no
+    * shuffle at any corpus size. Chunk text is verified by md5 (the
+    * c22 idiom — the oracle hashes the same joined tokens, so any
+    * off-by-one in the window math breaks the match without dumping
+    * full text).
+    */
+  def c31DocChunking(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .withColumn(
+        "nc",
+        greatest(ceil((size(col("w")) - ChunkSize).cast("double") / ChunkStride).cast("int"), lit(0)) + 1
+      )
+      .select(col("doc_id"), col("w"), explode(sequence(lit(0), col("nc") - 1)).as("ci"))
+      .select(
+        col("doc_id"),
+        col("ci").cast("long").as("chunk_idx"),
+        slice(col("w"), col("ci") * ChunkStride + 1, lit(ChunkSize)).as("cw")
+      )
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        size(col("cw")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("cw"))).as("chunk_md5")
+      )
+
   /** C11: document fingerprinting — min and mod-P sum of md5-derived
     * shingle hashes (a rolling-hash family): order-independent,
     * engine-reproducible, and stable under shingle reordering.

@@ -134,6 +134,27 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(2L) == 0.0, s"all-distinct doc scored ${rows(2L)}")
   }
 
+  test("c31 chunking: window boundaries, overlap, and short-tail math are exact") {
+    import spark.implicits._
+    // 80 tokens with size 32 / stride 24: chunks [0,32), [24,56), [48,80) — nc = ceil((80-32)/24)+1 = 3
+    val docs = Seq((1L, (0 until 80).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("c31chunk").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis
+      .c31DocChunking(spark, dir)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(rows.map(r => (r._1, r._2)).toSeq == Seq((0L, 32L), (1L, 32L), (2L, 32L)))
+    def md5Of(range: Range) = {
+      val s = range.map(i => s"t$i").mkString(" ")
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(rows(0)._3 == md5Of(0 until 32))
+    assert(rows(1)._3 == md5Of(24 until 56))
+    assert(rows(2)._3 == md5Of(48 until 80))
+  }
+
   test("c30 token budget: two-phase banded plan equals the flat per-language cumsum") {
     import org.apache.spark.sql.expressions.Window
     val got = Sampling
