@@ -112,26 +112,23 @@ object Relational {
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
   }
 
-  /** B5: window-function top-k — 3 highest-value orders per priority class.
-    * Scale: the priority key has ~5 values, so a single rank window
-    * would sort entire classes in 5 tasks at any cluster size. Instead
-    * a salted pre-pass takes top-3 per (priority, salt) across 64
-    * spread partitions — the global top-3 is necessarily inside that
-    * union — and the final rank window sees ≤ 3·64 rows per class.
+  /** B5: window-function top-k — 3 highest-value orders per priority
+    * class, written DECLARATIVELY. The priority key has ~5 values, so
+    * a naive rank window would sort entire classes in 5 tasks at any
+    * cluster size; the engine, not the query, removes that hazard —
+    * graft's [[graft.plans.TopKPerKey.RowNumberLimitToTopK]] rule
+    * plants the native bounded-heap operator under the window, so the
+    * renumbering sees ≤ 3 rows per class (this replaced a hand-salted
+    * two-window workaround; b17 remains the direct-API form, and
+    * sessions without graft's extensions still get Spark's own
+    * WindowGroupLimit pruning).
     */
   def b5WindowRank(spark: SparkSession, sfDir: String): DataFrame = {
-    val NumSalts = 64
-    val pre = Window
-      .partitionBy(col("o_orderpriority"), col("salt"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     val fin = Window
       .partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables
       .orders(spark, sfDir)
-      .withColumn("salt", pmod(hash(col("o_orderkey")), lit(NumSalts)))
-      .withColumn("rk_pre", row_number().over(pre))
-      .filter(col("rk_pre") <= 3)
       .withColumn("rk", row_number().over(fin))
       .filter(col("rk") <= 3)
       .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("o_totalprice"))

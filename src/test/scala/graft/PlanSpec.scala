@@ -143,12 +143,22 @@ class PlanSpec extends SparkSpec {
         s"window partitioned by ${w.partitionSpec.mkString(",")} sorts entire segments in ~5 tasks"))
   }
 
-  test("b5: salted pre-pass bounds the input of the final rank window") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+  test("b5: the declarative rank query plans the native TopK prune under graft's rewrite") {
+    // mirror a GraftSession: the rewrite registered through the runtime
+    // extension point (idempotent — GraftSql.register does the same)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.TopKPerKey.RowNumberLimitToTopK)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.TopKPerKey.RowNumberLimitToTopK
+    }
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerKey.TopKPerKeyStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerKey.TopKPerKeyStrategy
+    }
     val df = Relational.b5WindowRank(spark, sf0001)
-    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
-    assert(windows.exists(_.partitionSpec.length == 2),
-      "missing the (priority, salt) pre-pass — final window would sort whole classes")
+    val p = plan(df)
+    assert(p.contains("TopKPerKey "),
+      s"rank-limit rewrite missed — the final window would sort whole classes:\n$p")
+    assert(df.collect().length <= 15)
   }
 
   test("b17: native top-k plans as partial heap -> exchange -> final heap, no sort") {
