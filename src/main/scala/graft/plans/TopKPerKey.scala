@@ -252,15 +252,39 @@ object TopKPerKey {
     */
   object RowNumberLimitToTopK extends Rule[LogicalPlan] with PredicateHelper {
 
-    /** Upper bound on rn implied by one conjunct, if any. */
-    private def bound(e: Expression, rn: ExprId): Option[Int] = e match {
-      case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType)) if a.exprId == rn => Some(v)
-      case LessThan(a: Attribute, Literal(v: Int, IntegerType)) if a.exprId == rn => Some(v - 1)
-      case EqualTo(a: Attribute, Literal(v: Int, IntegerType)) if a.exprId == rn => Some(v)
-      case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: Attribute) if a.exprId == rn => Some(v)
-      case GreaterThan(Literal(v: Int, IntegerType), a: Attribute) if a.exprId == rn => Some(v - 1)
-      case EqualTo(Literal(v: Int, IntegerType), a: Attribute) if a.exprId == rn => Some(v)
+    /** The rn attribute, possibly under the long-widening cast that
+      * `.cast("long")` / bigint comparisons introduce (monotone and
+      * injective on the int range, so bounds transfer unchanged).
+      */
+    private def rnRef(e: Expression): Option[ExprId] = e match {
+      case a: Attribute => Some(a.exprId)
+      case c: org.apache.spark.sql.catalyst.expressions.Cast if c.dataType == org.apache.spark.sql.types.LongType =>
+        c.child match {
+          case a: Attribute => Some(a.exprId)
+          case _ => None
+        }
       case _ => None
+    }
+
+    private def intVal(e: Expression): Option[Int] = e match {
+      case Literal(v: Int, IntegerType) => Some(v)
+      case Literal(v: Long, org.apache.spark.sql.types.LongType) if v >= Int.MinValue && v <= Int.MaxValue =>
+        Some(v.toInt)
+      case _ => None
+    }
+
+    /** Upper bound on rn implied by one conjunct, if any. */
+    private def bound(e: Expression, rn: ExprId): Option[Int] = {
+      def ub(lhs: Expression, rhs: Expression, strict: Boolean): Option[Int] =
+        for { id <- rnRef(lhs) if id == rn; v <- intVal(rhs) } yield if (strict) v - 1 else v
+      e match {
+        case LessThanOrEqual(l, r) => ub(l, r, strict = false)
+        case LessThan(l, r) => ub(l, r, strict = true)
+        case GreaterThanOrEqual(l, r) => ub(r, l, strict = false)
+        case GreaterThan(l, r) => ub(r, l, strict = true)
+        case EqualTo(l, r) => ub(l, r, strict = false).orElse(ub(r, l, strict = false))
+        case _ => None
+      }
     }
 
     /** True when the k-prune makes the conjunct vacuous (pure upper
@@ -295,7 +319,11 @@ object TopKPerKey {
                   wgl.child
                 case other => other
               }
-              val pruned = w.copy(child = TopKPerKeyNode(w.partitionSpec, w.orderSpec, k, sortedFinal = false, base))
+              // sortedFinal: the rewrite fires on arbitrary user queries,
+              // so the final phase must be memory-safe at ANY key
+              // cardinality — the spillable key-sort runs over the
+              // already k-pruned exchange output, a bounded cost
+              val pruned = w.copy(child = TopKPerKeyNode(w.partitionSpec, w.orderSpec, k, sortedFinal = true, base))
               conjuncts.filterNot(implied(_, rnId, k)).reduceOption(And) match {
                 case Some(residual) => Filter(residual, pruned)
                 case None => pruned
