@@ -23,19 +23,14 @@ object ScaleJoins {
     */
   /** Drop a managed table AND its orphaned warehouse location (the
     * in-memory catalog forgets tables across sessions; the filesystem
-    * does not).
+    * does not). Hadoop FS API, so the cleanup works when the warehouse
+    * is an object store — same posture as Formats/StreamingSink.
     */
   private def dropManaged(spark: SparkSession, name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val dir = new java.io.File(wh, name)
-    if (dir.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      rm(dir)
-    }
+    val dir = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), name)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(dir)) fs.delete(dir, true): Unit
   }
 
   // sfDir whose bucketed layout a catalog already holds — bucketing is
