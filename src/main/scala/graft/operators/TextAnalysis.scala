@@ -234,8 +234,14 @@ object TextAnalysis {
     * narrow scan at any corpus size (PlanSpec-asserted).
     */
   def c27DocRepetition(spark: SparkSession, sfDir: String): DataFrame =
-    Tables
-      .documents(spark, sfDir)
+    repetitionScored(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+
+  /** c27's scoring as a df→df transform over any frame with
+    * (doc_id, text) — row-local, stream-applicable (parity spec in
+    * StreamingSpec).
+    */
+  def repetitionScored(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), transform(tokens(col("text")), t => hash32(t)).as("ht"))
       .select(col("doc_id"), rollingShingleHashes(col("ht"), ShingleSize).as("hs"))
       .select(
@@ -268,8 +274,14 @@ object TextAnalysis {
     * full text).
     */
   def c31DocChunking(spark: SparkSession, sfDir: String): DataFrame =
-    Tables
-      .documents(spark, sfDir)
+    chunked(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+
+  /** c31's chunking as a df→df transform over any frame with
+    * (doc_id, text) — row-local, stream-applicable (parity spec in
+    * StreamingSpec).
+    */
+  def chunked(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .withColumn(
         "nc",

@@ -214,6 +214,37 @@ class StreamingSpec extends SparkSpec {
       s"quota divergence: missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
   }
 
+  test("repetition scoring and chunking are stream-applicable (stream-batch parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .collect()
+
+    val input = MemoryStream[(Long, String)]
+    val streamDocs = input.toDS().toDF("doc_id", "text")
+    val qRep = graft.operators.TextAnalysis
+      .repetitionScored(streamDocs)
+      .writeStream.format("memory").queryName("rep_out").outputMode("append").start()
+    val qChunk = graft.operators.TextAnalysis
+      .chunked(streamDocs)
+      .writeStream.format("memory").queryName("chunk_out").outputMode("append").start()
+    docs.grouped(20).foreach { chunk =>
+      input.addData(chunk.toSeq)
+      qRep.processAllAvailable()
+      qChunk.processAllAvailable()
+    }
+    val repStream = spark.table("rep_out").collect().map(_.toSeq).toSet
+    val chunkStream = spark.table("chunk_out").collect().map(_.toSeq).toSet
+    qRep.stop(); qChunk.stop()
+    val repBatch = graft.operators.TextAnalysis.c27DocRepetition(spark, sf0001).collect().map(_.toSeq).toSet
+    val chunkBatch = graft.operators.TextAnalysis.c31DocChunking(spark, sf0001).collect().map(_.toSeq).toSet
+    assert(repStream == repBatch)
+    assert(chunkStream == chunkBatch)
+  }
+
   test("batch and streaming dedup agree on the same input (stream-batch parity)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
