@@ -67,6 +67,7 @@ object SparkEntry {
     "c28_domain_quota" -> (Sampling.c28DomainQuota _),
     "c30_token_budget" -> (Sampling.c30TokenBudget _),
     "c31_doc_chunking" -> (TextAnalysis.c31DocChunking _),
+    "c32_curation_e2e" -> (Sampling.c32CurationE2e _),
     "c23_frame_sample" -> (Multimodal.c23FrameSample _),
     "c22_pii_redact" -> (Sampling.c22PiiRedact _),
     "c8_text_langid" -> (TextAnalysis.c8TextLangid _),
@@ -343,6 +344,31 @@ object SparkEntry {
         |SELECT doc_id, chunk_idx, CAST(len(cw) AS BIGINT) AS n_chunk_tokens,
         |  md5(array_to_string(cw, ' ')) AS chunk_md5
         |FROM s""".stripMargin,
+    // quality gate -> keep-min dedup -> domain quota -> token budget,
+    // each stage the flat declarative definition of its library operator
+    "c32_curation_e2e" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, text, string_split(text, ' ') w FROM documents),
+        |m AS (SELECT doc_id, lang, source, text,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_stop,
+        |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha_chars,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM d),
+        |s AS (SELECT doc_id, lang, source, text, n_tokens,
+        |  CASE WHEN n_chars = 0 THEN 0.0 ELSE
+        |    CAST(n_stop AS DOUBLE) / n_tokens * 0.4 +
+        |    CAST(alpha_chars AS DOUBLE) / n_chars * 0.3 +
+        |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3 END AS q
+        |FROM m),
+        |f AS (SELECT * FROM s WHERE q >= ${Sampling.QualityThreshold}),
+        |dd AS (SELECT doc_id, lang, source, n_tokens, q FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM f) WHERE rn = 1),
+        |qt AS (SELECT doc_id, lang, source, n_tokens, q FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rn FROM dd) WHERE rn <= ${Sampling.DomainQuota}),
+        |b AS (SELECT doc_id, lang, source, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY lang ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |FROM qt)
+        |SELECT doc_id, lang, source, n_tokens, cum_tokens FROM b WHERE cum_tokens <= ${Sampling.TokenBudgetPerLang}""".stripMargin,
     // the flat cumulative-sum definition; the Spark side's two-phase
     // banded plan computes exactly this cut (floor is monotone in q)
     "c30_token_budget" ->

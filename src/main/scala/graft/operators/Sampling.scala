@@ -377,6 +377,37 @@ object Sampling {
       .drop("band", "offset")
   }
 
+  /** C32: the end-to-end curation composition — quality gate → exact
+    * dedup (keep-min) → per-domain quota (native TopKPerKey) → per-lang
+    * token budget (budgetFill) — each stage a library operator already
+    * oracle-proven alone, composed here in one declarative plan so
+    * Catalyst pipelines them (the quality columns are computed once,
+    * the dedup hash shuffles 128-bit hashes, the quota never sorts a
+    * domain, the budget never sorts a language). The shape every real
+    * training-mix build runs nightly.
+    */
+  def c32CurationE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = TextAnalysis
+      .qualityScored(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("source"), col("text"))
+      )
+      .filter(col("quality_score") >= QualityThreshold)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"), col("n_tokens"), col("quality_score").as("q"))
+    val canonical = scored
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val deduped = scored.join(canonical, "doc_id").drop("text")
+    val quota = graft.plans.TopKPerKey.topKPerKey(
+      deduped,
+      keyCols = Seq("source"),
+      orderBy = Seq(("q", false), ("doc_id", true)),
+      k = DomainQuota
+    )
+    budgetFill(quota, key = "lang", score = "q", id = "doc_id", amount = "n_tokens", budget = TokenBudgetPerLang)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"), col("cum").as("cum_tokens"))
+  }
+
   /** PII patterns — simple enough to mean the same thing in Java
     * regex (Spark) and RE2 (DuckDB): email-shaped tokens and long
     * digit runs (phone/account/card-shaped).
