@@ -183,6 +183,18 @@ class OperatorsSpec extends SparkSpec {
     assert(got.nonEmpty && perLang.nonEmpty)
   }
 
+  test("c16 From-variant clusters pairs from any detector (c4 SimHash pairs)") {
+    val pairs = TextDedup.c4SimHash(spark, sf0001).select(col("doc_a"), col("doc_b")).cache()
+    val clusters = TextAnalysis.c16DedupClustersFrom(pairs).cache()
+    // labels minimal and every pair lands in one cluster — the same
+    // soundness contract as the c3-backed gate
+    assert(clusters.filter(col("cluster_id") > col("doc_id")).count() == 0)
+    val joined = pairs
+      .join(clusters.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca")), "doc_a")
+      .join(clusters.select(col("doc_id").as("doc_b"), col("cluster_id").as("cb")), "doc_b")
+    assert(joined.filter(col("ca") =!= col("cb")).count() == 0)
+  }
+
   test("c1 exact dedup: copies counted, canonical id is minimal") {
     val df = TextDedup.c1DedupExact(spark, sf0001)
     val total = graft.sources.Tables.documents(spark, sf0001).count()
