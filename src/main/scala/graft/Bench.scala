@@ -81,8 +81,24 @@ object Bench {
       .filter { case (k, v, _) => v / baseline(k) > 2.0 }
       .map(r => "\"" + r._1 + "\"")
       .mkString("[", ",", "]")
+    // machine-contention self-annotation: per-query relative spread of
+    // the WARM passes ((max−min)/median over passes 2..n — pass 1
+    // carries JIT and the amortized layout builds of s3/s5/c3, which
+    // are structural, not noise) and its median across queries. The
+    // code is identical from pass to pass, so warm spread can only be
+    // environmental — a reader can distinguish "this query regressed"
+    // from "this machine was busy" without re-running (round 5's
+    // artifact lacked this and mis-read as a 1.656× regression on
+    // unchanged binaries).
+    val spreads = names.map { case (name, _) =>
+      val ts = samples.drop(1).flatMap(_.collect { case (`name`, t, _) => t })
+      val med = ts.sorted.apply(ts.size / 2)
+      (name, if (med > 0) (ts.max - ts.min) / med else 0.0)
+    }
+    val spreadJson = spreads.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val medianSpread = spreads.map(_._2).sorted.apply(spreads.size / 2)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","baseline_queries":${common.size},"vs_baseline":${f"$vsBaseline%.3f"},"ratios":$ratios,"regressed":$regressed,"method":"noop-write; per-query median of $Passes passes; ratios vs BASELINE.md (r3 medians)"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","baseline_queries":${common.size},"vs_baseline":${f"$vsBaseline%.3f"},"ratios":$ratios,"regressed":$regressed,"pass_spread":$spreadJson,"median_spread":${f"$medianSpread%.3f"},"method":"noop-write; per-query median of $Passes passes; ratios vs BASELINE.md (r3 medians); pass_spread=(max-min)/median over the warm passes (2..n) per query — high values indicate machine contention, not code change"}"""
     )
     spark.stop()
   }
