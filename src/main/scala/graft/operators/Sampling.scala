@@ -393,11 +393,21 @@ object Sampling {
       )
       .filter(col("quality_score") >= QualityThreshold)
       .select(col("doc_id"), col("lang"), col("source"), col("text"), col("n_tokens"), col("quality_score").as("q"))
-    val canonical = scored
-      .groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val deduped = scored.join(canonical, "doc_id").drop("text")
+    // keep-min dedup as rn=1 over the text hash: ONE scan (the
+    // groupBy-then-self-join formulation reads documents twice), text
+    // itself never shuffles (dropped for its md5 before the exchange),
+    // and the RowNumberLimitToTopK rule plants the native k=1 heap
+    // prune map-side, so each reducer sees one candidate row per hash
+    // per map partition
+    val deduped = {
+      import org.apache.spark.sql.expressions.Window
+      scored
+        .withColumn("h", md5(col("text")))
+        .drop("text")
+        .withColumn("rn", row_number().over(Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+        .drop("rn", "h")
+    }
     val quota = graft.plans.TopKPerKey.topKPerKey(
       deduped,
       keyCols = Seq("source"),
