@@ -79,12 +79,15 @@ object Sampling {
       .langPredicted(TextAnalysis.qualityScored(docs))
       .filter(col("quality_score") >= QualityThreshold)
       .select(col("doc_id"), md5(col("text")).as("text_hash"), col("pred_lang"), col("n_tokens"), col("quality_score"))
-    val canonical = kept
-      .groupBy(col("text_hash"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
+    // keep-min dedup as rn=1 over the hash: one scan (the old
+    // groupBy-then-join read the scored subtree twice), text never
+    // shuffles, and the rank-limit rewrite plants the native k=1
+    // heap prune map-side — same stage shape as c32's
+    import org.apache.spark.sql.expressions.Window
     kept
-      .join(canonical, "doc_id")
+      .withColumn("rn", row_number().over(Window.partitionBy(col("text_hash")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .drop("rn")
       .filter(stratifiedKeep(col("doc_id"), col("pred_lang")))
       .select(col("doc_id"), col("pred_lang"), col("n_tokens"), col("quality_score"))
   }
