@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql("SELECT array_dot(a, b)")`
@@ -64,6 +65,29 @@ object GraftExtensions {
       info("array_l2_normalize", "array_l2_normalize(a) - L2-normalize a double array in one pass"),
       (children: Seq[Expression]) => {
         val c = arity("array_l2_normalize", 1)(children); ArrayNormalize(c.head)
+      }
+    ),
+    (
+      "simhash_of_tokens",
+      info(
+        "simhash_of_tokens",
+        "simhash_of_tokens(token_hashes, bits) - SimHash signature of a token-hash array in one row-local pass " +
+          "(bits must be an integer literal <= 64; the scalar form of simhash_agg)"
+      ),
+      (children: Seq[Expression]) => {
+        val c = arity("simhash_of_tokens", 2)(children)
+        c(1) match {
+          case Literal(v: Int, IntegerType) => SimHashOfTokens(c(0), v)
+          case other =>
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "NON_FOLDABLE_ARGUMENT",
+              messageParameters = Map(
+                "funcName" -> "`simhash_of_tokens`",
+                "paramName" -> "`bits`",
+                "paramType" -> "\"INT\""
+              )
+            )
+        }
       }
     ),
     (

@@ -131,6 +131,26 @@ class ExpressionsSpec extends SparkSpec {
     assert(math.abs(r - 1.0) < 1e-15)
   }
 
+  test("SQL surface: simhash_of_tokens equals the Scala API and rejects non-literal bits") {
+    GraftSql.register(spark, sf0001)
+    import spark.implicits._
+    import graft.plans.SimHashOfTokens
+    val hs = Seq(123456789L, 987654321L, 123456789L)
+    val sqlSig = spark
+      .sql(s"SELECT simhash_of_tokens(array(${hs.mkString("L,")}L), 60) AS s")
+      .head
+      .getLong(0)
+    val apiSig = Seq(Tuple1(hs.toArray)).toDF("hs")
+      .select(SimHashOfTokens.simHashOfTokens(col("hs"), 60))
+      .head
+      .getLong(0)
+    assert(sqlSig == apiSig)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT simhash_of_tokens(array(1L), CAST(rand() * 60 AS INT))").collect()
+    }
+    assert(e.getMessage.contains("simhash_of_tokens"))
+  }
+
   test("s2 partition pruning reaches the file source") {
     graft.sources.Formats.s2PartitionedWrite(spark, sf0001).count() // materialize layout
     val pruned = spark.read
