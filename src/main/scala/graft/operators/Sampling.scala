@@ -254,7 +254,10 @@ object Sampling {
     * shingle-hash) pairs.
     */
   def c21Decontamination(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = TextDedup.shingleHashes(spark, sfDir)
+    // checkpoint: the eval and corpus branches are disjoint filters of
+    // the SAME shingle frame — materializing (doc_id, h) longs once
+    // replaces a second full documents scan + md5/shingle recompute
+    val sh = TextDedup.shingleHashes(spark, sfDir).localCheckpoint()
     val isEval = col("doc_id") % EvalEvery === 0
     val evalShingles = sh.filter(isEval).select(col("h")).distinct()
     val corpus = sh.filter(!isEval)
