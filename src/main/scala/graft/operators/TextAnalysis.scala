@@ -119,10 +119,13 @@ object TextAnalysis {
     // scalar agg folded into the plan (single-row broadcast) — a
     // docs.count() would be an extra job/scan at every call site
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // checkpointed: the df branch and the final join both consume tf —
+    // without the barrier each re-runs the token explode + its shuffle
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     // no broadcast hint on df: the vocabulary is corpus-sized (billions
     // of terms at 100 TB) — AQE broadcasts when it is actually small
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
