@@ -9,7 +9,9 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.b1AggPricing(spark, "/root/testdata/sf0.001")
+    // the flagship composition: quality gate → keep-min dedup (native
+    // k=1 prune) → domain quota (native TopKPerKey) → token budget
+    Sampling.c32CurationE2e(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
