@@ -89,6 +89,41 @@ class GraftSqlSpec extends SparkSpec {
     assert(!GraftSql.sql(spark, sf0001, disjunct).queryExecution.executedPlan.toString.contains("TopKPerKey"))
   }
 
+  test("rank-limit rewrite equivalence on randomized data (10 seeded trials)") {
+    import spark.implicits._
+    val key = graft.plans.TopKPerKey.SqlRewriteMaxKKey
+    (1 to 10).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 200 + rnd.nextInt(800)
+      val nKeys = 1 + rnd.nextInt(12)
+      val k = 1 + rnd.nextInt(6)
+      val rows = (0 until n).map(i => (i.toLong, rnd.nextInt(nKeys), rnd.nextInt(50)))
+      rows.toDF("id", "grp", "v").createOrReplaceTempView("rlt_t")
+      // vary the comparison shape across trials: <=, <, =, and the
+      // reversed literal-first form
+      val cond = seed % 4 match {
+        case 0 => s"rn <= $k"
+        case 1 => s"rn < ${k + 1}"
+        case 2 => s"rn = $k"
+        case 3 => s"$k >= rn"
+      }
+      val q =
+        s"""SELECT grp, id, v, rn FROM (
+           |  SELECT grp, id, v, row_number() OVER (PARTITION BY grp ORDER BY v DESC, id) AS rn
+           |  FROM rlt_t) WHERE $cond""".stripMargin
+      val rewritten = GraftSql.sql(spark, sf0001, q)
+      assert(rewritten.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+        s"seed=$seed: rewrite did not fire for '$cond'")
+      val got = rewritten.collect().map(_.toSeq).toSet
+      spark.conf.set(key, "0")
+      val expected =
+        try GraftSql.sql(spark, sf0001, q).collect().map(_.toSeq).toSet
+        finally spark.conf.unset(key)
+      assert(got == expected,
+        s"seed=$seed cond='$cond': missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    }
+  }
+
   test("invalidate() restores sql() after a caller drops a temp view behind the cache") {
     GraftSql.sql(spark, sf0001, "SELECT 1").collect()
     spark.catalog.dropTempView("nation")
