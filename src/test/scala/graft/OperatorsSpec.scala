@@ -195,6 +195,40 @@ class OperatorsSpec extends SparkSpec {
     assert(joined.filter(col("ca") =!= col("cb")).count() == 0)
   }
 
+  test("budgetFill equals the flat cumsum on randomized data (8 seeded trials)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    (1 to 8).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 100 + rnd.nextInt(400)
+      val nKeys = 1 + rnd.nextInt(6)
+      val budget = 50L + rnd.nextInt(500)
+      val rows = (0 until n).map { i =>
+        (i.toLong, s"k${rnd.nextInt(nKeys)}", rnd.nextDouble(), 1L + rnd.nextInt(20))
+      }
+      val df = rows.toDF("id", "key", "score", "amt")
+      val got = Sampling
+        .budgetFill(df, "key", "score", "id", "amt", budget)
+        .select(col("id"), col("cum"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      val w = Window
+        .partitionBy(col("key"))
+        .orderBy(col("score").desc, col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val expected = df
+        .withColumn("cum", sum(col("amt")).over(w))
+        .filter(col("cum") <= budget)
+        .select(col("id"), col("cum"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      assert(got == expected,
+        s"seed=$seed budget=$budget: missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    }
+  }
+
   test("c1 exact dedup: copies counted, canonical id is minimal") {
     val df = TextDedup.c1DedupExact(spark, sf0001)
     val total = graft.sources.Tables.documents(spark, sf0001).count()
