@@ -143,6 +143,26 @@ object OracleGen {
        |)
        |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id FROM reach GROUP BY a""".stripMargin
 
+  /** C33 = C16's labels applied back to the corpus: keep each
+    * cluster's min-id member plus every unclustered document.
+    */
+  val c33CanonicalCorpus: String =
+    s"""WITH RECURSIVE $shingleCtes,
+       |$jaccardTail,
+       |nd AS (SELECT doc_a, doc_b FROM pairs
+       |       JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+       |       WHERE common * $JaccardDen >= (na.ns + nb.ns - common) * $JaccardNum),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM nd UNION SELECT doc_b, doc_a FROM nd),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |),
+       |labels AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id FROM reach GROUP BY a)
+       |SELECT d.doc_id, d.lang, d.n_chars
+       |FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+       |WHERE l.cluster_id IS NULL OR l.cluster_id = d.doc_id""".stripMargin
+
   val c5EmbeddingDedup: String = {
     import graft.operators.VectorOps.NearDupThreshold
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),

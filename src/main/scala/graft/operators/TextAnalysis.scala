@@ -303,6 +303,22 @@ object TextAnalysis {
         md5(concat_ws(" ", col("cw"))).as("chunk_md5")
       )
 
+  /** C33: the canonical corpus after near-dup collapse — each near-dup
+    * cluster (c16 over the amortized c3 pair set) keeps only its
+    * canonical member (the min-id label), documents outside any
+    * cluster keep themselves. The "emit the deduped corpus" step that
+    * closes the detector → clusters → corpus loop; the big side is one
+    * broadcast-able left join of the tiny label frame against a narrow
+    * documents scan.
+    */
+  def c33CanonicalCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(c16DedupClusters(spark, sfDir), Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
   /** C11: document fingerprinting — min and mod-P sum of md5-derived
     * shingle hashes (a rolling-hash family): order-independent,
     * engine-reproducible, and stable under shingle reordering.
