@@ -21,6 +21,18 @@ class BaselineSpec extends org.scalatest.funsuite.AnyFunSuite {
   */
 class GraftSqlSpec extends SparkSpec {
 
+  test("every oracle key matches a queries entry; rows-only gates are exactly the two documented ones") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    // a typo'd oracle key would silently downgrade its gate to the
+    // weaker rows-only check — fail loudly instead
+    assert((o -- q).isEmpty, s"oracle entries with no matching query: ${(o -- q).toSeq.sorted}")
+    assert(
+      (q -- o) == Set("b12_approx_sketch", "c24_ann_ivf_trained"),
+      s"unexpected rows-only gates: ${(q -- o).toSeq.sorted} — every new operator needs BOTH entries"
+    )
+  }
+
   test("sql() runs against the registered sfDir and re-registers on a dir switch") {
     val n1 = GraftSql.sql(spark, sf0001, "SELECT count(*) AS n FROM orders").collect()(0).getLong(0)
     val n2 = GraftSql.sql(spark, sf001, "SELECT count(*) AS n FROM orders").collect()(0).getLong(0)
