@@ -394,6 +394,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"df cap must not buffer per-key groups:\n$p")
   }
 
+  test("c29: the ADC stage broadcasts the 10 queries — never a shuffled cartesian") {
+    val df = VectorOps.c29AnnPq(spark, sf001)
+    val p = plan(df)
+    assert(p.contains("TopKPerKey"), s"shortlist prune missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ADC scan degenerated to a cartesian:\n$p")
+  }
+
   test("c27: repetition signal is a zero-shuffle narrow scan") {
     val df = TextAnalysis.c27DocRepetition(spark, sf0001)
     df.collect()

@@ -245,6 +245,46 @@ class StreamingSpec extends SparkSpec {
     assert(chunkStream == chunkBatch)
   }
 
+  test("streaming quota is arrival-order independent (shuffled replay, 2 seeds)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select($"doc_id", $"source", $"n_chars")
+      .as[StreamingOps.DocRow]
+      .collect()
+    val batch = graft.operators.Sampling
+      .c28DomainQuota(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(r.fieldIndex("source")), r.getLong(r.fieldIndex("doc_id"))))
+      .toSet
+    Seq(7, 42).foreach { seed =>
+      val shuffled = new scala.util.Random(seed).shuffle(docs.toSeq)
+      val input = MemoryStream[StreamingOps.DocRow]
+      val q = StreamingOps
+        .streamingDomainQuota(input.toDS(), graft.operators.Sampling.DomainQuota)
+        .writeStream
+        .format("memory")
+        .queryName(s"quota_shuf_$seed")
+        .outputMode("update")
+        .start()
+      shuffled.grouped(37).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark
+        .table(s"quota_shuf_$seed")
+        .as[StreamingOps.QuotaUpdate]
+        .collect()
+        .groupBy(_.source)
+        .map { case (_, us) => us.maxBy(_.seq) }
+        .flatMap(u => u.doc_ids.map(id => (u.source, id)))
+        .toSet
+      q.stop()
+      assert(streamed == batch, s"seed=$seed: arrival order changed the quota")
+    }
+  }
+
   test("batch and streaming dedup agree on the same input (stream-batch parity)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
