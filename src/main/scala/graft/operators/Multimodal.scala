@@ -117,6 +117,16 @@ object Multimodal {
     * driver test data has no real media); everything downstream of the
     * binary column is the production path.
     */
+  /** The decode stage as a Dataset transform — stateless
+    * per-partition, so it runs verbatim on a streaming Dataset too
+    * (incremental media ingest; StreamingSpec asserts parity).
+    */
+  def decodeFeatures(media: org.apache.spark.sql.Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(decodeStub)).toDF()
+  }
+
   def c12MultimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val media = Tables
@@ -130,8 +140,6 @@ object Multimodal {
       )
       .as[MediaRow]
 
-    media
-      .mapPartitions(_.map(decodeStub))
-      .toDF()
+    decodeFeatures(media)
   }
 }

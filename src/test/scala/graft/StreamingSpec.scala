@@ -245,6 +245,39 @@ class StreamingSpec extends SparkSpec {
     assert(chunkStream == chunkBatch)
   }
 
+  test("multimodal decode is stream-applicable (stream-batch parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    val media = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(
+        $"doc_id",
+        element_at(array(lit("image"), lit("audio"), lit("video")), ($"doc_id" % 3 + 1).cast("int")).as("fmt"),
+        encode($"text", "UTF-8").as("media"),
+        length(encode($"text", "UTF-8")).cast("long").as("n_bytes")
+      )
+      .as[Multimodal.MediaRow]
+      .collect()
+
+    val input = MemoryStream[Multimodal.MediaRow]
+    val q = Multimodal
+      .decodeFeatures(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("decode_out")
+      .outputMode("append")
+      .start()
+    media.grouped(120).foreach { chunk =>
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val streamed = spark.table("decode_out").collect().map(_.toSeq).toSet
+    q.stop()
+    val batch = Multimodal.c12MultimodalDecode(spark, sf0001).collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
   test("streaming quota is arrival-order independent (shuffled replay, 2 seeds)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
