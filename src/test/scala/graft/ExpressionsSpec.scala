@@ -34,7 +34,7 @@ class ExpressionsSpec extends SparkSpec {
     val v = Array(3.0, 4.0, 0.0)
     val got = Seq(Tuple1(v)).toDF("v")
       .select(ArrayNormalize.arrayNormalize(col("v")))
-      .head.getSeq[Double](0)
+      .head().getSeq[Double](0)
     assert(got == Seq(0.6, 0.8, 0.0))
   }
 
@@ -116,9 +116,9 @@ class ExpressionsSpec extends SparkSpec {
       .groupBy(identity).map { case (h, occ) => (h, occ.size.toLong) }.toSeq
       .toDF("h", "cnt")
       .createOrReplaceTempView("simhash_in")
-    val agg = spark.sql("SELECT simhash_agg(h, cnt) AS sig FROM simhash_in").head.getLong(0)
+    val agg = spark.sql("SELECT simhash_agg(h, cnt) AS sig FROM simhash_in").head().getLong(0)
     val scalar = Seq(Tuple1(hs.toArray)).toDF("hs")
-      .select(SimHashOfTokens.simHashOfTokens(col("hs"), 60)).head.getLong(0)
+      .select(SimHashOfTokens.simHashOfTokens(col("hs"), 60)).head().getLong(0)
     assert(agg == scalar)
   }
 
@@ -126,7 +126,7 @@ class ExpressionsSpec extends SparkSpec {
     GraftSql.register(spark, sf0001)
     val r = spark
       .sql("SELECT array_dot(array_l2_normalize(array(3.0d, 4.0d)), array_l2_normalize(array(3.0d, 4.0d))) AS c")
-      .head
+      .head()
       .getDouble(0)
     assert(math.abs(r - 1.0) < 1e-15)
   }
@@ -138,11 +138,11 @@ class ExpressionsSpec extends SparkSpec {
     val hs = Seq(123456789L, 987654321L, 123456789L)
     val sqlSig = spark
       .sql(s"SELECT simhash_of_tokens(array(${hs.mkString("L,")}L), 60) AS s")
-      .head
+      .head()
       .getLong(0)
     val apiSig = Seq(Tuple1(hs.toArray)).toDF("hs")
       .select(SimHashOfTokens.simHashOfTokens(col("hs"), 60))
-      .head
+      .head()
       .getLong(0)
     assert(sqlSig == apiSig)
     val e = intercept[org.apache.spark.sql.AnalysisException] {

@@ -91,14 +91,14 @@ class OperatorsSpec extends SparkSpec {
     val total = EventStreamOps
       .a5HoppingWindow(spark, sf0001)
       .agg(sum("n"))
-      .head
+      .head()
       .getLong(0)
     assert(total == 4 * ev.count())
   }
 
   test("a8 watermark: no emitted window end is within 10 minutes of max event time") {
     import graft.sources.Tables
-    val maxTs = Tables.events(spark, sf0001).agg(max(unix_timestamp(col("ts")))).head.getLong(0)
+    val maxTs = Tables.events(spark, sf0001).agg(max(unix_timestamp(col("ts")))).head().getLong(0)
     val bad = EventStreamOps
       .a8EventTimeStats(spark, sf0001)
       .filter(unix_timestamp(col("window_start")) + 900 > maxTs - 600)
@@ -232,7 +232,7 @@ class OperatorsSpec extends SparkSpec {
   test("c1 exact dedup: copies counted, canonical id is minimal") {
     val df = TextDedup.c1DedupExact(spark, sf0001)
     val total = graft.sources.Tables.documents(spark, sf0001).count()
-    assert(df.agg(sum("n_copies")).head.getLong(0) == total)
+    assert(df.agg(sum("n_copies")).head().getLong(0) == total)
   }
 
   test("c2/c3: LSH candidate generation loses no near-dup pair found exhaustively") {

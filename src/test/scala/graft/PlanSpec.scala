@@ -371,7 +371,7 @@ class PlanSpec extends SparkSpec {
         // (and dodge the TIMESTAMP vs TIMESTAMP_NTZ JVM class split)
         val r = spark.read.parquet(f.toString)
           .selectExpr("min(cast(l_shipdate as string)) lo", "max(cast(l_shipdate as string)) hi")
-          .head
+          .head()
         (r.getString(0), r.getString(1))
       }
       .sortBy(_._1)
