@@ -87,7 +87,8 @@ object SparkEntry {
     "s4_salted_join" -> (ScaleJoins.s4SaltedJoin _),
     "s5_compaction" -> (graft.sources.Formats.s5Compaction _),
     "s6_schema_evolution" -> (graft.sources.Formats.s6SchemaEvolution _),
-    "s7_orc_roundtrip" -> (graft.sources.Formats.s7OrcRoundtrip _)
+    "s7_orc_roundtrip" -> (graft.sources.Formats.s7OrcRoundtrip _),
+    "s8_text_roundtrip" -> (graft.sources.Formats.s8TextRoundtrip _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -402,6 +403,11 @@ object SparkEntry {
       """SELECT 'orc' AS fmt, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events WHERE event_id < 1000""".stripMargin,
+    "s8_text_roundtrip" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS sum_hash,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_len
+        |FROM documents""".stripMargin,
     "c23_frame_sample" ->
       s"""WITH m AS (SELECT doc_id,
         |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS fmt,

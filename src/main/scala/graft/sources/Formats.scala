@@ -105,6 +105,32 @@ object Formats {
       .select(col("fmt"), col("n"), col("sum_id"), col("sum_value"))
   }
 
+  /** S8: raw text-line roundtrip — the line-oriented ingest format
+    * every web corpus starts from (one document per line). The
+    * read-back loses column structure by design, so fidelity is
+    * checked with order-independent aggregates: line count, summed
+    * md5-derived line hashes, summed lengths — any lost, split, or
+    * mutated line breaks the hash sums against the oracle (which
+    * aggregates the source column directly). The gate corpus is
+    * newline-free; a production ingest escapes embedded newlines
+    * before writing, which is a property of the writer, not this
+    * reader path.
+    */
+  def s8TextRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = scratch(spark, "textfmt", sfDir)
+    Tables
+      .documents(spark, sfDir)
+      .select(col("text"))
+      .write.mode("overwrite").text(s"$base/text")
+    spark.read
+      .text(s"$base/text")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(graft.functions.TextFunctions.hash32(col("value"))).as("sum_hash"),
+        sum(length(col("value")).cast("long")).as("sum_len")
+      )
+  }
+
   /** S2: partitioned parquet layout + partition pruning — the physical
     * design that matters most at 100 TB (a date-partitioned table lets
     * every time-bounded query skip almost all files; the filter below
