@@ -50,7 +50,10 @@ object OracleGen {
        |WHERE common * $JaccardDen >= (na.ns + nb.ns - common) * $JaccardNum""".stripMargin
   }
 
-  val c3MinHashLsh: String = {
+  /** Shared c3 CTE body + verified-pair select, reused by the c3 gate
+    * and anything built on its pair set (c34).
+    */
+  private val c3Ctes: String = {
     import MinHashParams._
     val minCols = (0 until NumPerms)
       .map(j => s"min((h * ${A(j)} + ${B(j)}) % $P) AS m$j")
@@ -61,18 +64,36 @@ object OracleGen {
         s"SELECT doc_id, $b AS band_idx, md5(concat_ws('_', $ms)) AS bkey FROM sig"
       }
       .mkString(" UNION ALL ")
-    s"""WITH $shingleCtes,
+    s"""$shingleCtes,
        |sig AS (SELECT doc_id, $minCols FROM shh GROUP BY doc_id),
        |bands AS ($bandSelects),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bands a JOIN bands b
        |           ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-       |$jaccardTail
-       |SELECT doc_a, doc_b, common, CAST(common AS DOUBLE) / (na.ns + nb.ns - common) AS jaccard
+       |$jaccardTail""".stripMargin
+  }
+
+  private val c3Select: String =
+    s"""SELECT doc_a, doc_b, common, CAST(common AS DOUBLE) / (na.ns + nb.ns - common) AS jaccard
        |FROM pairs JOIN cand USING (doc_a, doc_b)
        |  JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
        |WHERE common * $JaccardDen >= (na.ns + nb.ns - common) * $JaccardNum""".stripMargin
-  }
+
+  val c3MinHashLsh: String =
+    s"""WITH $c3Ctes
+       |$c3Select""".stripMargin
+
+  /** C34 = c3's verified pairs with each member's source attached,
+    * cross-source only.
+    */
+  val c34CrossSourceNearDups: String =
+    s"""WITH $c3Ctes,
+       |res AS ($c3Select)
+       |SELECT p.doc_a, p.doc_b, a.source AS source_a, b.source AS source_b, p.jaccard
+       |FROM res p
+       |JOIN documents a ON a.doc_id = p.doc_a
+       |JOIN documents b ON b.doc_id = p.doc_b
+       |WHERE a.source <> b.source""".stripMargin
 
   val c4SimHash: String = {
     val voteCols = (0 until SimHashBits)

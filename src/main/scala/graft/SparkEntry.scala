@@ -71,6 +71,7 @@ object SparkEntry {
     "c31_doc_chunking" -> (TextAnalysis.c31DocChunking _),
     "c32_curation_e2e" -> (Sampling.c32CurationE2e _),
     "c33_canonical_corpus" -> (TextAnalysis.c33CanonicalCorpus _),
+    "c34_cross_source_neardups" -> (TextDedup.c34CrossSourceNearDups _),
     "c23_frame_sample" -> (Multimodal.c23FrameSample _),
     "c22_pii_redact" -> (Sampling.c22PiiRedact _),
     "c8_text_langid" -> (TextAnalysis.c8TextLangid _),
@@ -524,6 +525,7 @@ object SparkEntry {
     "c15_bigram_lm" -> OracleGen.c15BigramLm,
     "c16_dedup_clusters" -> OracleGen.c16Clusters,
     "c33_canonical_corpus" -> OracleGen.c33CanonicalCorpus,
+    "c34_cross_source_neardups" -> OracleGen.c34CrossSourceNearDups,
     "b14_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -226,6 +226,24 @@ object TextDedup {
     jaccardVerified(sh, Some(cand))
   }
 
+  /** C34: cross-source near-duplicates — the syndication signal. The
+    * amortized c3 pair set joined back to each member's source; pairs
+    * whose members share a source are dropped (intra-site boilerplate),
+    * leaving content that traveled BETWEEN sources — what a training
+    * mix deduplicates first because it is overrepresented exactly in
+    * proportion to its syndication. Costs two hash joins of the tiny
+    * pair frame against a two-column scan on top of the already-paid
+    * LSH pass.
+    */
+  def c34CrossSourceNearDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    c3MinHashLsh(spark, sfDir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), "doc_b")
+      .filter(col("source_a") =!= col("source_b"))
+      .select(col("doc_a"), col("doc_b"), col("source_a"), col("source_b"), col("jaccard"))
+  }
+
   /** Per-doc 60-bit SimHash signature: weighted bit votes over
     * md5-derived token hashes (weight = token multiplicity), computed
     * entirely within the row by [[graft.plans.SimHashOfTokens]] — the
