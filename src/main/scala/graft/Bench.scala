@@ -91,14 +91,31 @@ object Bench {
     // artifact lacked this and mis-read as a 1.656× regression on
     // unchanged binaries).
     val spreads = names.map { case (name, _) =>
-      val ts = samples.drop(1).flatMap(_.collect { case (`name`, t, _) => t })
-      val med = ts.sorted.apply(ts.size / 2)
-      (name, if (med > 0) (ts.max - ts.min) / med else 0.0)
+      // failed passes carry garbage wall times — only successful warm
+      // passes are a contention signal; <2 ok samples → -1 (no signal)
+      val ts = samples.drop(1).flatMap(_.collect { case (`name`, t, true) => t })
+      if (ts.size < 2) (name, -1.0)
+      else {
+        val med = ts.sorted.apply(ts.size / 2)
+        (name, if (med > 0) (ts.max - ts.min) / med else 0.0)
+      }
     }
     val spreadJson = spreads.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val medianSpread = spreads.map(_._2).sorted.apply(spreads.size / 2)
+    val okSpreads = spreads.map(_._2).filter(_ >= 0.0)
+    val medianSpread = if (okSpreads.isEmpty) -1.0 else okSpreads.sorted.apply(okSpreads.size / 2)
+    // c3's timing excludes the LSH pair computation: verifiedPairs is
+    // amortized per (app, sfDir) and warmed by c16 in pass 1, which the
+    // median drops as structural — annotate so the ~0.02x ratio reads as
+    // amortization, not a speedup
+    val amortized = """["c3_dedup_minhash_lsh"]"""
+    // compact headline FIRST: the driver's tail capture truncates long
+    // lines, and round 6 lost the whole artifact to the one-line format —
+    // this line alone is enough to grade the round
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","baseline_queries":${common.size},"vs_baseline":${f"$vsBaseline%.3f"},"ratios":$ratios,"regressed":$regressed,"pass_spread":$spreadJson,"median_spread":${f"$medianSpread%.3f"},"method":"noop-write; per-query median of $Passes passes; ratios vs BASELINE.md (r3 medians); pass_spread=(max-min)/median over the warm passes (2..n) per query — high values indicate machine contention, not code change"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","vs_baseline":${f"$vsBaseline%.3f"},"regressed":$regressed,"failed":$failed,"median_spread":${f"$medianSpread%.3f"},"detail":"next line"}"""
+    )
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","baseline_queries":${common.size},"vs_baseline":${f"$vsBaseline%.3f"},"ratios":$ratios,"regressed":$regressed,"pass_spread":$spreadJson,"median_spread":${f"$medianSpread%.3f"},"amortized":$amortized,"method":"noop-write; per-query median of $Passes passes; ratios vs BASELINE.md (r3 medians); pass_spread=(max-min)/median over ok warm passes (2..n) per query - high values indicate machine contention, not code change; amortized lists queries whose per-(app,sfDir) cached work is charged to pass 1"}"""
     )
     spark.stop()
   }

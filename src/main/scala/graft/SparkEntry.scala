@@ -371,7 +371,7 @@ object SparkEntry {
         |qt AS (SELECT doc_id, lang, source, n_tokens, q FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rn FROM dd) WHERE rn <= ${Sampling.DomainQuota}),
         |b AS (SELECT doc_id, lang, source, n_tokens,
-        |  SUM(n_tokens) OVER (PARTITION BY lang ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
         |FROM qt)
         |SELECT doc_id, lang, source, n_tokens, cum_tokens FROM b WHERE cum_tokens <= ${Sampling.TokenBudgetPerLang}""".stripMargin,
     // the flat cumulative-sum definition; the Spark side's two-phase
@@ -391,7 +391,7 @@ object SparkEntry {
         |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3 END AS q
         |FROM m),
         |c AS (SELECT doc_id, lang, n_tokens,
-        |  SUM(n_tokens) OVER (PARTITION BY lang ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
         |FROM s)
         |SELECT doc_id, lang, n_tokens, cum_tokens FROM c WHERE cum_tokens <= ${Sampling.TokenBudgetPerLang}""".stripMargin,
     "c28_domain_quota" ->

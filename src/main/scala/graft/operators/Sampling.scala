@@ -369,8 +369,12 @@ object Sampling {
     val offsets = banded
       .groupBy(col(key), col("band"))
       .agg(sum(col(amount)).as("bt"))
+      // <= not <: a band whose offset EQUALS the budget can still hold
+      // zero-`amount` rows (cum == budget is kept by the flat cumsum
+      // definition); for strictly positive amounts the band is emptied
+      // by the cum filter anyway, so this only restores the boundary
       .withColumn("offset", coalesce(sum(col("bt")).over(wOff), lit(0L)))
-      .filter(col("offset") < budget)
+      .filter(col("offset") <= budget)
       .select(col(key), col("band"), col("offset"))
     val wIn = Window
       .partitionBy(col(key), col("band"))

@@ -182,11 +182,25 @@ object TextDedup {
   private val verifiedPairsCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
-  def c3MinHashLsh(spark: SparkSession, sfDir: String): DataFrame =
-    verifiedPairsCache.getOrElseUpdate(
-      (spark.sparkContext.applicationId, sfDir),
-      c3MinHashLshCompute(spark, sfDir).localCheckpoint()
-    )
+  def c3MinHashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    // synchronized compute-and-insert: TrieMap.getOrElseUpdate may run
+    // the thunk twice under a concurrent first call, orphaning an
+    // eagerly-computed checkpoint's blocks. The lock is only contended
+    // on the first call per (app, sfDir).
+    verifiedPairsCache.get(key).getOrElse(verifiedPairsCache.synchronized {
+      verifiedPairsCache.getOrElseUpdate(key, {
+        val sc = spark.sparkContext
+        // evict this app's entries when it ends — a JVM hosting many
+        // sequential sessions must not accumulate dead-session frames
+        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            verifiedPairsCache.filterInPlace { case ((app, _), _) => app != sc.applicationId }
+        })
+        c3MinHashLshCompute(spark, sfDir).localCheckpoint()
+      })
+    })
+  }
 
   private def c3MinHashLshCompute(spark: SparkSession, sfDir: String): DataFrame = {
     import MinHashParams._

@@ -50,6 +50,27 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}")
         fails += 1
         continue
+    # dtype-strict: the driver's compare hashes value reprs, so an
+    # int64-vs-float64 divergence (e.g. DuckDB widening SUM(BIGINT) to
+    # HUGEINT -> fetchdf float64) fails there even when values are equal
+    # (round 6's c30/c32 reds). Integer WIDTH (int32 vs int64) and
+    # datetime UNIT (ns vs us) repr identically and passed the driver
+    # hash in r6, so compare at dtype-KIND level — except floats, where
+    # width changes the repr (float32 0.1 != float64 0.1).
+    def dkind(dt):
+        k = dt.kind
+        return 'i' if k in 'iu' else k
+    dtype_bad = []
+    for c in s.columns:
+        sk, dk = dkind(s[c].dtype), dkind(d[c].dtype)
+        if sk != dk or (sk == 'f' and str(s[c].dtype) != str(d[c].dtype)):
+            dtype_bad.append((c, str(s[c].dtype), str(d[c].dtype)))
+    if dtype_bad:
+        for c, sd, dd in dtype_bad:
+            print(f"FAIL {name}: dtype mismatch col={c} spark={sd} duck={dd}"
+                  " (driver hash-compare would fail; cast the oracle SQL)")
+        fails += 1
+        continue
     mismatch = None
     for col in s.columns:
         sv, dv = s[col].tolist(), d[col].tolist()
