@@ -49,6 +49,7 @@ object SparkEntry {
     "b14_cube" -> (Relational.b14Cube _),
     "b15_running_sum" -> (Relational.b15RunningSum _),
     "b20_rolling_window" -> (Relational.b20RollingWindow _),
+    "b21_rank_ties" -> (Relational.b21RankTies _),
     "c1_dedup_exact" -> (TextDedup.c1DedupExact _),
     "c2_dedup_ngram_jaccard" -> (TextDedup.c2NgramJaccard _),
     "c3_dedup_minhash_lsh" -> (TextDedup.c3MinHashLsh _),
@@ -269,6 +270,13 @@ object SparkEntry {
         |        ROW_NUMBER() OVER (PARTITION BY o_orderpriority
         |                           ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |      FROM orders)
+        |WHERE rk <= 3""".stripMargin,
+    "b21_rank_ties" ->
+      """SELECT l_returnflag, rk, l_orderkey, l_linenumber, l_quantity
+        |FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |        RANK() OVER (PARTITION BY l_returnflag
+        |                     ORDER BY l_quantity DESC) AS rk
+        |      FROM lineitem)
         |WHERE rk <= 3""".stripMargin,
     "b6_rollup" ->
       """SELECT l_returnflag, l_linestatus,

@@ -374,6 +374,27 @@ object Relational {
       )
   }
 
+  /** B21: ties-aware top-k — RANK() ≤ 3 per returnflag over quantity
+    * DESC. Quantities repeat heavily (integral values 1..50), so the
+    * boundary rank carries hundreds of tied rows per flag: the
+    * canonical "top sellers including ties" SQL shape. The declarative
+    * window + filter rewrites to the native [[graft.plans.TopKPerKey]]
+    * in [[graft.plans.TopKPerKey.RankMode]] (ties-retaining grouped
+    * buffers), so no task ever sorts a whole returnflag partition —
+    * rank only renumbers the survivors. The kept SET is deterministic
+    * without a tiebreak column because rank keeps every tie — the
+    * extension past the reference's keep-one per-key reductions
+    * (ClickstreamJoinExample.scala:256) that b5/b17 generalized first.
+    */
+  def b21RankTies(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity").desc)
+    Tables
+      .lineitem(spark, sfDir)
+      .withColumn("rk", rank().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("l_returnflag"), col("rk"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+  }
+
   /** B12: sketches — approx distinct users + approx value quantiles per
     * event type. Not bit-equal across engines (rows-only check); the
     * point is the sketch mergeability: HLL partials merge associatively,

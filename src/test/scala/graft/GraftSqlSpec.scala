@@ -79,13 +79,33 @@ class GraftSqlSpec extends SparkSpec {
     finally spark.conf.unset(key)
   }
 
-  test("SQL rewrite stays out of shapes it cannot prove: rank(), no PARTITION BY, OR-bounds") {
-    // rank() admits ties past k — only row_number() rewrites
+  test("SQL RANK()<=k rewrites to the ties-aware native prune and matches the window plan") {
+    // rank() admits ties past k — RankMode buffers retain them
     val rank =
-      """SELECT o_custkey FROM (
-        |  SELECT o_custkey, rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rn
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rn
         |  FROM orders) WHERE rn <= 3""".stripMargin
-    assert(!GraftSql.sql(spark, sf0001, rank).queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    val df = GraftSql.sql(spark, sf0001, rank)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("TopKPerKey"), s"rank rewrite missed:\n$planStr")
+    assert(planStr.contains("RankMode"), s"wrong mode:\n$planStr")
+    val key = graft.plans.TopKPerKey.SqlRewriteMaxKKey
+    spark.conf.set(key, "0")
+    try {
+      val plain = GraftSql.sql(spark, sf0001, rank)
+      assert(!plain.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      assert(df.collect().toSet == plain.collect().toSet)
+    } finally spark.conf.unset(key)
+  }
+
+  test("SQL rewrite stays out of shapes it cannot prove: percent_rank(), no PARTITION BY, OR-bounds") {
+    // percent_rank needs the whole partition's cardinality — not prunable
+    val pct =
+      """SELECT o_custkey FROM (
+        |  SELECT o_custkey, percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rn
+        |  FROM orders) WHERE rn <= 0.5""".stripMargin
+    assert(!GraftSql.sql(spark, sf0001, pct).queryExecution.executedPlan.toString.contains("TopKPerKey"))
     // a global top-k has no key to cluster on
     val global =
       """SELECT o_orderkey FROM (

@@ -200,6 +200,114 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("b21: the declarative RANK query plans the native ties-aware TopK prune") {
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.TopKPerKey.RowNumberLimitToTopK)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.TopKPerKey.RowNumberLimitToTopK
+    }
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerKey.TopKPerKeyStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerKey.TopKPerKeyStrategy
+    }
+    val df = Relational.b21RankTies(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("TopKPerKey "),
+      s"rank-limit rewrite missed — the final window would sort whole flags:\n$p")
+    val rows = df.collect()
+    // ties at the boundary: rank <= 3 over coarse quantities keeps far
+    // more than 3 rows per flag, and every kept row has rk in 1..3
+    assert(rows.length > 9, s"expected boundary ties, got ${rows.length} rows")
+    assert(rows.forall(_.getInt(1) <= 3))
+  }
+
+  test("TopKPerKey rank/dense_rank modes equal the window formulations on randomized data (10 seeded trials)") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val sparkS = spark
+    import sparkS.implicits._
+    val rnd = new scala.util.Random(321)
+    (1 to 10).foreach { trial =>
+      val nKeys = 1 + rnd.nextInt(6)
+      val n = 200 + rnd.nextInt(1500)
+      val k = 1 + rnd.nextInt(5)
+      // VERY coarse values (≤ 12 distinct) — boundary ties and whole
+      // tied groups are the point; no unique tiebreak on purpose
+      val rows = (0 until n).map(i => (s"k${rnd.nextInt(nKeys)}", rnd.nextInt(12).toDouble, i.toLong))
+      val df = rows.toDF("key", "value", "id").repartition(1 + rnd.nextInt(5))
+      val w = W.partitionBy(col("key")).orderBy(col("value").desc)
+      def collected(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      val nativeRank = collected(graft.plans.TopKPerKey
+        .topKPerKey(df, Seq("key"), Seq(("value", false)), k, mode = graft.plans.TopKPerKey.RankMode))
+      val windowRank = collected(df.withColumn("rk", rank().over(w)).filter(col("rk") <= k)
+        .select(col("key"), col("value"), col("id")))
+      assert(nativeRank == windowRank, s"trial $trial rank (nKeys=$nKeys n=$n k=$k): " +
+        s"missing=${(windowRank -- nativeRank).take(3)} extra=${(nativeRank -- windowRank).take(3)}")
+      val nativeDense = collected(graft.plans.TopKPerKey
+        .topKPerKey(df, Seq("key"), Seq(("value", false)), k, mode = graft.plans.TopKPerKey.DenseRankMode))
+      val windowDense = collected(df.withColumn("dk", dense_rank().over(w)).filter(col("dk") <= k)
+        .select(col("key"), col("value"), col("id")))
+      assert(nativeDense == windowDense, s"trial $trial dense (nKeys=$nKeys n=$n k=$k): " +
+        s"missing=${(windowDense -- nativeDense).take(3)} extra=${(nativeDense -- windowDense).take(3)}")
+    }
+  }
+
+  test("TopKPerKey rank mode stays exact under partial flush and sortedFinal") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val sparkS = spark
+    import sparkS.implicits._
+    spark.conf.set(graft.plans.TopKPerKey.MaxKeysConfKey, "5")
+    try {
+      val rnd = new scala.util.Random(99)
+      val rows = (0 until 4000).map(i => (s"k${rnd.nextInt(150)}", rnd.nextInt(8).toDouble, i.toLong))
+      val df = rows.toDF("key", "value", "id").repartition(4)
+      val native = graft.plans.TopKPerKey
+        .topKPerKey(df, Seq("key"), Seq(("value", false)), 3,
+          sortedFinal = true, mode = graft.plans.TopKPerKey.RankMode)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      val w = W.partitionBy(col("key")).orderBy(col("value").desc)
+      val windowed = df.withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
+        .select(col("key"), col("value"), col("id"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(native == windowed,
+        s"flush epochs broke rank exactness: missing=${(windowed -- native).take(3)} extra=${(native -- windowed).take(3)}")
+    } finally spark.conf.unset(graft.plans.TopKPerKey.MaxKeysConfKey)
+  }
+
+  test("dense_rank SQL shape rewrites to the native prune and matches the declarative result") {
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.TopKPerKey.RowNumberLimitToTopK)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.TopKPerKey.RowNumberLimitToTopK
+    }
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerKey.TopKPerKeyStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerKey.TopKPerKeyStrategy
+    }
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val sparkS = spark
+    import sparkS.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 1000).map(i => (s"k${rnd.nextInt(4)}", rnd.nextInt(10).toDouble, i.toLong))
+    val df = rows.toDF("key", "value", "id").repartition(3)
+    val w = W.partitionBy(col("key")).orderBy(col("value").desc)
+    val pruned = df.withColumn("dk", dense_rank().over(w)).filter(col("dk") <= 2)
+    assert(plan(pruned).contains("TopKPerKey "), s"dense_rank rewrite missed:\n${plan(pruned)}")
+    val got = pruned.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getInt(3))).toSet
+    // recomputed dense_rank values on the survivors must equal the
+    // unrewritten window's (downward-closed prune keeps every earlier group)
+    val expected = {
+      val prev = spark.experimental.extraOptimizations
+      spark.experimental.extraOptimizations =
+        prev.filterNot(_ == graft.plans.TopKPerKey.RowNumberLimitToTopK)
+      try df.withColumn("dk", dense_rank().over(w)).filter(col("dk") <= 2)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getInt(3))).toSet
+      finally spark.experimental.extraOptimizations = prev
+    }
+    assert(got == expected)
+  }
+
   test("TopKPerKey sortedFinal mode equals hash mode and plans the spillable key sort") {
     import org.apache.spark.sql.functions._
     val sparkS = spark
