@@ -290,6 +290,28 @@ object OracleGen {
        |QUALIFY rank <= 5""".stripMargin
   }
 
+  /** c35 = the seeded-quantizer SemDeDup verdict: c18's assignment CTE
+    * (argmax cos, ties to lowest cid) over ALL vectors, intra-cluster
+    * keep-min-id pruning at the threshold. Output is integer/boolean
+    * only — no float column reaches the hash compare.
+    */
+  val c35SemDedup: String = {
+    import graft.operators.VectorOps.{SemLists, SemDedupThreshold}
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |nm AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),
+       |cent AS (SELECT vec_id AS cid, vn AS cv FROM nm WHERE vec_id < $SemLists),
+       |asgr AS (SELECT n.vec_id, c.cid,
+       |  ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.vn, c.cv) DESC, c.cid) rn
+       |  FROM nm n CROSS JOIN cent c),
+       |asg AS (SELECT vec_id, cid AS list_id FROM asgr WHERE rn = 1),
+       |rm AS (SELECT DISTINCT b.vec_id
+       |  FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+       |  JOIN nm na ON na.vec_id = a.vec_id JOIN nm nb ON nb.vec_id = b.vec_id
+       |  WHERE list_dot_product(na.vn, nb.vn) >= $SemDedupThreshold)
+       |SELECT a.vec_id, a.list_id, (rm.vec_id IS NULL) AS kept
+       |FROM asg a LEFT JOIN rm ON rm.vec_id = a.vec_id""".stripMargin
+  }
+
   val c21Decontamination: String = {
     import graft.operators.Sampling.EvalEvery
     s"""WITH $shingleCtes,

@@ -693,6 +693,99 @@ object VectorOps {
     annPq(cands, queries, pqCodebooks(e), PqReRank, 5)
   }
 
+  // --------------------------------------------------------------------
+  // SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup for
+  // training mixes: cluster the embedding space with k-means, then prune
+  // near-duplicates ONLY within each cluster. The clustering turns the
+  // quadratic all-pairs problem into Σ(cluster_size²) ≈ n²/k work,
+  // bucketed by cluster assignment — the modern alternative to c5's
+  // exact self-join and c17's LSH when a trained geometry exists.
+  // --------------------------------------------------------------------
+
+  /** c35 geometry: 25 seeded clusters (c18's deterministic training-free
+    * quantizer contract, so the DuckDB oracle recomputes the assignment
+    * exactly) and a cos ≥ 0.35 intra-cluster duplicate threshold. Real
+    * SemDeDup runs at cos ≥ ~0.9 on clustered embeddings; the synthetic
+    * test vectors are near-isotropic (max pairwise cos ≈ 0.51), so the
+    * threshold is scaled down to exercise the same code path.
+    */
+  val SemLists = 25
+  val SemDedupThreshold = 0.35
+
+  /** The SemDeDup core over an ASSIGNED corpus (`vec_id`, `list_id`,
+    * `vn`): intra-cluster pairs at cos ≥ `tau` mark the higher id
+    * removed (keep-min-id, c1/c26's convention — deterministic and
+    * engine-independent). Output is the full corpus verdict
+    * (`vec_id`, `list_id`, `kept`) — integers and booleans only, so the
+    * gate compare is float-free. The pair join is an equi-join on
+    * list_id: work is Σ(cluster²), never corpus², and each cluster's
+    * pairs stay on one reducer — the scale contract that lets this run
+    * where c5's all-pairs cannot.
+    */
+  def semDedupAssigned(asg: DataFrame, tau: Double): DataFrame = {
+    val a = asg.select(col("list_id"), col("vec_id").as("ida"), col("vn").as("va"))
+    val b = asg.select(col("list_id"), col("vec_id").as("idb"), col("vn").as("vb"))
+    val removed = a
+      .join(b, Seq("list_id"))
+      .filter(col("ida") < col("idb"))
+      .withColumn("cos", arrayDot(col("va"), col("vb")))
+      .filter(col("cos") >= tau)
+      .select(col("idb").as("vec_id"))
+      .distinct()
+      .withColumn("rm", lit(true))
+    asg
+      .select(col("vec_id"), col("list_id"))
+      .join(removed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"), col("rm").isNull.as("kept"))
+  }
+
+  /** C35: SemDeDup with the seeded quantizer — assignment is c18's
+    * broadcast argmax (ties to the lowest centroid id), hash-exact
+    * against the oracle's ROW_NUMBER form; then [[semDedupAssigned]].
+    * One corpus scan for the assignment, one bucketed self-join.
+    */
+  def c35SemDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val cent = e
+      .filter(col("vec_id") < SemLists)
+      .select(col("vec_id").as("cid"), col("vn").as("cv"))
+    val asg = e
+      .crossJoin(broadcast(cent))
+      .withColumn("cos_c", arrayDot(col("vn"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(struct(col("cos_c"), (-col("cid")).as("ncid"))).as("best"),
+        first(col("vn")).as("vn")
+      )
+      .select(col("vec_id"), (-col("best.ncid")).as("list_id"), col("vn"))
+    semDedupAssigned(asg, SemDedupThreshold)
+  }
+
+  /** The trained variant — [[trainCentroids]]' Lloyd quantizer instead
+    * of seeds, assignment as [[assignList]]'s zero-shuffle codegen
+    * projection (the c24 serving path). Clustering quality (not
+    * bit-exactness) is the contract, so this is spec-gated like c24:
+    * determinism across runs, and a co-cluster recall floor against the
+    * exact pair graph. Fewer, larger clusters than the seeded gate
+    * (k=8) because recall of the pair graph is what training buys.
+    */
+  def c35SemDedupTrained(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 8,
+      iters: Int = 3,
+      tau: Double = SemDedupThreshold
+  ): DataFrame = {
+    val e = vecs(spark, sfDir).select(col("vec_id").as("neighbor_id"), col("vn"))
+    val cents = trainCentroids(e, k, iters)
+    val asg = e.select(
+      col("neighbor_id").as("vec_id"),
+      assignList(cents, col("vn")).cast("bigint").as("list_id"),
+      col("vn")
+    )
+    semDedupAssigned(asg, tau)
+  }
+
   /** c7 banding: 16 bands × 3 planes (8 buckets per band). For a
     * neighbor at cos c the candidate probability is
     * 1 − (1 − (1 − acos(c)/π)³)¹⁶ — ≥ 0.95 for c ≥ 0.2, measured as

@@ -125,6 +125,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("c35: SemDeDup pair join is keyed on the cluster id — work is cluster-bound, never corpus²") {
+    val df = VectorOps.c35SemDedup(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    // the only cross join allowed is the broadcast of the 25 centroids;
+    // the PAIR stage must meet on list_id
+    assert(!p.contains("CartesianProduct"), s"pair stage degenerated into a cross join:\n$p")
+    assert(p.contains("list_id"), p)
+  }
+
   test("c17: embedding near-dup LSH path has no nested-loop stage at any n") {
     val p = plan(VectorOps.c17EmbeddingDedupLsh(spark, sf0001))
     assert(!p.contains("CartesianProduct"), "candidate generation degenerated into a cross join")

@@ -35,6 +35,74 @@ class VectorRecallSpec extends SparkSpec {
     }
   }
 
+  // --- c35 SemDeDup ---------------------------------------------------
+
+  /** Normalized corpus vectors, driver-side (500 × 64 doubles at
+    * sf0.01) — the independent mirror the SemDeDup specs score against.
+    */
+  private def normalizedVecs(sf: String): Map[Long, Array[Double]] =
+    graft.sources.Tables
+      .embeddings(spark, sf)
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        r.getLong(0) -> v.map(_ / n)
+      }
+      .toMap
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  test("c35 SemDeDup verdict: full corpus coverage, keep-min invariant, real removals") {
+    val rows = VectorOps.c35SemDedup(spark, sf001).collect()
+    val n = graft.sources.Tables.embeddings(spark, sf001).count()
+    assert(rows.length == n, "one verdict row per corpus vector")
+    assert(rows.map(_.getLong(0)).distinct.length == n)
+    val removed = rows.filterNot(_.getBoolean(2))
+    assert(removed.nonEmpty, "threshold found no semantic dups — test data changed?")
+    assert(removed.length < n / 2, "SemDeDup must prune, not erase the corpus")
+    // keep-min-id: the smallest id of each cluster has no lower witness
+    rows.groupBy(_.getLong(1)).foreach { case (list, members) =>
+      val minId = members.map(_.getLong(0)).min
+      val minRow = members.find(_.getLong(0) == minId).get
+      assert(minRow.getBoolean(2), s"cluster $list removed its own minimum id $minId")
+    }
+  }
+
+  test("c35 trained SemDeDup: deterministic, and co-clusters the exact pair graph at a recall floor") {
+    def verdict() = VectorOps
+      .c35SemDedupTrained(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    val v1 = verdict()
+    assert(v1.toSeq == verdict().toSeq, "hash-sampled Lloyd training must be run-deterministic")
+    val vecs = normalizedVecs(sf001)
+    val ids = vecs.keys.toArray.sorted
+    val exactPairs = for {
+      i <- ids; j <- ids if i < j
+      if dot(vecs(i), vecs(j)) >= VectorOps.SemDedupThreshold
+    } yield (i, j)
+    assert(exactPairs.nonEmpty)
+    val listOf = v1.map(t => t._1 -> t._2).toMap
+    val co = exactPairs.count { case (i, j) => listOf(i) == listOf(j) }
+    val recall = co.toDouble / exactPairs.length
+    // fewer, larger trained clusters must catch a solid share of the
+    // exact pair graph on ISOTROPIC vectors (clustered real embeddings
+    // sit far higher — this is the conservative floor)
+    assert(recall >= 0.30, f"co-cluster recall $recall%.3f < 0.30 over ${exactPairs.length} pairs")
+    // and every removal still carries an in-cluster lower-id witness
+    val byList = v1.groupBy(_._2)
+    v1.filterNot(_._3).foreach { case (id, list, _) =>
+      val witness = byList(list).exists(m => m._1 < id && dot(vecs(m._1), vecs(id)) >= VectorOps.SemDedupThreshold)
+      assert(witness, s"removed $id has no intra-cluster witness")
+    }
+  }
+
   test("c18 IVF ANN recall@5 >= 0.9 vs the exact c6 baseline at default nprobe") {
     val exactTop5 = VectorOps
       .c6AnnBruteforce(spark, sf001)
