@@ -120,6 +120,39 @@ object StreamingDemo {
     val nQuotaBatch = graft.operators.Sampling.c28DomainQuota(spark, sfDir).count()
     require(nQuota.toLong == nQuotaBatch, s"stream-batch quota divergence: $nQuota vs $nQuotaBatch")
 
+    // incremental token-budget fill over the replayed documents. A file
+    // stream arrives in file order, not the (q DESC, doc_id) replay
+    // contract that gives batch parity (StreamingSpec covers that), so
+    // the demo asserts the budget INVARIANT: per-language admitted
+    // tokens never exceed the budget, and something was admitted
+    val budgetStream = graft.operators.TextAnalysis
+      .qualityScored(
+        spark.readStream
+          .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(sfDir)
+          .select(col("doc_id"), col("lang"), col("text"))
+      )
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score").as("q"))
+      .as[StreamingOps.BudgetDoc]
+    val budget = StreamingOps
+      .streamingBudgetFill(budgetStream, graft.operators.Sampling.TokenBudgetPerLang)
+      .writeStream
+      .format("memory")
+      .queryName("demo_budget")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    budget.awaitTermination()
+    val admits = spark.table("demo_budget").as[StreamingOps.BudgetAdmit].collect()
+    val nBudget = admits.length
+    require(nBudget > 0, "budget fill admitted nothing")
+    admits.groupBy(_.lang).foreach { case (lang, as) =>
+      val tok = as.map(_.n_tokens).sum
+      require(tok <= graft.operators.Sampling.TokenBudgetPerLang,
+        s"budget overrun for $lang: $tok")
+    }
+
     // exactly-once parquet sink for the deduped stream
     val sinkDir = java.nio.file.Files.createTempDirectory("graft_demo_sink").toString
     val ckptDir = java.nio.file.Files.createTempDirectory("graft_demo_ckpt").toString
@@ -139,7 +172,7 @@ object StreamingDemo {
     val nJoined = spark.table("demo_papi").filter("view_id IS NOT NULL").count()
     val total = spark.read.parquet(s"$sfDir/events.parquet").count()
     println(
-      s"""{"streaming_demo":{"input_events":$total,"deduped_kept":$nDedup,"closed_windows":$nWindows,"enriched_clicks":$nClicks,"clicks_with_view":$nJoined,"curated_docs":$nCurated,"quota_docs":$nQuota,"sink_rows":$nSunk}}"""
+      s"""{"streaming_demo":{"input_events":$total,"deduped_kept":$nDedup,"closed_windows":$nWindows,"enriched_clicks":$nClicks,"clicks_with_view":$nJoined,"curated_docs":$nCurated,"quota_docs":$nQuota,"budget_admits":$nBudget,"sink_rows":$nSunk}}"""
     )
     spark.stop()
   }

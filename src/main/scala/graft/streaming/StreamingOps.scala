@@ -199,4 +199,62 @@ object StreamingOps {
           QuotaUpdate(source, seq, merged.map(_._2), merged.map(_._1))
       }
   }
+
+  /** A scored document for the streaming budget fill (the batch
+    * [[graft.operators.Sampling.budgetFill]] projection for c30).
+    */
+  case class BudgetDoc(doc_id: Long, lang: String, n_tokens: Long, q: Double)
+
+  /** An admission: the document plus its running per-language token
+    * total at admission time — c30's output row.
+    */
+  case class BudgetAdmit(doc_id: Long, lang: String, n_tokens: Long, cum_tokens: Long)
+
+  /** Streaming per-language token-budget fill — the incremental form of
+    * the batch [[graft.operators.Sampling.budgetFill]] flat-cumsum cut.
+    * Per-language state is THREE scalars — (spent tokens, last q, last
+    * doc_id) — whatever the stream's length: the batch operator's
+    * banded two-phase plan exists to avoid a giant per-lang sort, and
+    * the streaming form needs no sort at all because the replay
+    * CONTRACT is (q DESC, doc_id ASC) order per language (the order a
+    * curation build emits its scored corpus in). Under that contract
+    * the admitted set is row-for-row c30's batch cut: every arriving
+    * row advances `spent` by its tokens — admitted or not, exactly the
+    * flat window cumsum — and a language whose cumulative total passed
+    * the budget stays closed. The (last q, last doc_id) floor makes
+    * at-least-once delivery safe: a redelivered or out-of-order row
+    * sits at-or-before the floor and is dropped, the same guard role
+    * as the dedup store in the reference's processor
+    * (DeduplicationExample.scala:100-139). Rows WITHIN a micro-batch are
+    * sorted (bounded by batch size), so only cross-batch order is the
+    * caller's contract. Update mode, no watermark — budgets have no
+    * event-time horizon.
+    */
+  def streamingBudgetFill(docs: Dataset[BudgetDoc], budget: Long): Dataset[BudgetAdmit] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.lang)
+      .flatMapGroupsWithState[(Long, Double, Long), BudgetAdmit](
+        OutputMode.Update(),
+        GroupStateTimeout.NoTimeout
+      ) { (lang: String, rows: Iterator[BudgetDoc], state: GroupState[(Long, Double, Long)]) =>
+        var (spent, lastQ, lastId) =
+          state.getOption.getOrElse((0L, Double.PositiveInfinity, Long.MinValue))
+        val admitted = Seq.newBuilder[BudgetAdmit]
+        rows.toSeq.sortBy(r => (-r.q, r.doc_id)).foreach { r =>
+          val inOrder = r.q < lastQ || (r.q == lastQ && r.doc_id > lastId)
+          if (inOrder) {
+            spent += r.n_tokens
+            lastQ = r.q
+            lastId = r.doc_id
+            if (spent <= budget) admitted += BudgetAdmit(r.doc_id, lang, r.n_tokens, spent)
+          }
+          // else: at-or-before the floor — a redelivery under the
+          // in-order replay contract; admitting it twice would
+          // double-charge the budget
+        }
+        state.update((spent, lastQ, lastId))
+        admitted.result().iterator
+      }
+  }
 }

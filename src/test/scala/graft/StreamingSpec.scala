@@ -214,6 +214,59 @@ class StreamingSpec extends SparkSpec {
       s"quota divergence: missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
   }
 
+  test("streaming budget fill matches the batch c30 cut under in-order replay (+ redelivery)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // the same scored projection c30 feeds to budgetFill, replayed in
+    // the contract order: (q DESC, doc_id) globally gives every
+    // language its in-order subsequence
+    val scored = graft.operators.TextAnalysis
+      .qualityScored(
+        graft.sources.Tables
+          .documents(spark, sf001)
+          .select($"doc_id", $"lang", $"text")
+      )
+      .select($"doc_id", $"lang", $"n_tokens", $"quality_score".as("q"))
+      .as[StreamingOps.BudgetDoc]
+      .collect()
+      .sortBy(r => (-r.q, r.doc_id))
+
+    val input = MemoryStream[StreamingOps.BudgetDoc]
+    val q = StreamingOps
+      .streamingBudgetFill(input.toDS(), graft.operators.Sampling.TokenBudgetPerLang)
+      .writeStream
+      .format("memory")
+      .queryName("budget_out")
+      .outputMode("update")
+      .start()
+    val chunks = scored.grouped(120).toSeq
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+      // redeliver an already-processed slice mid-stream: the floor
+      // guard must drop it without double-charging any budget
+      if (i == 2) {
+        input.addData(chunks(1).toSeq)
+        q.processAllAvailable()
+      }
+    }
+    val streamed = spark
+      .table("budget_out")
+      .as[StreamingOps.BudgetAdmit]
+      .collect()
+      .map(a => (a.doc_id, a.lang, a.n_tokens, a.cum_tokens))
+      .toSet
+    q.stop()
+    val batch = graft.operators.Sampling
+      .c30TokenBudget(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch,
+      s"budget divergence: missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+  }
+
   test("repetition scoring and chunking are stream-applicable (stream-batch parity)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
