@@ -63,6 +63,7 @@ object SparkEntry {
     "c24_ann_ivf_trained" -> ((s, d) => VectorOps.c24AnnIvfTrained(s, d)),
     "c29_ann_pq" -> (VectorOps.c29AnnPq _),
     "c19_stratified_sample" -> (Sampling.c19StratifiedSample _),
+    "c36_temperature_mix" -> (Sampling.c36TemperatureMix _),
     "c20_training_pipeline" -> (Sampling.c20TrainingPipeline _),
     "c21_decontamination" -> (Sampling.c21Decontamination _),
     "c25_sequence_packing" -> (Sampling.c25SequencePacking _),
@@ -444,6 +445,16 @@ object SparkEntry {
         |FROM documents
         |WHERE CAST(concat('0x', substr(md5('sample_' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
         |  < CASE WHEN lang = 'en' THEN ${Sampling.EnRatePerMille} ELSE ${Sampling.DefaultRatePerMille} END""".stripMargin,
+    // T=2 on purpose: sqrt is correctly rounded in IEEE so both engines
+    // compute the identical integer threshold (a general pow would not be)
+    "c36_temperature_mix" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |mn AS (SELECT min(n) AS n_min FROM c),
+        |r AS (SELECT lang, CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n) * ${Sampling.MixBucketSpace}) AS BIGINT) AS thr FROM c, mn),
+        |b AS (SELECT doc_id, lang,
+        |  CAST(concat('0x', substr(md5('mix_' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % ${Sampling.MixBucketSpace} AS bucket
+        |FROM documents)
+        |SELECT b.doc_id, b.lang, b.bucket, r.thr FROM b JOIN r USING (lang) WHERE b.bucket < r.thr""".stripMargin,
     "c20_training_pipeline" ->
       s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents),
         |m AS (SELECT doc_id,

@@ -53,6 +53,51 @@ object Sampling {
       .filter(stratifiedKeep(col("doc_id"), col("lang")))
       .select(col("doc_id"), col("lang"), sampleBucket(col("doc_id")).as("bucket"))
 
+  /** c36 geometry: temperature T = 2 and a per-mille bucket space.
+    * T = 2 is deliberate: the keep-rate sqrt(n_min / n_l) needs only
+    * IEEE-correctly-rounded ops (divide, sqrt, multiply, floor), so
+    * Spark and DuckDB compute bit-identical thresholds — a general
+    * pow() would round differently between libm implementations and
+    * break the hash gate at ULP boundaries.
+    */
+  val MixTemperature = 2.0
+  val MixBucketSpace = 1000
+
+  private def mixBucket(id: Column): Column =
+    hash32(concat(lit("mix_"), id.cast("string"))) % MixBucketSpace
+
+  /** C36: temperature-scaled language rebalancing — the multilingual
+    * mix step every corpus build runs: post-mix language shares follow
+    * n_l^(1/T) instead of the raw n_l (T→∞ is uniform, T=1 is
+    * unchanged), realized as deterministic hash-Bernoulli downsampling
+    * with keep-rate r_l = (n_min / n_l)^(1 - 1/T) — the largest rate
+    * (the smallest language) is exactly 1, everything else downsamples
+    * toward balance. Deterministic: the threshold floor(r_l · 1000) is
+    * integer math on correctly-rounded doubles (see [[MixTemperature]])
+    * and the per-document coin is the c19 salted-md5 bucket, so batch,
+    * stream, and the DuckDB oracle agree row-for-row.
+    *
+    * Scale: the language histogram is a map-side-combinable aggregate
+    * collapsing to ~|langs| rows; thresholds broadcast-join back; the
+    * keep decision is a narrow per-row filter. No shuffle of the
+    * corpus ever happens — the same posture as c19.
+    */
+  def c36TemperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val thr = counts
+      .crossJoin(broadcast(counts.agg(min(col("n")).as("n_min"))))
+      .select(
+        col("lang"),
+        floor(sqrt(col("n_min").cast("double") / col("n")) * MixBucketSpace).as("thr")
+      )
+    docs
+      .join(broadcast(thr), Seq("lang"))
+      .withColumn("bucket", mixBucket(col("doc_id")))
+      .filter(col("bucket") < col("thr"))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("thr"))
+  }
+
   /** C20: the full training-data curation pipeline, composed from the
     * already-verified stages: quality scoring (c9) → threshold filter →
     * exact dedup keep-min (c1's contract) → language ID (c8) →

@@ -229,6 +229,66 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("budgetFill zero-amount boundary: rows with cum == budget survive band pruning") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // keys where the cumulative total lands EXACTLY on the budget, then
+    // zero-amount rows follow: the flat cumsum keeps them (cum == budget),
+    // so the banded plan's offset pruning must use <=, not <
+    val rows = Seq(
+      // key a: fills the budget exactly at high score, zero-amount rows after
+      (0L, "a", 0.9, 10L), (1L, "a", 0.8, 0L), (2L, "a", 0.7, 0L), (3L, "a", 0.6, 5L),
+      // key b: zero-amount rows scored BELOW an over-budget row stay dropped
+      (4L, "b", 0.9, 11L), (5L, "b", 0.5, 0L)
+    ).toDF("id", "key", "score", "amt")
+    val budget = 10L
+    val got = Sampling
+      .budgetFill(rows, "key", "score", "id", "amt", budget)
+      .select(col("id"), col("cum"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val w = Window
+      .partitionBy(col("key"))
+      .orderBy(col("score").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flat = rows
+      .withColumn("cum", sum(col("amt")).over(w))
+      .filter(col("cum") <= budget)
+      .select(col("id"), col("cum"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got == flat, s"missing=${flat -- got} extra=${got -- flat}")
+    // the interesting rows, stated explicitly: 0 fills the budget, the
+    // zero-amount 1 and 2 ride the boundary, 3 overflows; 4 never fits
+    assert(got == Set((0L, 10L), (1L, 10L), (2L, 10L)))
+  }
+
+  test("c36 temperature mix: smallest language keeps rate 1, thresholds fall with size") {
+    val docs = graft.sources.Tables.documents(spark, sf001).select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang")).count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Sampling.c36TemperatureMix(spark, sf001).collect()
+    assert(out.nonEmpty)
+    // every kept row satisfies its own recorded threshold
+    assert(out.forall(r => r.getLong(2) < r.getLong(3)))
+    val thr = out.map(r => r.getString(1) -> r.getLong(3)).toMap
+    val minLang = counts.minBy(_._2)._1
+    assert(thr(minLang) == Sampling.MixBucketSpace,
+      s"smallest language $minLang must keep everything, thr=${thr(minLang)}")
+    // thresholds are monotone non-increasing in language size
+    thr.keys.foreach { l =>
+      assert(counts(l) >= counts(minLang) && thr(l) <= thr(minLang))
+    }
+    // kept counts track n_l * r_l = sqrt(n_min * n_l) within hash noise
+    val kept = out.groupBy(_.getString(1)).view.mapValues(_.length.toDouble).toMap
+    kept.foreach { case (l, k) =>
+      val expect = math.sqrt(counts(minLang).toDouble * counts(l))
+      assert(math.abs(k - expect) / expect < 0.15,
+        f"$l kept $k%.0f vs expected ~$expect%.0f")
+    }
+  }
+
   test("c1 exact dedup: copies counted, canonical id is minimal") {
     val df = TextDedup.c1DedupExact(spark, sf0001)
     val total = graft.sources.Tables.documents(spark, sf0001).count()

@@ -125,6 +125,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("c36: temperature mix never shuffles the corpus — histogram aggregates, thresholds broadcast") {
+    val df = Sampling.c36TemperatureMix(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"per-lang thresholds must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus side must not shuffle for the join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("c35: SemDeDup pair join is keyed on the cluster id — work is cluster-bound, never corpus²") {
     val df = VectorOps.c35SemDedup(spark, sf0001)
     df.collect()
