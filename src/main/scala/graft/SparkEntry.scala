@@ -20,6 +20,7 @@ object SparkEntry {
     "a11_pv_equi_join" -> (EventStreamOps.a11PvEquiJoin _),
     "a12_range_join" -> ((s, d) => EventStreamOps.a12RangeJoin(s, d)),
     "a13_asof_join" -> (EventStreamOps.a13AsofJoin _),
+    "a14_outer_join" -> (EventStreamOps.a14OuterJoin _),
     "a3_selectkey_repartition" -> (EventStreamOps.a3SelectKeyRepartition _),
     "a4_windowed_reduce" -> (EventStreamOps.a4WindowedReduce _),
     "a5_hopping_window" -> (EventStreamOps.a5HoppingWindow _),
@@ -118,6 +119,16 @@ object SparkEntry {
         |   AND v.v_ts <= c.click_ts AND v.v_ts >= c.click_ts - INTERVAL 10 MINUTE)
         |SELECT c.click_id, c.user_id, c.click_ts, b.v_id AS view_id, b.v_ts AS view_ts
         |FROM clicks c LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) b USING (click_id)""".stripMargin,
+    // the flat FULL JOIN definition; the Spark side decomposes it into
+    // keyed joins because Spark has no non-equi full-outer strategy
+    "a14_outer_join" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+        |clicks AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM ev WHERE event_type = 'click'),
+        |views AS (SELECT event_id AS v_id, user_id AS v_user, ts AS v_ts FROM ev WHERE event_type = 'view')
+        |SELECT COALESCE(c.user_id, v.v_user) AS user_id,
+        |  c.click_id, c.click_ts, v.v_id AS view_id, v.v_ts AS view_ts
+        |FROM clicks c FULL JOIN views v ON c.user_id = v.v_user
+        |  AND v.v_ts <= c.click_ts AND v.v_ts >= c.click_ts - INTERVAL 10 MINUTE""".stripMargin,
     "a13_asof_join" ->
       """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
         |clicks AS (SELECT user_id, ts, event_id AS click_id FROM ev WHERE event_type = 'click'),

@@ -88,6 +88,51 @@ object EventStreamOps {
       .select(col("click_id"), col("user_id"), col("click_ts"), col("view_id"), col("view_ts"))
   }
 
+  /** A14: full OUTER windowed join — the third member of the Kafka
+    * Streams join DSL family (join / leftJoin / outerJoin; the
+    * reference demonstrates leftJoin, ClickstreamJoinExample.scala:234).
+    * Every in-window (click, view) pair is emitted, plus unmatched rows
+    * of BOTH sides with a null opposite side — outerJoin's contract.
+    *
+    * Spark has no non-equi FULL OUTER strategy short of a nested loop,
+    * so the operator decomposes: one LEFT equi-join on user_id with the
+    * window as a join-side predicate (covers pairs AND unmatched
+    * clicks), then one LEFT ANTI equi-join emitting the views no pair
+    * consumed. Three hash-keyed exchanges total, no nested loop at any
+    * size — the decomposition IS the full-outer definition, so the
+    * DuckDB oracle uses a native FULL JOIN.
+    */
+  def a14OuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val views = ev
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("view_ts"))
+    val joinCond = col("user_id") === col("v_user") &&
+      col("view_ts") <= col("click_ts") &&
+      col("view_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES")
+    // pairs + unmatched clicks in ONE keyed join
+    val left = clicks
+      .join(views, joinCond, "left")
+      .select(col("user_id"), col("click_id"), col("click_ts"), col("view_id"), col("view_ts"))
+    val unmatchedViews = views
+      .join(
+        left.filter(col("view_id").isNotNull).select(col("view_id").as("m_view")).distinct(),
+        col("view_id") === col("m_view"),
+        "left_anti"
+      )
+      .select(
+        col("v_user").as("user_id"),
+        lit(null).cast("long").as("click_id"),
+        lit(null).cast("timestamp").as("click_ts"),
+        col("view_id"),
+        col("view_ts")
+      )
+    left.unionByName(unmatchedViews)
+  }
+
   /** A11: per-pv-id EQUI-join — the reference's exact join-key
     * structure. ClickstreamJoinExample.scala:208-219, 339-341 re-keys
     * both streams to the composite (clientId, pvId) and joins on that

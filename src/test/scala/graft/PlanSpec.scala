@@ -125,6 +125,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("a14: full-outer windowed join decomposes into keyed joins — no nested loop") {
+    val df = EventStreamOps.a14OuterJoin(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"full-outer degenerated into a cross join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"full-outer degenerated into a nested loop:\n$p")
+  }
+
   test("c36: temperature mix never shuffles the corpus — histogram aggregates, thresholds broadcast") {
     val df = Sampling.c36TemperatureMix(spark, sf0001)
     df.collect()
