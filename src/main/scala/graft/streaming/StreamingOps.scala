@@ -122,6 +122,30 @@ object StreamingOps {
     )
   }
 
+  /** Windowed stream-stream FULL OUTER join — Kafka Streams
+    * `outerJoin`, the DSL sibling of [[clickstreamLeftJoin]] (the
+    * reference demonstrates leftJoin,
+    * ClickstreamJoinExample.scala:234): in-window pairs emit as they
+    * match; an unmatched row of EITHER side emits with a null opposite
+    * side once the watermark proves no match can still arrive — the
+    * streaming form of the batch
+    * [[graft.operators.EventStreamOps.a14OuterJoin]] decomposition
+    * (which exists only because BATCH Spark lacks a non-equi
+    * full-outer strategy; the streaming engine supports it natively
+    * with watermarks on both sides).
+    */
+  def clickstreamOuterJoin(clicks: DataFrame, views: DataFrame, joinWindowSec: Long): DataFrame = {
+    val c = clicks.withWatermark("click_ts", "10 minutes")
+    val v = views.withWatermark("v_ts", "10 minutes")
+    c.join(
+      v,
+      expr(
+        s"user_id = v_user AND v_ts BETWEEN click_ts - INTERVAL $joinWindowSec SECONDS AND click_ts"
+      ),
+      "fullOuter"
+    )
+  }
+
   /** Tumbling-window aggregation with watermark — the
     * `groupByKey.windowedBy(TimeWindows...).reduce` surface. Append
     * mode: a window only emits once the watermark passes its end (the

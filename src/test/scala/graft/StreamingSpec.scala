@@ -139,6 +139,47 @@ class StreamingSpec extends SparkSpec {
     assert(rows(602L) == -1L) // left-outer null emission
   }
 
+  test("clickstreamOuterJoin emits unmatched rows of BOTH sides once the watermark closes (outerJoin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val cDf = clicks.toDF().toDF("click_id", "user_id", "click_ts")
+    val vDf = views.toDF().toDF("v_id", "v_user", "v_ts")
+
+    val q = StreamingOps
+      .clickstreamOuterJoin(cDf, vDf, joinWindowSec = 15)
+      .writeStream
+      .format("memory")
+      .queryName("outer_join_out")
+      .outputMode("append")
+      .start()
+
+    // user 1: view+click pair within window; user 2: click with no
+    // view; user 3: view with no click — the full-outer contract needs
+    // BOTH orphans emitted with a null opposite side after the
+    // watermark proves no match can arrive
+    views.addData((501L, 1L, ts(100)), (503L, 3L, ts(150)))
+    clicks.addData((601L, 1L, ts(110)), (602L, 2L, ts(200)))
+    q.processAllAvailable()
+    views.addData((502L, 9L, ts(10000)))
+    clicks.addData((603L, 9L, ts(10000)))
+    q.processAllAvailable()
+
+    val rows = spark
+      .table("outer_join_out")
+      .select(col("click_id"), col("v_id"))
+      .collect()
+      .map(r =>
+        (if (r.isNullAt(0)) -1L else r.getLong(0)) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    q.stop()
+    assert(rows.contains((601L, 501L)), s"matched pair missing: $rows")
+    assert(rows.contains((602L, -1L)), s"unmatched click not emitted: $rows")
+    assert(rows.contains((-1L, 503L)), s"unmatched view not emitted: $rows")
+  }
+
   test("windowedCounts emits closed windows only (append + watermark)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
