@@ -65,6 +65,7 @@ object SparkEntry {
     "c29_ann_pq" -> (VectorOps.c29AnnPq _),
     "c19_stratified_sample" -> (Sampling.c19StratifiedSample _),
     "c36_temperature_mix" -> (Sampling.c36TemperatureMix _),
+    "c37_importance_score" -> (TextAnalysis.c37ImportanceScore _),
     "c20_training_pipeline" -> (Sampling.c20TrainingPipeline _),
     "c21_decontamination" -> (Sampling.c21Decontamination _),
     "c25_sequence_packing" -> (Sampling.c25SequencePacking _),
@@ -466,6 +467,22 @@ object SparkEntry {
         |  CAST(concat('0x', substr(md5('mix_' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % ${Sampling.MixBucketSpace} AS bucket
         |FROM documents)
         |SELECT b.doc_id, b.lang, b.bucket, r.thr FROM b JOIN r USING (lang) WHERE b.bucket < r.thr""".stripMargin,
+    // the indicative-bucket classifier in exact integer arithmetic
+    // (HUGEINT cross products here, DECIMAL/BigInt on the Spark side)
+    "c37_importance_score" ->
+      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') w FROM documents),
+        |tok AS (SELECT doc_id, lang, CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % ${TextAnalysis.ImportanceBuckets} AS b
+        |  FROM (SELECT doc_id, lang, unnest(w) AS t FROM d)),
+        |stats AS (SELECT b, count(*) AS cr, count(*) FILTER (WHERE lang = '${TextAnalysis.ImportanceTargetLang}') AS ct
+        |  FROM tok GROUP BY b),
+        |tot AS (SELECT CAST(sum(cr) AS HUGEINT) AS tr, CAST(sum(ct) AS HUGEINT) AS tt FROM stats),
+        |ind AS (SELECT b FROM stats, tot WHERE CAST(ct AS HUGEINT) * tr > CAST(cr AS HUGEINT) * tt),
+        |nt AS (SELECT doc_id, lang, count(*) AS n_tokens FROM tok GROUP BY 1, 2),
+        |ni AS (SELECT doc_id, count(*) AS n_ind FROM tok JOIN ind USING (b) GROUP BY 1)
+        |SELECT nt.doc_id, nt.lang, CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(ni.n_ind, 0) AS BIGINT) AS n_ind,
+        |  CAST(COALESCE(ni.n_ind, 0) AS DOUBLE) / nt.n_tokens AS affinity
+        |FROM nt LEFT JOIN ni USING (doc_id)""".stripMargin,
     "c20_training_pipeline" ->
       s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents),
         |m AS (SELECT doc_id,

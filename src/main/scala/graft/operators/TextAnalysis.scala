@@ -331,4 +331,66 @@ object TextAnalysis {
         min(col("h")).as("fp_min"),
         (sum(col("h")) % MinHashParams.P).as("fp_sum")
       )
+
+  /** c37 geometry: 1024 hashed token buckets, target domain = the
+    * `en` slice. DSIR (arXiv:2302.03169) scores data by an n-gram
+    * importance ratio between a target and the raw distribution; the
+    * LOG-likelihood form would hinge on libm `log`/`pow` rounding that
+    * differs between engines, so the bucket classifier here is EXACT
+    * integer math — bucket b is target-indicative iff
+    * cnt_target[b] · tot_raw > cnt_raw[b] · tot_target (cross products
+    * in DECIMAL(38,0) against DuckDB's HUGEINT, both exact) — and the
+    * per-document score is a single correctly-rounded division of two
+    * integers. Hash-exact across engines by construction.
+    */
+  val ImportanceBuckets = 1024
+  val ImportanceTargetLang = "en"
+
+  /** C37: DSIR-style importance scoring — how target-like each
+    * document's token distribution is. Pass 1 aggregates the hashed
+    * token-bucket histogram (map-side combinable, collapses to ≤ 1024
+    * rows; the two totals and the per-bucket counts are the only
+    * driver traffic — a bounded index artifact like c24's centroids).
+    * Pass 2 scores every document ROW-LOCALLY: each token's bucket
+    * indexes a broadcast-literal flag array, so the corpus never
+    * shuffles and never joins — the plan every importance-weighted
+    * mix build wants at 100 TB, where the corpus is the big side and
+    * the classifier is 1 KiB.
+    */
+  def c37ImportanceScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("text"))
+    val bucketed = docs.select(
+      col("doc_id"),
+      col("lang"),
+      transform(tokens(col("text")), t => hash32(t) % ImportanceBuckets).as("tb")
+    )
+    val stats = bucketed
+      .select(col("lang"), explode(col("tb")).as("b"))
+      .groupBy(col("b"))
+      .agg(
+        count(lit(1)).as("cr"),
+        count(when(col("lang") === ImportanceTargetLang, 1)).as("ct")
+      )
+      .collect()
+    val totR = stats.map(_.getLong(1)).sum
+    val totT = stats.map(_.getLong(2)).sum
+    // exact integer cross products (BigInt — no overflow at any corpus
+    // size), mirrored by the oracle's HUGEINT arithmetic
+    val flags = new Array[Int](ImportanceBuckets)
+    stats.foreach { r =>
+      val b = r.getLong(0).toInt
+      if (BigInt(r.getLong(2)) * totR > BigInt(r.getLong(1)) * totT) flags(b) = 1
+    }
+    val flagsLit = typedlit(flags.toSeq)
+    bucketed
+      .select(
+        col("doc_id"),
+        col("lang"),
+        size(col("tb")).cast("long").as("n_tokens"),
+        size(filter(col("tb"), b => element_at(flagsLit, b.cast("int") + 1) === 1))
+          .cast("long")
+          .as("n_ind")
+      )
+      .withColumn("affinity", col("n_ind").cast("double") / col("n_tokens"))
+  }
 }

@@ -289,6 +289,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("c37 importance score: bounds hold and the target domain separates") {
+    val rows = TextAnalysis.c37ImportanceScore(spark, sf001).collect()
+    val n = graft.sources.Tables.documents(spark, sf001).count()
+    assert(rows.length == n, "one score row per document")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "n_ind must not exceed n_tokens")
+      val a = r.getDouble(4)
+      assert(a >= 0.0 && a <= 1.0, s"affinity $a out of [0,1]")
+    }
+    // the classifier must actually find the target: en documents score
+    // higher on average than the rest (they DEFINE the target buckets)
+    val (en, rest) = rows.partition(_.getString(1) == TextAnalysis.ImportanceTargetLang)
+    val enMean = en.map(_.getDouble(4)).sum / en.length
+    val restMean = rest.map(_.getDouble(4)).sum / rest.length
+    // margin sized to the synthetic corpus: the languages share most
+    // of their vocabulary, so the real-data gap (disjoint vocab) is
+    // far larger than this floor
+    assert(enMean > restMean + 0.02,
+      f"no target separation: en $enMean%.3f vs rest $restMean%.3f")
+  }
+
   test("c1 exact dedup: copies counted, canonical id is minimal") {
     val df = TextDedup.c1DedupExact(spark, sf0001)
     val total = graft.sources.Tables.documents(spark, sf0001).count()

@@ -133,6 +133,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"full-outer degenerated into a nested loop:\n$p")
   }
 
+  test("c37: importance scoring pass is a pure narrow scan — classifier is a broadcast literal, no exchange") {
+    val df = TextAnalysis.c37ImportanceScore(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("Exchange"),
+      s"the scoring pass must not shuffle the corpus (the classifier is driver-built):\n$p")
+    assert(!p.contains("Join"), s"the scoring pass must not join:\n$p")
+  }
+
   test("c36: temperature mix never shuffles the corpus — histogram aggregates, thresholds broadcast") {
     val df = Sampling.c36TemperatureMix(spark, sf0001)
     df.collect()
