@@ -51,6 +51,7 @@ object SparkEntry {
     "b15_running_sum" -> (Relational.b15RunningSum _),
     "b20_rolling_window" -> (Relational.b20RollingWindow _),
     "b21_rank_ties" -> (Relational.b21RankTies _),
+    "b22_order_gaps" -> (Relational.b22OrderGaps _),
     "c1_dedup_exact" -> (TextDedup.c1DedupExact _),
     "c2_dedup_ngram_jaccard" -> (TextDedup.c2NgramJaccard _),
     "c3_dedup_minhash_lsh" -> (TextDedup.c3MinHashLsh _),
@@ -66,6 +67,7 @@ object SparkEntry {
     "c19_stratified_sample" -> (Sampling.c19StratifiedSample _),
     "c36_temperature_mix" -> (Sampling.c36TemperatureMix _),
     "c37_importance_score" -> (TextAnalysis.c37ImportanceScore _),
+    "c38_chunk_dedup" -> (TextAnalysis.c38ChunkDedup _),
     "c20_training_pipeline" -> (Sampling.c20TrainingPipeline _),
     "c21_decontamination" -> (Sampling.c21Decontamination _),
     "c25_sequence_packing" -> (Sampling.c25SequencePacking _),
@@ -292,6 +294,14 @@ object SparkEntry {
         |                     ORDER BY l_quantity DESC) AS rk
         |      FROM lineitem)
         |WHERE rk <= 3""".stripMargin,
+    // gap in epoch seconds (exact integers) — day-granularity datediff
+    // rounds differently between engines at boundaries
+    "b22_order_gaps" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  lag(o_orderdate) OVER w AS prev_ts,
+        |  CAST(epoch(o_orderdate) - epoch(lag(o_orderdate) OVER w) AS BIGINT) AS gap_seconds
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "b6_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -483,6 +493,22 @@ object SparkEntry {
         |  CAST(COALESCE(ni.n_ind, 0) AS BIGINT) AS n_ind,
         |  CAST(COALESCE(ni.n_ind, 0) AS DOUBLE) / nt.n_tokens AS affinity
         |FROM nt LEFT JOIN ni USING (doc_id)""".stripMargin,
+    // c31's chunk definition + lexicographic-min canonical instance
+    "c38_chunk_dedup" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |n AS (SELECT doc_id, w, greatest(CAST(ceil(CAST(len(w) - ${TextAnalysis.ChunkSize} AS DOUBLE) / ${TextAnalysis.ChunkStride}) AS INT), 0) + 1 AS nc FROM d),
+        |c AS (SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS ci FROM n),
+        |s AS (SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+        |  md5(array_to_string(list_slice(w, ci * ${TextAnalysis.ChunkStride} + 1, ci * ${TextAnalysis.ChunkStride} + ${TextAnalysis.ChunkSize}), ' ')) AS chunk_md5
+        |FROM c),
+        |cr AS (SELECT chunk_md5, doc_id AS c_doc, chunk_idx AS c_idx,
+        |  ROW_NUMBER() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_idx) AS rn FROM s),
+        |canon AS (SELECT chunk_md5, c_doc, c_idx FROM cr WHERE rn = 1)
+        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) FILTER (WHERE NOT (k.c_doc = s.doc_id AND k.c_idx = s.chunk_idx)) AS BIGINT) AS n_dup_chunks,
+        |  CAST(count(*) FILTER (WHERE NOT (k.c_doc = s.doc_id AND k.c_idx = s.chunk_idx)) AS DOUBLE) / count(*) AS dup_chunk_ratio
+        |FROM s JOIN canon k USING (chunk_md5)
+        |GROUP BY s.doc_id""".stripMargin,
     "c20_training_pipeline" ->
       s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents),
         |m AS (SELECT doc_id,

@@ -395,6 +395,26 @@ object Relational {
       .select(col("l_returnflag"), col("rk"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
   }
 
+  /** B22: order-gap analysis — LAG over each customer's order history:
+    * previous order timestamp and the gap in seconds (epoch difference,
+    * exact integer — day-granularity datediff semantics differ between
+    * engines at boundaries, epoch seconds do not). First order per
+    * customer carries nulls. The window partitions by o_custkey — high
+    * cardinality, so parallelism grows with customers and no task ever
+    * sorts more than one customer's bounded history.
+    */
+  def b22OrderGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables
+      .orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("prev_ts", lag(col("o_orderdate"), 1).over(w))
+      .withColumn(
+        "gap_seconds",
+        unix_timestamp(col("o_orderdate")) - unix_timestamp(col("prev_ts"))
+      )
+  }
+
   /** B12: sketches — approx distinct users + approx value quantiles per
     * event type. Not bit-equal across engines (rows-only check); the
     * point is the sketch mergeability: HLL partials merge associatively,

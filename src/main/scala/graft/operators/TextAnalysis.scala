@@ -332,6 +332,38 @@ object TextAnalysis {
         (sum(col("h")) % MinHashParams.P).as("fp_sum")
       )
 
+  /** C38: cross-document duplicated-chunk ratio — the segment-level
+    * dedup signal (the CCNet / RefinedWeb line-dedup idea at c31's
+    * chunk granularity, where this corpus has no line structure): a
+    * chunk instance is a DUPLICATE iff the canonical instance of its
+    * md5 — the lexicographically minimal (doc_id, chunk_idx) — is some
+    * other instance. Documents full of content that already exists
+    * elsewhere score high and get down-weighted or cut by a mix build;
+    * c1 catches only WHOLE-document copies, this catches partial reuse.
+    *
+    * Scale: chunking is row-local (c31); the canonical aggregate
+    * shuffles (md5, ids) pairs only — never chunk text; the md5 join is
+    * hash-keyed; the final per-doc aggregate folds map-side. Exact
+    * integer counts and one correctly-rounded division — hash-exact.
+    */
+  def c38ChunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ch = chunked(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_md5"))
+      .localCheckpoint() // feeds both the canonical agg and the join
+    val canon = ch
+      .groupBy(col("chunk_md5"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
+      .select(col("chunk_md5"), col("first.doc_id").as("c_doc"), col("first.chunk_idx").as("c_idx"))
+    ch.join(canon, Seq("chunk_md5"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(col("c_doc") =!= col("doc_id") || col("c_idx") =!= col("chunk_idx"), 1))
+          .as("n_dup_chunks")
+      )
+      .withColumn("dup_chunk_ratio", col("n_dup_chunks").cast("double") / col("n_chunks"))
+  }
+
   /** c37 geometry: 1024 hashed token buckets, target domain = the
     * `en` slice. DSIR (arXiv:2302.03169) scores data by an n-gram
     * importance ratio between a target and the raw distribution; the

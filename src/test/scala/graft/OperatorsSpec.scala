@@ -310,6 +310,28 @@ class OperatorsSpec extends SparkSpec {
       f"no target separation: en $enMean%.3f vs rest $restMean%.3f")
   }
 
+  test("c38 chunk dedup: bounds hold and duplicate counts reconcile with the distinct-md5 total") {
+    val rows = TextAnalysis.c38ChunkDedup(spark, sf001).collect()
+    val n = graft.sources.Tables.documents(spark, sf001).count()
+    assert(rows.length == n, "one row per document")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_dup_chunks must not exceed n_chunks")
+      val ratio = r.getDouble(3)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+    // exact reconciliation: every chunk instance beyond its md5's
+    // canonical one is a duplicate, so the per-doc duplicate counts
+    // must sum to (total instances − distinct md5s)
+    val ch = TextAnalysis
+      .chunked(graft.sources.Tables.documents(spark, sf001).select(col("doc_id"), col("text")))
+    val total = ch.count()
+    val distinctMd5 = ch.select(col("chunk_md5")).distinct().count()
+    val dupSum = rows.map(_.getLong(2)).sum
+    assert(dupSum == total - distinctMd5,
+      s"dup accounting broke: sum=$dupSum expected=${total - distinctMd5}")
+    assert(dupSum > 0, "test data lost its partial-overlap documents?")
+  }
+
   test("c1 exact dedup: copies counted, canonical id is minimal") {
     val df = TextDedup.c1DedupExact(spark, sf0001)
     val total = graft.sources.Tables.documents(spark, sf0001).count()
