@@ -83,8 +83,8 @@ object Bench {
       .mkString("[", ",", "]")
     // machine-contention self-annotation: per-query relative spread of
     // the WARM passes ((max−min)/median over passes 2..n — pass 1
-    // carries JIT and the amortized layout builds of s3/s5/c3, which
-    // are structural, not noise) and its median across queries. The
+    // carries JIT and the amortized layout builds of s2/s3/s5/s9/c3,
+    // which are structural, not noise) and its median across queries. The
     // code is identical from pass to pass, so warm spread can only be
     // environmental — a reader can distinguish "this query regressed"
     // from "this machine was busy" without re-running (round 5's

@@ -96,7 +96,8 @@ object SparkEntry {
     "s5_compaction" -> (graft.sources.Formats.s5Compaction _),
     "s6_schema_evolution" -> (graft.sources.Formats.s6SchemaEvolution _),
     "s7_orc_roundtrip" -> (graft.sources.Formats.s7OrcRoundtrip _),
-    "s8_text_roundtrip" -> (graft.sources.Formats.s8TextRoundtrip _)
+    "s8_text_roundtrip" -> (graft.sources.Formats.s8TextRoundtrip _),
+    "s9_upsert" -> (graft.sources.Formats.s9Upsert _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -494,6 +495,19 @@ object SparkEntry {
         |  CAST(COALESCE(ni.n_ind, 0) AS DOUBLE) / nt.n_tokens AS affinity
         |FROM nt LEFT JOIN ni USING (doc_id)""".stripMargin,
     // c31's chunk definition + lexicographic-min canonical instance
+    // the relational statement of MERGE: updates win on key, base
+    // survives unmatched, inserts append
+    "s9_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice, 'U' AS o_orderstatus
+        |  FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, o_custkey, o_totalprice, 'N'
+        |  FROM base WHERE o_orderkey % 97 = 0)
+        |SELECT * FROM upd
+        |UNION ALL
+        |SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)""".stripMargin,
     "c38_chunk_dedup" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |n AS (SELECT doc_id, w, greatest(CAST(ceil(CAST(len(w) - ${TextAnalysis.ChunkSize} AS DOUBLE) / ${TextAnalysis.ChunkStride}) AS INT), 0) + 1 AS nc FROM d),

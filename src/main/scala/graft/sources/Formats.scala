@@ -255,6 +255,56 @@ object Formats {
       )
   }
 
+  /** Generic MERGE INTO (upsert) semantics over plain parquet —
+    * matched keys take the update row, unmatched base rows survive,
+    * unmatched update rows insert. Formulated as updates ∪ (base
+    * LEFT ANTI updates) on the key: one hash-keyed anti-join and a
+    * union, never a full-outer (batch Spark would nested-loop a
+    * non-equi full-outer, and a keyed MERGE needs no such thing).
+    * `updates` must carry unique keys — MERGE's own precondition.
+    * This is the Delta/Iceberg MERGE contract expressed on immutable
+    * files: the caller writes the result as the table's next version.
+    */
+  def mergeInto(base: DataFrame, updates: DataFrame, keyCols: Seq[String]): DataFrame =
+    updates.unionByName(base.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti"))
+
+  /** S9: the upsert roundtrip — a deterministic update+insert batch
+    * merged into orders, written as the next table version, and read
+    * back for the gate (the write IS the exercise, s1-style). Updates
+    * re-price every 7th order; inserts add a shifted-key copy of every
+    * 97th. The oracle reconstructs the same merge relationally, so a
+    * dropped base row, a doubled update, or a lost insert all break
+    * the hash.
+    */
+  def s9Upsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables
+      .orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+    val updates = base
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        (col("o_totalprice") + 1000.0).as("o_totalprice"),
+        lit("U").as("o_orderstatus")
+      )
+      .unionByName(
+        base
+          .filter(col("o_orderkey") % 97 === 0)
+          .select(
+            (col("o_orderkey") + 20000000L).as("o_orderkey"),
+            col("o_custkey"),
+            col("o_totalprice"),
+            lit("N").as("o_orderstatus")
+          )
+      )
+    val out = s"${scratch(spark, "upsert", sfDir)}/v2"
+    if (!exists(spark, s"$out/_SUCCESS")) {
+      mergeInto(base, updates, Seq("o_orderkey")).write.mode("overwrite").parquet(out)
+    }
+    spark.read.parquet(out)
+  }
+
   /** The compacted directory for [[s5Compaction]]'s physical-layout
     * assertions (FormatsSpec) — valid after the query has run in the
     * same application.

@@ -310,6 +310,18 @@ class OperatorsSpec extends SparkSpec {
       f"no target separation: en $enMean%.3f vs rest $restMean%.3f")
   }
 
+  test("mergeInto: updates win on key, base survives unmatched, inserts append") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "s", "v")
+    val updates = Seq((2L, "B", 99.0), (9L, "n", 1.0)).toDF("k", "s", "v")
+    val merged = graft.sources.Formats
+      .mergeInto(base, updates, Seq("k"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(merged == Set((1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0), (9L, "n", 1.0)))
+  }
+
   test("c38 chunk dedup: bounds hold and duplicate counts reconcile with the distinct-md5 total") {
     val rows = TextAnalysis.c38ChunkDedup(spark, sf001).collect()
     val n = graft.sources.Tables.documents(spark, sf001).count()

@@ -125,6 +125,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("s9: mergeInto plans a keyed LEFT ANTI join — never a full-outer nested loop") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = graft.sources.Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val updates = base.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") + lit(1.0)).as("o_totalprice"))
+    val df = graft.sources.Formats.mergeInto(base, updates, Seq("o_orderkey"))
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("LeftAnti"), s"anti-join missing:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("a14: full-outer windowed join decomposes into keyed joins — no nested loop") {
     val df = EventStreamOps.a14OuterJoin(spark, sf0001)
     df.collect()
