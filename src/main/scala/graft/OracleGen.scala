@@ -312,6 +312,22 @@ object OracleGen {
        |FROM asg a LEFT JOIN rm ON rm.vec_id = a.vec_id""".stripMargin
   }
 
+  /** c39 = the best-centroid cosine per vector (c35's assignment CTE
+    * keeping the winning cos) + the outlier flag.
+    */
+  val c39EmbeddingOutliers: String = {
+    import graft.operators.VectorOps.{SemLists, OutlierCosFloor}
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |nm AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),
+       |cent AS (SELECT vec_id AS cid, vn AS cv FROM nm WHERE vec_id < $SemLists),
+       |asgr AS (SELECT n.vec_id, c.cid, list_dot_product(n.vn, c.cv) AS cosc,
+       |  ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.vn, c.cv) DESC, c.cid) rn
+       |  FROM nm n CROSS JOIN cent c)
+       |SELECT vec_id, cid AS list_id, cosc AS cos_centroid,
+       |  (cosc < $OutlierCosFloor) AS is_outlier
+       |FROM asgr WHERE rn = 1""".stripMargin
+  }
+
   val c21Decontamination: String = {
     import graft.operators.Sampling.EvalEvery
     s"""WITH $shingleCtes,

@@ -62,6 +62,7 @@ object SparkEntry {
     "c17_dedup_embedding_lsh" -> ((s, d) => VectorOps.c17EmbeddingDedupLsh(s, d)),
     "c18_ann_ivf" -> ((s, d) => VectorOps.c18AnnIvf(s, d)),
     "c35_semdedup" -> (VectorOps.c35SemDedup _),
+    "c39_embedding_outliers" -> (VectorOps.c39EmbeddingOutliers _),
     "c24_ann_ivf_trained" -> ((s, d) => VectorOps.c24AnnIvfTrained(s, d)),
     "c29_ann_pq" -> (VectorOps.c29AnnPq _),
     "c19_stratified_sample" -> (Sampling.c19StratifiedSample _),
@@ -365,6 +366,7 @@ object SparkEntry {
     "c6_ann_bruteforce" -> OracleGen.c6AnnBruteforce,
     "c18_ann_ivf" -> OracleGen.c18AnnIvf,
     "c35_semdedup" -> OracleGen.c35SemDedup,
+    "c39_embedding_outliers" -> OracleGen.c39EmbeddingOutliers,
     "c29_ann_pq" -> OracleGen.c29AnnPq,
     // adjudicated zero-miss vs the exact top-5 at both test SFs → the
     // exact oracle applies (see OracleGen.c7AnnLsh)

@@ -761,6 +761,38 @@ object VectorOps {
     semDedupAssigned(asg, SemDedupThreshold)
   }
 
+  /** c39 floor: the ~10th percentile of best-centroid cosine on the
+    * test embeddings — vectors below it sit far from EVERY cluster
+    * (mis-embedded, corrupted, or off-distribution content, the
+    * curation-prune sibling of SemDeDup's duplicate prune).
+    */
+  val OutlierCosFloor = 0.16
+
+  /** C39: embedding outlier detection — each vector's cosine to its
+    * best (seeded) centroid, flagged when below [[OutlierCosFloor]].
+    * The full-corpus verdict a mix build joins back to drop or
+    * down-weight outliers. Same deterministic broadcast-argmax
+    * assignment as c18/c35 (hash-exact against the oracle); one corpus
+    * scan, k dot products per row, no shuffle of the corpus beyond the
+    * per-vector argmax fold.
+    */
+  def c39EmbeddingOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val cent = e
+      .filter(col("vec_id") < SemLists)
+      .select(col("vec_id").as("cid"), col("vn").as("cv"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("cos_c", arrayDot(col("vn"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos_c"), (-col("cid")).as("ncid"))).as("best"))
+      .select(
+        col("vec_id"),
+        (-col("best.ncid")).as("list_id"),
+        col("best.cos_c").as("cos_centroid"),
+        (col("best.cos_c") < OutlierCosFloor).as("is_outlier")
+      )
+  }
+
   /** The trained variant — [[trainCentroids]]' Lloyd quantizer instead
     * of seeds, assignment as [[assignList]]'s zero-shuffle codegen
     * projection (the c24 serving path). Clustering quality (not

@@ -103,6 +103,23 @@ class VectorRecallSpec extends SparkSpec {
     }
   }
 
+  test("c39 outlier verdict: full coverage, seeds never flagged, flag matches the floor") {
+    val rows = VectorOps.c39EmbeddingOutliers(spark, sf001).collect()
+    val n = graft.sources.Tables.embeddings(spark, sf001).count()
+    assert(rows.length == n, "one verdict row per vector")
+    rows.foreach { r =>
+      assert(r.getBoolean(3) == (r.getDouble(2) < VectorOps.OutlierCosFloor))
+    }
+    // centroid seeds assign to themselves at cos ~1 (self dot of the
+    // normalized vector — a few ULPs shy of exactly 1.0) — never outliers
+    rows.filter(_.getLong(0) < VectorOps.SemLists).foreach { r =>
+      assert(r.getDouble(2) > 0.999999 && !r.getBoolean(3), s"seed ${r.getLong(0)} flagged")
+    }
+    val flagged = rows.count(_.getBoolean(3))
+    assert(flagged > 0, "floor flags nothing — distribution changed?")
+    assert(flagged < n / 4, s"floor flags $flagged of $n — too aggressive")
+  }
+
   test("c18 IVF ANN recall@5 >= 0.9 vs the exact c6 baseline at default nprobe") {
     val exactTop5 = VectorOps
       .c6AnnBruteforce(spark, sf001)
