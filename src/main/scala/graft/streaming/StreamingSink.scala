@@ -27,6 +27,7 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 object StreamingSink {
 
   private val Marker = "_GRAFT_COMMIT"
+  private val Latest = "_GRAFT_LATEST"
 
   def idempotentParquet(
       df: DataFrame,
@@ -51,6 +52,104 @@ object StreamingSink {
         }
         if (!committed) {
           batch.write.mode("overwrite").parquet(target.toString)
+          val out = fs.create(marker, true)
+          try out.write(checkpointDir.getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+        }
+      }
+      .trigger(trigger)
+
+  /** The current version directory name recorded in the `_GRAFT_LATEST`
+    * pointer, if any — versions are immutable `v=<batchId>` dirs and
+    * the pointer flip is the "commit" (the lakehouse version-pointer
+    * pattern on plain files).
+    */
+  private def latestVersion(fs: org.apache.hadoop.fs.FileSystem, tableDir: String): Option[String] = {
+    val p = new Path(tableDir, Latest)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](math.min(fs.getFileStatus(p).getLen, 65536L).toInt)
+        in.readFully(bytes)
+        Some(new String(bytes, StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
+  /** Read the upsert table's current state (empty when no version has
+    * committed yet throws — callers check after the stream has run).
+    */
+  def upsertTable(spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame = {
+    val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, tableDir)
+      .getOrElse(throw new IllegalStateException(s"no committed version under $tableDir"))
+    spark.read.parquet(s"$tableDir/$v")
+  }
+
+  /** Streaming MERGE INTO: each micro-batch upserts into the table —
+    * one row per key survives the batch (max `seqCol`, computed by the
+    * native bounded-heap [[graft.plans.TopKPerKey]] with k=1, so a
+    * million-row batch never sorts per key), then
+    * [[graft.sources.Formats.mergeInto]] folds it into the current
+    * version and the result commits as immutable `v=<batchId>` with a
+    * `_GRAFT_LATEST` pointer flip. Commit order is data → pointer →
+    * marker, so every replay after a crash lands safely: before the
+    * pointer flip a replay recomputes from the old parent; after the
+    * flip the pointer itself proves `v=<batchId>` is complete, so the
+    * replay only restores the missing marker (it must NOT re-merge —
+    * reading a version while overwriting it would corrupt it).
+    * Idempotent on (batchId, checkpoint) like [[idempotentParquet]];
+    * a tableDir belongs to ONE checkpoint lifetime (its history IS the
+    * checkpoint's). Callers must make (key, seqCol) unique per batch —
+    * MERGE's own precondition.
+    */
+  def upsertParquet(
+      df: DataFrame,
+      keyCols: Seq[String],
+      seqCol: String,
+      tableDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): DataStreamWriter[Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val conf = spark.sparkContext.hadoopConfiguration
+        val table = new Path(tableDir)
+        val fs = table.getFileSystem(conf)
+        val target = new Path(s"$tableDir/v=$batchId")
+        val marker = new Path(target, Marker)
+        val committed = fs.exists(marker) && {
+          val in = fs.open(marker)
+          try {
+            val bytes = new Array[Byte](math.min(fs.getFileStatus(marker).getLen, 65536L).toInt)
+            in.readFully(bytes)
+            new String(bytes, StandardCharsets.UTF_8) == checkpointDir
+          } finally in.close()
+        }
+        if (!committed) {
+          val parent = latestVersion(fs, tableDir)
+          if (!parent.contains(s"v=$batchId")) {
+            val keyed = graft.plans.TopKPerKey.topKPerKey(
+              batch,
+              keyCols,
+              orderBy = Seq((seqCol, false)),
+              k = 1
+            )
+            val merged = parent match {
+              case Some(v) =>
+                graft.sources.Formats.mergeInto(spark.read.parquet(s"$tableDir/$v"), keyed, keyCols)
+              case None => keyed
+            }
+            merged.write.mode("overwrite").parquet(target.toString)
+            val ptr = fs.create(new Path(table, Latest), true)
+            try ptr.write(s"v=$batchId".getBytes(StandardCharsets.UTF_8))
+            finally ptr.close()
+          }
+          // pointer already at v=<batchId>: the data write completed
+          // before the flip — only the marker was lost; restore it
           val out = fs.create(marker, true)
           try out.write(checkpointDir.getBytes(StandardCharsets.UTF_8))
           finally out.close()

@@ -40,6 +40,37 @@ class StreamingSinkSpec extends SparkSpec {
     assert(new java.io.File(out).listFiles().count(_.getName.startsWith("batch_id=")) >= 1)
   }
 
+  test("upsert sink folds batches into a versioned table and survives restart (streaming MERGE)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val table = Files.createTempDirectory("graft_upsert_table").toString
+    val ckpt = Files.createTempDirectory("graft_upsert_ckpt").toString
+
+    val input = MemoryStream[(Long, Long, Double)]
+    def writer() = StreamingSink.upsertParquet(
+      input.toDF().toDF("k", "seq", "v"), Seq("k"), "seq", table, ckpt)
+
+    // batch 0: keys 1..5; batch 1: update 2,4 (+ an in-batch loser for
+    // key 2 that the seq winner must drop) and insert 6
+    input.addData((1L, 1L, 10.0), (2L, 1L, 20.0), (3L, 1L, 30.0), (4L, 1L, 40.0), (5L, 1L, 50.0))
+    writer().start().awaitTermination()
+    input.addData((2L, 2L, 21.0), (2L, 3L, 22.0), (4L, 2L, 41.0), (6L, 2L, 60.0))
+    writer().start().awaitTermination()
+
+    def state() = StreamingSink
+      .upsertTable(spark, table)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+      .toMap
+    val expected = Map(1L -> 10.0, 2L -> 22.0, 3L -> 30.0, 4L -> 41.0, 5L -> 50.0, 6L -> 60.0)
+    assert(state() == expected, s"merged state diverged: ${state()}")
+
+    // restart with no new data: committed batches must not re-merge
+    writer().start().awaitTermination()
+    assert(state() == expected)
+  }
+
   test("a stale marker from a DIFFERENT checkpoint does not suppress the write") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
