@@ -132,6 +132,35 @@ object GraftSql {
   def b19SqlCorrelated(spark: SparkSession, sfDir: String): DataFrame =
     sql(spark, sfDir, Q17Sql)
 
+  /** B23: TPC-H Q21 shape — the hardest correlation pattern in the
+    * suite: a correlated EXISTS and a correlated NOT EXISTS against the
+    * SAME table, both on the outer row's order key with a <>-predicate
+    * on the supplier ("the only supplier whose lineitem returned in a
+    * multi-supplier order"; returnflag stands in for the
+    * receipt-past-commit lateness column this schema lacks). Catalyst
+    * decorrelates EXISTS → left semi and NOT EXISTS → left anti
+    * (RewritePredicateSubquery), so the plan is three keyed joins on
+    * l_orderkey — never a per-row subquery. The final ORDER BY
+    * (numwait DESC, suppkey) is total, so LIMIT 20 is deterministic.
+    */
+  val Q21Sql: String =
+    """SELECT s.l_suppkey AS suppkey, COUNT(*) AS numwait
+      |FROM lineitem s JOIN orders o ON o.o_orderkey = s.l_orderkey
+      |WHERE o.o_orderstatus = 'F' AND s.l_returnflag = 'R'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = s.l_orderkey AND l2.l_suppkey <> s.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = s.l_orderkey AND l3.l_suppkey <> s.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |GROUP BY s.l_suppkey
+      |ORDER BY numwait DESC, suppkey
+      |LIMIT 20""".stripMargin
+
+  def b23SqlQ21(spark: SparkSession, sfDir: String): DataFrame =
+    sql(spark, sfDir, Q21Sql)
+
   /** C13: vector search through SQL using graft's registered native
     * functions (array_l2_normalize / array_dot) — the
     * SparkSessionExtensions surface.

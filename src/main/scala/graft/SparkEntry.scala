@@ -52,6 +52,7 @@ object SparkEntry {
     "b20_rolling_window" -> (Relational.b20RollingWindow _),
     "b21_rank_ties" -> (Relational.b21RankTies _),
     "b22_order_gaps" -> (Relational.b22OrderGaps _),
+    "b23_sql_q21" -> (GraftSql.b23SqlQ21 _),
     "c1_dedup_exact" -> (TextDedup.c1DedupExact _),
     "c2_dedup_ngram_jaccard" -> (TextDedup.c2NgramJaccard _),
     "c3_dedup_minhash_lsh" -> (TextDedup.c3MinHashLsh _),
@@ -296,6 +297,9 @@ object SparkEntry {
         |                     ORDER BY l_quantity DESC) AS rk
         |      FROM lineitem)
         |WHERE rk <= 3""".stripMargin,
+    // same ANSI text both engines (GraftSql.Q21Sql) — counts only, no
+    // float anywhere
+    "b23_sql_q21" -> GraftSql.Q21Sql,
     // gap in epoch seconds (exact integers) — day-granularity datediff
     // rounds differently between engines at boundaries
     "b22_order_gaps" ->

@@ -480,6 +480,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("b23: Q21-shape EXISTS/NOT EXISTS decorrelate to keyed semi + anti joins") {
+    val df = GraftSql.b23SqlQ21(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("LeftSemi"), s"EXISTS did not decorrelate to a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not decorrelate to an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("c26: incremental dedup anti-join stays hash-keyed — no nested loop, text never shuffles") {
     val df = Sampling.c26DedupIncremental(spark, sf0001)
     df.collect()
