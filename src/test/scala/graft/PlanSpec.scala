@@ -325,6 +325,29 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.TopKPerKey.MaxKeysConfKey)
   }
 
+  test("TopKPerKey dense mode stays exact under partial flush and sortedFinal") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val sparkS = spark
+    import sparkS.implicits._
+    spark.conf.set(graft.plans.TopKPerKey.MaxKeysConfKey, "5")
+    try {
+      val rnd = new scala.util.Random(271)
+      val rows = (0 until 4000).map(i => (s"k${rnd.nextInt(150)}", rnd.nextInt(8).toDouble, i.toLong))
+      val df = rows.toDF("key", "value", "id").repartition(4)
+      val native = graft.plans.TopKPerKey
+        .topKPerKey(df, Seq("key"), Seq(("value", false)), 3,
+          sortedFinal = true, mode = graft.plans.TopKPerKey.DenseRankMode)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      val w = W.partitionBy(col("key")).orderBy(col("value").desc)
+      val windowed = df.withColumn("dk", dense_rank().over(w)).filter(col("dk") <= 3)
+        .select(col("key"), col("value"), col("id"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(native == windowed,
+        s"flush epochs broke dense exactness: missing=${(windowed -- native).take(3)} extra=${(native -- windowed).take(3)}")
+    } finally spark.conf.unset(graft.plans.TopKPerKey.MaxKeysConfKey)
+  }
+
   test("dense_rank SQL shape rewrites to the native prune and matches the declarative result") {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.TopKPerKey.RowNumberLimitToTopK)) {
       spark.experimental.extraOptimizations =
