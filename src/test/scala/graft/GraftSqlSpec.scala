@@ -156,6 +156,37 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("a GraftExtensions-built session plans the rank rewrite with no lazy injection") {
+    import org.apache.spark.sql.SparkSession
+    // a session CREATED with the extensions (the spark.sql.extensions /
+    // withExtensions deployment path) must plan the native operator
+    // without GraftSql.register's experimental.* fallback injection.
+    // getOrCreate returns the existing session unless the
+    // active/default slots are cleared first — restore them after.
+    val old = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession
+        .builder()
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      assert(ext ne old, "builder returned the old session — extensions were not applied")
+      graft.sources.Tables.table(ext, sf0001, "orders").createOrReplaceTempView("orders_ext")
+      val df = ext.sql(
+        """SELECT o_custkey, o_orderkey FROM (
+          |  SELECT o_custkey, o_orderkey,
+          |         rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rn
+          |  FROM orders_ext) WHERE rn <= 2""".stripMargin)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerKey"), s"extensions path missed the rank rewrite:\n$p")
+      assert(df.collect().nonEmpty)
+    } finally {
+      SparkSession.setActiveSession(old)
+      SparkSession.setDefaultSession(old)
+    }
+  }
+
   test("invalidate() restores sql() after a caller drops a temp view behind the cache") {
     GraftSql.sql(spark, sf0001, "SELECT 1").collect()
     spark.catalog.dropTempView("nation")
