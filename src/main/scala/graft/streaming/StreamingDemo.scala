@@ -153,6 +153,25 @@ object StreamingDemo {
         s"budget overrun for $lang: $tok")
     }
 
+    // streaming MERGE INTO: the replayed documents upsert into a
+    // versioned table keyed on doc_id (seq = doc_id — one batch here;
+    // StreamingSinkSpec drives the multi-batch fold + restart legs);
+    // the committed version must hold exactly one row per key
+    val upsertTableDir = java.nio.file.Files.createTempDirectory("graft_demo_upsert").toString
+    val upsertCkpt = java.nio.file.Files.createTempDirectory("graft_demo_upsert_ckpt").toString
+    val upsertStream = spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .select(col("doc_id"), col("doc_id").as("seq"), col("source"), col("n_chars"))
+    StreamingSink
+      .upsertParquet(upsertStream, Seq("doc_id"), "seq", upsertTableDir, upsertCkpt)
+      .start()
+      .awaitTermination()
+    val nUpsert = StreamingSink.upsertTable(spark, upsertTableDir).count()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    require(nUpsert == nDocs, s"upsert table lost rows: $nUpsert vs $nDocs")
+
     // exactly-once parquet sink for the deduped stream
     val sinkDir = java.nio.file.Files.createTempDirectory("graft_demo_sink").toString
     val ckptDir = java.nio.file.Files.createTempDirectory("graft_demo_ckpt").toString
@@ -172,7 +191,7 @@ object StreamingDemo {
     val nJoined = spark.table("demo_papi").filter("view_id IS NOT NULL").count()
     val total = spark.read.parquet(s"$sfDir/events.parquet").count()
     println(
-      s"""{"streaming_demo":{"input_events":$total,"deduped_kept":$nDedup,"closed_windows":$nWindows,"enriched_clicks":$nClicks,"clicks_with_view":$nJoined,"curated_docs":$nCurated,"quota_docs":$nQuota,"budget_admits":$nBudget,"sink_rows":$nSunk}}"""
+      s"""{"streaming_demo":{"input_events":$total,"deduped_kept":$nDedup,"closed_windows":$nWindows,"enriched_clicks":$nClicks,"clicks_with_view":$nJoined,"curated_docs":$nCurated,"quota_docs":$nQuota,"budget_admits":$nBudget,"upsert_rows":$nUpsert,"sink_rows":$nSunk}}"""
     )
     spark.stop()
   }
