@@ -359,6 +359,24 @@ object OracleGen {
        |FROM c GROUP BY 1""".stripMargin
   }
 
+  /** c40 = c25's flat packing definition in the salted-hash shuffle
+    * order instead of doc_id order.
+    */
+  val c40ShuffledPacking: String = {
+    import graft.operators.Sampling.PackBinTokens
+    s"""WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) n,
+       |  CAST(concat('0x', substr(md5('shuf_' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) h FROM documents),
+       |c AS (SELECT doc_id, n,
+       |  COALESCE(SUM(n) OVER (ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |FROM t)
+       |SELECT CAST(off // $PackBinTokens AS BIGINT) AS bin_id,
+       |  count(*) AS n_docs,
+       |  CAST(SUM(n) AS BIGINT) AS sum_tokens,
+       |  MIN(doc_id) AS first_doc,
+       |  MAX(doc_id) AS last_doc
+       |FROM c GROUP BY 1""".stripMargin
+  }
+
   val c26DedupIncremental: String = {
     import graft.operators.Sampling.IncrEvery
     s"""WITH d AS (SELECT doc_id, lang, md5(text) h FROM documents),

@@ -70,6 +70,7 @@ object SparkEntry {
     "c36_temperature_mix" -> (Sampling.c36TemperatureMix _),
     "c37_importance_score" -> (TextAnalysis.c37ImportanceScore _),
     "c38_chunk_dedup" -> (TextAnalysis.c38ChunkDedup _),
+    "c40_shuffled_packing" -> (Sampling.c40ShuffledPacking _),
     "c20_training_pipeline" -> (Sampling.c20TrainingPipeline _),
     "c21_decontamination" -> (Sampling.c21Decontamination _),
     "c25_sequence_packing" -> (Sampling.c25SequencePacking _),
@@ -377,6 +378,7 @@ object SparkEntry {
     "c7_ann_lsh" -> OracleGen.c7AnnLsh,
     "c21_decontamination" -> OracleGen.c21Decontamination,
     "c25_sequence_packing" -> OracleGen.c25SequencePacking,
+    "c40_shuffled_packing" -> OracleGen.c40ShuffledPacking,
     "c26_dedup_incremental" -> OracleGen.c26DedupIncremental,
     "c27_doc_repetition" -> OracleGen.c27DocRepetition,
     "c31_doc_chunking" ->

@@ -249,6 +249,57 @@ object Sampling {
       )
   }
 
+  /** c40 bucket width: 1024 contiguous ranges over hash32's [0, 2^32)
+    * domain — the shuffled-order counterpart of c25's id buckets.
+    */
+  val ShufBucketWidth = 1L << 22
+
+  /** C40: deterministic corpus shuffle + sequence packing — every
+    * pretraining run packs in SHUFFLED order, not ingestion order
+    * (adjacent source documents are correlated; a seeded permutation
+    * decorrelates batches reproducibly across re-runs and engines).
+    * The permutation is the salted md5 order (`shuf_<doc_id>` — c19's
+    * coin idiom as an ordering), and the packing is c25's two-phase
+    * distributed prefix sum with hash RANGES as the bucket: bucket =
+    * floor(h / width) is monotone in h, so cross-bucket order equals
+    * the flat (h, doc_id) order and the cut is exactly the oracle's
+    * single-window definition. No whole-corpus single-partition window
+    * exists; the only unpartitioned frame is the ≤1024-row bucket
+    * offset table.
+    */
+  def c40ShuffledPacking(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables
+      .documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n"),
+        graft.functions.TextFunctions
+          .hash32(concat(lit("shuf_"), col("doc_id").cast("string")))
+          .as("h")
+      )
+      .withColumn("bucket", floor(col("h") / ShufBucketWidth))
+    val bucketTotals = t.groupBy(col("bucket")).agg(sum(col("n")).as("bn"))
+    val wb = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTotals
+      .withColumn("bucket_off", coalesce(sum(col("bn")).over(wb), lit(0L)))
+      .select(col("bucket"), col("bucket_off"))
+    val wl = Window
+      .partitionBy(col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.join(broadcast(offsets), "bucket")
+      .withColumn("off", col("bucket_off") + coalesce(sum(col("n")).over(wl), lit(0L)))
+      .withColumn("bin_id", floor(col("off") / PackBinTokens))
+      .groupBy(col("bin_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc")
+      )
+  }
+
   /** The "new batch" stand-in for incremental dedup: every 10th doc. */
   val IncrEvery = 10
 

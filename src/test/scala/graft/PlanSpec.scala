@@ -479,6 +479,17 @@ class PlanSpec extends SparkSpec {
     assert(native == windowed)
   }
 
+  test("c40: shuffled packing keeps the two-phase shape — no whole-corpus single-partition window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = Sampling.c40ShuffledPacking(spark, sf0001)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.collect { case a: Aggregate => a }.nonEmpty,
+        "global running-offset window must sit over the bucket aggregate, not the corpus")
+    }
+  }
+
   test("c25: prefix sum is two-phase — no whole-corpus single-partition window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val df = Sampling.c25SequencePacking(spark, sf0001)
