@@ -377,6 +377,14 @@ object OracleGen {
        |FROM c GROUP BY 1""".stripMargin
   }
 
+  /** c41 = plain exact heavy hitters; the Spark side's sketch pass only
+    * prunes candidates, the output contract is the full groupBy count.
+    */
+  val c41HeavyHitters: String =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |g AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
+      |SELECT token, cnt FROM g WHERE cnt * 100 >= (SELECT count(*) FROM tok)""".stripMargin
+
   val c26DedupIncremental: String = {
     import graft.operators.Sampling.IncrEvery
     s"""WITH d AS (SELECT doc_id, lang, md5(text) h FROM documents),

@@ -71,6 +71,7 @@ object SparkEntry {
     "c37_importance_score" -> (TextAnalysis.c37ImportanceScore _),
     "c38_chunk_dedup" -> (TextAnalysis.c38ChunkDedup _),
     "c40_shuffled_packing" -> (Sampling.c40ShuffledPacking _),
+    "c41_heavy_hitters" -> (TextAnalysis.c41HeavyHitters _),
     "c20_training_pipeline" -> (Sampling.c20TrainingPipeline _),
     "c21_decontamination" -> (Sampling.c21Decontamination _),
     "c25_sequence_packing" -> (Sampling.c25SequencePacking _),
@@ -379,6 +380,7 @@ object SparkEntry {
     "c21_decontamination" -> OracleGen.c21Decontamination,
     "c25_sequence_packing" -> OracleGen.c25SequencePacking,
     "c40_shuffled_packing" -> OracleGen.c40ShuffledPacking,
+    "c41_heavy_hitters" -> OracleGen.c41HeavyHitters,
     "c26_dedup_incremental" -> OracleGen.c26DedupIncremental,
     "c27_doc_repetition" -> OracleGen.c27DocRepetition,
     "c31_doc_chunking" ->

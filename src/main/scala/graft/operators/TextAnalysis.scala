@@ -425,4 +425,43 @@ object TextAnalysis {
       )
       .withColumn("affinity", col("n_ind").cast("double") / col("n_tokens"))
   }
+
+  /** c41 sketch size: guarantees candidates above share 1/257 ≈ 0.39%,
+    * comfortably under the 1% query threshold.
+    */
+  val HeavyHitterCapacity = 256
+
+  /** C41: corpus-wide EXACT heavy hitters (vocabulary head) in two
+    * bounded passes — the token-frequency job behind stopword lists,
+    * tokenizer vocabularies, and boilerplate detection. Pass 1 folds
+    * the token stream into a Misra-Gries summary ([[graft.plans.FreqItemsAgg]]):
+    * each task carries at most `capacity` counters regardless of
+    * vocabulary size, so nothing long-tail ever shuffles — the only
+    * exchange is ≤ capacity-entry partial summaries. Pass 2 re-counts
+    * just the ≤ capacity candidates (broadcast IN filter on the scan)
+    * and applies the 1% share threshold in pure integer math
+    * (cnt * 100 >= total — no float, engine-exact). Because the query
+    * threshold (1%) exceeds the sketch guarantee (1/(capacity+1)),
+    * every qualifying token is provably in the candidate set and the
+    * output is exact — identical to a full groupBy count, without ever
+    * shuffling the vocabulary tail.
+    */
+  def c41HeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables
+      .documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("token"))
+    val sketch = toks
+      .agg(
+        graft.plans.FreqItemsAgg.freqItemCandidates(col("token"), HeavyHitterCapacity).as("cands"),
+        count(lit(1)).as("total")
+      )
+      .head()
+    val cands = sketch.getSeq[String](0)
+    val total = sketch.getLong(1)
+    toks
+      .filter(col("token").isin(cands: _*))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(100L) >= lit(total))
+  }
 }

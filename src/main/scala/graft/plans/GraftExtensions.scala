@@ -91,6 +91,30 @@ object GraftExtensions {
       }
     ),
     (
+      "freq_item_candidates",
+      info(
+        "freq_item_candidates",
+        "freq_item_candidates(item, capacity) - Misra-Gries frequent-item candidates: at most `capacity` " +
+          "strings, guaranteed to include every item with share > 1/(capacity+1); capacity must be an " +
+          "integer literal (re-count candidates exactly for exact heavy hitters)"
+      ),
+      (children: Seq[Expression]) => {
+        val c = arity("freq_item_candidates", 2)(children)
+        c(1) match {
+          case Literal(v: Int, IntegerType) => FreqItemsAgg(c(0), v).toAggregateExpression()
+          case _ =>
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "NON_FOLDABLE_ARGUMENT",
+              messageParameters = Map(
+                "funcName" -> "`freq_item_candidates`",
+                "paramName" -> "`capacity`",
+                "paramType" -> "\"INT\""
+              )
+            )
+        }
+      }
+    ),
+    (
       "simhash_agg",
       info(
         "simhash_agg",

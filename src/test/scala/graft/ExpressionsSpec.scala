@@ -151,6 +151,85 @@ class ExpressionsSpec extends SparkSpec {
     assert(e.getMessage.contains("simhash_of_tokens"))
   }
 
+  test("freq_item_candidates: MG superset guarantee holds across partition merges (seeded streams)") {
+    import spark.implicits._
+    import graft.plans.FreqItemsAgg
+    val cap = 16
+    Seq(1, 7, 23).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 20000
+      // mixture stream: 5 hot tokens share half the mass (each ~10% —
+      // above the N/(cap+1) guarantee line), 20 warm tokens ~1% each
+      // (below the line — may or may not survive), 5000-token cold tail
+      val items = (1 to n).map { _ =>
+        val u = rnd.nextDouble()
+        if (u < 0.5) s"hot_${rnd.nextInt(5)}"
+        else if (u < 0.7) s"warm_${rnd.nextInt(20)}"
+        else s"cold_${rnd.nextInt(5000)}"
+      }
+      val trueCounts = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val guaranteed = trueCounts.collect { case (t, c) if c > n.toLong / (cap + 1) => t }.toSet
+      assert(guaranteed.size >= 5, s"seed=$seed degenerate stream")
+      val cands = items
+        .toDF("token")
+        .repartition(7) // forces serialize + cross-partition MG merges
+        .agg(FreqItemsAgg.freqItemCandidates(col("token"), cap))
+        .head()
+        .getSeq[String](0)
+        .toSet
+      assert(cands.size <= cap)
+      assert(guaranteed.subsetOf(cands), s"seed=$seed missing=${guaranteed -- cands}")
+    }
+  }
+
+  test("freq_item_candidates buffer serialization roundtrip") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val agg = graft.plans.FreqItemsAgg(org.apache.spark.sql.catalyst.expressions.Literal("x"), 8)
+    val buf = agg.createAggregationBuffer()
+    buf.put(UTF8String.fromString("a"), 3L)
+    buf.put(UTF8String.fromString("bb"), 7L)
+    buf.put(UTF8String.fromString(""), 1L)
+    assert(agg.deserialize(agg.serialize(buf)) == buf)
+    assert(agg.deserialize(agg.serialize(agg.createAggregationBuffer())).isEmpty)
+  }
+
+  test("c41 sketch+verify equals the plain exact heavy-hitter computation") {
+    import graft.operators.TextAnalysis
+    val toks = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+    val total = toks.count()
+    val exact = toks
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(100L) >= lit(total))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSet
+    val got = TextAnalysis
+      .c41HeavyHitters(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSet
+    assert(got == exact && got.nonEmpty)
+  }
+
+  test("SQL surface: freq_item_candidates finds all values of a low-cardinality column") {
+    GraftSql.register(spark, sf0001)
+    val langs = spark.sql("SELECT DISTINCT lang FROM documents").collect().map(_.getString(0)).toSet
+    assert(langs.size <= 8, "test premise: lang cardinality fits the capacity")
+    val cands = spark
+      .sql("SELECT freq_item_candidates(lang, 8) AS c FROM documents")
+      .head()
+      .getSeq[String](0)
+      .toSet
+    assert(cands == langs)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT freq_item_candidates(lang, CAST(rand() * 8 AS INT)) FROM documents").collect()
+    }
+    assert(e.getMessage.contains("freq_item_candidates"))
+  }
+
   test("s2 partition pruning reaches the file source") {
     graft.sources.Formats.s2PartitionedWrite(spark, sf0001).count() // materialize layout
     val pruned = spark.read

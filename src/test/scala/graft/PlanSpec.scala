@@ -490,6 +490,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("c41: sketch pass is a two-phase bounded aggregate; exact pass prunes to candidates pre-shuffle") {
+    import org.apache.spark.sql.functions.{col, count, explode, lit}
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val sketchPlan = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      .agg(graft.plans.FreqItemsAgg.freqItemCandidates(col("token"), 256), count(lit(1)))
+      .queryExecution
+      .executedPlan
+      .toString
+    // partial + final ObjectHashAggregate = map-side combine with a
+    // bounded (≤ capacity-entry) summary per task, never the vocab tail
+    assert("ObjectHashAggregate".r.findAllMatchIn(sketchPlan).size >= 2, sketchPlan)
+    assert(sketchPlan.contains("partial_freq_item_candidates"), sketchPlan)
+    val exact = TextAnalysis.c41HeavyHitters(spark, sf0001)
+    val candFilters = exact.queryExecution.optimizedPlan.collect {
+      case f: LFilter if f.condition.exists {
+            case _: In | _: InSet => true
+            case _                => false
+          } =>
+        f
+    }
+    assert(candFilters.nonEmpty, "exact pass must filter to sketch candidates before counting")
+  }
+
   test("c25: prefix sum is two-phase — no whole-corpus single-partition window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val df = Sampling.c25SequencePacking(spark, sf0001)
