@@ -161,6 +161,43 @@ object GraftSql {
   def b23SqlQ21(spark: SparkSession, sfDir: String): DataFrame =
     sql(spark, sfDir, Q21Sql)
 
+  /** B24: TPC-H Q22 shape ("global sales opportunity") — the classic
+    * mix of an UNcorrelated scalar subquery (the positive-balance
+    * average over the candidate countries) with a correlated NOT
+    * EXISTS (customers who never ordered). This schema has no c_phone,
+    * so c_nationkey plays the country-code role. The average threshold
+    * is never computed as a divided value: `bal · count > sum` in
+    * DECIMAL (b19's Q17 idiom), so both engines compare exact
+    * integer-scaled numbers. Q22's "customers without orders" is empty
+    * in this dataset (every customer ordered), so the anti side keeps
+    * the same shape on a selective predicate: customers who never
+    * placed an URGENT order — the priority filter pushes into the
+    * orders scan before the anti join. Catalyst plans the scalar
+    * subqueries as once-executed subquery stages (uncorrelated —
+    * nothing per-row) and rewrites NOT EXISTS to a keyed LEFT ANTI
+    * join on o_custkey (plan-asserted); at scale that is one customer
+    * scan, one filtered orders anti-join, and a tiny broadcast
+    * threshold.
+    */
+  val Q22Sql: String =
+    """SELECT c.c_nationkey AS cntrycode, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer c
+      |WHERE c.c_nationkey IN (0, 3, 7, 11, 14, 19, 21)
+      |  AND CAST(c.c_acctbal AS DECIMAL(18,2)) * (
+      |    SELECT COUNT(*) FROM customer c2
+      |    WHERE c2.c_acctbal > 0.0 AND c2.c_nationkey IN (0, 3, 7, 11, 14, 19, 21)
+      |  ) > (
+      |    SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) FROM customer c2
+      |    WHERE c2.c_acctbal > 0.0 AND c2.c_nationkey IN (0, 3, 7, 11, 14, 19, 21)
+      |  )
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c.c_nationkey""".stripMargin
+
+  def b24SqlQ22(spark: SparkSession, sfDir: String): DataFrame =
+    sql(spark, sfDir, Q22Sql)
+
   /** C13: vector search through SQL using graft's registered native
     * functions (array_l2_normalize / array_dot) — the
     * SparkSessionExtensions surface.

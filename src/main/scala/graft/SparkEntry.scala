@@ -53,6 +53,7 @@ object SparkEntry {
     "b21_rank_ties" -> (Relational.b21RankTies _),
     "b22_order_gaps" -> (Relational.b22OrderGaps _),
     "b23_sql_q21" -> (GraftSql.b23SqlQ21 _),
+    "b24_sql_q22" -> (GraftSql.b24SqlQ22 _),
     "c1_dedup_exact" -> (TextDedup.c1DedupExact _),
     "c2_dedup_ngram_jaccard" -> (TextDedup.c2NgramJaccard _),
     "c3_dedup_minhash_lsh" -> (TextDedup.c3MinHashLsh _),
@@ -101,7 +102,8 @@ object SparkEntry {
     "s6_schema_evolution" -> (graft.sources.Formats.s6SchemaEvolution _),
     "s7_orc_roundtrip" -> (graft.sources.Formats.s7OrcRoundtrip _),
     "s8_text_roundtrip" -> (graft.sources.Formats.s8TextRoundtrip _),
-    "s9_upsert" -> (graft.sources.Formats.s9Upsert _)
+    "s9_upsert" -> (graft.sources.Formats.s9Upsert _),
+    "s10_dynamic_overwrite" -> (graft.sources.Formats.s10DynamicOverwrite _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -302,6 +304,7 @@ object SparkEntry {
     // same ANSI text both engines (GraftSql.Q21Sql) — counts only, no
     // float anywhere
     "b23_sql_q21" -> GraftSql.Q21Sql,
+    "b24_sql_q22" -> GraftSql.Q22Sql,
     // gap in epoch seconds (exact integers) — day-granularity datediff
     // rounds differently between engines at boundaries
     "b22_order_gaps" ->
@@ -714,6 +717,17 @@ object SparkEntry {
         |  SELECT o_totalprice, o_orderkey % 1000, o_orderpriority FROM orders WHERE o_orderkey % 3 = 2)
         |SELECT COALESCE(o_orderpriority, 'PRE_SCHEMA') AS prio, COUNT(*) AS n,
         |  CAST(SUM(o_units) AS BIGINT) AS sum_units,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM m GROUP BY 1""".stripMargin,
+    // non-1996 partitions untouched; 1996 replaced by the corrected
+    // batch (even keys only, repriced) — append or truncate both break
+    "s10_dynamic_overwrite" ->
+      """WITH t AS (SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INT) AS o_year FROM orders),
+        |m AS (
+        |  SELECT o_totalprice, o_year FROM t WHERE o_year <> 1996
+        |  UNION ALL
+        |  SELECT o_totalprice + 50.0, o_year FROM t WHERE o_year = 1996 AND o_orderkey % 2 = 0)
+        |SELECT o_year, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM m GROUP BY 1""".stripMargin,
     "s3_bucketed_join" ->

@@ -305,6 +305,47 @@ object Formats {
     spark.read.parquet(out)
   }
 
+  /** S10: dynamic partition overwrite — the daily-rerun idiom on a
+    * date-partitioned 100 TB table: a corrected batch for ONE partition
+    * replaces exactly that partition's files and touches nothing else
+    * (static overwrite mode would truncate the whole table; an append
+    * would double the partition). The re-run here recomputes 1996 with
+    * repriced (+50.0) rows and keeps only even order keys, so an
+    * append (stale rows survive) or a whole-table truncate (other
+    * years vanish) both break the oracle, which reconstructs
+    * non-1996 ∪ corrected-1996 relationally. The overwrite mode is a
+    * per-write option, not session state — concurrent writers with
+    * different semantics don't interfere.
+    */
+  def s10DynamicOverwrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = scratch(spark, "dynover", sfDir)
+    val tbl = s"$base/t"
+    val marker = new Path(s"$base/done")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
+      val src = Tables
+        .orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_totalprice"), year(col("o_orderdate")).as("o_year"))
+      src.write.mode("overwrite").partitionBy("o_year").parquet(tbl)
+      src
+        .filter(col("o_year") === 1996 && col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 50.0)
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_year")
+        .parquet(tbl)
+      fs.create(marker, true).close()
+    }
+    spark.read
+      .parquet(tbl)
+      .groupBy(col("o_year"))
+      .agg(
+        count(lit(1)).as("n"),
+        graft.functions.ExactAgg.moneySum(col("o_totalprice")).as("sum_price")
+      )
+  }
+
   /** The compacted directory for [[s5Compaction]]'s physical-layout
     * assertions (FormatsSpec) — valid after the query has run in the
     * same application.

@@ -516,6 +516,32 @@ class PlanSpec extends SparkSpec {
     assert(candFilters.nonEmpty, "exact pass must filter to sketch candidates before counting")
   }
 
+  test("s10: dynamic partition overwrite rewrites only partitions present in the batch") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_dynover_spec").toString
+    try {
+      Seq((1, 10, "a"), (2, 20, "b"))
+        .toDF("k", "v", "p")
+        .write.mode("overwrite").partitionBy("p").parquet(dir)
+      val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      def listing(p: String) =
+        fs.listStatus(new Path(s"$dir/p=$p")).map(s => (s.getPath.getName, s.getModificationTime)).toSet
+      val aBefore = listing("a")
+      Seq((3, 30, "b"))
+        .toDF("k", "v", "p")
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("p").parquet(dir)
+      // untouched partition: same files, same mtimes — no rewrite
+      assert(listing("a") == aBefore)
+      // present partition fully replaced, not appended
+      val back = spark.read.parquet(dir).select("k", "v", "p").as[(Int, Int, String)].collect().toSet
+      assert(back == Set((1, 10, "a"), (3, 30, "b")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)): Unit
+    }
+  }
+
   test("c25: prefix sum is two-phase — no whole-corpus single-partition window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val df = Sampling.c25SequencePacking(spark, sf0001)
@@ -547,6 +573,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"EXISTS did not decorrelate to a semi join:\n$p")
     assert(p.contains("LeftAnti"), s"NOT EXISTS did not decorrelate to an anti join:\n$p")
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("b24: Q22-shape NOT EXISTS decorrelates to a keyed anti join; scalar subqueries run once") {
+    val df = GraftSql.b24SqlQ22(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not decorrelate to an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the balance-threshold subqueries are uncorrelated: they must plan
+    // as once-executed subquery stages, never per-row re-execution
+    assert(p.contains("Subquery") || p.contains("subquery"), p)
   }
 
   test("c26: incremental dedup anti-join stays hash-keyed — no nested loop, text never shuffles") {
