@@ -62,18 +62,10 @@ case class FreqItemsAgg(
   ): mutable.HashMap[UTF8String, Long] = {
     val v = item.eval(input)
     if (v != null) {
-      val key = v.asInstanceOf[UTF8String]
-      buf.get(key) match {
-        case Some(c) => buf.update(key, c + 1L) // existing stored key kept
-        case None if buf.size < capacity =>
-          // eval may return a pointer into a reused row buffer — copy
-          buf.put(key.clone(), 1L)
-        case None =>
-          // decrement epoch: the arriving item's 1 cancels against one
-          // unit of every resident counter
-          buf.mapValuesInPlace((_, c) => c - 1L)
-          buf.filterInPlace((_, c) => c > 0L)
-      }
+      // eval may return a pointer into a reused row buffer — clone on
+      // first store (MisraGries applies copyKey only then)
+      graft.functions.MisraGries
+        .updateOne(buf, v.asInstanceOf[UTF8String], capacity)(_.clone())
     }
     buf
   }
@@ -82,14 +74,7 @@ case class FreqItemsAgg(
       a: mutable.HashMap[UTF8String, Long],
       b: mutable.HashMap[UTF8String, Long]
   ): mutable.HashMap[UTF8String, Long] = {
-    b.foreach { case (k, v) => a.update(k, a.getOrElse(k, 0L) + v) }
-    if (a.size > capacity) {
-      val vals = a.values.toArray
-      java.util.Arrays.sort(vals)
-      val m = vals(vals.length - capacity - 1) // (capacity+1)-th largest
-      a.mapValuesInPlace((_, c) => c - m)
-      a.filterInPlace((_, c) => c > 0L)
-    }
+    graft.functions.MisraGries.mergeInto(a, b, capacity)
     a
   }
 

@@ -224,6 +224,66 @@ object StreamingOps {
       }
   }
 
+  /** A token occurrence for the streaming heavy-hitter sketch; `key`
+    * partitions the state (a language, a source — or one constant for
+    * corpus-global hitters).
+    */
+  case class TokenOcc(key: String, token: String)
+
+  /** Per-batch heavy-hitter emission: the current Misra-Gries summary
+    * for `key` — candidate tokens (sorted), their lower-bound counts,
+    * and the stream total the guarantee is relative to.
+    */
+  case class HeavyHittersUpdate(
+      key: String,
+      seq: Long,
+      total: Long,
+      tokens: Seq[String],
+      lower_counts: Seq[Long]
+  )
+
+  /** Streaming heavy hitters — c41's candidate sketch as an
+    * incremental operator: per-key state is ONE Misra-Gries table of at
+    * most `capacity` counters ([[graft.functions.MisraGries]] — the
+    * same algorithm object the batch Catalyst aggregate delegates to),
+    * folded row-by-row, whatever the stream's length. Because
+    * sequential MG over micro-batches IS single-pass MG over the
+    * concatenated stream (state carries across batches), the batch
+    * guarantee transfers: after any batch, every token with true
+    * delivered count > total/(capacity+1) is in the emitted candidate
+    * set, counts underestimating by at most that bound. A consumer
+    * needing exact counts re-counts the bounded candidate set — c41's
+    * verify pass — against its store of record.
+    *
+    * Delivery contract: the sketch counts DELIVERIES. Unlike the quota
+    * and budget streams there is no per-row id to build a redelivery
+    * floor from (a token occurrence is not unique), so at-least-once
+    * redelivery inflates counts — superset-of-heavy-hitters still
+    * holds for the delivered multiset. Deduplicate upstream
+    * (dropDuplicatesWithinWatermark on the source's record id) for
+    * effectively-once counting. Update mode, no watermark.
+    */
+  def streamingHeavyHitters(toks: Dataset[TokenOcc], capacity: Int): Dataset[HeavyHittersUpdate] = {
+    import toks.sparkSession.implicits._
+    toks
+      .groupByKey(_.key)
+      .mapGroupsWithState[(Long, Long, Map[String, Long]), HeavyHittersUpdate](
+        GroupStateTimeout.NoTimeout
+      ) { (key: String, rows: Iterator[TokenOcc], state: GroupState[(Long, Long, Map[String, Long])]) =>
+        val (seq0, total0, prev) = state.getOption.getOrElse((0L, 0L, Map.empty[String, Long]))
+        val buf = scala.collection.mutable.HashMap.from(prev)
+        var total = total0
+        rows.foreach { r =>
+          graft.functions.MisraGries.updateOne(buf, r.token, capacity)(identity)
+          total += 1
+        }
+        val seq = seq0 + 1
+        state.update((seq, total, buf.toMap))
+        val sorted = buf.toSeq.sortBy(_._1)
+        HeavyHittersUpdate(key, seq, total, sorted.map(_._1), sorted.map(_._2))
+      }
+  }
+
   /** A scored document for the streaming budget fill (the batch
     * [[graft.operators.Sampling.budgetFill]] projection for c30).
     */

@@ -255,6 +255,56 @@ class StreamingSpec extends SparkSpec {
       s"quota divergence: missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
   }
 
+  test("streaming heavy hitters: chunked fold equals single-pass MG; guarantee holds per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // skewed synthetic stream, two state keys, capacity far below the
+    // vocabulary so decrement epochs actually fire
+    val cap = 8
+    val rnd = new scala.util.Random(31)
+    val occs = (1 to 6000).map { _ =>
+      val key = if (rnd.nextBoolean()) "en" else "de"
+      val u = rnd.nextDouble()
+      val tok =
+        if (u < 0.55) s"${key}_hot_${rnd.nextInt(3)}"
+        else s"${key}_cold_${rnd.nextInt(800)}"
+      StreamingOps.TokenOcc(key, tok)
+    }
+
+    val input = MemoryStream[StreamingOps.TokenOcc]
+    val q = StreamingOps
+      .streamingHeavyHitters(input.toDS(), cap)
+      .writeStream
+      .format("memory")
+      .queryName("hh_out")
+      .outputMode("update")
+      .start()
+    occs.grouped(700).foreach { chunk =>
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val updates = spark.table("hh_out").as[StreamingOps.HeavyHittersUpdate].collect()
+    q.stop()
+
+    Seq("en", "de").foreach { key =>
+      val last = updates.filter(_.key == key).maxBy(_.seq)
+      val mine = occs.filter(_.key == key)
+      assert(last.total == mine.size.toLong)
+      assert(last.tokens.size <= cap)
+      // chunked stateful fold ≡ one sequential MG pass over the
+      // concatenated stream — exact state equality, not just overlap
+      val ref = scala.collection.mutable.HashMap.empty[String, Long]
+      mine.foreach(o => graft.functions.MisraGries.updateOne(ref, o.token, cap)(identity))
+      assert(last.tokens.zip(last.lower_counts).toMap == ref.toMap)
+      // and the MG guarantee: every token above total/(cap+1) is present
+      val trueCounts = mine.groupBy(_.token).view.mapValues(_.size.toLong)
+      val guaranteed = trueCounts.collect { case (t, c) if c > last.total / (cap + 1) => t }.toSet
+      assert(guaranteed.nonEmpty && guaranteed.subsetOf(last.tokens.toSet),
+        s"$key missing=${guaranteed -- last.tokens.toSet}")
+    }
+  }
+
   test("streaming budget fill matches the batch c30 cut under in-order replay (+ redelivery)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
