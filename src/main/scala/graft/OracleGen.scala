@@ -385,6 +385,26 @@ object OracleGen {
       |g AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
       |SELECT token, cnt FROM g WHERE cnt * 100 >= (SELECT count(*) FROM tok)""".stripMargin
 
+  /** c42 = the same floor(e) + hash-coin fractional copy definition,
+    * expanded with generate_series; thresholds are exact integers
+    * because the epoch fractions are quarters.
+    */
+  val c42EpochMix: String = {
+    val cases = graft.operators.Sampling.EpochsByLang
+      .map { case (l, e) =>
+        val k = math.floor(e).toInt
+        val t = ((e - math.floor(e)) * 4294967296.0).toLong
+        s"WHEN '$l' THEN $k + CASE WHEN h < $t THEN 1 ELSE 0 END"
+      }
+      .mkString(" ")
+    s"""WITH d AS (SELECT doc_id, lang,
+       |  CAST(concat('0x', substr(md5('epoch_' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) h
+       |FROM documents),
+       |n AS (SELECT doc_id, lang, CASE lang $cases ELSE 0 END AS n_copies FROM d)
+       |SELECT doc_id, lang, CAST(unnest(generate_series(0, n_copies - 1)) AS BIGINT) AS copy_idx
+       |FROM n WHERE n_copies > 0""".stripMargin
+  }
+
   val c26DedupIncremental: String = {
     import graft.operators.Sampling.IncrEvery
     s"""WITH d AS (SELECT doc_id, lang, md5(text) h FROM documents),

@@ -73,6 +73,8 @@ object SparkEntry {
     "c38_chunk_dedup" -> (TextAnalysis.c38ChunkDedup _),
     "c40_shuffled_packing" -> (Sampling.c40ShuffledPacking _),
     "c41_heavy_hitters" -> (TextAnalysis.c41HeavyHitters _),
+    "c42_epoch_mix" -> (Sampling.c42EpochMix _),
+    "b25_unpivot" -> (Relational.b25Unpivot _),
     "c20_training_pipeline" -> (Sampling.c20TrainingPipeline _),
     "c21_decontamination" -> (Sampling.c21Decontamination _),
     "c25_sequence_packing" -> (Sampling.c25SequencePacking _),
@@ -384,6 +386,11 @@ object SparkEntry {
     "c25_sequence_packing" -> OracleGen.c25SequencePacking,
     "c40_shuffled_packing" -> OracleGen.c40ShuffledPacking,
     "c41_heavy_hitters" -> OracleGen.c41HeavyHitters,
+    "c42_epoch_mix" -> OracleGen.c42EpochMix,
+    "b25_unpivot" ->
+      """SELECT user_id, event_type, count(*) AS n FROM events
+        |WHERE event_type IN ('view', 'click', 'purchase', 'signup', 'error')
+        |GROUP BY 1, 2""".stripMargin,
     "c26_dedup_incremental" -> OracleGen.c26DedupIncremental,
     "c27_doc_repetition" -> OracleGen.c27DocRepetition,
     "c31_doc_chunking" ->

@@ -155,6 +155,28 @@ object Relational {
       .agg(cnt("view"), cnt("click"), cnt("purchase"), cnt("signup"), cnt("error"))
   }
 
+  /** B25: unpivot (melt) — the inverse of [[b7Pivot]]: the wide
+    * per-user conditional-count matrix back to long (user_id,
+    * event_type, n) form via the native `Dataset.unpivot`, zero-count
+    * cells dropped. The oracle computes the long form directly from
+    * events, so a mislabeled measure column, a value landing under the
+    * wrong variable, or a surviving zero row all break the match.
+    * Unpivot is row-local (a Generate over the wide row — no shuffle
+    * beyond b7's own aggregation).
+    */
+  def b25Unpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    b7Pivot(spark, sfDir)
+      .unpivot(
+        Array(col("user_id")),
+        types.map(t => col(s"n_$t")).toArray,
+        "event_type",
+        "n"
+      )
+      .withColumn("event_type", expr("substring(event_type, 3)"))
+      .filter(col("n") > 0)
+  }
+
   /** B8: set operations — high-value vs urgent order keys. */
   def b8SetOps(spark: SparkSession, sfDir: String): DataFrame = {
     val ord = Tables.orders(spark, sfDir)

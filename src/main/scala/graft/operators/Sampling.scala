@@ -300,6 +300,54 @@ object Sampling {
       )
   }
 
+  /** c42 target epochs per language. Fractions are quarters on purpose:
+    * frac · 2³² is then an exact integer, so the fractional-copy coin
+    * threshold is engine-exact (no float rounding anywhere).
+    */
+  val EpochsByLang: Seq[(String, Double)] =
+    Seq(("en", 1.0), ("de", 2.5), ("fr", 0.5), ("es", 2.25), ("zh", 1.75))
+
+  /** C42: epoch-based mix materialization — the UPSAMPLING side of the
+    * mix toolbox (c36's temperature rebalance only downsamples): each
+    * language is repeated to its target epoch count, the way a
+    * pretraining mix oversamples small high-quality subsets (epochs
+    * 2.5 = every doc twice, plus a deterministic half get a third
+    * copy). Integer part → floor(e) copies per doc; fractional part →
+    * one extra copy iff the doc's salted md5 coin clears frac · 2³²
+    * (c19's hash-Bernoulli idiom, so the SAME docs win on any cluster,
+    * partitioning, or engine). The whole operator is row-local — a
+    * when-chain projection and one Generate over sequence(0, n-1);
+    * the corpus never shuffles (plan-asserted). Output is one row per
+    * emitted copy (doc_id, lang, copy_idx): the materialized mix a
+    * packing stage consumes directly.
+    */
+  def c42EpochMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val intPart = EpochsByLang.foldLeft(lit(0)) { case (acc, (l, e)) =>
+      when(col("lang") === l, lit(math.floor(e).toInt)).otherwise(acc)
+    }
+    val fracThresh = EpochsByLang.foldLeft(lit(0L)) { case (acc, (l, e)) =>
+      when(col("lang") === l, lit(((e - math.floor(e)) * 4294967296.0).toLong)).otherwise(acc)
+    }
+    Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn(
+        "n_copies",
+        intPart + when(
+          graft.functions.TextFunctions
+            .hash32(concat(lit("epoch_"), col("doc_id").cast("string"))) < fracThresh,
+          1
+        ).otherwise(0)
+      )
+      .filter(col("n_copies") > 0)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        explode(sequence(lit(0), col("n_copies") - 1)).as("ci")
+      )
+      .select(col("doc_id"), col("lang"), col("ci").cast("long").as("copy_idx"))
+  }
+
   /** The "new batch" stand-in for incremental dedup: every 10th doc. */
   val IncrEvery = 10
 

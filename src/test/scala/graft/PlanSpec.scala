@@ -542,6 +542,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("c42: epoch mix is row-local — no exchange anywhere in the plan") {
+    import org.apache.spark.sql.functions.col
+    val df = Sampling.c42EpochMix(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"the mix must never shuffle the corpus:\n$p")
+    // epoch semantics spot checks: 1.0-epoch langs copy exactly once,
+    // integer+fraction langs land between floor and ceil of e·n
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val nEn = docs.filter(col("lang") === "en").count()
+    val outEn = df.filter(col("lang") === "en").count()
+    assert(outEn == nEn)
+    val nDe = docs.filter(col("lang") === "de").count()
+    val outDe = df.filter(col("lang") === "de").count()
+    assert(outDe >= 2 * nDe && outDe <= 3 * nDe, s"de: $outDe copies of $nDe docs at epochs 2.5")
+  }
+
   test("c25: prefix sum is two-phase — no whole-corpus single-partition window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val df = Sampling.c25SequencePacking(spark, sf0001)
