@@ -540,11 +540,20 @@ object Sampling {
     * domain, the budget never sorts a language). The shape every real
     * training-mix build runs nightly.
     */
-  def c32CurationE2e(spark: SparkSession, sfDir: String): DataFrame = {
-    val scored = TextAnalysis
-      .qualityScored(
-        Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("source"), col("text"))
-      )
+  def c32CurationE2e(spark: SparkSession, sfDir: String): DataFrame =
+    curationFrom(scoredCurationInput(spark, sfDir))
+
+  /** The scored full corpus feeding [[c32CurationE2e]] — every doc,
+    * quality gate NOT yet applied (so telemetry can count rejects).
+    */
+  private[graft] def scoredCurationInput(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.qualityScored(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("source"), col("text"))
+    )
+
+  /** c32's stage composition from an already-scored corpus frame. */
+  private[graft] def curationFrom(scoredAll: DataFrame): DataFrame = {
+    val scored = scoredAll
       .filter(col("quality_score") >= QualityThreshold)
       .select(col("doc_id"), col("lang"), col("source"), col("text"), col("n_tokens"), col("quality_score").as("q"))
     // keep-min dedup as rn=1 over the text hash: ONE scan (the
@@ -570,6 +579,38 @@ object Sampling {
     )
     budgetFill(quota, key = "lang", score = "q", id = "doc_id", amount = "n_tokens", budget = TokenBudgetPerLang)
       .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"), col("cum").as("cum_tokens"))
+  }
+
+  /** The flagship curation pass with pipeline telemetry collected IN
+    * the same job via `Dataset.observe` — at 100 TB a second "count
+    * the rejects" scan is cluster-days, and caching the corpus to
+    * count it is worse; CollectMetrics folds the counters into the
+    * running tasks (map-side, no extra shuffle, no extra scan —
+    * spec-asserted scan-count parity with [[c32CurationE2e]]).
+    * Observations are single-use: call once per action. After any
+    * action on the returned frame, `inObs.get` carries the corpus-side
+    * counters (n_docs, n_quality_rejected, tokens_seen) and
+    * `outObs.get` the admitted-side (n_admitted, tokens_admitted) —
+    * the numbers a nightly mix build alerts on.
+    */
+  def observedCurationE2e(
+      spark: SparkSession,
+      sfDir: String
+  ): (DataFrame, org.apache.spark.sql.Observation, org.apache.spark.sql.Observation) = {
+    val inObs = org.apache.spark.sql.Observation("curation_input")
+    val outObs = org.apache.spark.sql.Observation("curation_admitted")
+    val scored = scoredCurationInput(spark, sfDir).observe(
+      inObs,
+      count(lit(1)).as("n_docs"),
+      count(when(col("quality_score") < QualityThreshold, 1)).as("n_quality_rejected"),
+      sum(col("n_tokens")).as("tokens_seen")
+    )
+    val out = curationFrom(scored).observe(
+      outObs,
+      count(lit(1)).as("n_admitted"),
+      sum(col("n_tokens")).as("tokens_admitted")
+    )
+    (out, inObs, outObs)
   }
 
   /** PII patterns — simple enough to mean the same thing in Java

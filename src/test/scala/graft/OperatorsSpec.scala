@@ -464,4 +464,35 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getDouble(4) >= r.getDouble(3))
     }
   }
+
+  test("observed curation: telemetry matches independent counts, zero extra scans") {
+    val (df, inObs, outObs) = Sampling.observedCurationE2e(spark, sf001)
+    val rows = df.collect()
+    val in = inObs.get
+    val out = outObs.get
+
+    val scoredAll = Sampling.scoredCurationInput(spark, sf001)
+    assert(in("n_docs") == scoredAll.count())
+    assert(
+      in("n_quality_rejected") ==
+        scoredAll.filter(col("quality_score") < Sampling.QualityThreshold).count()
+    )
+    assert(
+      in("tokens_seen") ==
+        scoredAll.agg(sum(col("n_tokens"))).head().getLong(0)
+    )
+    assert(out("n_admitted") == rows.length.toLong)
+    assert(out("tokens_admitted") == rows.map(_.getLong(rows.head.fieldIndex("n_tokens"))).sum)
+
+    // same admissions as the unobserved flagship
+    val flagship = Sampling.c32CurationE2e(spark, sf001)
+    assert(
+      rows.map(_.getLong(rows.head.fieldIndex("doc_id"))).toSet ==
+        flagship.collect().map(r => r.getLong(r.fieldIndex("doc_id"))).toSet
+    )
+    // telemetry is free: exactly as many file scans as the flagship plan
+    def nScans(p: org.apache.spark.sql.DataFrame) =
+      "Scan ".r.findAllMatchIn(p.queryExecution.executedPlan.toString).size
+    assert(nScans(df) == nScans(flagship))
+  }
 }
