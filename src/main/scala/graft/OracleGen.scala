@@ -405,6 +405,26 @@ object OracleGen {
        |FROM n WHERE n_copies > 0""".stripMargin
   }
 
+  /** c43 = the non-overlapping chunk grid; an instance survives iff its
+    * ROW_NUMBER over (h ORDER BY doc_id, ci) is 1 (the same
+    * lexicographic-min rule as Spark's min(struct)); cleaned text is
+    * the ci-ordered reassembly of survivors.
+    */
+  val c43ChunkDedupRewrite: String = {
+    val cs = graft.operators.TextAnalysis.ChunkSize
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+       |n AS (SELECT doc_id, w, CAST(ceil(CAST(len(w) AS DOUBLE) / $cs) AS INT) nc FROM d),
+       |c AS (SELECT doc_id, w, nc, unnest(generate_series(0, nc - 1)) ci FROM n),
+       |s AS (SELECT doc_id, nc, ci, list_slice(w, ci * $cs + 1, ci * $cs + $cs) cw,
+       |  md5(array_to_string(list_slice(w, ci * $cs + 1, ci * $cs + $cs), ' ')) h FROM c),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, ci) rn FROM s)
+       |SELECT doc_id, CAST(max(nc) AS BIGINT) AS n_chunks,
+       |  CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed,
+       |  md5(COALESCE(string_agg(array_to_string(cw, ' '), ' ' ORDER BY ci) FILTER (WHERE rn = 1), '')) AS cleaned_md5,
+       |  CAST(COALESCE(SUM(len(cw)) FILTER (WHERE rn = 1), 0) AS BIGINT) AS cleaned_n_tokens
+       |FROM r GROUP BY doc_id""".stripMargin
+  }
+
   val c26DedupIncremental: String = {
     import graft.operators.Sampling.IncrEvery
     s"""WITH d AS (SELECT doc_id, lang, md5(text) h FROM documents),

@@ -426,6 +426,71 @@ object TextAnalysis {
       .withColumn("affinity", col("n_ind").cast("double") / col("n_tokens"))
   }
 
+  /** C43: chunk-dedup REWRITE — the removal stage c38 only measures
+    * (CCNet/RefinedWeb line dedup: strike duplicated segments, keep the
+    * document remainder). The grid is NON-overlapping [[ChunkSize]]
+    * windows so removal is well-defined and the cleaned text is a
+    * reassembly of surviving chunks; an instance survives iff it is the
+    * lexicographically-min (doc_id, chunk_idx) holder of its chunk md5
+    * (intra-doc repeats lose too, like line dedup).
+    *
+    * Scale shape: the verdict travels as IDS ONLY — the canonical
+    * aggregate and the removed-instance join shuffle (md5, doc, idx)
+    * tuples, never chunk text; the per-doc removed list (only docs
+    * that actually lose a chunk appear — a small fraction of any real
+    * corpus, so it broadcasts) joins
+    * back against a narrow documents scan, and the rebuild is entirely
+    * row-local array math (filter the chunk grid, flatten, re-join
+    * with spaces). Document text itself NEVER rides a shuffle
+    * (plan-asserted) — the rewrite costs one extra hash join over
+    * c38's measurement, not a corpus shuffle.
+    */
+  def c43ChunkDedupRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val grid = docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .withColumn("nc", ceil(size(col("w")).cast("double") / ChunkSize).cast("int"))
+      .select(col("doc_id"), col("w"), explode(sequence(lit(0), col("nc") - 1)).as("ci"))
+      .select(
+        col("doc_id"),
+        col("ci"),
+        md5(concat_ws(" ", slice(col("w"), col("ci") * ChunkSize + 1, lit(ChunkSize)))).as("h")
+      )
+    val winners = grid
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("ci"))).as("win"))
+    val removedPerDoc = grid
+      .join(winners, "h")
+      .filter(!(col("doc_id") === col("win.doc_id") && col("ci") === col("win.ci")))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("ci")).as("removed"))
+    val rw = col("w")
+    docs
+      .join(removedPerDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        tokens(col("text")).as("w"),
+        coalesce(col("removed"), array().cast("array<int>")).as("removed")
+      )
+      .withColumn("nc", ceil(size(rw).cast("double") / ChunkSize).cast("int"))
+      .withColumn(
+        "kept_w",
+        flatten(
+          transform(
+            filter(sequence(lit(0), col("nc") - 1), ci => !array_contains(col("removed"), ci)),
+            ci => slice(rw, ci * ChunkSize + 1, lit(ChunkSize))
+          )
+        )
+      )
+      .select(
+        col("doc_id"),
+        col("nc").cast("long").as("n_chunks"),
+        size(col("removed")).cast("long").as("n_removed"),
+        md5(concat_ws(" ", col("kept_w"))).as("cleaned_md5"),
+        size(col("kept_w")).cast("long").as("cleaned_n_tokens")
+      )
+  }
+
   /** c41 sketch size: guarantees candidates above share 1/257 ≈ 0.39%,
     * comfortably under the 1% query threshold.
     */

@@ -542,6 +542,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("c43: rewrite verdict travels as ids — document text never rides a shuffle") {
+    import org.apache.spark.sql.functions.col
+    val df = TextAnalysis.c43ChunkDedupRewrite(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    p.linesIterator.filter(_.contains("Exchange")).foreach { line =>
+      assert(!line.contains("text") && !line.contains("kept_w"), s"text rode a shuffle: $line")
+    }
+    // the removed-list frame (docs that lose a chunk) broadcasts
+    assert(p.contains("BroadcastHashJoin"), p)
+    // removal really happens on this corpus (it plants duplicates), and
+    // untouched docs reassemble to their own text verbatim
+    val src = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(
+        col("doc_id"),
+        org.apache.spark.sql.functions.md5(col("text")).as("src_md5")
+      )
+    val joined = df.join(src, "doc_id").collect()
+    assert(joined.exists(_.getAs[Long]("n_removed") > 0))
+    joined.filter(_.getAs[Long]("n_removed") == 0).foreach { r =>
+      assert(r.getAs[String]("cleaned_md5") == r.getAs[String]("src_md5"),
+        s"doc ${r.getAs[Long]("doc_id")}: untouched doc must reassemble verbatim")
+    }
+  }
+
   test("c42: epoch mix is row-local — no exchange anywhere in the plan") {
     import org.apache.spark.sql.functions.col
     val df = Sampling.c42EpochMix(spark, sf0001)
