@@ -425,6 +425,21 @@ object OracleGen {
        |FROM r GROUP BY doc_id""".stripMargin
   }
 
+  /** c44 = c26's admission verdict at doc granularity: the Bloom filter
+    * is invisible to the oracle (it changes which rows pay for a join,
+    * never which rows are admitted), so the SQL is the plain anti-join.
+    */
+  val c44BloomDedup: String = {
+    import graft.operators.Sampling.IncrEvery
+    s"""WITH d AS (SELECT doc_id, lang, md5(text) h FROM documents),
+       |hist AS (SELECT DISTINCT h FROM d WHERE doc_id % $IncrEvery <> 0),
+       |batch AS (SELECT * FROM d WHERE doc_id % $IncrEvery = 0),
+       |canon AS (SELECT h, min(doc_id) doc_id FROM batch GROUP BY h)
+       |SELECT b.doc_id, b.lang, b.h FROM batch b
+       |  JOIN canon c ON b.doc_id = c.doc_id AND b.h = c.h
+       |  WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.h = b.h)""".stripMargin
+  }
+
   val c26DedupIncremental: String = {
     import graft.operators.Sampling.IncrEvery
     s"""WITH d AS (SELECT doc_id, lang, md5(text) h FROM documents),

@@ -75,6 +75,7 @@ object SparkEntry {
     "c41_heavy_hitters" -> (TextAnalysis.c41HeavyHitters _),
     "c42_epoch_mix" -> (Sampling.c42EpochMix _),
     "c43_chunk_dedup_rewrite" -> (TextAnalysis.c43ChunkDedupRewrite _),
+    "c44_bloom_dedup" -> (Sampling.c44BloomDedup _),
     "b25_unpivot" -> (Relational.b25Unpivot _),
     "c20_training_pipeline" -> (Sampling.c20TrainingPipeline _),
     "c21_decontamination" -> (Sampling.c21Decontamination _),
@@ -389,6 +390,7 @@ object SparkEntry {
     "c41_heavy_hitters" -> OracleGen.c41HeavyHitters,
     "c42_epoch_mix" -> OracleGen.c42EpochMix,
     "c43_chunk_dedup_rewrite" -> OracleGen.c43ChunkDedupRewrite,
+    "c44_bloom_dedup" -> OracleGen.c44BloomDedup,
     "b25_unpivot" ->
       """SELECT user_id, event_type, count(*) AS n FROM events
         |WHERE event_type IN ('view', 'click', 'purchase', 'signup', 'error')

@@ -383,6 +383,78 @@ object Sampling {
       .agg(count(lit(1)).as("n_admitted"), min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
   }
 
+  /** c44 Bloom sizing: 1% false-positive rate — each false positive
+    * only costs one row in the exact-verification probe, so fpp trades
+    * filter bytes against candidate-set size, never correctness.
+    */
+  val BloomFpp = 0.01
+
+  /** C44: Bloom-accelerated incremental dedup — c26's admission
+    * semantics (admit a new batch's canonical docs whose text hash is
+    * absent from history) computed so that the HISTORY SIDE NEVER
+    * SHUFFLES. c26's hash anti-join is the textbook plan, but at
+    * steady state history is the 100 TB corpus and the batch is a
+    * daily sliver: a shuffled anti-join ships every distinct history
+    * hash through the exchange to answer a question about a million
+    * batch rows.
+    *
+    * Three-step Bloom admission instead (the runtime-filter pattern,
+    * applied as an explicit operator):
+    *   1. Build a Bloom filter over history's hashes with the native
+    *      [[graft.plans.BloomAdmit.bloomAgg]] — map-side partials,
+    *      OR-merged, one bounded binary to the driver (exactly how
+    *      Spark's InjectRuntimeFilter materializes its filters; MBs
+    *      for billions of keys).
+    *   2. Tag each canonical batch doc with the codegen'd
+    *      `might_contain` probe. `false` ⇒ PROVABLY absent from
+    *      history ⇒ admitted with no join at all — at 1% fpp that is
+    *      ~99% of genuinely-new rows.
+    *   3. Exact-verify only the candidate sliver (true dups + false
+    *      positives): history scans once and probes the BROADCAST
+    *      candidate hash set; the hit set (tiny) broadcasts back into
+    *      a left-anti. Both joins broadcast — no shuffle touches
+    *      history at any point, and the only exchange anywhere is the
+    *      batch-sized canonicalization groupBy.
+    *
+    * The output is EXACTLY c26's admission verdict (PlanSpec
+    * cross-checks row-for-row against the plain anti-join): the Bloom
+    * changes which rows pay for a join, never which rows are admitted.
+    * `history.count()` here stands in for the snapshot row count a
+    * production metastore already tracks.
+    */
+  def c44BloomDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+    val isNew = col("doc_id") % IncrEvery === 0
+    bloomAdmit(docs.filter(!isNew).select(col("h")), docs.filter(isNew))
+  }
+
+  /** Generic core of [[c44BloomDedup]]: `history` is a 1-column frame
+    * of admitted text hashes `h`; `batch` carries (doc_id, lang, h)
+    * with unique doc_id. Returns the canonical (min-doc_id per hash)
+    * batch docs whose hash is absent from history — identical to the
+    * plain anti-join, with only the batch canonicalization ever
+    * shuffling.
+    */
+  def bloomAdmit(history: DataFrame, batch: DataFrame): DataFrame = {
+    val bloomBytes = history
+      .agg(graft.plans.BloomAdmit.bloomAgg(xxhash64(col("h")), history.count(), BloomFpp).as("bf"))
+      .head()
+      .getAs[Array[Byte]]("bf")
+    val canonical = batch
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("lang"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.lang").as("lang"), col("h"))
+    val maybeDup = graft.plans.BloomAdmit.mightContain(bloomBytes, xxhash64(col("h")))
+    val definite = canonical.filter(!maybeDup)
+    val candidates = canonical.filter(maybeDup)
+    val dupHashes = history
+      .join(broadcast(candidates.select(col("h"))), Seq("h"), "left_semi")
+      .distinct()
+    definite.unionByName(candidates.join(broadcast(dupHashes), Seq("h"), "left_anti"))
+  }
+
   /** Stand-in benchmark set for decontamination: every 50th document.
     * In production this is the held-out eval suite — thousands of
     * documents against a corpus of billions, hence the broadcast.

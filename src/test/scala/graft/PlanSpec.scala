@@ -542,6 +542,65 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("c44: bloom admission — history never shuffles, verdict equals the plain anti-join") {
+    import org.apache.spark.sql.functions.{col, md5, min, struct}
+    val df = Sampling.c44BloomDedup(spark, sf0001)
+    val got = df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[String]("h"))).toSet
+    val p = plan(df)
+    // codegen'd bloom probe present on BOTH branches (definite-keep filter + candidate filter)
+    assert("might_contain".r.findAllIn(p).size >= 2, p)
+    // every join broadcasts; the history side never rides a shuffled join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the bloom is a pruning accelerator, never an oracle: row-for-row
+    // equal to the plain c26-shaped anti-join
+    val docs = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+    val isNew = col("doc_id") % Sampling.IncrEvery === 0
+    val want = docs
+      .filter(isNew)
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("lang"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.lang").as("lang"), col("h"))
+      .join(docs.filter(!isNew).select(col("h")), Seq("h"), "left_anti")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[String]("h")))
+      .toSet
+    assert(got == want)
+  }
+
+  test("c44: planted dups exercise every admission branch of bloomAdmit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // history holds h1..h3; batch has a true dup (h1), an intra-batch
+    // dup pair (h9 twice — min doc_id wins), and definite-new rows
+    val history = Seq("h1", "h2", "h3").toDF("h")
+    val batch = Seq(
+      (10L, "en", "h1"), // rejected: in history
+      (11L, "de", "h9"), // admitted: canonical holder of h9
+      (15L, "fr", "h9"), // dropped: loses intra-batch canonicalization
+      (12L, "en", "h7"), // admitted
+      (13L, "it", "h8")  // admitted
+    ).toDF("doc_id", "lang", "h")
+    val got = Sampling
+      .bloomAdmit(history, batch)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[String]("h")))
+      .toSet
+    assert(got == Set((11L, "de", "h9"), (12L, "en", "h7"), (13L, "it", "h8")))
+    // empty-candidate edge: batch entirely new
+    val allNew = Seq((20L, "en", "x1"), (21L, "de", "x2")).toDF("doc_id", "lang", "h")
+    assert(Sampling.bloomAdmit(history, allNew).count() == 2)
+    // full-rejection edge: batch entirely historical
+    val allOld = Seq((30L, "en", "h2")).toDF("doc_id", "lang", "h")
+    assert(Sampling.bloomAdmit(history, allOld).count() == 0)
+    // history rows with repeats must not double-admit or double-reject
+    val dupHist = Seq("h1", "h1", "h2").toDF("h")
+    assert(Sampling.bloomAdmit(dupHist, batch).select(col("doc_id")).collect().map(_.getLong(0)).toSet == Set(11L, 12L, 13L))
+  }
+
   test("c43: rewrite verdict travels as ids — document text never rides a shuffle") {
     import org.apache.spark.sql.functions.col
     val df = TextAnalysis.c43ChunkDedupRewrite(spark, sf0001)
