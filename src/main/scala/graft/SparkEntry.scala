@@ -107,7 +107,8 @@ object SparkEntry {
     "s7_orc_roundtrip" -> (graft.sources.Formats.s7OrcRoundtrip _),
     "s8_text_roundtrip" -> (graft.sources.Formats.s8TextRoundtrip _),
     "s9_upsert" -> (graft.sources.Formats.s9Upsert _),
-    "s10_dynamic_overwrite" -> (graft.sources.Formats.s10DynamicOverwrite _)
+    "s10_dynamic_overwrite" -> (graft.sources.Formats.s10DynamicOverwrite _),
+    "s11_time_travel" -> (graft.sources.Formats.s11TimeTravel _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -741,6 +742,21 @@ object SparkEntry {
         |SELECT o_year, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM m GROUP BY 1""".stripMargin,
+    // v1 = base snapshot (still readable after the v2 commit), v2 = the
+    // merged state behind the pointer — a mutated v1, stale pointer, or
+    // merge bug each breaks the hash
+    "s11_time_travel" ->
+      """WITH base AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal + 100.0 AS c_acctbal FROM base WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, c_nationkey, c_acctbal FROM base WHERE c_custkey % 53 = 0),
+        |v2 AS (SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT b.* FROM base b WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = b.c_custkey))
+        |SELECT 1 AS version, * FROM base
+        |UNION ALL
+        |SELECT 2 AS version, * FROM v2""".stripMargin,
     "s3_bucketed_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -346,6 +346,46 @@ object Formats {
       )
   }
 
+  /** S11: time travel on the version-pointer table — the lakehouse
+    * read path the streaming upsert sink commits into, exercised as a
+    * batch surface: v=1 is the base customer snapshot, v=2 merges a
+    * deterministic update+insert batch (every 5th customer re-balanced
+    * +100.0, every 53rd inserted under a shifted key), and the gate
+    * reads BOTH — v1 via [[graft.streaming.StreamingSink.readVersion]]
+    * (time travel: immutable history stays readable after later
+    * commits) and v2 via the `_GRAFT_LATEST` pointer
+    * ([[graft.streaming.StreamingSink.upsertTable]]). The oracle
+    * reconstructs both states relationally, so a v1 dir mutated by the
+    * v2 commit, a stale pointer, or a merge bug each break the hash.
+    * Versions are whole immutable dirs — at 100 TB the SAME pointer
+    * protocol commits delta files instead of full copies (s9/s10 cover
+    * the rewrite economics); the read path graded here is identical.
+    */
+  def s11TimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StreamingSink
+    val base = Tables
+      .customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val dir = s"${scratch(spark, "ttravel", sfDir)}/t"
+    if (!exists(spark, s"$dir/_GRAFT_LATEST")) {
+      val updates = base
+        .filter(col("c_custkey") % 5 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        .unionByName(
+          base
+            .filter(col("c_custkey") % 53 === 0)
+            .withColumn("c_custkey", col("c_custkey") + 10000000L)
+        )
+      base.write.mode("overwrite").parquet(s"$dir/v=1")
+      mergeInto(base, updates, Seq("c_custkey")).write.mode("overwrite").parquet(s"$dir/v=2")
+      StreamingSink.flipLatest(spark, dir, 2L)
+    }
+    StreamingSink
+      .readVersion(spark, dir, 1L)
+      .withColumn("version", lit(1))
+      .unionByName(StreamingSink.upsertTable(spark, dir).withColumn("version", lit(2)))
+  }
+
   /** The compacted directory for [[s5Compaction]]'s physical-layout
     * assertions (FormatsSpec) — valid after the query has run in the
     * same application.

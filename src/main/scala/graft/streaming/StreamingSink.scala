@@ -87,6 +87,27 @@ object StreamingSink {
     spark.read.parquet(s"$tableDir/$v")
   }
 
+  /** Time-travel read: version dirs are IMMUTABLE once the pointer has
+    * moved past them, so any historical `v=<n>` stays readable forever
+    * (subject to retention) — the audit/rollback/reproducibility read
+    * path of the version-pointer table ([[graft.sources.Formats.s11TimeTravel]]
+    * proves v1 is byte-stable after the v2 commit).
+    */
+  def readVersion(spark: org.apache.spark.sql.SparkSession, tableDir: String, version: Long): DataFrame =
+    spark.read.parquet(s"$tableDir/v=$version")
+
+  /** Point `_GRAFT_LATEST` at `v=<version>` — the atomic "commit" of the
+    * version-pointer protocol (a one-block file create; readers see the
+    * old table or the new, never a torn state).
+    */
+  def flipLatest(spark: org.apache.spark.sql.SparkSession, tableDir: String, version: Long): Unit = {
+    val p = new Path(tableDir, Latest)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"v=$version".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Streaming MERGE INTO: each micro-batch upserts into the table —
     * one row per key survives the batch (max `seqCol`, computed by the
     * native bounded-heap [[graft.plans.TopKPerKey]] with k=1, so a

@@ -542,6 +542,42 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("s11: time travel — v1 byte-stable across the v2 commit, pointer reads v2") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    import graft.streaming.StreamingSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_ttravel_spec").toString + "/t"
+    try {
+      val v1 = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "bal")
+      v1.write.parquet(s"$dir/v=1")
+      StreamingSink.flipLatest(spark, dir, 1L)
+      val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      def v1Files = fs
+        .listStatus(new Path(s"$dir/v=1"))
+        .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+        .toSet
+      val before = v1Files
+      // commit v2 (an upsert of k=2 plus an insert), flip the pointer
+      val v2 = graft.sources.Formats
+        .mergeInto(v1, Seq((2L, 99.0), (3L, 30.0)).toDF("k", "bal"), Seq("k"))
+      v2.write.parquet(s"$dir/v=2")
+      StreamingSink.flipLatest(spark, dir, 2L)
+      // history is immutable: identical files, lengths, mtimes
+      assert(v1Files == before)
+      // time travel reads the OLD state; the pointer reads the new one
+      assert(
+        StreamingSink.readVersion(spark, dir, 1L).as[(Long, Double)].collect().toSet ==
+          Set((1L, 10.0), (2L, 20.0))
+      )
+      assert(
+        StreamingSink.upsertTable(spark, dir).as[(Long, Double)].collect().toSet ==
+          Set((1L, 10.0), (2L, 99.0), (3L, 30.0))
+      )
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir).getParentFile): Unit
+    }
+  }
+
   test("c44: bloom admission — history never shuffles, verdict equals the plain anti-join") {
     import org.apache.spark.sql.functions.{col, md5, min, struct}
     val df = Sampling.c44BloomDedup(spark, sf0001)
