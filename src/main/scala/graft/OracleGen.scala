@@ -184,6 +184,41 @@ object OracleGen {
        |FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
        |WHERE l.cluster_id IS NULL OR l.cluster_id = d.doc_id""".stripMargin
 
+  /** c45 = c33's connected-component labels, survivor = argmax quality
+    * (tie → min doc_id) per cluster, singletons their own cluster.
+    */
+  val c45QualityCanonical: String =
+    s"""WITH RECURSIVE $shingleCtes,
+       |$jaccardTail,
+       |nd AS (SELECT doc_a, doc_b FROM pairs
+       |       JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+       |       WHERE common * $JaccardDen >= (na.ns + nb.ns - common) * $JaccardNum),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM nd UNION SELECT doc_b, doc_a FROM nd),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |),
+       |labels AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id FROM reach GROUP BY a),
+       |m AS (SELECT doc_id,
+       |  CAST(len(w) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_stop,
+       |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha_chars,
+       |  CAST(length(text) AS BIGINT) AS n_chars
+       |FROM (SELECT doc_id, text, string_split(text, ' ') w FROM documents)),
+       |qs AS (SELECT doc_id,
+       |  CASE WHEN n_chars = 0 THEN 0.0 ELSE
+       |    CAST(n_stop AS DOUBLE) / n_tokens * 0.4 +
+       |    CAST(alpha_chars AS DOUBLE) / n_chars * 0.3 +
+       |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3 END AS quality_score
+       |FROM m),
+       |lab AS (SELECT d.doc_id, d.lang, COALESCE(l.cluster_id, d.doc_id) AS cluster_id, qs.quality_score
+       |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+       |  JOIN qs ON qs.doc_id = d.doc_id),
+       |best AS (SELECT *, ROW_NUMBER() OVER (
+       |  PARTITION BY cluster_id ORDER BY quality_score DESC, doc_id) rn FROM lab)
+       |SELECT cluster_id, doc_id, lang, quality_score FROM best WHERE rn = 1""".stripMargin
+
   val c5EmbeddingDedup: String = {
     import graft.operators.VectorOps.NearDupThreshold
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),

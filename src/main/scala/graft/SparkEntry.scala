@@ -76,6 +76,7 @@ object SparkEntry {
     "c42_epoch_mix" -> (Sampling.c42EpochMix _),
     "c43_chunk_dedup_rewrite" -> (TextAnalysis.c43ChunkDedupRewrite _),
     "c44_bloom_dedup" -> (Sampling.c44BloomDedup _),
+    "c45_quality_canonical" -> (TextAnalysis.c45QualityCanonical _),
     "b25_unpivot" -> (Relational.b25Unpivot _),
     "c20_training_pipeline" -> (Sampling.c20TrainingPipeline _),
     "c21_decontamination" -> (Sampling.c21Decontamination _),
@@ -392,6 +393,7 @@ object SparkEntry {
     "c42_epoch_mix" -> OracleGen.c42EpochMix,
     "c43_chunk_dedup_rewrite" -> OracleGen.c43ChunkDedupRewrite,
     "c44_bloom_dedup" -> OracleGen.c44BloomDedup,
+    "c45_quality_canonical" -> OracleGen.c45QualityCanonical,
     "b25_unpivot" ->
       """SELECT user_id, event_type, count(*) AS n FROM events
         |WHERE event_type IN ('view', 'click', 'purchase', 'signup', 'error')

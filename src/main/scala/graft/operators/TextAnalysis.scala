@@ -319,6 +319,40 @@ object TextAnalysis {
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
       .select(col("doc_id"), col("lang"), col("n_chars"))
 
+  /** C45: quality-canonical selection — c33's near-dup collapse with
+    * the PRODUCTION survivor rule: each cluster keeps its
+    * HIGHEST-QUALITY member (c9's score; tie → min doc_id), not its
+    * min-id member — when a boilerplate-heavy copy and a clean copy
+    * near-duplicate each other, the clean one must survive (the
+    * RefinedWeb/FineWeb selection idiom). Singletons are their own
+    * cluster (COALESCE to doc_id), so one uniform argmax covers the
+    * whole corpus.
+    *
+    * Scale: quality is row-local (c9); the cluster label join is
+    * hash-keyed on doc_id; the argmax is the native
+    * [[graft.plans.TopKPerKey]] k=1 — bounded per-partition heaps over
+    * (cluster, score) candidates, never a per-cluster sort, and since
+    * singleton clusters dominate real corpora the heap candidate set is
+    * ≈ one row per doc either way. Double comparisons are exact (no
+    * arithmetic on the score beyond c9's own hash-exact expression).
+    */
+  def c45QualityCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = qualityScored(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("text"))
+    ).select(col("doc_id"), col("lang"), col("quality_score"))
+    val labeled = scored
+      .join(c16DedupClusters(spark, sfDir), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    graft.plans.TopKPerKey
+      .topKPerKey(
+        labeled,
+        keyCols = Seq("cluster_id"),
+        orderBy = Seq(("quality_score", false), ("doc_id", true)),
+        k = 1
+      )
+      .select(col("cluster_id"), col("doc_id"), col("lang"), col("quality_score"))
+  }
+
   /** C11: document fingerprinting — min and mod-P sum of md5-derived
     * shingle hashes (a rolling-hash family): order-independent,
     * engine-reproducible, and stable under shingle reordering.

@@ -542,6 +542,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("c45: quality-canonical selection plans the native top-k, one survivor per cluster") {
+    import org.apache.spark.sql.functions.col
+    val df = TextAnalysis.c45QualityCanonical(spark, sf0001)
+    val rows = df.collect()
+    // native heap argmax, not a window sort over cluster partitions
+    assert(plan(df).contains("TopKPerKey"), plan(df))
+    // exactly one survivor per cluster, and survivors span every doc
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    assert(byCluster.values.forall(_.length == 1))
+    val nDocs = graft.sources.Tables.documents(spark, sf0001).count()
+    val clustered = TextAnalysis.c16DedupClusters(spark, sf0001).collect()
+    val nClusters = clustered.map(_.getAs[Long]("cluster_id")).distinct.length
+    val nInClusters = clustered.length
+    assert(rows.length == nDocs - nInClusters + nClusters)
+    // the survivor is the argmax-quality member, not the min-id member:
+    // verify against a direct per-cluster max computed row-at-a-time
+    val quality = TextAnalysis
+      .c9TextQuality(spark, sf0001)
+      .select(col("doc_id"), col("quality_score"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score"))
+      .toMap
+    val members = clustered
+      .groupBy(_.getAs[Long]("cluster_id"))
+      .map { case (cid, rs) => cid -> rs.map(_.getAs[Long]("doc_id")).sorted }
+    members.foreach { case (cid, docs) =>
+      val want = docs.maxBy(d => (quality(d), -d))
+      val got = rows.find(_.getAs[Long]("cluster_id") == cid).get.getAs[Long]("doc_id")
+      assert(got == want, s"cluster $cid: kept $got, best-quality member is $want")
+    }
+  }
+
   test("s11: time travel — v1 byte-stable across the v2 commit, pointer reads v2") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
