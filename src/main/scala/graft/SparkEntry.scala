@@ -109,7 +109,8 @@ object SparkEntry {
     "s8_text_roundtrip" -> (graft.sources.Formats.s8TextRoundtrip _),
     "s9_upsert" -> (graft.sources.Formats.s9Upsert _),
     "s10_dynamic_overwrite" -> (graft.sources.Formats.s10DynamicOverwrite _),
-    "s11_time_travel" -> (graft.sources.Formats.s11TimeTravel _)
+    "s11_time_travel" -> (graft.sources.Formats.s11TimeTravel _),
+    "s12_cdc_read" -> (graft.sources.Formats.s12CdcRead _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -759,6 +760,32 @@ object SparkEntry {
         |SELECT 1 AS version, * FROM base
         |UNION ALL
         |SELECT 2 AS version, * FROM v2""".stripMargin,
+    // the CDC feed between the reconstructed versions: only changed
+    // keys, update keys as a pre/post image pair — a missed delete, a
+    // phantom update, or a swapped image each breaks the hash
+    "s12_cdc_read" ->
+      """WITH v1 AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer),
+        |kept AS (SELECT * FROM v1 WHERE c_custkey % 13 <> 0),
+        |upd AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal + 100.0 AS c_acctbal FROM kept WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, c_nationkey, c_acctbal FROM v1 WHERE c_custkey % 53 = 0),
+        |v2 AS (SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT k.* FROM kept k WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = k.c_custkey)),
+        |pairs AS (SELECT a.c_custkey, a.c_nationkey AS pn, a.c_acctbal AS pb,
+        |    b.c_nationkey AS qn, b.c_acctbal AS qb
+        |  FROM v1 a JOIN v2 b ON a.c_custkey = b.c_custkey
+        |  WHERE a.c_nationkey <> b.c_nationkey OR a.c_acctbal <> b.c_acctbal)
+        |SELECT 'delete' AS change_type, a.* FROM v1 a
+        |  WHERE NOT EXISTS (SELECT 1 FROM v2 b WHERE b.c_custkey = a.c_custkey)
+        |UNION ALL
+        |SELECT 'insert' AS change_type, b.* FROM v2 b
+        |  WHERE NOT EXISTS (SELECT 1 FROM v1 a WHERE a.c_custkey = b.c_custkey)
+        |UNION ALL
+        |SELECT 'update_preimage' AS change_type, c_custkey, pn AS c_nationkey, pb AS c_acctbal FROM pairs
+        |UNION ALL
+        |SELECT 'update_postimage' AS change_type, c_custkey, qn AS c_nationkey, qb AS c_acctbal FROM pairs""".stripMargin,
     "s3_bucketed_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -386,6 +386,77 @@ object Formats {
       .unionByName(StreamingSink.upsertTable(spark, dir).withColumn("version", lit(2)))
   }
 
+  /** Generic change-data-feed diff between two versions of a keyed
+    * table (the Delta CDF / Iceberg changelog read contract): emits
+    * ONLY changed keys — `insert` / `delete` rows plus an
+    * `update_preimage`/`update_postimage` row pair per updated key.
+    * One keyed full-outer join (hash-partitioned sort-merge on the
+    * key — a keyed diff never needs the nested-loop full-outer) and a
+    * row-local Generate for the pre/post pair; unchanged keys are
+    * dropped BEFORE the Generate, so output size ∝ the change set,
+    * not the table — what makes a CDC feed consumable downstream when
+    * the table is 100 TB and the day's churn is 0.1%. Non-key columns
+    * ride as one struct per side, so the change test is a single
+    * struct comparison whatever the width.
+    */
+  def cdcDiff(v1: DataFrame, v2: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val rest = v1.columns.filterNot(keyCols.contains).toSeq
+    def packed(df: DataFrame, side: String) =
+      df.select(keyCols.map(col) :+ struct(rest.map(col): _*).as(side): _*)
+    packed(v1, "pre")
+      .join(packed(v2, "post"), keyCols, "full_outer")
+      .filter(col("pre").isNull || col("post").isNull || col("pre") =!= col("post"))
+      .select(
+        keyCols.map(col) :+ explode(
+          when(col("post").isNull, array(struct(lit("delete").as("change_type"), col("pre").as("img"))))
+            .when(col("pre").isNull, array(struct(lit("insert").as("change_type"), col("post").as("img"))))
+            .otherwise(
+              array(
+                struct(lit("update_preimage").as("change_type"), col("pre").as("img")),
+                struct(lit("update_postimage").as("change_type"), col("post").as("img"))
+              )
+            )
+        ).as("r"): _*
+      )
+      .select(col("r.change_type") +: keyCols.map(col) :+ col("r.img.*"): _*)
+  }
+
+  /** S12: the CDC read over the lakehouse surface — v2 of a customer
+    * snapshot applies a deterministic churn batch (every 13th key
+    * deleted, every 5th surviving key re-balanced +100.0, every 53rd
+    * inserted under a shifted key), and the gate reads the CHANGE FEED
+    * between the two versions via [[cdcDiff]]. The oracle reconstructs
+    * both versions relationally and diffs them in SQL, so a missed
+    * delete, a phantom update (unchanged key emitted), or a pre/post
+    * image swap each break the hash. Completes the versioned-table
+    * story: s9 writes a version, s10 rewrites a partition, s11 reads
+    * history, s12 reads the delta BETWEEN history points.
+    */
+  def s12CdcRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables
+      .customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val dir = s"${scratch(spark, "cdc", sfDir)}/t"
+    if (!exists(spark, s"$dir/v=2/_SUCCESS")) {
+      val kept = base.filter(col("c_custkey") % 13 =!= 0)
+      val updates = kept
+        .filter(col("c_custkey") % 5 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        .unionByName(
+          base
+            .filter(col("c_custkey") % 53 === 0)
+            .withColumn("c_custkey", col("c_custkey") + 10000000L)
+        )
+      base.write.mode("overwrite").parquet(s"$dir/v=1")
+      mergeInto(kept, updates, Seq("c_custkey")).write.mode("overwrite").parquet(s"$dir/v=2")
+    }
+    cdcDiff(
+      spark.read.parquet(s"$dir/v=1"),
+      spark.read.parquet(s"$dir/v=2"),
+      Seq("c_custkey")
+    )
+  }
+
   /** The compacted directory for [[s5Compaction]]'s physical-layout
     * assertions (FormatsSpec) — valid after the query has run in the
     * same application.

@@ -574,6 +574,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("s12: CDC diff — keyed full-outer (no nested loop), only changed keys, pre/post pair per update") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.sources.Formats.s12CdcRead(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    val rows = df.collect()
+    val keys = graft.sources.Tables
+      .customer(spark, sf0001)
+      .select(col("c_custkey"))
+      .collect()
+      .map(_.getLong(0))
+    val nDel = keys.count(_ % 13 == 0)
+    val nIns = keys.count(_ % 53 == 0)
+    val nUpd = keys.count(k => k % 13 != 0 && k % 5 == 0)
+    def ofType(t: String) = rows.filter(_.getAs[String]("change_type") == t)
+    assert(ofType("delete").length == nDel)
+    assert(ofType("insert").length == nIns)
+    assert(ofType("update_preimage").length == nUpd)
+    assert(ofType("update_postimage").length == nUpd)
+    assert(rows.length == nDel + nIns + 2 * nUpd) // nothing else leaks through
+    // every update key carries exactly one pre and one post image, +100.0 apart
+    val pre = ofType("update_preimage").map(r => r.getAs[Long]("c_custkey") -> r.getAs[Double]("c_acctbal")).toMap
+    val post = ofType("update_postimage").map(r => r.getAs[Long]("c_custkey") -> r.getAs[Double]("c_acctbal")).toMap
+    assert(pre.keySet == post.keySet && pre.size == nUpd)
+    pre.foreach { case (k, b) => assert(post(k) == b + 100.0, s"key $k") }
+    // inserted keys live above the shift and delete keys are the %13 stratum
+    assert(ofType("insert").forall(_.getAs[Long]("c_custkey") >= 10000000L))
+    assert(ofType("delete").forall(_.getAs[Long]("c_custkey") % 13 == 0))
+  }
+
   test("s11: time travel — v1 byte-stable across the v2 commit, pointer reads v2") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
