@@ -184,6 +184,43 @@ object OracleGen {
        |FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
        |WHERE l.cluster_id IS NULL OR l.cluster_id = d.doc_id""".stripMargin
 
+  /** c9's quality score as CTEs `m` → `qs` (doc_id → quality_score) —
+    * the exact FP expression the engine computes (left-associated
+    * three-term sum of correctly-rounded products), shared by every
+    * quality-consuming oracle.
+    */
+  private val qualityCtes: String =
+    """m AS (SELECT doc_id,
+      |  CAST(len(w) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_stop,
+      |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha_chars,
+      |  CAST(length(text) AS BIGINT) AS n_chars
+      |FROM (SELECT doc_id, text, string_split(text, ' ') w FROM documents)),
+      |qs AS (SELECT doc_id,
+      |  CASE WHEN n_chars = 0 THEN 0.0 ELSE
+      |    CAST(n_stop AS DOUBLE) / n_tokens * 0.4 +
+      |    CAST(alpha_chars AS DOUBLE) / n_chars * 0.3 +
+      |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3 END AS quality_score
+      |FROM m)""".stripMargin
+
+  /** c46 = Efraimidis-Spirakis priority keys u^(1/w) with power-of-two
+    * weights (sqrt chains — correctly rounded in both engines), per-lang
+    * top-k by (priority DESC, doc_id).
+    */
+  val c46WeightedSample: String = {
+    import graft.operators.Sampling.{WeightHighQuality, WeightMidQuality, WeightedSampleK}
+    s"""WITH $qualityCtes,
+       |w AS (SELECT d.doc_id, d.lang,
+       |  CASE WHEN quality_score >= $WeightHighQuality THEN 4
+       |       WHEN quality_score >= $WeightMidQuality THEN 2 ELSE 1 END AS wt,
+       |  CAST(CAST(concat('0x', substr(md5('wsamp_' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+       |FROM documents d JOIN qs ON qs.doc_id = d.doc_id),
+       |p AS (SELECT doc_id, lang, CAST(wt AS BIGINT) AS weight,
+       |  CASE wt WHEN 4 THEN sqrt(sqrt(u)) WHEN 2 THEN sqrt(u) ELSE u END AS priority FROM w),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY priority DESC, doc_id) AS rn FROM p)
+       |SELECT lang, doc_id, weight, priority FROM r WHERE rn <= $WeightedSampleK""".stripMargin
+  }
+
   /** c45 = c33's connected-component labels, survivor = argmax quality
     * (tie → min doc_id) per cluster, singletons their own cluster.
     */
@@ -200,18 +237,7 @@ object OracleGen {
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
        |),
        |labels AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id FROM reach GROUP BY a),
-       |m AS (SELECT doc_id,
-       |  CAST(len(w) AS BIGINT) AS n_tokens,
-       |  CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_stop,
-       |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha_chars,
-       |  CAST(length(text) AS BIGINT) AS n_chars
-       |FROM (SELECT doc_id, text, string_split(text, ' ') w FROM documents)),
-       |qs AS (SELECT doc_id,
-       |  CASE WHEN n_chars = 0 THEN 0.0 ELSE
-       |    CAST(n_stop AS DOUBLE) / n_tokens * 0.4 +
-       |    CAST(alpha_chars AS DOUBLE) / n_chars * 0.3 +
-       |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3 END AS quality_score
-       |FROM m),
+       |$qualityCtes,
        |lab AS (SELECT d.doc_id, d.lang, COALESCE(l.cluster_id, d.doc_id) AS cluster_id, qs.quality_score
        |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
        |  JOIN qs ON qs.doc_id = d.doc_id),

@@ -348,6 +348,66 @@ object Sampling {
       .select(col("doc_id"), col("lang"), col("ci").cast("long").as("copy_idx"))
   }
 
+  /** c46 geometry: weight tiers are powers of two ON PURPOSE — the
+    * Efraimidis-Spirakis priority u^(1/w) is then a sqrt chain
+    * (u, sqrt(u), sqrt(sqrt(u))), and sqrt is IEEE correctly-rounded
+    * in both engines (same reasoning as [[MixTemperature]]); a general
+    * pow() rounds differently across libm implementations and would
+    * break the hash gate at ULP boundaries. Tier thresholds follow the
+    * c9 score: clean docs weigh 4, mid-quality 2, the rest 1.
+    */
+  val WeightHighQuality = 0.5
+  val WeightMidQuality = 0.3
+  val WeightedSampleK = 100
+
+  /** C46: weighted sampling without replacement — the
+    * Efraimidis-Spirakis (IPL 2006) priority-key scheme: each doc draws
+    * a deterministic uniform u (salted-md5 coin, c19's idiom) and the
+    * per-lang sample is the top-k by priority u^(1/w), which selects
+    * each doc with probability proportional to its weight w — here a
+    * quality tier, the "sample the good data harder" curation step
+    * between c19's unweighted Bernoulli and c30's hard budget.
+    *
+    * Scale: the priority is a narrow row-local projection (no RNG
+    * state — reproducible on any partitioning, and a doc's priority
+    * never changes as the corpus grows); the top-k is the native
+    * [[graft.plans.TopKPerKey]] — bounded per-partition heaps, only
+    * k·|langs| rows ever shuffle, never a per-lang sort of the corpus.
+    */
+  def c46WeightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = TextAnalysis
+      .qualityScored(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("text"))
+      )
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+      .withColumn(
+        "weight",
+        when(col("quality_score") >= WeightHighQuality, lit(4L))
+          .when(col("quality_score") >= WeightMidQuality, lit(2L))
+          .otherwise(lit(1L))
+      )
+      .withColumn(
+        "u",
+        graft.functions.TextFunctions
+          .hash32(concat(lit("wsamp_"), col("doc_id").cast("string")))
+          .cast("double") / 4294967296.0
+      )
+      .withColumn(
+        "priority",
+        when(col("weight") === 4L, sqrt(sqrt(col("u"))))
+          .when(col("weight") === 2L, sqrt(col("u")))
+          .otherwise(col("u"))
+      )
+    graft.plans.TopKPerKey
+      .topKPerKey(
+        scored,
+        keyCols = Seq("lang"),
+        orderBy = Seq(("priority", false), ("doc_id", true)),
+        k = WeightedSampleK
+      )
+      .select(col("lang"), col("doc_id"), col("weight"), col("priority"))
+  }
+
   /** The "new batch" stand-in for incremental dedup: every 10th doc. */
   val IncrEvery = 10
 

@@ -574,6 +574,58 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("c46: weighted sample plans the native top-k and matches a row-at-a-time E-S ranking") {
+    import org.apache.spark.sql.functions.col
+    val df = Sampling.c46WeightedSample(spark, sf0001)
+    assert(plan(df).contains("TopKPerKey"), plan(df))
+    val rows = df.collect()
+    val quality = TextAnalysis
+      .c9TextQuality(spark, sf0001)
+      .select(col("doc_id"), col("quality_score"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score"))
+      .toMap
+    val docs = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang")))
+    def md5hex(s: String) =
+      java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+    def wp(id: Long): (Long, Double) = {
+      val u = java.lang.Long.parseLong(md5hex(s"wsamp_$id").substring(0, 8), 16).toDouble / 4294967296.0
+      val q = quality(id)
+      val w =
+        if (q >= Sampling.WeightHighQuality) 4L else if (q >= Sampling.WeightMidQuality) 2L else 1L
+      (w, if (w == 4L) math.sqrt(math.sqrt(u)) else if (w == 2L) math.sqrt(u) else u)
+    }
+    val want = docs
+      .groupBy(_._2)
+      .toSeq
+      .flatMap { case (lang, ds) =>
+        ds.toSeq
+          .map { case (id, _) => val (w, p) = wp(id); (lang, id, w, p) }
+          .sortBy { case (_, id, _, p) => (-p, id) }
+          .take(Sampling.WeightedSampleK)
+      }
+      .toSet
+    val got = rows
+      .map(r =>
+        (
+          r.getAs[String]("lang"),
+          r.getAs[Long]("doc_id"),
+          r.getAs[Long]("weight"),
+          r.getAs[Double]("priority")
+        )
+      )
+      .toSet
+    assert(got == want)
+  }
+
   test("s12: CDC diff — keyed full-outer (no nested loop), only changed keys, pre/post pair per update") {
     import org.apache.spark.sql.functions.col
     val df = graft.sources.Formats.s12CdcRead(spark, sf0001)
