@@ -221,6 +221,31 @@ object OracleGen {
        |SELECT lang, doc_id, weight, priority FROM r WHERE rn <= $WeightedSampleK""".stripMargin
   }
 
+  /** c47 = per-position duplicated-window coverage: same rolling hash
+    * as the engine (shared [[graft.functions.TextFunctions.rollCoeffs]]
+    * constants), corpus-wide count ≥ 2, covered positions expanded and
+    * counted distinct per doc.
+    */
+  val c47DupSpans: String = {
+    import graft.functions.TextFunctions.{rollCoeffs, RollP}
+    import graft.operators.TextAnalysis.DupSpanW
+    val n1 = DupSpanW - 1
+    val terms = rollCoeffs(DupSpanW).zipWithIndex
+      .map { case (k, j) => s"ht[i + $j] * $k" }
+      .mkString(" + ")
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+       |toks AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+       |  list_transform(w, t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)) AS ht FROM docs),
+       |pos AS (SELECT doc_id, ht, unnest(generate_series(1, greatest(len(ht) - $n1, 0))) AS i FROM toks),
+       |occ AS (SELECT doc_id, i, ($terms) % $RollP AS h FROM pos),
+       |dup AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
+       |ext AS (SELECT doc_id, i, unnest(generate_series(0, $n1)) AS j FROM occ JOIN dup USING (h)),
+       |cov AS (SELECT doc_id, count(DISTINCT i + j) AS n_dup_tokens FROM ext GROUP BY doc_id)
+       |SELECT c.doc_id, t.n_tokens, CAST(c.n_dup_tokens AS BIGINT) AS n_dup_tokens,
+       |  CAST(c.n_dup_tokens AS DOUBLE) / t.n_tokens AS dup_frac
+       |FROM cov c JOIN toks t ON t.doc_id = c.doc_id""".stripMargin
+  }
+
   /** c45 = c33's connected-component labels, survivor = argmax quality
     * (tie → min doc_id) per cluster, singletons their own cluster.
     */

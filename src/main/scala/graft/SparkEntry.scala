@@ -78,6 +78,7 @@ object SparkEntry {
     "c44_bloom_dedup" -> (Sampling.c44BloomDedup _),
     "c45_quality_canonical" -> (TextAnalysis.c45QualityCanonical _),
     "c46_weighted_sample" -> (Sampling.c46WeightedSample _),
+    "c47_dup_spans" -> (TextAnalysis.c47DupSpans _),
     "b25_unpivot" -> (Relational.b25Unpivot _),
     "c20_training_pipeline" -> (Sampling.c20TrainingPipeline _),
     "c21_decontamination" -> (Sampling.c21Decontamination _),
@@ -397,6 +398,7 @@ object SparkEntry {
     "c44_bloom_dedup" -> OracleGen.c44BloomDedup,
     "c45_quality_canonical" -> OracleGen.c45QualityCanonical,
     "c46_weighted_sample" -> OracleGen.c46WeightedSample,
+    "c47_dup_spans" -> OracleGen.c47DupSpans,
     "b25_unpivot" ->
       """SELECT user_id, event_type, count(*) AS n FROM events
         |WHERE event_type IN ('view', 'click', 'purchase', 'signup', 'error')

@@ -366,6 +366,73 @@ object TextAnalysis {
         (sum(col("h")) % MinHashParams.P).as("fp_sum")
       )
 
+  /** c47 span width in tokens (rolling-hash window; ≤ 7 per
+    * [[graft.functions.TextFunctions.rollCoeffs]]'s overflow bound).
+    */
+  val DupSpanW = 5
+
+  /** C47: duplicated-span coverage — the SUBSTRING-level dedup signal
+    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better", ExactSubstr): a token position is DUPLICATED iff
+    * some [[DupSpanW]]-token window covering it occurs more than once
+    * in the corpus (intra- or inter-document — a verbatim quote, a
+    * boilerplate header, a self-repeating doc all count). Per-doc
+    * output = covered-position count and fraction; only docs touched
+    * by duplication appear (output ∝ duplication, not corpus). The
+    * full suffix-array machinery of the paper finds arbitrary-length
+    * repeats; fixed-width overlapping windows are the standard
+    * distributed approximation — any repeat ≥ W tokens is covered
+    * exactly, shorter ones are ignored. Completes the dedup family:
+    * c1 whole-doc, c2/c3/c4 near-dup, c38/c43 chunk-grid, c27
+    * intra-doc repetition — this is the position-level cross-corpus
+    * signal.
+    *
+    * Scale: window hashes are row-local 8-byte longs
+    * ([[graft.functions.TextFunctions.rollingShingleHashes]] — text
+    * never shuffles); the occurrence count shuffles (hash) pairs with
+    * map-side combine; the duplicate probe is a hash-keyed join of
+    * ints; coverage is an exploded (doc_id, idx) count-distinct —
+    * two-phase partial aggregation, W ints per duplicated occurrence.
+    * The occurrence frame is checkpointed once (c38's pattern: it
+    * feeds both the count and the probe; recomputing would re-hash
+    * the corpus).
+    */
+  def c47DupSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        transform(col("w"), t => hash32(t)).as("ht")
+      )
+    val occ = toks
+      .select(
+        col("doc_id"),
+        posexplode_outer(rollingShingleHashes(col("ht"), DupSpanW)).as(Seq("pos", "h"))
+      )
+      .filter(col("h").isNotNull)
+      .localCheckpoint()
+    val dup = occ
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("h"))
+    val cov = occ
+      .join(dup, Seq("h"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (DupSpanW - 1))).as("idx"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("idx")).as("n_dup_tokens"))
+    cov
+      .join(toks.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_dup_tokens"),
+        (col("n_dup_tokens").cast("double") / col("n_tokens")).as("dup_frac")
+      )
+  }
+
   /** C38: cross-document duplicated-chunk ratio — the segment-level
     * dedup signal (the CCNet / RefinedWeb line-dedup idea at c31's
     * chunk granularity, where this corpus has no line structure): a

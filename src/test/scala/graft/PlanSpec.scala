@@ -626,6 +626,55 @@ class PlanSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("c47: duplicated-span coverage matches a row-at-a-time reconstruction") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions.{rollCoeffs, RollP}
+    val W = TextAnalysis.DupSpanW
+    val df = TextAnalysis.c47DupSpans(spark, sf0001)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    val got = df
+      .collect()
+      .map(r =>
+        r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_tokens"), r.getAs[Double]("dup_frac")))
+      )
+      .toMap
+    def h32(s: String) = {
+      val hex = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val ks = rollCoeffs(W)
+    val docs = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val byDoc = docs.map { case (id, text) =>
+      val ht = text.split(" ", -1).map(h32)
+      val occ = (0 to ht.length - W).map(i => i -> (0 until W).map(j => ht(i + j) * ks(j)).sum % RollP)
+      (id, ht.length, occ)
+    }
+    val counts = byDoc.flatMap(_._3.map(_._2)).groupBy(identity).view.mapValues(_.length).toMap
+    val want = byDoc.flatMap { case (id, n, occ) =>
+      val covered = occ.filter(o => counts(o._2) >= 2).flatMap(o => o._1 until o._1 + W).toSet.size
+      if (covered > 0) Some(id -> ((n.toLong, covered.toLong, covered.toDouble / n))) else None
+    }.toMap
+    assert(got == want)
+    assert(want.nonEmpty) // the gate data actually exercises the operator
+    // exact whole-doc duplicates are fully covered
+    val fullDups = docs
+      .groupBy(_._2)
+      .values
+      .filter(g => g.length >= 2 && g.head._2.split(" ", -1).length >= W)
+      .flatMap(_.map(_._1))
+    fullDups.foreach(id => assert(got(id)._3 == 1.0, s"doc $id"))
+  }
+
   test("s12: CDC diff — keyed full-outer (no nested loop), only changed keys, pre/post pair per update") {
     import org.apache.spark.sql.functions.col
     val df = graft.sources.Formats.s12CdcRead(spark, sf0001)
