@@ -246,6 +246,28 @@ object OracleGen {
        |FROM cov c JOIN toks t ON t.doc_id = c.doc_id""".stripMargin
   }
 
+  /** c48's vocabulary is re-derived in SQL (top-V by freq, term
+    * tie-break); the per-doc coverage joins each token against it, so
+    * the literal-array scoring path is checked end-to-end.
+    */
+  val c48VocabCoverage: String = {
+    import graft.operators.TextAnalysis.VocabV
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |freq AS (SELECT term, COUNT(*) AS freq FROM tok GROUP BY term),
+       |vocab AS (SELECT term FROM freq ORDER BY freq DESC, term LIMIT $VocabV),
+       |per AS (SELECT t.doc_id,
+       |    COUNT(*) AS n_tokens,
+       |    COUNT(v.term) AS n_in_vocab,
+       |    COUNT(DISTINCT CASE WHEN v.term IS NULL THEN t.term END) AS n_oov_types
+       |  FROM tok t LEFT JOIN vocab v ON t.term = v.term
+       |  GROUP BY t.doc_id)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(n_in_vocab AS BIGINT) AS n_in_vocab,
+       |  CAST(n_oov_types AS BIGINT) AS n_oov_types,
+       |  CASE WHEN n_tokens > 0 THEN CAST(n_in_vocab AS DOUBLE) / n_tokens ELSE 0.0 END AS coverage
+       |FROM per""".stripMargin
+  }
+
   /** c45 = c33's connected-component labels, survivor = argmax quality
     * (tie → min doc_id) per cluster, singletons their own cluster.
     */

@@ -79,6 +79,7 @@ object SparkEntry {
     "c45_quality_canonical" -> (TextAnalysis.c45QualityCanonical _),
     "c46_weighted_sample" -> (Sampling.c46WeightedSample _),
     "c47_dup_spans" -> (TextAnalysis.c47DupSpans _),
+    "c48_vocab_coverage" -> (TextAnalysis.c48VocabCoverage _),
     "b25_unpivot" -> (Relational.b25Unpivot _),
     "c20_training_pipeline" -> (Sampling.c20TrainingPipeline _),
     "c21_decontamination" -> (Sampling.c21Decontamination _),
@@ -399,6 +400,7 @@ object SparkEntry {
     "c45_quality_canonical" -> OracleGen.c45QualityCanonical,
     "c46_weighted_sample" -> OracleGen.c46WeightedSample,
     "c47_dup_spans" -> OracleGen.c47DupSpans,
+    "c48_vocab_coverage" -> OracleGen.c48VocabCoverage,
     "b25_unpivot" ->
       """SELECT user_id, event_type, count(*) AS n FROM events
         |WHERE event_type IN ('view', 'click', 'purchase', 'signup', 'error')

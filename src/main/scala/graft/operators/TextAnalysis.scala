@@ -433,6 +433,56 @@ object TextAnalysis {
       )
   }
 
+  /** Vocabulary size for [[c48VocabCoverage]] — small enough to be a
+    * broadcast literal AND strictly smaller than the synthetic corpus
+    * vocabulary (31 distinct terms at every SF), so both the in-vocab
+    * and the OOV side are exercised (spec-asserted).
+    */
+  val VocabV = 16
+
+  /** C48: tokenizer-vocabulary coverage — for a fixed top-V corpus
+    * vocabulary (frequency-ranked, term tie-break), each document's
+    * in-vocab token share and its count of distinct OOV types. The
+    * standard pre-tokenizer diagnostic for a training mix: low coverage
+    * = the tokenizer will fragment the doc into byte-fallback pieces;
+    * high OOV-type count = vocabulary pressure from this source.
+    *
+    * Scale: the vocabulary is ONE term-keyed shuffle with map-side
+    * combine plus a bounded global top-V (TakeOrdered — V rows ever
+    * reach the driver, same bounded-artifact contract as the IVF
+    * centroids); the scoring pass embeds the V terms as an array
+    * literal, so it is a single row-local corpus scan — NO join, NO
+    * exchange (plan-asserted). At 100 TB the corpus is scanned twice
+    * (freq + score) and text never shuffles.
+    */
+  def c48VocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val vocab: Array[String] = docs
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term"))
+      .limit(VocabV)
+      .collect()
+      .map(_.getString(0))
+    val vlit = array(vocab.map(lit): _*)
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(filter(col("w"), t => array_contains(vlit, t))).cast("long").as("n_in_vocab"),
+        size(array_distinct(filter(col("w"), t => !array_contains(vlit, t))))
+          .cast("long")
+          .as("n_oov_types")
+      )
+      .withColumn(
+        "coverage",
+        when(col("n_tokens") > 0, col("n_in_vocab").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0))
+      )
+  }
+
   /** C38: cross-document duplicated-chunk ratio — the segment-level
     * dedup signal (the CCNet / RefinedWeb line-dedup idea at c31's
     * chunk granularity, where this corpus has no line structure): a

@@ -675,6 +675,47 @@ class PlanSpec extends SparkSpec {
     fullDups.foreach(id => assert(got(id)._3 == 1.0, s"doc $id"))
   }
 
+  test("c48: vocab coverage — zero-exchange scoring scan, matches a row-at-a-time reconstruction") {
+    val df = TextAnalysis.c48VocabCoverage(spark, sf0001)
+    // the vocabulary is a bounded literal: the scoring pass must be one
+    // row-local scan — no join, no exchange of any kind
+    val p = plan(df)
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+    val got = df
+      .collect()
+      .map(r =>
+        r.getAs[Long]("doc_id") -> ((
+          r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_in_vocab"),
+          r.getAs[Long]("n_oov_types"),
+          r.getAs[Double]("coverage")
+        ))
+      )
+      .toMap
+    val docs = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"), org.apache.spark.sql.functions.col("text"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val freq = docs
+      .flatMap(_._2.split(" ", -1))
+      .groupBy(identity)
+      .view
+      .mapValues(_.length)
+      .toSeq
+    val vocab = freq.sortBy { case (t, n) => (-n, t) }.take(TextAnalysis.VocabV).map(_._1).toSet
+    val want = docs.map { case (id, text) =>
+      val w = text.split(" ", -1)
+      val inV = w.count(vocab.contains)
+      val oov = w.filterNot(vocab.contains).distinct.length
+      id -> ((w.length.toLong, inV.toLong, oov.toLong, if (w.nonEmpty) inV.toDouble / w.length else 0.0))
+    }.toMap
+    assert(got == want)
+    // the corpus actually exercises both sides of the vocabulary
+    assert(want.values.exists(v => v._2 > 0) && want.values.exists(v => v._3 > 0))
+    assert(want.values.exists(v => v._4 > 0.0 && v._4 < 1.0))
+  }
+
   test("s12: CDC diff — keyed full-outer (no nested loop), only changed keys, pre/post pair per update") {
     import org.apache.spark.sql.functions.col
     val df = graft.sources.Formats.s12CdcRead(spark, sf0001)
