@@ -198,6 +198,35 @@ object GraftSql {
   def b24SqlQ22(spark: SparkSession, sfDir: String): DataFrame =
     sql(spark, sfDir, Q22Sql)
 
+  /** B26: TPC-H Q18 shape ("large volume customer") — the HAVING-driven
+    * IN subquery: orders whose total lineitem quantity clears a
+    * threshold, joined back to customer and re-aggregated. Quantity
+    * sums run in DECIMAL and cast to double at the end (b1's idiom), so
+    * both engines agree bit-exactly. Catalyst rewrites the IN subquery
+    * to a LEFT SEMI join on l_orderkey; the HAVING aggregate and the
+    * orders⋈lineitem join shuffle on the SAME key, so at scale the
+    * exchange is reused rather than repeated, and AQE handles the big
+    * order's skew. The ORDER BY (totalprice DESC, orderdate, orderkey)
+    * is total — o_orderkey is in the group key — so LIMIT 100 is
+    * deterministic.
+    */
+  val Q18Sql: String =
+    """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+      |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE o.o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+      |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+      |ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+      |LIMIT 100""".stripMargin
+
+  def b26SqlQ18(spark: SparkSession, sfDir: String): DataFrame =
+    sql(spark, sfDir, Q18Sql)
+
   /** C13: vector search through SQL using graft's registered native
     * functions (array_l2_normalize / array_dot) — the
     * SparkSessionExtensions surface.

@@ -54,6 +54,7 @@ object SparkEntry {
     "b22_order_gaps" -> (Relational.b22OrderGaps _),
     "b23_sql_q21" -> (GraftSql.b23SqlQ21 _),
     "b24_sql_q22" -> (GraftSql.b24SqlQ22 _),
+    "b26_sql_q18" -> (GraftSql.b26SqlQ18 _),
     "c1_dedup_exact" -> (TextDedup.c1DedupExact _),
     "c2_dedup_ngram_jaccard" -> (TextDedup.c2NgramJaccard _),
     "c3_dedup_minhash_lsh" -> (TextDedup.c3MinHashLsh _),
@@ -315,6 +316,7 @@ object SparkEntry {
     // float anywhere
     "b23_sql_q21" -> GraftSql.Q21Sql,
     "b24_sql_q22" -> GraftSql.Q22Sql,
+    "b26_sql_q18" -> GraftSql.Q18Sql,
     // gap in epoch seconds (exact integers) — day-granularity datediff
     // rounds differently between engines at boundaries
     "b22_order_gaps" ->

@@ -929,6 +929,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Subquery") || p.contains("subquery"), p)
   }
 
+  test("b26: Q18-shape HAVING-IN plans a keyed semi join; deterministic top-100; values re-derived") {
+    import org.apache.spark.sql.functions.col
+    val df = GraftSql.b26SqlQ18(spark, sf0001)
+    val rows = df.collect()
+    val p = plan(df)
+    assert(p.contains("LeftSemi"), s"IN subquery did not plan as a semi join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // re-derive from the raw tables: quantity sums over integral values
+    // are exact, so an independent Scala fold must agree bit-for-bit
+    val li = graft.sources.Tables
+      .lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val qtyByOrder = li.groupBy(_._1).view.mapValues(_.map(x => BigDecimal(x._2)).sum).toMap
+    val big = qtyByOrder.filter(_._2 > 200).keySet
+    assert(big.nonEmpty, "threshold never binds at sf0.001 — raise data volume or lower it")
+    rows.foreach { r =>
+      val ok = r.getLong(r.fieldIndex("o_orderkey"))
+      assert(big.contains(ok), s"order $ok under threshold leaked through the semi join")
+      assert(r.getDouble(r.fieldIndex("sum_qty")) == qtyByOrder(ok).toDouble, s"order $ok")
+    }
+    // the ORDER BY is total → the LIMIT 100 cut is the global top slice
+    val prices = rows.map(r => r.getDouble(r.fieldIndex("o_totalprice")))
+    assert(prices.sameElements(prices.sortBy(-(_: Double))))
+    assert(rows.length == math.min(big.size, 100))
+  }
+
   test("c26: incremental dedup anti-join stays hash-keyed — no nested loop, text never shuffles") {
     val df = Sampling.c26DedupIncremental(spark, sf0001)
     df.collect()
