@@ -374,8 +374,25 @@ object Sampling {
     * [[graft.plans.TopKPerKey]] — bounded per-partition heaps, only
     * k·|langs| rows ever shuffle, never a per-lang sort of the corpus.
     */
-  def c46WeightedSample(spark: SparkSession, sfDir: String): DataFrame = {
-    val scored = TextAnalysis
+  def c46WeightedSample(spark: SparkSession, sfDir: String): DataFrame =
+    graft.plans.TopKPerKey
+      .topKPerKey(
+        weightedPriorities(spark, sfDir),
+        keyCols = Seq("lang"),
+        orderBy = Seq(("priority", false), ("doc_id", true)),
+        k = WeightedSampleK
+      )
+      .select(col("lang"), col("doc_id"), col("weight"), col("priority"))
+
+  /** The c46 per-doc priority frame (doc_id, lang, weight, priority) —
+    * one row-local projection, shared verbatim by the batch top-k and
+    * the streaming reservoir
+    * ([[graft.streaming.StreamingOps.streamingWeightedSample]]), so
+    * stream-batch parity is parity of the SELECTION only, never of
+    * recomputed priorities.
+    */
+  def weightedPriorities(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis
       .qualityScored(
         Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("text"))
       )
@@ -398,15 +415,6 @@ object Sampling {
           .when(col("weight") === 2L, sqrt(col("u")))
           .otherwise(col("u"))
       )
-    graft.plans.TopKPerKey
-      .topKPerKey(
-        scored,
-        keyCols = Seq("lang"),
-        orderBy = Seq(("priority", false), ("doc_id", true)),
-        k = WeightedSampleK
-      )
-      .select(col("lang"), col("doc_id"), col("weight"), col("priority"))
-  }
 
   /** The "new batch" stand-in for incremental dedup: every 10th doc. */
   val IncrEvery = 10

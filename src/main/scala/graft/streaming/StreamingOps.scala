@@ -341,4 +341,68 @@ object StreamingOps {
         admitted.result().iterator
       }
   }
+
+  /** A weighted document for the streaming reservoir — the batch c46
+    * priority columns ([[graft.operators.Sampling.weightedPriorities]])
+    * computed upstream, so the stream never recomputes a priority.
+    */
+  case class WeightedDocRow(doc_id: Long, lang: String, weight: Long, priority: Double)
+
+  /** One reservoir update: the key's current weighted sample after a
+    * micro-batch that changed it, with a per-key update sequence so a
+    * sink can identify the latest emission.
+    */
+  case class SampleUpdate(
+      lang: String,
+      seq: Long,
+      doc_ids: Seq[Long],
+      weights: Seq[Long],
+      priorities: Seq[Double]
+  )
+
+  /** Streaming weighted sampling without replacement — the streaming
+    * form Efraimidis-Spirakis (IPL 2006) designed A-Res FOR: keeping
+    * the k largest priority keys u^(1/w) online IS the weighted
+    * reservoir, so per-key state is ONLY the current top-k under
+    * (priority DESC, doc_id ASC) — the same bounded-memory contract as
+    * the batch [[graft.operators.Sampling.c46WeightedSample]]'s native
+    * TopKPerKey heaps, whatever the stream's length, folded one row at
+    * a time. A doc's priority is deterministic (salted-md5 coin), so
+    * at-least-once redelivery is absorbed by the same
+    * already-in-reservoir guard as the quota stream. Update mode, no
+    * watermark: a reservoir has no event-time horizon.
+    */
+  def streamingWeightedSample(docs: Dataset[WeightedDocRow], k: Int): Dataset[SampleUpdate] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.lang)
+      .mapGroupsWithState[(Long, Seq[(Double, Long, Long)]), SampleUpdate](
+        GroupStateTimeout.NoTimeout
+      ) {
+        (
+            lang: String,
+            rows: Iterator[WeightedDocRow],
+            state: GroupState[(Long, Seq[(Double, Long, Long)])]
+        ) =>
+          val (seq0, prev) = state.getOption.getOrElse((0L, Seq.empty[(Double, Long, Long)]))
+          // insert each row into the sorted reservoir, truncating at k:
+          // O(k) memory and O(k) work per row, independent of batch size
+          val merged = rows.foldLeft(prev) { (acc, r) =>
+            // redelivery guard: a doc's priority is deterministic, so
+            // id-presence is enough — it must not occupy two slots
+            if (acc.exists(_._2 == r.doc_id)) acc
+            else {
+              val entry = (r.priority, r.doc_id, r.weight)
+              val pos = acc.indexWhere { case (p, id, _) =>
+                p < r.priority || (p == r.priority && id > r.doc_id)
+              }
+              val inserted = if (pos < 0) acc :+ entry else (acc.take(pos) :+ entry) ++ acc.drop(pos)
+              inserted.take(k)
+            }
+          }
+          val seq = seq0 + 1
+          state.update((seq, merged))
+          SampleUpdate(lang, seq, merged.map(_._2), merged.map(_._3), merged.map(_._1))
+      }
+  }
 }

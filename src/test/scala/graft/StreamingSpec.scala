@@ -462,6 +462,95 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming weighted sample matches the batch c46 result (stream-batch parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = graft.operators.Sampling
+      .weightedPriorities(spark, sf001)
+      .select($"doc_id", $"lang", $"weight", $"priority")
+      .as[StreamingOps.WeightedDocRow]
+      .collect()
+
+    val input = MemoryStream[StreamingOps.WeightedDocRow]
+    val q = StreamingOps
+      .streamingWeightedSample(input.toDS(), graft.operators.Sampling.WeightedSampleK)
+      .writeStream
+      .format("memory")
+      .queryName("wsamp_out")
+      .outputMode("update")
+      .start()
+    docs.grouped(150).foreach { chunk =>
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    // redeliver a slice — the reservoir guard must keep the sample stable
+    input.addData(docs.take(50).toSeq)
+    q.processAllAvailable()
+
+    val updates = spark.table("wsamp_out").as[StreamingOps.SampleUpdate].collect()
+    q.stop()
+    val streamed = updates
+      .groupBy(_.lang)
+      .map { case (_, us) => us.maxBy(_.seq) }
+      .flatMap(u => u.doc_ids.zip(u.weights).zip(u.priorities).map { case ((id, w), p) => (u.lang, id, w, p) })
+      .toSet
+    val batch = graft.operators.Sampling
+      .c46WeightedSample(spark, sf001)
+      .collect()
+      .map(r =>
+        (
+          r.getString(r.fieldIndex("lang")),
+          r.getLong(r.fieldIndex("doc_id")),
+          r.getLong(r.fieldIndex("weight")),
+          r.getDouble(r.fieldIndex("priority"))
+        )
+      )
+      .toSet
+    assert(streamed == batch,
+      s"reservoir divergence: missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+  }
+
+  test("streaming weighted sample is arrival-order independent (shuffled replay, 2 seeds)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.operators.Sampling
+      .weightedPriorities(spark, sf0001)
+      .select($"doc_id", $"lang", $"weight", $"priority")
+      .as[StreamingOps.WeightedDocRow]
+      .collect()
+    val batch = graft.operators.Sampling
+      .c46WeightedSample(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(r.fieldIndex("lang")), r.getLong(r.fieldIndex("doc_id"))))
+      .toSet
+    Seq(7, 42).foreach { seed =>
+      val shuffled = new scala.util.Random(seed).shuffle(docs.toSeq)
+      val input = MemoryStream[StreamingOps.WeightedDocRow]
+      val q = StreamingOps
+        .streamingWeightedSample(input.toDS(), graft.operators.Sampling.WeightedSampleK)
+        .writeStream
+        .format("memory")
+        .queryName(s"wsamp_shuf_$seed")
+        .outputMode("update")
+        .start()
+      shuffled.grouped(37).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark
+        .table(s"wsamp_shuf_$seed")
+        .as[StreamingOps.SampleUpdate]
+        .collect()
+        .groupBy(_.lang)
+        .map { case (_, us) => us.maxBy(_.seq) }
+        .flatMap(u => u.doc_ids.map(id => (u.lang, id)))
+        .toSet
+      q.stop()
+      assert(streamed == batch, s"seed=$seed: arrival order changed the sample")
+    }
+  }
+
   test("batch and streaming dedup agree on the same input (stream-batch parity)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
