@@ -227,6 +227,33 @@ object GraftSql {
   def b26SqlQ18(spark: SparkSession, sfDir: String): DataFrame =
     sql(spark, sfDir, Q18Sql)
 
+  /** B27: TPC-H Q15 shape ("top supplier") — an aggregate CTE consumed
+    * twice: once as the join input, once under an uncorrelated scalar
+    * MAX subquery that selects the winner(s). Revenue stays DECIMAL
+    * through the MAX equality (exact in both engines — a double
+    * comparison at the top would be ULP-fragile) and casts to double
+    * only in the output projection (b1's idiom). Catalyst plans the
+    * MAX as a once-executed subquery stage over the reused revenue
+    * aggregate — never per-row — and the supplier dim broadcasts. At
+    * scale: one lineitem shuffle on l_suppkey (the date filter pushes
+    * into the scan), a driver-sized scalar, a broadcast join.
+    */
+  val Q15Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+      |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+      |WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+      |ORDER BY s.s_suppkey""".stripMargin
+
+  def b27SqlQ15(spark: SparkSession, sfDir: String): DataFrame =
+    sql(spark, sfDir, Q15Sql)
+
   /** C13: vector search through SQL using graft's registered native
     * functions (array_l2_normalize / array_dot) — the
     * SparkSessionExtensions surface.

@@ -55,6 +55,7 @@ object SparkEntry {
     "b23_sql_q21" -> (GraftSql.b23SqlQ21 _),
     "b24_sql_q22" -> (GraftSql.b24SqlQ22 _),
     "b26_sql_q18" -> (GraftSql.b26SqlQ18 _),
+    "b27_sql_q15" -> (GraftSql.b27SqlQ15 _),
     "c1_dedup_exact" -> (TextDedup.c1DedupExact _),
     "c2_dedup_ngram_jaccard" -> (TextDedup.c2NgramJaccard _),
     "c3_dedup_minhash_lsh" -> (TextDedup.c3MinHashLsh _),
@@ -114,7 +115,8 @@ object SparkEntry {
     "s9_upsert" -> (graft.sources.Formats.s9Upsert _),
     "s10_dynamic_overwrite" -> (graft.sources.Formats.s10DynamicOverwrite _),
     "s11_time_travel" -> (graft.sources.Formats.s11TimeTravel _),
-    "s12_cdc_read" -> (graft.sources.Formats.s12CdcRead _)
+    "s12_cdc_read" -> (graft.sources.Formats.s12CdcRead _),
+    "s13_vacuum" -> (graft.sources.Formats.s13Vacuum _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -317,6 +319,7 @@ object SparkEntry {
     "b23_sql_q21" -> GraftSql.Q21Sql,
     "b24_sql_q22" -> GraftSql.Q22Sql,
     "b26_sql_q18" -> GraftSql.Q18Sql,
+    "b27_sql_q15" -> GraftSql.Q15Sql,
     // gap in epoch seconds (exact integers) — day-granularity datediff
     // rounds differently between engines at boundaries
     "b22_order_gaps" ->
@@ -768,6 +771,21 @@ object SparkEntry {
         |SELECT 1 AS version, * FROM base
         |UNION ALL
         |SELECT 2 AS version, * FROM v2""".stripMargin,
+    // the post-vacuum pointer state = the v3 merge chain reconstructed
+    // relationally — a vacuum that deletes a live version, resurrects
+    // dropped rows, or corrupts the chain each breaks the hash
+    "s13_vacuum" ->
+      """WITH base AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal + 100.0 AS c_acctbal FROM base WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, c_nationkey, c_acctbal FROM base WHERE c_custkey % 53 = 0),
+        |v2 AS (SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT b.* FROM base b WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = b.c_custkey))
+        |SELECT c_custkey, c_nationkey,
+        |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal - 50.0 ELSE c_acctbal END AS c_acctbal
+        |FROM v2""".stripMargin,
     // the CDC feed between the reconstructed versions: only changed
     // keys, update keys as a pre/post image pair — a missed delete, a
     // phantom update, or a swapped image each breaks the hash

@@ -457,6 +457,65 @@ object Formats {
     )
   }
 
+  /** S13: retention vacuum on the version-pointer table — the
+    * storage-reclaim half of the lakehouse contract (s9 writes a
+    * version, s10 rewrites a partition, s11 reads history, s12 reads
+    * the delta, s13 EXPIRES history): three deterministic commits
+    * (v1 base customer snapshot; v2 merges the s11 update+insert batch;
+    * v3 re-balances every 7th surviving key −50.0), then
+    * [[graft.streaming.StreamingSink.vacuum]] with a two-version
+    * retention removes exactly v1. The gate reads the post-vacuum
+    * pointer state; the oracle reconstructs the v3 state relationally,
+    * so a vacuum that deletes a LIVE version (the read comes back
+    * short), resurrects dropped rows, or corrupts the merge chain
+    * breaks the hash. The vacuum-specific physics — v1 gone, v2 still
+    * time-travelable, v3 byte-stable across the vacuum, idempotent
+    * re-run, the pointer-guard rule — are PlanSpec-asserted.
+    */
+  def s13Vacuum(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StreamingSink
+    val base = Tables
+      .customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val dir = s"${scratch(spark, "vacuum", sfDir)}/t"
+    val marker = new Path(s"${scratch(spark, "vacuum", sfDir)}/done")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
+      val updates2 = base
+        .filter(col("c_custkey") % 5 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        .unionByName(
+          base
+            .filter(col("c_custkey") % 53 === 0)
+            .withColumn("c_custkey", col("c_custkey") + 10000000L)
+        )
+      base.write.mode("overwrite").parquet(s"$dir/v=1")
+      StreamingSink.flipLatest(spark, dir, 1L)
+      val v2 = mergeInto(base, updates2, Seq("c_custkey"))
+      v2.write.mode("overwrite").parquet(s"$dir/v=2")
+      StreamingSink.flipLatest(spark, dir, 2L)
+      val v2Read = spark.read.parquet(s"$dir/v=2")
+      val updates3 = v2Read
+        .filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") - 50.0)
+      mergeInto(v2Read, updates3, Seq("c_custkey"))
+        .write
+        .mode("overwrite")
+        .parquet(s"$dir/v=3")
+      StreamingSink.flipLatest(spark, dir, 3L)
+      StreamingSink.vacuum(spark, dir, keepVersions = 2): Unit
+      fs.create(marker, true).close()
+    }
+    StreamingSink.upsertTable(spark, dir)
+  }
+
+  /** The version-pointer table [[s13Vacuum]] builds and vacuums — for
+    * PlanSpec's physical assertions (valid after the query has run in
+    * the same application).
+    */
+  def s13VacuumDir(spark: SparkSession, sfDir: String): String =
+    s"${scratch(spark, "vacuum", sfDir)}/t"
+
   /** The compacted directory for [[s5Compaction]]'s physical-layout
     * assertions (FormatsSpec) — valid after the query has run in the
     * same application.

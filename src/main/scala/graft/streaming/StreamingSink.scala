@@ -108,6 +108,57 @@ object StreamingSink {
     finally out.close()
   }
 
+  /** List the committed version numbers under the table, ascending —
+    * every immutable `v=<n>` dir, whether or not the pointer has moved
+    * past it.
+    */
+  def listVersions(spark: org.apache.spark.sql.SparkSession, tableDir: String): Seq[Long] = {
+    val p = new Path(tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else
+      fs.listStatus(p)
+        .toSeq
+        .map(_.getPath.getName)
+        .collect { case s if s.matches("v=\\d+") => s.stripPrefix("v=").toLong }
+        .sorted
+  }
+
+  /** Retention vacuum: delete every version dir EXCEPT the newest
+    * `keepVersions` (which always includes the pointer's target —
+    * `keepVersions >= 1` is enforced), returning the removed version
+    * numbers. Kept versions stay byte-untouched (spec-asserted), so
+    * time travel within the retention window keeps working; anything
+    * older becomes unreadable — the storage-reclaim half of the
+    * version-pointer table's contract (a 100 TB table cannot keep
+    * every nightly snapshot forever). Deletion order is oldest-first
+    * and each dir is independent and unreferenced by the kept ones
+    * (full-copy versions here; a delta-file layout vacuums file
+    * granules with the same reachability rule), so a crash mid-vacuum
+    * leaves a table that is merely less reclaimed, never corrupt.
+    * Idempotent: a re-run finds nothing below the retention line.
+    */
+  def vacuum(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String,
+      keepVersions: Int
+  ): Seq[Long] = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val p = new Path(tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // retention counts back from the POINTER, not the newest dir: a
+    // version past the pointer is an in-flight commit (crash between
+    // data write and flip) — vacuum must neither count nor delete it
+    val pointer = latestVersion(fs, tableDir).map(_.stripPrefix("v=").toLong)
+    val committed = pointer match {
+      case None    => Seq.empty // no commit yet — nothing is safe to expire
+      case Some(v) => listVersions(spark, tableDir).filter(_ <= v)
+    }
+    val expired = committed.dropRight(keepVersions)
+    expired.foreach(v => fs.delete(new Path(tableDir, s"v=$v"), true))
+    expired
+  }
+
   /** Streaming MERGE INTO: each micro-batch upserts into the table —
     * one row per key survives the batch (max `seqCol`, computed by the
     * native bounded-heap [[graft.plans.TopKPerKey]] with k=1, so a

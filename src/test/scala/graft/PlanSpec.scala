@@ -783,6 +783,77 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("s13: vacuum — expired gone, retained byte-stable + readable, pointer-guard, idempotent") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    import graft.streaming.StreamingSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_vacuum_spec").toString + "/t"
+    try {
+      val v1 = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "bal")
+      v1.write.parquet(s"$dir/v=1")
+      StreamingSink.flipLatest(spark, dir, 1L)
+      val v2 = graft.sources.Formats
+        .mergeInto(v1, Seq((2L, 99.0)).toDF("k", "bal"), Seq("k"))
+      v2.write.parquet(s"$dir/v=2")
+      StreamingSink.flipLatest(spark, dir, 2L)
+      spark.read.parquet(s"$dir/v=2").write.parquet(s"$dir/v=3")
+      StreamingSink.flipLatest(spark, dir, 3L)
+      // an in-flight commit past the pointer: data written, not flipped
+      spark.read.parquet(s"$dir/v=3").write.parquet(s"$dir/v=4")
+      val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      def files(v: Long) = fs
+        .listStatus(new Path(s"$dir/v=$v"))
+        .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+        .toSet
+      val v2Before = files(2L)
+      val v3Before = files(3L)
+      // retention 2 counted from the POINTER (v3): only v1 expires —
+      // v4 is uncommitted and must be neither counted nor deleted
+      assert(StreamingSink.vacuum(spark, dir, keepVersions = 2) == Seq(1L))
+      assert(!fs.exists(new Path(s"$dir/v=1")), "expired version dir survived the vacuum")
+      assert(fs.exists(new Path(s"$dir/v=4")), "vacuum deleted an in-flight (post-pointer) commit")
+      // retained history byte-stable and still time-travelable
+      assert(files(2L) == v2Before && files(3L) == v3Before)
+      assert(
+        StreamingSink.readVersion(spark, dir, 2L).as[(Long, Double)].collect().toSet ==
+          Set((1L, 10.0), (2L, 99.0))
+      )
+      assert(
+        StreamingSink.upsertTable(spark, dir).as[(Long, Double)].collect().toSet ==
+          Set((1L, 10.0), (2L, 99.0))
+      )
+      // idempotent: nothing below the retention line remains
+      assert(StreamingSink.vacuum(spark, dir, keepVersions = 2).isEmpty)
+      assert(StreamingSink.listVersions(spark, dir) == Seq(2L, 3L, 4L))
+      intercept[IllegalArgumentException](StreamingSink.vacuum(spark, dir, keepVersions = 0))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir).getParentFile): Unit
+    }
+  }
+
+  test("s13: gate query — post-vacuum read equals the merge chain; only v2 and v3 remain") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.StreamingSink
+    val df = graft.sources.Formats.s13Vacuum(spark, sf0001)
+    val got = df
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .toSet
+    // re-derive the v3 state row-at-a-time from the raw customer table
+    val base = graft.sources.Tables
+      .customer(spark, sf0001)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val v2 = base.map { case (k, n, b) => if (k % 5 == 0) (k, n, b + 100.0) else (k, n, b) } ++
+      base.collect { case (k, n, b) if k % 53 == 0 => (k + 10000000L, n, b) }
+    val v3 = v2.map { case (k, n, b) => if (k % 7 == 0) (k, n, b - 50.0) else (k, n, b) }
+    assert(got == v3.toSet)
+    // vacuum physics on the gate table: v1 expired, v2/v3 remain
+    val dir = graft.sources.Formats.s13VacuumDir(spark, sf0001)
+    assert(StreamingSink.listVersions(spark, dir) == Seq(2L, 3L))
+  }
+
   test("c44: bloom admission — history never shuffles, verdict equals the plain anti-join") {
     import org.apache.spark.sql.functions.{col, md5, min, struct}
     val df = Sampling.c44BloomDedup(spark, sf0001)
@@ -955,6 +1026,38 @@ class PlanSpec extends SparkSpec {
     val prices = rows.map(r => r.getDouble(r.fieldIndex("o_totalprice")))
     assert(prices.sameElements(prices.sortBy(-(_: Double))))
     assert(rows.length == math.min(big.size, 100))
+  }
+
+  test("b27: Q15-shape scalar MAX runs once; winners re-derived from exact decimal sums") {
+    import org.apache.spark.sql.functions.col
+    val df = GraftSql.b27SqlQ15(spark, sf0001)
+    val rows = df.collect()
+    val p = plan(df)
+    assert(p.contains("Subquery") || p.contains("subquery"),
+      s"the MAX threshold must plan as a once-executed subquery stage:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // re-derive the winner set with exact decimal arithmetic
+    val li = graft.sources.Tables
+      .lineitem(spark, sf0001)
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
+      .collect()
+    val lo = java.time.LocalDateTime.of(1996, 1, 1, 0, 0)
+    val hi = java.time.LocalDateTime.of(1996, 4, 1, 0, 0)
+    val rev = li
+      .filter { r =>
+        val d = r.getAs[java.time.LocalDateTime](3); !d.isBefore(lo) && d.isBefore(hi)
+      }
+      .groupBy(_.getLong(0))
+      .view
+      .mapValues(
+        _.map(r => BigDecimal(r.getDouble(1)).setScale(2) * (1 - BigDecimal(r.getDouble(2)).setScale(2))).sum
+      )
+      .toMap
+    assert(rev.nonEmpty)
+    val maxRev = rev.values.max
+    val winners = rev.filter(_._2 == maxRev).keySet
+    assert(rows.map(_.getLong(0)).toSet == winners)
+    rows.foreach(r => assert(r.getDouble(r.fieldIndex("total_revenue")) == maxRev.toDouble))
   }
 
   test("c26: incremental dedup anti-join stays hash-keyed — no nested loop, text never shuffles") {
