@@ -254,6 +254,39 @@ object GraftSql {
   def b27SqlQ15(spark: SparkSession, sfDir: String): DataFrame =
     sql(spark, sfDir, Q15Sql)
 
+  /** B28: TPC-H Q7 shape ("volume shipping") — the two-hop fact chain
+    * lineitem→orders→customer with BOTH endpoints dimension-decorated
+    * (supplier nation, customer nation) and a symmetric nation-pair
+    * disjunction that spans the two dims, so it cannot push into
+    * either scan alone — the planner must decorate first, filter the
+    * pair after. Money stays DECIMAL to the final cast (b1's idiom);
+    * the year is cast BIGINT in-SQL because Spark's year() is INT and
+    * DuckDB's is BIGINT. At scale: the 25-row nation dim broadcasts
+    * twice, supplier broadcasts, the two big shuffles are
+    * lineitem⋈orders on orderkey and ⋈customer on custkey — the
+    * minimum for this chain — and the date filter pushes into the
+    * lineitem scan (plan-asserted, with no cartesian anywhere despite
+    * the cross-dim OR).
+    */
+  val Q7Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem l
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      |WHERE ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+      |    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
+      |  AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  def b28SqlQ7(spark: SparkSession, sfDir: String): DataFrame =
+    sql(spark, sfDir, Q7Sql)
+
   /** C13: vector search through SQL using graft's registered native
     * functions (array_l2_normalize / array_dot) — the
     * SparkSessionExtensions surface.

@@ -56,6 +56,7 @@ object SparkEntry {
     "b24_sql_q22" -> (GraftSql.b24SqlQ22 _),
     "b26_sql_q18" -> (GraftSql.b26SqlQ18 _),
     "b27_sql_q15" -> (GraftSql.b27SqlQ15 _),
+    "b28_sql_q7" -> (GraftSql.b28SqlQ7 _),
     "c1_dedup_exact" -> (TextDedup.c1DedupExact _),
     "c2_dedup_ngram_jaccard" -> (TextDedup.c2NgramJaccard _),
     "c3_dedup_minhash_lsh" -> (TextDedup.c3MinHashLsh _),
@@ -320,6 +321,7 @@ object SparkEntry {
     "b24_sql_q22" -> GraftSql.Q22Sql,
     "b26_sql_q18" -> GraftSql.Q18Sql,
     "b27_sql_q15" -> GraftSql.Q15Sql,
+    "b28_sql_q7" -> GraftSql.Q7Sql,
     // gap in epoch seconds (exact integers) — day-granularity datediff
     // rounds differently between engines at boundaries
     "b22_order_gaps" ->

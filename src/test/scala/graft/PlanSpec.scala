@@ -1060,6 +1060,63 @@ class PlanSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(r.fieldIndex("total_revenue")) == maxRev.toDouble))
   }
 
+  test("b28: Q7-shape dims broadcast, cross-dim OR never degenerates; revenue re-derived") {
+    import org.apache.spark.sql.functions.col
+    val df = GraftSql.b28SqlQ7(spark, sf0001)
+    val rows = df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"the nation/supplier dims must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the cross-dim nation-pair OR degenerated into a product:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"date filter did not reach the lineitem scan:\n$p")
+    // re-derive with exact decimal arithmetic over the raw tables
+    val sup = graft.sources.Tables
+      .supplier(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(r.fieldIndex("s_suppkey")) -> r.getInt(r.fieldIndex("s_nationkey")))
+      .toMap
+    val custNat = graft.sources.Tables
+      .customer(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(r.fieldIndex("c_custkey")) -> r.getInt(r.fieldIndex("c_nationkey")))
+      .toMap
+    val ordCust = graft.sources.Tables
+      .orders(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(r.fieldIndex("o_orderkey")) -> r.getLong(r.fieldIndex("o_custkey")))
+      .toMap
+    val lo = java.time.LocalDateTime.of(1995, 1, 1, 0, 0)
+    val hi = java.time.LocalDateTime.of(1998, 1, 1, 0, 0)
+    val want = graft.sources.Tables
+      .lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
+      .collect()
+      .flatMap { r =>
+        val d = r.getAs[java.time.LocalDateTime](4)
+        val sn = sup(r.getLong(1))
+        val cn = custNat(ordCust(r.getLong(0)))
+        val pair = (sn == 13 && cn == 19) || (sn == 19 && cn == 13)
+        if (pair && !d.isBefore(lo) && d.isBefore(hi))
+          Some(
+            (
+              (s"NATION_$sn", s"NATION_$cn", d.getYear.toLong),
+              BigDecimal(r.getDouble(2)).setScale(2) * (1 - BigDecimal(r.getDouble(3)).setScale(2))
+            )
+          )
+        else None
+      }
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2).sum.toDouble)
+      .toMap
+    val got = rows
+      .map(r => ((r.getString(0), r.getString(1), r.getLong(2)), r.getDouble(r.fieldIndex("revenue"))))
+      .toMap
+    assert(got == want)
+    assert(want.size >= 4, "both pair directions and several years must appear")
+  }
+
   test("c26: incremental dedup anti-join stays hash-keyed — no nested loop, text never shuffles") {
     val df = Sampling.c26DedupIncremental(spark, sf0001)
     df.collect()
