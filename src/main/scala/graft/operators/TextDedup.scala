@@ -202,30 +202,40 @@ object TextDedup {
     })
   }
 
-  private def c3MinHashLshCompute(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-doc LSH band-key array from an exploded (doc_id, h) shingle
+    * frame — the minhash-signature → banding pipeline, shared by the
+    * batch candidate join and the streaming admission operator
+    * ([[graft.streaming.StreamingOps.streamingLshAdmission]]), so the
+    * stream collides in EXACTLY the buckets the batch pass would.
+    *
+    * Band key = xxhash64 of the band's minhash rows (band index baked
+    * in). A 64-bit collision can only ADD a candidate — equal rows
+    * always hash equal — and exact Jaccard verification removes it, so
+    * the output contract is unchanged while keys stay 8-byte longs.
+    */
+  def bandKeyFrame(sh: DataFrame): DataFrame = {
     import MinHashParams._
-    val sh = shingleHashes(spark, sfDir).localCheckpoint()
     val mins: Seq[Column] =
       (0 until NumPerms).map(j => min((col("h") * A(j) + B(j)) % P).as(s"m$j"))
     val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-
-    // band key = xxhash64 of the band's minhash rows (band index baked
-    // in). A 64-bit collision can only ADD a candidate — equal rows
-    // always hash equal — and exact Jaccard verification removes it, so
-    // the output contract is unchanged while keys stay 8-byte longs.
     val bandCols = (0 until Bands).map { b =>
       val rows = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
       xxhash64(lit(b) +: rows: _*)
     }
-    val bands = sig
-      .select(col("doc_id"), array(bandCols: _*).as("bkeys"))
-      .select(col("doc_id"), col("bkeys"), posexplode(col("bkeys")).as(Seq("band_idx", "bkey")))
+    sig.select(col("doc_id"), array(bandCols: _*).as("bkeys"))
+  }
 
-    // each colliding pair is kept ONLY in its first matching band —
-    // multi-band dedup as a row-local filter in the join stage instead
-    // of a distinct() shuffle over every (pair × band) duplicate
-    // (zip_with runs over an 8-element array; cheap next to a shuffle)
-    val cand = bands
+  /** The banded self-join over a [[bandKeyFrame]] output: every
+    * doc pair sharing ≥1 band bucket, each pair kept ONLY in its first
+    * matching band — multi-band dedup as a row-local filter in the
+    * join stage instead of a distinct() shuffle over every
+    * (pair × band) duplicate (zip_with runs over an 8-element array;
+    * cheap next to a shuffle).
+    */
+  private[graft] def lshCandidatePairs(bkeys: DataFrame): DataFrame = {
+    val bands = bkeys
+      .select(col("doc_id"), col("bkeys"), posexplode(col("bkeys")).as(Seq("band_idx", "bkey")))
+    bands
       .select(col("band_idx"), col("bkey"), col("doc_id").as("doc_a"), col("bkeys").as("bkeys_a"))
       .join(
         bands.select(col("band_idx"), col("bkey"), col("doc_id").as("doc_b"), col("bkeys").as("bkeys_b")),
@@ -236,8 +246,11 @@ object TextDedup {
           array_position(zip_with(col("bkeys_a"), col("bkeys_b"), _ === _), lit(true)) === col("band_idx") + 1
       )
       .select(col("doc_a"), col("doc_b"))
+  }
 
-    jaccardVerified(sh, Some(cand))
+  private def c3MinHashLshCompute(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingleHashes(spark, sfDir).localCheckpoint()
+    jaccardVerified(sh, Some(lshCandidatePairs(bandKeyFrame(sh))))
   }
 
   /** C34: cross-source near-duplicates — the syndication signal. The

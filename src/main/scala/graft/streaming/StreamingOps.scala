@@ -342,6 +342,63 @@ object StreamingOps {
       }
   }
 
+  /** One (band, bucket) occupancy probe for the streaming near-dup
+    * admission — a doc's LSH band keys
+    * ([[graft.operators.TextDedup.bandKeyFrame]]) exploded upstream,
+    * so the stream collides in exactly the buckets the batch candidate
+    * join would.
+    */
+  case class BandRow(doc_id: Long, band_idx: Int, bkey: Long)
+
+  /** Per-probe verdict: `dup_of == -1` means this doc owns the bucket
+    * (first arrival — admitted on this band); otherwise the owning
+    * doc_id it collided with (a near-dup SUSPECT pair, to be exactly
+    * verified downstream like the batch pass verifies its candidates).
+    */
+  case class BandVerdict(doc_id: Long, band_idx: Int, bkey: Long, dup_of: Long)
+
+  /** Streaming near-dup admission — c3's LSH candidate detection as an
+    * incremental operator: per-(band, bucket) state is ONE long (the
+    * first-arrived owner), so a new document is a near-dup suspect iff
+    * any of its [[graft.operators.TextDedup.MinHashParams.Bands]]
+    * probes lands in an owned bucket — the streaming analogue of the
+    * batch banded self-join, with the SAME signature pipeline feeding
+    * both. Ownership is first-arrival (the reference's dedup-store
+    * semantics: first seen wins); under in-order replay by doc_id that
+    * coincides with the batch min-id canonical, and the suspect set
+    * equals the batch candidate-pair doc_b set row-for-row
+    * (spec-asserted). Redelivery of an owner re-emits its own
+    * admission verdict, never a self-collision. State size is
+    * O(distinct buckets) — the same growth law as any
+    * dedup-against-history store (c26's hash history), RocksDB-backed
+    * by default; a retention policy (drop buckets idle > horizon) maps
+    * to GroupStateTimeout if the corpus contract allows forgetting.
+    * Update mode, no watermark.
+    */
+  def streamingLshAdmission(rows: Dataset[BandRow]): Dataset[BandVerdict] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(r => (r.band_idx, r.bkey))
+      .flatMapGroupsWithState[Long, BandVerdict](
+        OutputMode.Update(),
+        GroupStateTimeout.NoTimeout
+      ) { (key: (Int, Long), it: Iterator[BandRow], state: GroupState[Long]) =>
+        var owner = state.getOption.getOrElse(-1L)
+        val out = Seq.newBuilder[BandVerdict]
+        // fold in doc_id order so a batch's verdicts are independent of
+        // shuffle iteration order (same determinism posture as the
+        // budget stream's in-batch sort)
+        it.toSeq.sortBy(_.doc_id).foreach { r =>
+          if (owner == -1L || r.doc_id == owner) {
+            owner = r.doc_id
+            out += BandVerdict(r.doc_id, key._1, key._2, -1L)
+          } else out += BandVerdict(r.doc_id, key._1, key._2, owner)
+        }
+        state.update(owner)
+        out.result().iterator
+      }
+  }
+
   /** A weighted document for the streaming reservoir — the batch c46
     * priority columns ([[graft.operators.Sampling.weightedPriorities]])
     * computed upstream, so the stream never recomputes a priority.

@@ -462,6 +462,90 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming LSH admission: suspects equal the batch candidate doc_b set under in-order replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, posexplode}
+
+    val bkeys = graft.operators.TextDedup
+      .bandKeyFrame(graft.operators.TextDedup.shingleHashes(spark, sf0001))
+    val rows = bkeys
+      .select(col("doc_id"), posexplode(col("bkeys")).as(Seq("band_idx", "bkey")))
+      .as[StreamingOps.BandRow]
+      .collect()
+      .sortBy(_.doc_id)
+    val batchCand = graft.operators.TextDedup
+      .lshCandidatePairs(bkeys)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val wantSuspects = batchCand.map(_._2).toSet
+
+    val input = MemoryStream[StreamingOps.BandRow]
+    val q = StreamingOps
+      .streamingLshAdmission(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("lsh_adm_out")
+      .outputMode("update")
+      .start()
+    rows.grouped(500).foreach { chunk =>
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    // redeliver the first docs' probes — owners re-emit their own
+    // admission, never a self-collision, so the suspect set is stable
+    input.addData(rows.take(100).toSeq)
+    q.processAllAvailable()
+
+    val verdicts = spark.table("lsh_adm_out").as[StreamingOps.BandVerdict].collect()
+    q.stop()
+    val suspects = verdicts.filter(_.dup_of >= 0).map(_.doc_id).toSet
+    assert(suspects == wantSuspects,
+      s"suspect divergence: missing=${(wantSuspects -- suspects).take(5)} extra=${(suspects -- wantSuspects).take(5)}")
+    assert(wantSuspects.nonEmpty, "gate data must actually exercise the collision path")
+    // every collision names an owner that is a batch doc_a partner of
+    // that suspect (in-order replay → owner is the min-id bucket member)
+    val pairSet = batchCand.toSet
+    verdicts.filter(_.dup_of >= 0).foreach { v =>
+      assert(pairSet.contains((v.dup_of, v.doc_id)), s"verdict $v names a non-candidate owner")
+    }
+  }
+
+  test("streaming LSH admission: single owner per bucket under shuffled replay (2 seeds)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, posexplode}
+    val rows = graft.operators.TextDedup
+      .bandKeyFrame(graft.operators.TextDedup.shingleHashes(spark, sf0001))
+      .select(col("doc_id"), posexplode(col("bkeys")).as(Seq("band_idx", "bkey")))
+      .as[StreamingOps.BandRow]
+      .collect()
+    Seq(7, 42).foreach { seed =>
+      val shuffled = new scala.util.Random(seed).shuffle(rows.toSeq)
+      val input = MemoryStream[StreamingOps.BandRow]
+      val q = StreamingOps
+        .streamingLshAdmission(input.toDS())
+        .writeStream
+        .format("memory")
+        .queryName(s"lsh_adm_shuf_$seed")
+        .outputMode("update")
+        .start()
+      shuffled.grouped(700).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val verdicts = spark.table(s"lsh_adm_shuf_$seed").as[StreamingOps.BandVerdict].collect()
+      q.stop()
+      // whatever the arrival order: exactly one owner per bucket, and
+      // every non-owner verdict points at that bucket's owner
+      verdicts.groupBy(v => (v.band_idx, v.bkey)).foreach { case (bucket, vs) =>
+        val owners = vs.filter(_.dup_of == -1L).map(_.doc_id).distinct
+        assert(owners.size == 1, s"bucket $bucket has ${owners.size} owners")
+        vs.filter(_.dup_of >= 0).foreach(v => assert(v.dup_of == owners.head, s"bucket $bucket verdict $v"))
+      }
+    }
+  }
+
   test("streaming weighted sample matches the batch c46 result (stream-batch parity)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
