@@ -287,6 +287,36 @@ object GraftSql {
   def b28SqlQ7(spark: SparkSession, sfDir: String): DataFrame =
     sql(spark, sfDir, Q7Sql)
 
+  /** B29: TPC-H Q10 shape ("returned item reporting") — the classic
+    * customer-ranking report: revenue lost to returns over a half-year
+    * window, grouped by the full customer row, top 20. Money in
+    * DECIMAL to the final cast (b1's idiom); the ORDER BY
+    * (revenue DESC, c_custkey) is total because custkey is in the
+    * group key, so LIMIT 20 is deterministic cross-engine even on
+    * revenue ties. At scale: both date and returnflag filters push
+    * into their scans, lineitem⋈orders shuffles on orderkey, the
+    * aggregated per-customer frame joins customer (broadcast at test
+    * SF, keyed at 100 TB), nation broadcasts, and the top 20 is a
+    * TakeOrdered — never a global sort.
+    */
+  val Q10Sql: String =
+    """SELECT c.c_custkey, c.c_name, n.n_name,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE l.l_returnflag = 'R'
+      |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |GROUP BY c.c_custkey, c.c_name, n.n_name
+      |ORDER BY revenue DESC, c.c_custkey
+      |LIMIT 20""".stripMargin
+
+  def b29SqlQ10(spark: SparkSession, sfDir: String): DataFrame =
+    sql(spark, sfDir, Q10Sql)
+
   /** C13: vector search through SQL using graft's registered native
     * functions (array_l2_normalize / array_dot) — the
     * SparkSessionExtensions surface.

@@ -57,6 +57,8 @@ object SparkEntry {
     "b26_sql_q18" -> (GraftSql.b26SqlQ18 _),
     "b27_sql_q15" -> (GraftSql.b27SqlQ15 _),
     "b28_sql_q7" -> (GraftSql.b28SqlQ7 _),
+    "b29_sql_q10" -> (GraftSql.b29SqlQ10 _),
+    "c49_source_mix" -> (Sampling.c49SourceMix _),
     "c1_dedup_exact" -> (TextDedup.c1DedupExact _),
     "c2_dedup_ngram_jaccard" -> (TextDedup.c2NgramJaccard _),
     "c3_dedup_minhash_lsh" -> (TextDedup.c3MinHashLsh _),
@@ -322,6 +324,16 @@ object SparkEntry {
     "b26_sql_q18" -> GraftSql.Q18Sql,
     "b27_sql_q15" -> GraftSql.Q15Sql,
     "b28_sql_q7" -> GraftSql.Q7Sql,
+    "b29_sql_q10" -> GraftSql.Q10Sql,
+    // SUM(BIGINT) widens to HUGEINT in DuckDB → CAST back (the round-6
+    // lesson); the share divides the same two exact longs both engines
+    "c49_source_mix" ->
+      """WITH t AS (SELECT source, lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST((SELECT SUM(n_tokens) FROM t) AS BIGINT) AS token_share
+        |FROM t""".stripMargin,
     // gap in epoch seconds (exact integers) — day-granularity datediff
     // rounds differently between engines at boundaries
     "b22_order_gaps" ->

@@ -778,4 +778,39 @@ object Sampling {
         md5(redacted(col("text"))).as("redacted_md5"),
         length(redacted(col("text"))).cast("long").as("redacted_len")
       )
+
+  /** C49: corpus mix report — per (source, lang) document and token
+    * counts plus each cell's share of the corpus token total: the
+    * first table every mix build and every post-curation audit reads
+    * (c36's temperature targets, c42's epoch plan, and c28's quota
+    * choices all start from exactly these marginals). The share
+    * divides two exact longs in double, so it is engine-identical.
+    *
+    * Scale: ONE (source, lang) shuffle with map-side partial
+    * aggregation (token counting is row-local — text never shuffles);
+    * the corpus total folds off the same aggregate as a single-row
+    * broadcast (c14's nDocs idiom), so the report never re-scans.
+    */
+  def c49SourceMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val cell = Tables
+      .documents(spark, sfDir)
+      .select(
+        col("source"),
+        col("lang"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("nt")
+      )
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .localCheckpoint()
+    val total = cell.agg(sum(col("n_tokens")).as("total_tokens"))
+    cell
+      .crossJoin(broadcast(total))
+      .select(
+        col("source"),
+        col("lang"),
+        col("n_docs"),
+        col("n_tokens"),
+        (col("n_tokens").cast("double") / col("total_tokens")).as("token_share")
+      )
+  }
 }

@@ -1117,6 +1117,79 @@ class PlanSpec extends SparkSpec {
     assert(want.size >= 4, "both pair directions and several years must appear")
   }
 
+  test("b29: Q10-shape filters push to both scans; top-20 deterministic; revenue re-derived") {
+    import org.apache.spark.sql.functions.col
+    val df = GraftSql.b29SqlQ10(spark, sf0001)
+    val rows = df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)")
+      || p.contains("EqualTo(l_returnflag,R)"), s"returnflag filter did not reach the lineitem scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must plan as TakeOrdered, not a global sort:\n$p")
+    // re-derive with exact decimal arithmetic
+    val ordOk = graft.sources.Tables
+      .orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .collect()
+      .flatMap { r =>
+        val d = r.getAs[java.time.LocalDateTime](2)
+        if (!d.isBefore(java.time.LocalDateTime.of(1996, 1, 1, 0, 0)) &&
+          d.isBefore(java.time.LocalDateTime.of(1996, 7, 1, 0, 0)))
+          Some(r.getLong(0) -> r.getLong(1))
+        else None
+      }
+      .toMap
+    val custRows = graft.sources.Tables
+      .customer(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(r.fieldIndex("c_custkey")) ->
+        ((r.getString(r.fieldIndex("c_name")), r.getInt(r.fieldIndex("c_nationkey")))))
+      .toMap
+    val byCust = graft.sources.Tables
+      .lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"), col("l_returnflag"))
+      .collect()
+      .flatMap { r =>
+        if (r.getString(3) == "R") ordOk.get(r.getLong(0)).map { ck =>
+          ck -> (BigDecimal(r.getDouble(1)).setScale(2) * (1 - BigDecimal(r.getDouble(2)).setScale(2)))
+        } else None
+      }
+      .groupBy(_._1)
+      .view
+      .mapValues(vs => (vs.map(_._2).sum.toDouble, vs.size.toLong))
+      .toMap
+    val want = byCust.toSeq
+      .sortBy { case (ck, (rev, _)) => (-rev, ck) }
+      .take(20)
+      .map { case (ck, (rev, n)) => (ck, custRows(ck)._1, s"NATION_${custRows(ck)._2}", rev, n) }
+    val got = rows.map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3), r.getLong(4))).toSeq
+    assert(got == want)
+    assert(got.size == 20)
+  }
+
+  test("c49: mix report — one keyed shuffle, text never rides it; shares re-derived and sum to 1") {
+    import org.apache.spark.sql.functions.col
+    val df = Sampling.c49SourceMix(spark, sf0001)
+    val rows = df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"))
+    p.linesIterator.filter(_.contains("Exchange")).foreach { line =>
+      assert(!line.contains("text"), s"text rode a shuffle: $line")
+    }
+    val docs = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(col("source"), col("lang"), col("text"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2).split(" ", -1).length.toLong))
+    val cells = docs.groupBy(d => (d._1, d._2)).view.mapValues(ds => (ds.size.toLong, ds.map(_._3).sum)).toMap
+    val total = cells.values.map(_._2).sum
+    val want = cells.map { case ((s, l), (nd, nt)) => (s, l, nd, nt, nt.toDouble / total) }.toSet
+    val got = rows.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(got == want)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-9)
+    assert(rows.length > 1)
+  }
+
   test("c26: incremental dedup anti-join stays hash-keyed — no nested loop, text never shuffles") {
     val df = Sampling.c26DedupIncremental(spark, sf0001)
     df.collect()
