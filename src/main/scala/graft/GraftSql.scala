@@ -317,6 +317,30 @@ object GraftSql {
   def b29SqlQ10(spark: SparkSession, sfDir: String): DataFrame =
     sql(spark, sfDir, Q10Sql)
 
+  /** B30: TPC-H Q12 shape ("shipping modes and order priority") — the
+    * conditional-aggregation idiom: one pass, two CASE-gated counts
+    * per group (urgent vs non-urgent lineitems per linestatus; this
+    * schema has no shipmode/receiptdate, so linestatus plays the mode
+    * role over a one-year ship window). The CASE sums are integer
+    * counts — exact in any order — but DuckDB widens SUM(int) to
+    * HUGEINT, so both are CAST back to BIGINT (the round-6 oracle
+    * lesson, now a meta-spec). At scale: the date filter pushes into
+    * the lineitem scan, one orderkey-keyed join (orders projects two
+    * columns), the aggregate is two-phase with map-side combine onto a
+    * handful of groups.
+    */
+  val Q12Sql: String =
+    """SELECT l.l_linestatus,
+      |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l.l_linestatus""".stripMargin
+
+  def b30SqlQ12(spark: SparkSession, sfDir: String): DataFrame =
+    sql(spark, sfDir, Q12Sql)
+
   /** C13: vector search through SQL using graft's registered native
     * functions (array_l2_normalize / array_dot) — the
     * SparkSessionExtensions surface.

@@ -58,6 +58,7 @@ object SparkEntry {
     "b27_sql_q15" -> (GraftSql.b27SqlQ15 _),
     "b28_sql_q7" -> (GraftSql.b28SqlQ7 _),
     "b29_sql_q10" -> (GraftSql.b29SqlQ10 _),
+    "b30_sql_q12" -> (GraftSql.b30SqlQ12 _),
     "c49_source_mix" -> (Sampling.c49SourceMix _),
     "c1_dedup_exact" -> (TextDedup.c1DedupExact _),
     "c2_dedup_ngram_jaccard" -> (TextDedup.c2NgramJaccard _),
@@ -325,6 +326,7 @@ object SparkEntry {
     "b27_sql_q15" -> GraftSql.Q15Sql,
     "b28_sql_q7" -> GraftSql.Q7Sql,
     "b29_sql_q10" -> GraftSql.Q10Sql,
+    "b30_sql_q12" -> GraftSql.Q12Sql,
     // SUM(BIGINT) widens to HUGEINT in DuckDB → CAST back (the round-6
     // lesson); the share divides the same two exact longs both engines
     "c49_source_mix" ->

@@ -1190,6 +1190,40 @@ class PlanSpec extends SparkSpec {
     assert(rows.length > 1)
   }
 
+  test("b30: Q12-shape conditional aggregation — one pass, pushed date filter, counts re-derived") {
+    import org.apache.spark.sql.functions.col
+    val df = GraftSql.b30SqlQ12(spark, sf0001)
+    val rows = df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_sum"), s"the CASE counts must combine map-side:\n$p")
+    val lo = java.time.LocalDateTime.of(1996, 1, 1, 0, 0)
+    val hi = java.time.LocalDateTime.of(1997, 1, 1, 0, 0)
+    val prio = graft.sources.Tables
+      .orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    val want = graft.sources.Tables
+      .lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+      .collect()
+      .filter { r =>
+        val d = r.getAs[java.time.LocalDateTime](2); !d.isBefore(lo) && d.isBefore(hi)
+      }
+      .groupBy(_.getString(1))
+      .view
+      .mapValues { rs =>
+        val hi2 = rs.count(r => Set("1-URGENT", "2-HIGH")(prio(r.getLong(0))))
+        (hi2.toLong, (rs.size - hi2).toLong)
+      }
+      .toMap
+    val got = rows.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+    assert(got.size == 2 && got.values.forall(v => v._1 > 0 && v._2 > 0))
+  }
+
   test("c26: incremental dedup anti-join stays hash-keyed — no nested loop, text never shuffles") {
     val df = Sampling.c26DedupIncremental(spark, sf0001)
     df.collect()
