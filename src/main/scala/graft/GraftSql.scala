@@ -341,6 +341,37 @@ object GraftSql {
   def b30SqlQ12(spark: SparkSession, sfDir: String): DataFrame =
     sql(spark, sfDir, Q12Sql)
 
+  /** B31: TPC-H Q5 shape ("local supplier volume") — the snowflake
+    * walk customer→orders→lineitem→supplier with the LOCAL-supplier
+    * constraint (s_nationkey = c_nationkey, a second equality folded
+    * into the supplier join) and the nation→region rollup filter. The
+    * constraint is what distinguishes Q5 from a plain star join: the
+    * supplier join key is composite (suppkey AND the customer's
+    * nation), so the planner must carry c_nationkey through the fact
+    * chain — a cross-table equality no single scan can push. Money in
+    * DECIMAL to the final cast. At scale: region/nation/supplier all
+    * broadcast, the two big shuffles are orderkey and custkey, the
+    * date filter pushes into the orders scan (plan-asserted, no
+    * cartesian).
+    */
+  val Q5Sql: String =
+    """SELECT n.n_name,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'ASIA'
+      |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n.n_name""".stripMargin
+
+  def b31SqlQ5(spark: SparkSession, sfDir: String): DataFrame =
+    sql(spark, sfDir, Q5Sql)
+
   /** C13: vector search through SQL using graft's registered native
     * functions (array_l2_normalize / array_dot) — the
     * SparkSessionExtensions surface.

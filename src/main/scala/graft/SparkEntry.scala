@@ -59,6 +59,8 @@ object SparkEntry {
     "b28_sql_q7" -> (GraftSql.b28SqlQ7 _),
     "b29_sql_q10" -> (GraftSql.b29SqlQ10 _),
     "b30_sql_q12" -> (GraftSql.b30SqlQ12 _),
+    "b31_sql_q5" -> (GraftSql.b31SqlQ5 _),
+    "c50_length_histogram" -> (Sampling.c50LengthHistogram _),
     "c49_source_mix" -> (Sampling.c49SourceMix _),
     "c1_dedup_exact" -> (TextDedup.c1DedupExact _),
     "c2_dedup_ngram_jaccard" -> (TextDedup.c2NgramJaccard _),
@@ -327,6 +329,15 @@ object SparkEntry {
     "b28_sql_q7" -> GraftSql.Q7Sql,
     "b29_sql_q10" -> GraftSql.Q10Sql,
     "b30_sql_q12" -> GraftSql.Q12Sql,
+    "b31_sql_q5" -> GraftSql.Q5Sql,
+    // floor(log2) as length(bin(n))-1: integer/string ops only — libm
+    // log rounds differently across engines, bin() cannot
+    "c50_length_histogram" ->
+      """SELECT lang, CAST(length(bin(nt)) - 1 AS BIGINT) AS len_bucket,
+        |  COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        |  MIN(nt) AS min_len, MAX(nt) AS max_len
+        |FROM (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents)
+        |GROUP BY 1, 2""".stripMargin,
     // SUM(BIGINT) widens to HUGEINT in DuckDB → CAST back (the round-6
     // lesson); the share divides the same two exact longs both engines
     "c49_source_mix" ->

@@ -791,6 +791,36 @@ object Sampling {
     * the corpus total folds off the same aggregate as a single-row
     * broadcast (c14's nDocs idiom), so the report never re-scans.
     */
+  /** C50: sequence-length distribution — per (lang, power-of-two
+    * token-count bucket) doc counts, token totals, and the bucket's
+    * min/max observed length: the histogram every packing and batching
+    * plan reads before choosing a context length (c25/c40 consume
+    * exactly these lengths), and the long-tail diagnostic for
+    * truncation loss. The bucket is floor(log2(n_tokens)) computed
+    * EXACTLY as `length(bin(n)) - 1` — integer/string ops only, no
+    * libm log (the c37 lesson: log/pow round differently across
+    * engines; bin() cannot).
+    *
+    * Scale: token counting is row-local; ONE (lang, bucket) shuffle
+    * with map-side combine onto ≤ |langs|·64 groups. Text never
+    * shuffles.
+    */
+  def c50LengthHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .documents(spark, sfDir)
+      .select(
+        col("lang"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("nt")
+      )
+      .withColumn("len_bucket", (length(bin(col("nt"))) - 1).cast("long"))
+      .groupBy(col("lang"), col("len_bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        min(col("nt")).as("min_len"),
+        max(col("nt")).as("max_len")
+      )
+
   def c49SourceMix(spark: SparkSession, sfDir: String): DataFrame = {
     val cell = Tables
       .documents(spark, sfDir)

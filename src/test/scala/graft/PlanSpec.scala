@@ -1224,6 +1224,96 @@ class PlanSpec extends SparkSpec {
     assert(got.size == 2 && got.values.forall(v => v._1 > 0 && v._2 > 0))
   }
 
+  test("b31: Q5-shape local-supplier constraint — no cartesian, dims broadcast, revenue re-derived") {
+    import org.apache.spark.sql.functions.col
+    val df = GraftSql.b31SqlQ5(spark, sf0001)
+    val rows = df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"), s"region/nation/supplier dims must broadcast:\n$p")
+    val supNat = graft.sources.Tables
+      .supplier(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(r.fieldIndex("s_suppkey")) -> r.getInt(r.fieldIndex("s_nationkey")))
+      .toMap
+    val custNat = graft.sources.Tables
+      .customer(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(r.fieldIndex("c_custkey")) -> r.getInt(r.fieldIndex("c_nationkey")))
+      .toMap
+    val natRegion = graft.sources.Tables
+      .nation(spark, sf0001)
+      .collect()
+      .map(r => r.getInt(r.fieldIndex("n_nationkey")) -> r.getInt(r.fieldIndex("n_regionkey")))
+      .toMap
+    val asiaRegion = graft.sources.Tables
+      .region(spark, sf0001)
+      .collect()
+      .collectFirst { case r if r.getString(r.fieldIndex("r_name")) == "ASIA" => r.getInt(r.fieldIndex("r_regionkey")) }
+      .get
+    val lo = java.time.LocalDateTime.of(1996, 1, 1, 0, 0)
+    val hi = java.time.LocalDateTime.of(1998, 1, 1, 0, 0)
+    val ordOk = graft.sources.Tables
+      .orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .collect()
+      .flatMap { r =>
+        val d = r.getAs[java.time.LocalDateTime](2)
+        if (!d.isBefore(lo) && d.isBefore(hi)) Some(r.getLong(0) -> r.getLong(1)) else None
+      }
+      .toMap
+    val want = graft.sources.Tables
+      .lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .collect()
+      .flatMap { r =>
+        for {
+          ck <- ordOk.get(r.getLong(0))
+          cn = custNat(ck)
+          if supNat(r.getLong(1)) == cn && natRegion(cn) == asiaRegion
+        } yield (s"NATION_$cn", BigDecimal(r.getDouble(2)).setScale(2) * (1 - BigDecimal(r.getDouble(3)).setScale(2)))
+      }
+      .groupBy(_._1)
+      .view
+      .mapValues(vs => (vs.map(_._2).sum.toDouble, vs.size.toLong))
+      .toMap
+    val got = rows.map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got == want)
+    assert(want.nonEmpty, "the local-supplier constraint must be satisfiable in the gate data")
+  }
+
+  test("c50: length histogram — exact log2 buckets, one keyed shuffle, re-derived row-at-a-time") {
+    import org.apache.spark.sql.functions.col
+    val df = Sampling.c50LengthHistogram(spark, sf0001)
+    val rows = df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"), s"histogram must combine map-side:\n$p")
+    p.linesIterator.filter(_.contains("Exchange")).foreach { line =>
+      assert(!line.contains("text"), s"text rode a shuffle: $line")
+    }
+    val want = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(col("lang"), col("text"))
+      .collect()
+      .map { r =>
+        val nt = r.getString(1).split(" ", -1).length.toLong
+        ((r.getString(0), 63 - java.lang.Long.numberOfLeadingZeros(nt).toLong), nt)
+      }
+      .groupBy(_._1)
+      .view
+      .mapValues { vs =>
+        val ls = vs.map(_._2)
+        (ls.size.toLong, ls.sum, ls.min, ls.max)
+      }
+      .toMap
+    val got = rows
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got == want)
+    assert(want.keys.map(_._2).toSet.size >= 3, "several length buckets must be populated")
+  }
+
   test("c26: incremental dedup anti-join stays hash-keyed — no nested loop, text never shuffles") {
     val df = Sampling.c26DedupIncremental(spark, sf0001)
     df.collect()
