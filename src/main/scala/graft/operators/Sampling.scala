@@ -392,10 +392,17 @@ object Sampling {
     * recomputed priorities.
     */
   def weightedPriorities(spark: SparkSession, sfDir: String): DataFrame =
+    weightedPrioritiesFrom(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("text"))
+    )
+
+  /** [[weightedPriorities]] as a df→df transform over any frame with
+    * (doc_id, lang, text) — pure row-local column math, so it applies
+    * verbatim to a stream (StreamingDemo's reservoir leg).
+    */
+  def weightedPrioritiesFrom(docs: DataFrame): DataFrame =
     TextAnalysis
-      .qualityScored(
-        Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("text"))
-      )
+      .qualityScored(docs)
       .select(col("doc_id"), col("lang"), col("quality_score"))
       .withColumn(
         "weight",

@@ -153,6 +153,91 @@ object StreamingDemo {
         s"budget overrun for $lang: $tok")
     }
 
+    // streaming weighted reservoir over the replayed documents: the
+    // priority columns are row-local (weightedPrioritiesFrom), the
+    // reservoir fold is order-independent for a fixed input set, so
+    // each lang's last emission must equal the batch c46 sample exactly
+    val wsampStream = graft.operators.Sampling
+      .weightedPrioritiesFrom(
+        spark.readStream
+          .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(sfDir)
+          .select(col("doc_id"), col("lang"), col("text"))
+      )
+      .select(col("doc_id"), col("lang"), col("weight"), col("priority"))
+      .as[StreamingOps.WeightedDocRow]
+    val wsamp = StreamingOps
+      .streamingWeightedSample(wsampStream, graft.operators.Sampling.WeightedSampleK)
+      .writeStream
+      .format("memory")
+      .queryName("demo_wsamp")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    wsamp.awaitTermination()
+    val wsampStreamed = spark
+      .table("demo_wsamp")
+      .as[StreamingOps.SampleUpdate]
+      .collect()
+      .groupBy(_.lang)
+      .map { case (_, us) => us.maxBy(_.seq) }
+      .flatMap(u => u.doc_ids.map(id => (u.lang, id)))
+      .toSet
+    val wsampBatch = graft.operators.Sampling
+      .c46WeightedSample(spark, sfDir)
+      .select(col("lang"), col("doc_id"))
+      .as[(String, Long)]
+      .collect()
+      .toSet
+    val nWsamp = wsampStreamed.size
+    require(wsampStreamed == wsampBatch,
+      s"stream-batch reservoir divergence: ${(wsampBatch -- wsampStreamed).take(3)}")
+
+    // streaming near-dup admission: band keys computed in batch (the
+    // operator's input contract — signatures are an upstream concern),
+    // replayed as a stream; the suspect set must equal the batch LSH
+    // candidate doc_b set (single-file replay folds in doc_id order)
+    val bkeysDir = java.nio.file.Files.createTempDirectory("graft_demo_bkeys").toString
+    graft.operators.TextDedup
+      .bandKeyFrame(graft.operators.TextDedup.shingleHashes(spark, sfDir))
+      .select(col("doc_id"), posexplode(col("bkeys")).as(Seq("band_idx", "bkey")))
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(bkeysDir)
+    val admStream = spark.readStream
+      .schema("doc_id BIGINT, band_idx INT, bkey BIGINT")
+      .parquet(bkeysDir)
+      .as[StreamingOps.BandRow]
+    val adm = StreamingOps
+      .streamingLshAdmission(admStream)
+      .writeStream
+      .format("memory")
+      .queryName("demo_lsh_adm")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    adm.awaitTermination()
+    val suspects = spark
+      .table("demo_lsh_adm")
+      .as[StreamingOps.BandVerdict]
+      .collect()
+      .filter(_.dup_of >= 0)
+      .map(_.doc_id)
+      .toSet
+    val batchSuspects = graft.operators.TextDedup
+      .lshCandidatePairs(
+        graft.operators.TextDedup.bandKeyFrame(graft.operators.TextDedup.shingleHashes(spark, sfDir))
+      )
+      .select(col("doc_b"))
+      .as[Long]
+      .collect()
+      .toSet
+    val nSuspects = suspects.size
+    require(suspects == batchSuspects,
+      s"stream-batch admission divergence: ${(batchSuspects -- suspects).take(3)}")
+
     // streaming MERGE INTO: the replayed documents upsert into a
     // versioned table keyed on doc_id (seq = doc_id — one batch here;
     // StreamingSinkSpec drives the multi-batch fold + restart legs);
@@ -191,7 +276,7 @@ object StreamingDemo {
     val nJoined = spark.table("demo_papi").filter("view_id IS NOT NULL").count()
     val total = spark.read.parquet(s"$sfDir/events.parquet").count()
     println(
-      s"""{"streaming_demo":{"input_events":$total,"deduped_kept":$nDedup,"closed_windows":$nWindows,"enriched_clicks":$nClicks,"clicks_with_view":$nJoined,"curated_docs":$nCurated,"quota_docs":$nQuota,"budget_admits":$nBudget,"upsert_rows":$nUpsert,"sink_rows":$nSunk}}"""
+      s"""{"streaming_demo":{"input_events":$total,"deduped_kept":$nDedup,"closed_windows":$nWindows,"enriched_clicks":$nClicks,"clicks_with_view":$nJoined,"curated_docs":$nCurated,"quota_docs":$nQuota,"budget_admits":$nBudget,"reservoir_docs":$nWsamp,"neardup_suspects":$nSuspects,"upsert_rows":$nUpsert,"sink_rows":$nSunk}}"""
     )
     spark.stop()
   }
