@@ -372,6 +372,61 @@ object GraftSql {
   def b31SqlQ5(spark: SparkSession, sfDir: String): DataFrame =
     sql(spark, sfDir, Q5Sql)
 
+  /** B32: TPC-H Q8 shape ("national market share") — the
+    * ratio-of-conditional-sum idiom: one nation's share of a regional
+    * market's volume per year. Both sums run in exact DECIMAL and cast
+    * to DOUBLE only at the division (two exactly-equal operands both
+    * sides → identical quotient); the CASE else-branch is an explicit
+    * DECIMAL zero so an empty numerator year reads 0.0, not NULL. The
+    * seven-way join is the widest in the suite — part prunes the fact
+    * rows first (selective p_type), nation×2/region/supplier
+    * broadcast, the two big shuffles stay orderkey/custkey.
+    */
+  val Q8Sql: String =
+    """WITH flat AS (
+      |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+      |    n2.n_name AS supp_nation,
+      |    CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(3,2))) AS volume
+      |  FROM lineitem l
+      |  JOIN part p ON p.p_partkey = l.l_partkey
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      |  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO')
+      |SELECT o_year,
+      |  CAST(SUM(CASE WHEN supp_nation = 'NATION_13' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+      |  CAST(SUM(volume) AS DOUBLE) AS total_volume
+      |FROM flat
+      |GROUP BY o_year""".stripMargin
+
+  def b32SqlQ8(spark: SparkSession, sfDir: String): DataFrame =
+    sql(spark, sfDir, Q8Sql)
+
+  /** B33: TPC-H Q19 shape ("discounted revenue") — the disjunctive
+    * cross-table predicate: three OR'd branches, each a conjunction of
+    * part attributes (brand, size) AND lineitem attributes (quantity
+    * band). No single scan can absorb the OR (each branch spans both
+    * tables), so the join must evaluate it — the planner keeps it a
+    * keyed partkey join with the residual OR as the join filter, never
+    * a cartesian (plan-asserted). Revenue in DECIMAL to the final
+    * cast. Single-row output: the driver compare pins both the count
+    * and the exact revenue.
+    */
+  val Q19Sql: String =
+    """SELECT COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 1 AND l.l_quantity <= 30)
+      |   OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity >= 10 AND l.l_quantity <= 40)
+      |   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity >= 20 AND l.l_quantity <= 50)""".stripMargin
+
+  def b33SqlQ19(spark: SparkSession, sfDir: String): DataFrame =
+    sql(spark, sfDir, Q19Sql)
+
   /** C13: vector search through SQL using graft's registered native
     * functions (array_l2_normalize / array_dot) — the
     * SparkSessionExtensions surface.

@@ -60,6 +60,8 @@ object SparkEntry {
     "b29_sql_q10" -> (GraftSql.b29SqlQ10 _),
     "b30_sql_q12" -> (GraftSql.b30SqlQ12 _),
     "b31_sql_q5" -> (GraftSql.b31SqlQ5 _),
+    "b32_sql_q8" -> (GraftSql.b32SqlQ8 _),
+    "b33_sql_q19" -> (GraftSql.b33SqlQ19 _),
     "c50_length_histogram" -> (Sampling.c50LengthHistogram _),
     "c49_source_mix" -> (Sampling.c49SourceMix _),
     "c1_dedup_exact" -> (TextDedup.c1DedupExact _),
@@ -330,6 +332,8 @@ object SparkEntry {
     "b29_sql_q10" -> GraftSql.Q10Sql,
     "b30_sql_q12" -> GraftSql.Q12Sql,
     "b31_sql_q5" -> GraftSql.Q5Sql,
+    "b32_sql_q8" -> GraftSql.Q8Sql,
+    "b33_sql_q19" -> GraftSql.Q19Sql,
     // floor(log2) as length(bin(n))-1: integer/string ops only — libm
     // log rounds differently across engines, bin() cannot
     "c50_length_histogram" ->

@@ -1314,6 +1314,96 @@ class PlanSpec extends SparkSpec {
     assert(want.keys.map(_._2).toSet.size >= 3, "several length buckets must be populated")
   }
 
+  test("b32: Q8-shape market share — no cartesian in the 7-way join, shares re-derived exactly") {
+    import org.apache.spark.sql.functions.col
+    val df = GraftSql.b32SqlQ8(spark, sf0001)
+    val rows = df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"))
+    // re-derive every year's share with exact decimal arithmetic
+    def kv[A](df2: org.apache.spark.sql.DataFrame, f: org.apache.spark.sql.Row => A): Seq[A] =
+      df2.collect().toSeq.map(f)
+    val partType = kv(
+      graft.sources.Tables.part(spark, sf0001).select(col("p_partkey"), col("p_type")),
+      r => r.getLong(0) -> r.getString(1)
+    ).toMap
+    val supNat = kv(
+      graft.sources.Tables.supplier(spark, sf0001).select(col("s_suppkey"), col("s_nationkey")),
+      r => r.getLong(0) -> r.getInt(1)
+    ).toMap
+    val custNat = kv(
+      graft.sources.Tables.customer(spark, sf0001).select(col("c_custkey"), col("c_nationkey")),
+      r => r.getLong(0) -> r.getInt(1)
+    ).toMap
+    val natRegion = kv(
+      graft.sources.Tables.nation(spark, sf0001).select(col("n_nationkey"), col("n_regionkey")),
+      r => r.getInt(0) -> r.getInt(1)
+    ).toMap
+    val asia = kv(
+      graft.sources.Tables.region(spark, sf0001).select(col("r_regionkey"), col("r_name")),
+      r => (r.getInt(0), r.getString(1))
+    ).collectFirst { case (k, "ASIA") => k }.get
+    val ords = kv(
+      graft.sources.Tables.orders(spark, sf0001).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+      r => r.getLong(0) -> ((r.getLong(1), r.getAs[java.time.LocalDateTime](2).getYear.toLong))
+    ).toMap
+    val flat = kv(
+      graft.sources.Tables
+        .lineitem(spark, sf0001)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount")),
+      r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+    ).flatMap { case (ok, pk, sk, ep, di) =>
+      val (ck, year) = ords(ok)
+      val cn = custNat(ck)
+      if (partType(pk) == "PROMO" && natRegion(cn) == asia)
+        Some((year, supNat(sk), BigDecimal(ep).setScale(2) * (1 - BigDecimal(di).setScale(2))))
+      else None
+    }
+    val want = flat
+      .groupBy(_._1)
+      .view
+      .mapValues { vs =>
+        val tot = vs.map(_._3).sum
+        val num = vs.filter(_._2 == 13).map(_._3).sum
+        (num.toDouble / tot.toDouble, tot.toDouble)
+      }
+      .toMap
+    val got = rows.map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got == want)
+    assert(want.nonEmpty && want.values.exists(_._1 > 0.0))
+  }
+
+  test("b33: Q19-shape disjunctive cross-table predicate — keyed join, never a cartesian; re-derived") {
+    import org.apache.spark.sql.functions.col
+    val df = GraftSql.b33SqlQ19(spark, sf0001)
+    val rows = df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the OR-of-conjunctions must stay a residual filter on the partkey join:\n$p")
+    val part = graft.sources.Tables
+      .part(spark, sf0001)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
+      .toMap
+    val hits = graft.sources.Tables
+      .lineitem(spark, sf0001)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .collect()
+      .filter { r =>
+        val (brand, size) = part(r.getLong(0))
+        val q = r.getDouble(1)
+        (brand == "Brand#13" && size >= 1 && size <= 15 && q >= 1 && q <= 30) ||
+        (brand == "Brand#21" && size >= 1 && size <= 25 && q >= 10 && q <= 40) ||
+        (brand == "Brand#34" && size >= 1 && size <= 35 && q >= 20 && q <= 50)
+      }
+    val rev = hits.map(r => BigDecimal(r.getDouble(2)).setScale(2) * (1 - BigDecimal(r.getDouble(3)).setScale(2))).sum
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == hits.length.toLong && rows(0).getDouble(1) == rev.toDouble)
+    assert(hits.nonEmpty)
+  }
+
   test("c26: incremental dedup anti-join stays hash-keyed — no nested loop, text never shuffles") {
     val df = Sampling.c26DedupIncremental(spark, sf0001)
     df.collect()
