@@ -164,6 +164,25 @@ object OracleGen {
        |)
        |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id FROM reach GROUP BY a""".stripMargin
 
+  /** C51 = the size distribution over C16's clusters: (cluster size,
+    * number of clusters of that size).
+    */
+  val c51ClusterSizes: String =
+    s"""WITH RECURSIVE $shingleCtes,
+       |$jaccardTail,
+       |nd AS (SELECT doc_a, doc_b FROM pairs
+       |       JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+       |       WHERE common * $JaccardDen >= (na.ns + nb.ns - common) * $JaccardNum),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM nd UNION SELECT doc_b, doc_a FROM nd),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |),
+       |lab AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id FROM reach GROUP BY a),
+       |sz AS (SELECT cluster_id, COUNT(*) AS n_members FROM lab GROUP BY cluster_id)
+       |SELECT CAST(n_members AS BIGINT) AS n_members, COUNT(*) AS n_clusters FROM sz GROUP BY 1""".stripMargin
+
   /** C33 = C16's labels applied back to the corpus: keep each
     * cluster's min-id member plus every unclustered document.
     */

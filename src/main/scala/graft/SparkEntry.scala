@@ -32,6 +32,7 @@ object SparkEntry {
     "c14_tfidf" -> (TextAnalysis.c14TfIdf _),
     "c15_bigram_lm" -> (TextAnalysis.c15BigramLmScore _),
     "c16_dedup_clusters" -> (TextAnalysis.c16DedupClusters _),
+    "c51_cluster_sizes" -> (TextAnalysis.c51ClusterSizes _),
     "b1_agg_pricing" -> (Relational.b1AggPricing _),
     "b2_join_topn" -> (Relational.b2JoinTopn _),
     "b3_multi_join" -> (Relational.b3MultiJoin _),
@@ -683,6 +684,7 @@ object SparkEntry {
         |FROM m""".stripMargin,
     "c15_bigram_lm" -> OracleGen.c15BigramLm,
     "c16_dedup_clusters" -> OracleGen.c16Clusters,
+    "c51_cluster_sizes" -> OracleGen.c51ClusterSizes,
     "c33_canonical_corpus" -> OracleGen.c33CanonicalCorpus,
     "c34_cross_source_neardups" -> OracleGen.c34CrossSourceNearDups,
     "b14_cube" ->

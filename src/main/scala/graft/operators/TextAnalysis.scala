@@ -229,6 +229,22 @@ object TextAnalysis {
     labels.withColumnRenamed("label", "cluster_id")
   }
 
+  /** C51: duplicate-cluster size distribution — how big the near-dup
+    * clusters are: (cluster size, number of clusters of that size).
+    * The first diagnostic after any dedup pass: a long tail of large
+    * clusters means heavy syndication/boilerplate (and predicts how
+    * much c33's keep-one-per-cluster will shrink the corpus); all-2s
+    * means incidental duplication. Rides the amortized c3 pair set
+    * (like c16/c33/c45), then two tiny keyed aggregations over frames
+    * whose size is ∝ duplication, not corpus.
+    */
+  def c51ClusterSizes(spark: SparkSession, sfDir: String): DataFrame =
+    c16DedupClusters(spark, sfDir)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .groupBy(col("n_members"))
+      .agg(count(lit(1)).as("n_clusters"))
+
   /** C27: intra-document repetition — the fraction of duplicated word
     * 5-gram shingles per document, the Gopher-style repetition quality
     * signal (high dup_ratio ⇒ looping/boilerplate text a training mix

@@ -1404,6 +1404,31 @@ class PlanSpec extends SparkSpec {
     assert(hits.nonEmpty)
   }
 
+  test("c51: cluster-size distribution folds c16 exactly; members reconcile with the label count") {
+    val sizes = TextAnalysis
+      .c51ClusterSizes(spark, sf0001)
+      .collect()
+      .map(r => r.getAs[Long]("n_members") -> r.getAs[Long]("n_clusters"))
+      .toMap
+    val labels = TextAnalysis
+      .c16DedupClusters(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+    val want = labels
+      .groupBy(_._2)
+      .view
+      .mapValues(_.size.toLong)
+      .values
+      .groupBy(identity)
+      .view
+      .mapValues(_.size.toLong)
+      .toMap
+    assert(sizes == want)
+    // every member is accounted for, and clusters are ≥ 2 by construction
+    assert(sizes.map { case (m, c) => m * c }.sum == labels.length.toLong)
+    assert(sizes.nonEmpty && sizes.keys.min >= 2L)
+  }
+
   test("c26: incremental dedup anti-join stays hash-keyed — no nested loop, text never shuffles") {
     val df = Sampling.c26DedupIncremental(spark, sf0001)
     df.collect()
