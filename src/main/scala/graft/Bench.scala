@@ -110,14 +110,17 @@ object Bench {
     // speedup
     val amortized =
       """["c3_dedup_minhash_lsh","c16_dedup_clusters","c33_canonical_corpus","c34_cross_source_neardups","c45_quality_canonical"]"""
-    // compact headline FIRST: the driver's tail capture truncates long
-    // lines, and round 6 lost the whole artifact to the one-line format —
-    // this line alone is enough to grade the round
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","vs_baseline":${f"$vsBaseline%.3f"},"regressed":$regressed,"failed":$failed,"median_spread":${f"$medianSpread%.3f"},"detail":"next line"}"""
-    )
+    // detail line FIRST, compact headline LAST: the driver's tail capture
+    // keeps the END of the output, so the last printed line is the one
+    // guaranteed to survive. Round 6 printed only the long line (headline
+    // truncated away → parsed:null); round 7 printed the headline first
+    // (the long line pushed it out of the tail window → parsed:null
+    // again). The headline alone is enough to grade the round.
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","baseline_queries":${common.size},"vs_baseline":${f"$vsBaseline%.3f"},"ratios":$ratios,"regressed":$regressed,"pass_spread":$spreadJson,"median_spread":${f"$medianSpread%.3f"},"amortized":$amortized,"method":"noop-write; per-query median of $Passes passes; ratios vs BASELINE.md (r3 medians); pass_spread=(max-min)/median over ok warm passes (2..n) per query - high values indicate machine contention, not code change; amortized lists queries whose per-(app,sfDir) cached work is charged to pass 1"}"""
+    )
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":{"all":$total},"n_queries":${medians.size},"vs_baseline":${f"$vsBaseline%.3f"},"regressed":$regressed,"failed":$failed,"median_spread":${f"$medianSpread%.3f"},"detail":"previous line has per-query medians"}"""
     )
     spark.stop()
   }

@@ -22,14 +22,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark has
-    * no native type for. We read it as long (see the `nanosAsLong` conf
-    * in [[graft.core.GraftSession]]) and truncate to microseconds —
-    * the same truncation DuckDB applies casting TIMESTAMP_NS→TIMESTAMP —
-    * so both engines see identical event times.
+  /** `events.ts` has shipped in two physical layouts: parquet
+    * TIMESTAMP(NANOS) (no native Spark type — read as long nanos via the
+    * `nanosAsLong` conf in [[graft.core.GraftSession]] and truncated to
+    * microseconds, the same truncation DuckDB applies casting
+    * TIMESTAMP_NS→TIMESTAMP) and plain TIMESTAMP(MICROS) (read as
+    * TIMESTAMP_NTZ). Adapt on the observed type so both layouts surface
+    * the identical TIMESTAMP column — the session timezone is pinned to
+    * UTC, so the NTZ→LTZ cast is value-preserving.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", expr("cast(ts as timestamp)"))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -21,15 +21,17 @@ object StreamingDemo {
     val spark = GraftSession.getOrCreate()
     import spark.implicits._
 
-    // file-stream source over the parquet table (ts arrives as nanos long)
+    // file-stream source over the parquet table (ts is TIMESTAMP(MICROS),
+    // surfaced NTZ; the UTC session makes the LTZ cast value-preserving —
+    // same adaptation as Tables.events)
     val raw = spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .schema("event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
     val events = raw
       .select(
         col("event_id"),
-        expr("timestamp_micros(ts div 1000)").as("ts"),
+        expr("cast(ts as timestamp)").as("ts"),
         col("user_id"),
         col("event_type"),
         col("value")
