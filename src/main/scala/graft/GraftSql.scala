@@ -427,6 +427,191 @@ object GraftSql {
   def b33SqlQ19(spark: SparkSession, sfDir: String): DataFrame =
     sql(spark, sfDir, Q19Sql)
 
+  /** B34: TPC-H Q9 shape ("product type profit") — the widest
+    * profit-expression aggregation: lineitem decorated with part,
+    * supplier, orders and the supplier's nation, profit = revenue minus
+    * a cost term, grouped by (nation, order year). This schema has no
+    * partsupp, so `p_retailprice · l_quantity` plays the
+    * `ps_supplycost · l_quantity` role — deterministic and exact, every
+    * factor a 2-decimal input cast to DECIMAL before multiplying (the
+    * b1 money idiom; a double product would round differently between
+    * engines). The p_name LIKE filter prunes part FIRST, and Catalyst
+    * broadcasts part/supplier/nation, leaving two big shuffles
+    * (l_orderkey for orders, then the group-by key) — the same plan a
+    * 1000-executor cluster wants: the fact table never joins
+    * un-filtered dimensions. Year is cast BIGINT in-SQL (Spark year()
+    * is INT, DuckDB's is BIGINT).
+    */
+  val Q9Sql: String =
+    """WITH flat AS (
+      |  SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(3,2)))
+      |      - CAST(p.p_retailprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2)) AS amount
+      |  FROM lineitem l
+      |  JOIN part p ON p.p_partkey = l.l_partkey
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |  WHERE p.p_name LIKE '%gear%')
+      |SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+      |FROM flat
+      |GROUP BY nation, o_year""".stripMargin
+
+  def b34SqlQ9(spark: SparkSession, sfDir: String): DataFrame =
+    sql(spark, sfDir, Q9Sql)
+
+  /** B35: TPC-H Q2 shape ("minimum cost supplier") — the correlated
+    * scalar subquery whose INNER side is itself a multi-table join:
+    * for each qualifying part, the supplier(s) in the region achieving
+    * the minimum supply cost. The part–supplier relationship comes from
+    * the fact table (no partsupp here): supply cost per (part,
+    * supplier) = the exact DECIMAL sum of that pair's extended prices —
+    * deterministic, and the min-equality compares DECIMALs (a double
+    * MIN would be ULP-fragile). Catalyst decorrelates the per-part MIN
+    * into an aggregate joined on p_partkey (never per-row); the `ps`
+    * CTE is the one big shuffle (l_partkey, l_suppkey) and is consumed
+    * by BOTH the outer join and the min side, the dims broadcast. The
+    * ORDER BY hits the unique (p_partkey, s_name) pair, so LIMIT 100
+    * is deterministic even when a part has cost-tied suppliers (Q2
+    * keeps ties, like b21).
+    */
+  val Q2Sql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS supplycost
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+      |SELECT s.s_acctbal, s.s_name, n.n_name AS nation, p.p_partkey,
+      |  CAST(ps.supplycost AS DOUBLE) AS supplycost
+      |FROM part p
+      |JOIN ps ON ps.l_partkey = p.p_partkey
+      |JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |JOIN region r ON r.r_regionkey = n.n_regionkey
+      |WHERE p.p_size <= 15 AND p.p_type = 'LARGE' AND r.r_name = 'EUROPE'
+      |  AND ps.supplycost = (
+      |    SELECT MIN(ps2.supplycost)
+      |    FROM ps ps2
+      |    JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+      |    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+      |    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+      |    WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+      |ORDER BY s.s_acctbal DESC, nation, s.s_name, p.p_partkey
+      |LIMIT 100""".stripMargin
+
+  def b35SqlQ2(spark: SparkSession, sfDir: String): DataFrame =
+    sql(spark, sfDir, Q2Sql)
+
+  /** B36: TPC-H Q16 shape ("parts/supplier relationship") — COUNT
+    * DISTINCT over a NOT IN-filtered bridge: how many distinct
+    * suppliers serve each (brand, type, size) bucket, excluding
+    * complaint suppliers (negative account balance stands in for the
+    * comment scan). The bridge is the DISTINCT (partkey, suppkey)
+    * projection of lineitem — at 100 TB that distinct is a map-side
+    * combinable shuffle an order smaller than the fact table, and the
+    * COUNT(DISTINCT) reuses the same key. NOT IN over a provably
+    * non-null key column plans as a null-tolerant anti join against a
+    * ~100-row broadcast. ORDER BY is total (count DESC then the full
+    * group key).
+    */
+  val Q16Sql: String =
+    """SELECT p.p_brand, p.p_type, p.p_size, COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      |JOIN part p ON p.p_partkey = ps.l_partkey
+      |WHERE p.p_brand <> 'Brand#13' AND p.p_type <> 'PROMO'
+      |  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      |  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY p.p_brand, p.p_type, p.p_size
+      |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""".stripMargin
+
+  def b36SqlQ16(spark: SparkSession, sfDir: String): DataFrame =
+    sql(spark, sfDir, Q16Sql)
+
+  /** B37: TPC-H Q20 shape ("potential part promotion") — the nested
+    * subquery tower: suppliers IN (a grouped-HAVING subquery whose
+    * threshold is ITSELF a correlated scalar over the fact table),
+    * with the part set from a third IN subquery. The promotion rule
+    * here: a supplier qualifies if, for some red part, their 1996
+    * shipped quantity exceeds half the part's total 1996 shipments
+    * (market dominance) — expressed as `2 · pair_qty > part_qty` in
+    * DECIMAL so no fraction is ever materialized. Catalyst decorrelates
+    * the HAVING scalar into a per-part aggregate joined on l_partkey
+    * and plans both INs as left-semi joins; the two aggregates shuffle
+    * on compatible keys, the part filter broadcasts. Deterministic
+    * total output (name is unique per supplier).
+    */
+  val Q20Sql: String =
+    """SELECT s.s_name, n.n_name AS nation
+      |FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |WHERE s.s_suppkey IN (
+      |  SELECT l.l_suppkey FROM lineitem l
+      |  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY l.l_suppkey, l.l_partkey
+      |  HAVING 2 * SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > (
+      |    SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+      |    FROM lineitem l2
+      |    WHERE l2.l_partkey = l.l_partkey
+      |      AND l2.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |      AND l2.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+      |ORDER BY s.s_name""".stripMargin
+
+  def b37SqlQ20(spark: SparkSession, sfDir: String): DataFrame =
+    sql(spark, sfDir, Q20Sql)
+
+  /** B38: TPC-H Q11 shape ("important stock identification") — an
+    * aggregate CTE consumed twice, once per group and once under an
+    * uncorrelated scalar SUM that sets a global-fraction threshold.
+    * Value per part = exact DECIMAL sum of one nation's suppliers'
+    * extended prices; the 0.1% threshold is `value · 1000 >
+    * total` — the b24 cross-product idiom, no divided value anywhere,
+    * both engines compare exact scaled decimals. Catalyst evaluates
+    * the scalar ONCE over the reused `nval` aggregate (plan-asserted in
+    * spec) — at scale: one nation-filtered fact shuffle on l_partkey,
+    * a driver-sized scalar, a row-local filter.
+    */
+  val Q11Sql: String =
+    """WITH nval AS (
+      |  SELECT l.l_partkey AS partkey,
+      |    SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS value
+      |  FROM lineitem l
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |  WHERE n.n_name = 'NATION_3'
+      |  GROUP BY l.l_partkey)
+      |SELECT partkey, CAST(value AS DOUBLE) AS value
+      |FROM nval
+      |WHERE value * 1000 > (SELECT SUM(value) FROM nval)
+      |ORDER BY value DESC, partkey""".stripMargin
+
+  def b38SqlQ11(spark: SparkSession, sfDir: String): DataFrame =
+    sql(spark, sfDir, Q11Sql)
+
+  /** B39: TPC-H Q4 shape ("order priority checking") — correlated
+    * EXISTS whose inner predicate crosses tables: an order counts if
+    * some lineitem shipped more than 60 days after the order date
+    * (the late-shipment stand-in for commitdate < receiptdate, columns
+    * this schema lacks). The correlation is equi on l_orderkey plus an
+    * outer-referencing inequality — Catalyst folds BOTH into one
+    * left-semi join (equi key + non-equi join filter, plan-asserted;
+    * never a per-row subquery, never a cartesian). The quarter filter
+    * pushes into the orders scan, so at scale this is one filtered
+    * semi-join shuffle on the order key and a 5-row aggregate.
+    */
+  val Q4Sql: String =
+    """SELECT o.o_orderpriority, COUNT(*) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o.o_orderpriority
+      |ORDER BY o.o_orderpriority""".stripMargin
+
+  def b39SqlQ4(spark: SparkSession, sfDir: String): DataFrame =
+    sql(spark, sfDir, Q4Sql)
+
   /** C13: vector search through SQL using graft's registered native
     * functions (array_l2_normalize / array_dot) — the
     * SparkSessionExtensions surface.

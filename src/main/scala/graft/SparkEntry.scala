@@ -33,6 +33,9 @@ object SparkEntry {
     "c15_bigram_lm" -> (TextAnalysis.c15BigramLmScore _),
     "c16_dedup_clusters" -> (TextAnalysis.c16DedupClusters _),
     "c51_cluster_sizes" -> (TextAnalysis.c51ClusterSizes _),
+    "c52_corpus_split" -> (Sampling.c52CorpusSplit _),
+    "c53_boilerplate" -> (TextAnalysis.c53Boilerplate _),
+    "c54_ann_filtered" -> (VectorOps.c54AnnFiltered _),
     "b1_agg_pricing" -> (Relational.b1AggPricing _),
     "b2_join_topn" -> (Relational.b2JoinTopn _),
     "b3_multi_join" -> (Relational.b3MultiJoin _),
@@ -63,6 +66,12 @@ object SparkEntry {
     "b31_sql_q5" -> (GraftSql.b31SqlQ5 _),
     "b32_sql_q8" -> (GraftSql.b32SqlQ8 _),
     "b33_sql_q19" -> (GraftSql.b33SqlQ19 _),
+    "b34_sql_q9" -> (GraftSql.b34SqlQ9 _),
+    "b35_sql_q2" -> (GraftSql.b35SqlQ2 _),
+    "b36_sql_q16" -> (GraftSql.b36SqlQ16 _),
+    "b37_sql_q20" -> (GraftSql.b37SqlQ20 _),
+    "b38_sql_q11" -> (GraftSql.b38SqlQ11 _),
+    "b39_sql_q4" -> (GraftSql.b39SqlQ4 _),
     "c50_length_histogram" -> (Sampling.c50LengthHistogram _),
     "c49_source_mix" -> (Sampling.c49SourceMix _),
     "c1_dedup_exact" -> (TextDedup.c1DedupExact _),
@@ -335,6 +344,12 @@ object SparkEntry {
     "b31_sql_q5" -> GraftSql.Q5Sql,
     "b32_sql_q8" -> GraftSql.Q8Sql,
     "b33_sql_q19" -> GraftSql.Q19Sql,
+    "b34_sql_q9" -> GraftSql.Q9Sql,
+    "b35_sql_q2" -> GraftSql.Q2Sql,
+    "b36_sql_q16" -> GraftSql.Q16Sql,
+    "b37_sql_q20" -> GraftSql.Q20Sql,
+    "b38_sql_q11" -> GraftSql.Q11Sql,
+    "b39_sql_q4" -> GraftSql.Q4Sql,
     // floor(log2) as length(bin(n))-1: integer/string ops only — libm
     // log rounds differently across engines, bin() cannot
     "c50_length_histogram" ->
@@ -685,6 +700,45 @@ object SparkEntry {
     "c15_bigram_lm" -> OracleGen.c15BigramLm,
     "c16_dedup_clusters" -> OracleGen.c16Clusters,
     "c51_cluster_sizes" -> OracleGen.c51ClusterSizes,
+    // same salted-md5 coin as the Spark column (c19's idiom, 'split_' salt)
+    "c52_corpus_split" ->
+      s"""WITH d AS (SELECT
+        |  CASE WHEN CAST(concat('0x', substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < ${Sampling.SplitTrainPerMille} THEN 'train'
+        |       WHEN CAST(concat('0x', substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < ${Sampling.SplitValPerMille} THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  lang, len(string_split(text, ' ')) AS nt
+        |FROM documents)
+        |SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+        |FROM d GROUP BY split, lang""".stripMargin,
+    // c21's rolling-shingle arithmetic, scoped per source; positions keep
+    // multiplicity (no DISTINCT) because coverage counts positions
+    "c53_boilerplate" ->
+      s"""WITH docs AS (SELECT doc_id, source, string_split(text, ' ') w FROM documents),
+        |toks AS (SELECT doc_id, source, list_transform(w, t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)) AS ht FROM docs),
+        |pos AS (SELECT doc_id, source, unnest(list_transform(
+        |  generate_series(1, greatest(len(ht) - 4, 0)),
+        |  i -> (ht[i + 0] * 1185921 + ht[i + 1] * 35937 + ht[i + 2] * 1089 + ht[i + 3] * 33 + ht[i + 4] * 1) % 4294967311)) AS h FROM toks),
+        |hot AS (SELECT source, h FROM (
+        |  SELECT source, h, COUNT(DISTINCT doc_id) AS df FROM pos GROUP BY source, h) t
+        |  WHERE df >= ${TextAnalysis.BoilerplateDfMin}),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_pos FROM pos GROUP BY doc_id),
+        |boil AS (SELECT p.doc_id, COUNT(*) AS n_boiler FROM pos p JOIN hot USING (source, h) GROUP BY p.doc_id)
+        |SELECT t.doc_id, t.n_pos, COALESCE(b.n_boiler, 0) AS n_boiler,
+        |  CAST(COALESCE(b.n_boiler, 0) AS DOUBLE) / t.n_pos AS boiler_frac
+        |FROM tot t LEFT JOIN boil b USING (doc_id)""".stripMargin,
+    // c6's exact scoring with the label predicate as the join key
+    "c54_ann_filtered" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |nm AS (SELECT vec_id, label, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),
+        |q AS (SELECT vec_id AS query_id, label, vn AS qv FROM nm WHERE vec_id < ${VectorOps.NumQueryVecs}),
+        |c AS (SELECT vec_id AS neighbor_id, label, vn AS cv FROM nm WHERE vec_id >= ${VectorOps.NumQueryVecs}),
+        |s AS (SELECT query_id, neighbor_id, list_dot_product(qv, cv) AS cos
+        |  FROM q JOIN c USING (label))
+        |SELECT query_id, neighbor_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+        |  cos
+        |FROM s
+        |QUALIFY rank <= ${VectorOps.TopK}""".stripMargin,
     "c33_canonical_corpus" -> OracleGen.c33CanonicalCorpus,
     "c34_cross_source_neardups" -> OracleGen.c34CrossSourceNearDups,
     "b14_cube" ->

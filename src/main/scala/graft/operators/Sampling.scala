@@ -850,4 +850,48 @@ object Sampling {
         (col("n_tokens").cast("double") / col("total_tokens")).as("token_share")
       )
   }
+
+  /** c52 split geometry: per-mille buckets on a salted md5 coin —
+    * train < 980, validation < 990, test otherwise (98/1/1). The salt
+    * differs from c19's sampling salt and c36's mix salt, so the three
+    * coins are independent: a doc's split never correlates with whether
+    * a sampling stage kept it.
+    */
+  val SplitTrainPerMille = 980
+  val SplitValPerMille = 990
+
+  private def splitBucket(id: Column): Column =
+    hash32(concat(lit("split_"), id.cast("string"))) % 1000
+
+  /** The split label as a pure column — the same deterministic-coin
+    * contract as [[stratifiedKeep]]: reproducible on any cluster, any
+    * partitioning, any execution order, and stable across reruns, so
+    * train/val/test membership is a property of the DOC, not of the
+    * job that computed it. That stability is the leakage guarantee: a
+    * doc can never drift from test into train between pipeline runs.
+    */
+  def splitName(id: Column): Column =
+    when(splitBucket(id) < SplitTrainPerMille, lit("train"))
+      .when(splitBucket(id) < SplitValPerMille, lit("val"))
+      .otherwise(lit("test"))
+
+  /** C52: deterministic train/val/test corpus split — the last step of
+    * every training-data build. Output is the per-(split, lang) census
+    * (doc + token counts): the split label itself is a row-local hash
+    * coin (zero shuffle to assign; disjointness and coverage hold by
+    * construction), and the census is ONE keyed aggregation with
+    * map-side combine — token counting never ships text. At 100 TB the
+    * assignment adds nothing to a write path (each output partition
+    * filters its split) and the census is the only exchange.
+    */
+  def c52CorpusSplit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .documents(spark, sfDir)
+      .select(
+        splitName(col("doc_id")).as("split"),
+        col("lang"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("nt")
+      )
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
 }

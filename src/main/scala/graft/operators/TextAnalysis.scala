@@ -696,4 +696,73 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * lit(100L) >= lit(total))
   }
+
+  /** c53: a 5-gram is boilerplate when at least this many DISTINCT docs
+    * of the same source contain it (CCNet drops any line seen more than
+    * once in a shard — threshold 2 is that rule at shingle granularity;
+    * the synthetic corpus' max within-source df is 2, so both the hot
+    * and the cold side are exercised at every SF).
+    */
+  val BoilerplateDfMin = 2
+  val BoilerplateN = 5
+
+  /** C53: per-source boilerplate coverage (CCNet/RefinedWeb shard-level
+    * line dedup as a SIGNAL): a token position's 5-gram is boilerplate
+    * iff that 5-gram occurs in ≥ [[BoilerplateDfMin]] distinct documents
+    * of the SAME source — navigation chrome, license headers, template
+    * text syndicated within a crawl domain. Per doc: total 5-gram
+    * positions, boilerplate positions, fraction — the removal stage
+    * filters or strips on this signal.
+    *
+    * Family position: c27 is intra-doc repetition, c47 is corpus-wide
+    * span duplication (≥2 occurrences anywhere), c38/c43 are exact
+    * chunk reuse; c53 is the per-SOURCE doc-frequency member — the only
+    * one whose verdict is scoped by a grouping column, which is what
+    * distinguishes boilerplate (every page of one site) from quotation
+    * (two pages anywhere).
+    *
+    * Scale shape: positions travel as (source, long-hash) pairs — text
+    * never rides a shuffle. The df aggregation is keyed on (source, h)
+    * with map-side combine; the hot list (df ≥ threshold) is orders
+    * smaller than the corpus (only boilerplate survives) and joins back
+    * against the position stream on the same (source, h) key — Catalyst
+    * broadcasts it when small, falls back to the keyed join when a
+    * boilerplate-heavy corpus grows it. Docs with zero boilerplate stay
+    * in the output via the left join (the score must exist to filter on).
+    */
+  def c53Boilerplate(spark: SparkSession, sfDir: String): DataFrame = {
+    val pos = Tables
+      .documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        transform(tokens(col("text")), t => hash32(t)).as("ht")
+      )
+      .select(
+        col("doc_id"),
+        col("source"),
+        explode_outer(rollingShingleHashes(col("ht"), BoilerplateN)).as("h")
+      )
+      .filter(col("h").isNotNull)
+      .localCheckpoint() // feeds the df agg AND the coverage join
+    val hot = pos
+      .groupBy(col("source"), col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= BoilerplateDfMin)
+      .select(col("source"), col("h"))
+    val boiler = pos
+      .join(hot, Seq("source", "h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_boiler"))
+    pos
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pos"))
+      .join(boiler, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_pos"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        (coalesce(col("n_boiler"), lit(0L)).cast("double") / col("n_pos")).as("boiler_frac")
+      )
+  }
 }

@@ -110,6 +110,44 @@ object VectorOps {
     )
   }
 
+  /** C54: FILTERED ANN — nearest neighbors under a metadata predicate
+    * (label equality), the retrieval-serving shape every RAG/search
+    * stack runs ("top-k within this tenant / language / shard"). The
+    * naive reading scores the whole corpus then filters; this operator
+    * turns the predicate INTO the join key: candidates meet only the
+    * queries of their own label, so the scored row count drops by the
+    * label selectivity before any ranking work. Queries broadcast, the
+    * corpus streams once with no shuffle, the native top-k heap bounds
+    * survivors — c6's plan with a keyed join instead of a cartesian.
+    * At 100 TB the same shape rides a label-partitioned layout: the
+    * scan prunes to the queried labels' partitions and everything
+    * downstream is unchanged. Exact by construction (every candidate of
+    * the label is scored), so the DuckDB oracle gates it directly; the
+    * IVF/LSH scale paths compose with the filter the same way (filter
+    * first, probe within).
+    */
+  def c54AnnFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables
+      .embeddings(spark, sfDir)
+      .select(
+        col("vec_id"),
+        col("label"),
+        arrayNormalize(transform(col("embedding"), _.cast("double"))).as("vn")
+      )
+    val queries = e
+      .filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("label"), col("vn").as("qv"))
+    val cands = e
+      .filter(col("vec_id") >= NumQueryVecs)
+      .select(col("vec_id").as("neighbor_id"), col("label"), col("vn").as("cv"))
+    rankTopK(
+      cands
+        .join(broadcast(queries), Seq("label"))
+        .withColumn("cos", arrayDot(col("qv"), col("cv"))),
+      TopK
+    )
+  }
+
   /** Deterministic ±1 random hyperplanes derived from MD5 — public,
     * engine-independent math (no RNG state). planes(j)(d) ∈ {-1, 1}.
     */

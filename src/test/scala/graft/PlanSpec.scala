@@ -1563,4 +1563,404 @@ class PlanSpec extends SparkSpec {
       .collect()
     assert(salted.toSeq == plain.toSeq)
   }
+
+  test("b34: Q9-shape profit — part filter pushed, dims broadcast, profit re-derived exactly") {
+    import org.apache.spark.sql.functions.col
+    val df = GraftSql.b34SqlQ9(spark, sf0001)
+    val rows = df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), s"part/supplier/nation must broadcast:\n$p")
+    assert(p.contains("StringContains") || p.contains("Contains(p_name"), s"LIKE filter must push to the part scan:\n$p")
+    val gearParts = graft.sources.Tables
+      .part(spark, sf0001)
+      .collect()
+      .flatMap(r =>
+        if (r.getString(r.fieldIndex("p_name")).contains("gear"))
+          Some(r.getLong(r.fieldIndex("p_partkey")) -> BigDecimal(r.getDouble(r.fieldIndex("p_retailprice"))).setScale(2))
+        else None
+      )
+      .toMap
+    val supNat = graft.sources.Tables
+      .supplier(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(r.fieldIndex("s_suppkey")) -> r.getInt(r.fieldIndex("s_nationkey")))
+      .toMap
+    val ordYear = graft.sources.Tables
+      .orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[java.time.LocalDateTime](1).getYear.toLong)
+      .toMap
+    val want = graft.sources.Tables
+      .lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .collect()
+      .flatMap { r =>
+        gearParts.get(r.getLong(1)).map { retail =>
+          val amount = BigDecimal(r.getDouble(4)).setScale(2) * (1 - BigDecimal(r.getDouble(5)).setScale(2)) -
+            retail * BigDecimal(r.getDouble(3)).setScale(2)
+          ((s"NATION_${supNat(r.getLong(2))}", ordYear(r.getLong(0))), amount)
+        }
+      }
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2).sum.toDouble)
+      .toMap
+    val got = rows.map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("b35: Q2-shape min-cost supplier — decorrelated (no per-row subquery), ties kept, re-derived") {
+    import org.apache.spark.sql.functions.col
+    val df = GraftSql.b35SqlQ2(spark, sf0001)
+    val rows = df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // Catalyst must rewrite the correlated MIN to an aggregate+join —
+    // a surviving per-row scalar subquery would re-run the 4-table
+    // inner join once per outer row
+    assert(!df.queryExecution.optimizedPlan.toString.contains("scalar-subquery"), df.queryExecution.optimizedPlan.toString)
+    val parts = graft.sources.Tables
+      .part(spark, sf0001)
+      .collect()
+      .flatMap { r =>
+        if (r.getInt(r.fieldIndex("p_size")) <= 15 && r.getString(r.fieldIndex("p_type")) == "LARGE")
+          Some(r.getLong(r.fieldIndex("p_partkey")))
+        else None
+      }
+      .toSet
+    val sup = graft.sources.Tables
+      .supplier(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(r.fieldIndex("s_suppkey")) ->
+        ((r.getString(r.fieldIndex("s_name")), r.getInt(r.fieldIndex("s_nationkey")), r.getDouble(r.fieldIndex("s_acctbal")))))
+      .toMap
+    val natRegion = graft.sources.Tables
+      .nation(spark, sf0001)
+      .collect()
+      .map(r => r.getInt(r.fieldIndex("n_nationkey")) -> r.getInt(r.fieldIndex("n_regionkey")))
+      .toMap
+    val eurRegion = graft.sources.Tables
+      .region(spark, sf0001)
+      .collect()
+      .collectFirst { case r if r.getString(r.fieldIndex("r_name")) == "EUROPE" => r.getInt(r.fieldIndex("r_regionkey")) }
+      .get
+    val cost = graft.sources.Tables
+      .lineitem(spark, sf0001)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), BigDecimal(r.getDouble(2)).setScale(2)))
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2).sum)
+      .toMap
+    val eurCost = cost.filter { case ((_, sk), _) => natRegion(sup(sk)._2) == eurRegion }
+    val minPerPart = eurCost.groupBy(_._1._1).view.mapValues(_.values.min).toMap
+    val want = eurCost.collect {
+      case ((pk, sk), c) if parts(pk) && c == minPerPart(pk) =>
+        (pk, sup(sk)._1) -> ((sup(sk)._3, s"NATION_${sup(sk)._2}", c.toDouble))
+    }.toMap
+    val wantTop = want.toSeq
+      .map { case ((pk, sname), (bal, nat, c)) => (bal, nat, sname, pk, c) }
+      .sortBy { case (bal, nat, sname, pk, _) => (-bal, nat, sname, pk) }
+      .take(100)
+    val got = rows.map(r => (r.getDouble(0), r.getString(2), r.getString(1), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == wantTop)
+    assert(wantTop.nonEmpty)
+  }
+
+  test("b36: Q16-shape supplier count — NOT IN plans as an anti join, counts re-derived") {
+    import org.apache.spark.sql.functions.col
+    val df = GraftSql.b36SqlQ16(spark, sf0001)
+    val rows = df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftAnti"), s"NOT IN must plan as an anti join:\n$p")
+    val excl = graft.sources.Tables
+      .supplier(spark, sf0001)
+      .collect()
+      .flatMap(r =>
+        if (r.getDouble(r.fieldIndex("s_acctbal")) < 0.0) Some(r.getLong(r.fieldIndex("s_suppkey"))) else None
+      )
+      .toSet
+    val sizes = Set(1, 4, 9, 14, 19, 23, 36, 45)
+    val pinfo = graft.sources.Tables
+      .part(spark, sf0001)
+      .collect()
+      .flatMap { r =>
+        val (b, t, s) =
+          (r.getString(r.fieldIndex("p_brand")), r.getString(r.fieldIndex("p_type")), r.getInt(r.fieldIndex("p_size")))
+        if (b != "Brand#13" && t != "PROMO" && sizes(s)) Some(r.getLong(r.fieldIndex("p_partkey")) -> ((b, t, s)))
+        else None
+      }
+      .toMap
+    val want = graft.sources.Tables
+      .lineitem(spark, sf0001)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .distinct
+      .flatMap { case (pk, sk) => if (!excl(sk)) pinfo.get(pk).map(_ -> sk) else None }
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2).distinct.length.toLong)
+      .toMap
+    val got = rows.map(r => ((r.getString(0), r.getString(1), r.getInt(2)), r.getLong(3))).toMap
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("b37: Q20-shape nested subqueries — semi joins, dominance rule re-derived") {
+    import org.apache.spark.sql.functions.col
+    val df = GraftSql.b37SqlQ20(spark, sf0001)
+    val rows = df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftSemi"), s"the IN subqueries must plan as semi joins:\n$p")
+    val redParts = graft.sources.Tables
+      .part(spark, sf0001)
+      .collect()
+      .flatMap(r =>
+        if (r.getString(r.fieldIndex("p_name")).startsWith("red")) Some(r.getLong(r.fieldIndex("p_partkey"))) else None
+      )
+      .toSet
+    val lo = java.time.LocalDateTime.of(1996, 1, 1, 0, 0)
+    val hi = java.time.LocalDateTime.of(1997, 1, 1, 0, 0)
+    val li96 = graft.sources.Tables
+      .lineitem(spark, sf0001)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"), col("l_shipdate"))
+      .collect()
+      .flatMap { r =>
+        val d = r.getAs[java.time.LocalDateTime](3)
+        if (!d.isBefore(lo) && d.isBefore(hi))
+          Some((r.getLong(0), r.getLong(1), BigDecimal(r.getDouble(2)).setScale(2)))
+        else None
+      }
+    val partTot = li96.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val pairQty = li96.groupBy(v => (v._1, v._2)).view.mapValues(_.map(_._3).sum).toMap
+    val qualSupp = pairQty.collect {
+      case ((pk, sk), q) if redParts(pk) && q * 2 > partTot(pk) => sk
+    }.toSet
+    val supName = graft.sources.Tables
+      .supplier(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(r.fieldIndex("s_suppkey")) -> ((r.getString(r.fieldIndex("s_name")), r.getInt(r.fieldIndex("s_nationkey")))))
+      .toMap
+    val want = qualSupp.toSeq
+      .map(sk => (supName(sk)._1, s"NATION_${supName(sk)._2}"))
+      .sortBy(_._1)
+    val got = rows.map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("b38: Q11-shape value threshold — scalar evaluated once, threshold re-derived in decimal") {
+    import org.apache.spark.sql.functions.col
+    val df = GraftSql.b38SqlQ11(spark, sf0001)
+    val rows = df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the uncorrelated total must appear as a one-shot Subquery stage
+    assert(p.contains("Subquery"), s"the SUM threshold must run as a once-executed subquery:\n$p")
+    val supNat = graft.sources.Tables
+      .supplier(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(r.fieldIndex("s_suppkey")) -> r.getInt(r.fieldIndex("s_nationkey")))
+      .toMap
+    val nat7 = graft.sources.Tables
+      .nation(spark, sf0001)
+      .collect()
+      .collectFirst { case r if r.getString(r.fieldIndex("n_name")) == "NATION_3" => r.getInt(r.fieldIndex("n_nationkey")) }
+      .get
+    val perPart = graft.sources.Tables
+      .lineitem(spark, sf0001)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .collect()
+      .flatMap { r =>
+        if (supNat(r.getLong(1)) == nat7) Some(r.getLong(0) -> BigDecimal(r.getDouble(2)).setScale(2)) else None
+      }
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2).sum)
+      .toMap
+    val total = perPart.values.sum
+    val want = perPart.toSeq
+      .collect { case (pk, v) if v * 1000 > total => (pk, v.toDouble) }
+      .sortBy { case (pk, v) => (-v, pk) }
+    val got = rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("b39: Q4-shape EXISTS — one semi join carrying the cross-table inequality, re-derived") {
+    import org.apache.spark.sql.functions.col
+    val df = GraftSql.b39SqlQ4(spark, sf0001)
+    val rows = df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
+    val lo = java.time.LocalDateTime.of(1997, 1, 1, 0, 0)
+    val hi = java.time.LocalDateTime.of(1997, 4, 1, 0, 0)
+    val ords = graft.sources.Tables
+      .orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .collect()
+      .flatMap { r =>
+        val d = r.getAs[java.time.LocalDateTime](1)
+        if (!d.isBefore(lo) && d.isBefore(hi)) Some(r.getLong(0) -> ((d, r.getString(2)))) else None
+      }
+      .toMap
+    val late = graft.sources.Tables
+      .lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .collect()
+      .flatMap { r =>
+        ords.get(r.getLong(0)).flatMap { case (od, _) =>
+          if (r.getAs[java.time.LocalDateTime](1).isAfter(od.plusDays(60))) Some(r.getLong(0)) else None
+        }
+      }
+      .toSet
+    val want = ords.collect { case (ok, (_, prio)) if late(ok) => prio }
+      .groupBy(identity)
+      .view
+      .mapValues(_.size.toLong)
+      .toMap
+    val got = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("c52: corpus split — row-local assignment, one census shuffle, disjoint + exhaustive") {
+    import org.apache.spark.sql.functions.col
+    val df = Sampling.c52CorpusSplit(spark, sf0001)
+    val rows = df.collect()
+    val p = plan(df)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), s"census must combine map-side:\n$p")
+    p.linesIterator.filter(_.contains("Exchange")).foreach { line =>
+      assert(!line.contains("text"), s"text rode the census shuffle: $line")
+    }
+    def h32(s: String) = {
+      val hex = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val docs = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val want = docs
+      .map { case (id, lang, text) =>
+        val b = h32(s"split_$id") % 1000
+        val split =
+          if (b < Sampling.SplitTrainPerMille) "train" else if (b < Sampling.SplitValPerMille) "val" else "test"
+        ((split, lang), text.split(" ", -1).length.toLong)
+      }
+      .groupBy(_._1)
+      .view
+      .mapValues(vs => (vs.size.toLong, vs.map(_._2).sum))
+      .toMap
+    val got = rows.map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+    // disjoint + exhaustive: every doc lands in exactly one split, and
+    // all three splits are populated at gate scale
+    assert(got.values.map(_._1).sum == docs.length.toLong)
+    assert(got.keys.map(_._1).toSet == Set("train", "val", "test"))
+  }
+
+  test("c53: boilerplate coverage — text never shuffles, per-source scope re-derived row-at-a-time") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions.{rollCoeffs, RollP}
+    val df = TextAnalysis.c53Boilerplate(spark, sf0001)
+    val rows = df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    p.linesIterator.filter(_.contains("Exchange")).foreach { line =>
+      assert(!line.contains("text"), s"text rode a shuffle: $line")
+    }
+    def h32(s: String) = {
+      val hex = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val ks = rollCoeffs(TextAnalysis.BoilerplateN)
+    val docs = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val pos = docs.map { case (id, src, text) =>
+      val ht = text.split(" ", -1).map(h32)
+      val hs = (0 to ht.length - TextAnalysis.BoilerplateN)
+        .map(i => (0 until TextAnalysis.BoilerplateN).map(j => ht(i + j) * ks(j)).sum % RollP)
+      (id, src, hs)
+    }
+    val hot = pos
+      .flatMap { case (id, src, hs) => hs.distinct.map(h => (src, h) -> id) }
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2).distinct.length)
+      .filter(_._2 >= TextAnalysis.BoilerplateDfMin)
+      .keySet
+    val want = pos.flatMap { case (id, src, hs) =>
+      if (hs.isEmpty) None
+      else {
+        val b = hs.count(h => hot((src, h))).toLong
+        Some(id -> ((hs.length.toLong, b, b.toDouble / hs.length)))
+      }
+    }.toMap
+    val got = rows
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == want)
+    assert(want.values.exists(_._2 > 0), "the gate data must contain actual boilerplate hits")
+    assert(want.values.exists(_._2 == 0), "and clean docs")
+  }
+
+  test("c54: filtered ANN — label is the join key (no cartesian), exact filtered top-k re-derived") {
+    import org.apache.spark.sql.functions.col
+    val df = VectorOps.c54AnnFiltered(spark, sf0001)
+    val rows = df.collect()
+    val p = plan(df)
+    // c6's baseline is an intentional broadcast cartesian; the filtered
+    // variant must NOT be — the predicate becomes the key
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), s"queries must broadcast on the label key:\n$p")
+    val e = graft.sources.Tables
+      .embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](2).map(_.toDouble).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (r.getLong(0), r.getInt(1), v.map(_ / n))
+      }
+    val queries = e.filter(_._1 < VectorOps.NumQueryVecs)
+    val cands = e.filter(_._1 >= VectorOps.NumQueryVecs)
+    val want = queries.flatMap { case (qid, ql, qv) =>
+      cands
+        .filter(_._2 == ql)
+        .map { case (cid, _, cv) => (cid, qv.zip(cv).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (cid, cos) => (-cos, cid) }
+        .take(VectorOps.TopK)
+        .zipWithIndex
+        .map { case ((cid, cos), i) => (qid, cid, (i + 1).toLong, cos) }
+    }.toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // cosines compare exactly: both sides sum left-to-right over the
+    // same normalized doubles
+    assert(got == want)
+    // every query's neighbor list is label-homogeneous with the query
+    val lbl = e.map(v => v._1 -> v._2).toMap
+    rows.foreach(r => assert(lbl(r.getLong(1)) == lbl(r.getLong(0))))
+  }
 }
