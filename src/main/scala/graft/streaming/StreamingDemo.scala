@@ -240,6 +240,52 @@ object StreamingDemo {
     require(suspects == batchSuspects,
       s"stream-batch admission divergence: ${(batchSuspects -- suspects).take(3)}")
 
+    // streaming chunk-level dedup: the chunk grid is a row-local
+    // transform computed in batch (shared definition), replayed as a
+    // stream; the surviving (doc, idx) set must equal the batch
+    // lexicographic-min canonical set (single-file replay folds in
+    // (doc, idx) order inside the one group batch)
+    val chunksDir = java.nio.file.Files.createTempDirectory("graft_demo_chunks").toString
+    graft.operators.TextAnalysis
+      .chunked(graft.sources.Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_md5"))
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(chunksDir)
+    val chunkStream = spark.readStream
+      .schema("doc_id BIGINT, chunk_idx BIGINT, chunk_md5 STRING")
+      .parquet(chunksDir)
+      .as[StreamingOps.ChunkRow]
+    val cdq = StreamingOps
+      .streamingChunkDedup(chunkStream)
+      .writeStream
+      .format("memory")
+      .queryName("demo_chunk_dedup")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    cdq.awaitTermination()
+    val chunkSurvivors = spark
+      .table("demo_chunk_dedup")
+      .as[StreamingOps.ChunkVerdict]
+      .collect()
+      .filter(_.survives)
+      .map(v => (v.doc_id, v.chunk_idx))
+      .toSet
+    val batchSurvivors = spark
+      .read
+      .parquet(chunksDir)
+      .groupBy(col("chunk_md5"))
+      .agg(org.apache.spark.sql.functions.min(struct(col("doc_id"), col("chunk_idx"))).as("c"))
+      .select(col("c.doc_id"), col("c.chunk_idx"))
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val nChunkSurv = chunkSurvivors.size
+    require(chunkSurvivors == batchSurvivors,
+      s"stream-batch chunk-dedup divergence: ${(batchSurvivors -- chunkSurvivors).take(3)}")
+
     // streaming MERGE INTO: the replayed documents upsert into a
     // versioned table keyed on doc_id (seq = doc_id — one batch here;
     // StreamingSinkSpec drives the multi-batch fold + restart legs);
@@ -278,7 +324,7 @@ object StreamingDemo {
     val nJoined = spark.table("demo_papi").filter("view_id IS NOT NULL").count()
     val total = spark.read.parquet(s"$sfDir/events.parquet").count()
     println(
-      s"""{"streaming_demo":{"input_events":$total,"deduped_kept":$nDedup,"closed_windows":$nWindows,"enriched_clicks":$nClicks,"clicks_with_view":$nJoined,"curated_docs":$nCurated,"quota_docs":$nQuota,"budget_admits":$nBudget,"reservoir_docs":$nWsamp,"neardup_suspects":$nSuspects,"upsert_rows":$nUpsert,"sink_rows":$nSunk}}"""
+      s"""{"streaming_demo":{"input_events":$total,"deduped_kept":$nDedup,"closed_windows":$nWindows,"enriched_clicks":$nClicks,"clicks_with_view":$nJoined,"curated_docs":$nCurated,"quota_docs":$nQuota,"budget_admits":$nBudget,"reservoir_docs":$nWsamp,"neardup_suspects":$nSuspects,"chunk_survivors":$nChunkSurv,"upsert_rows":$nUpsert,"sink_rows":$nSunk}}"""
     )
     spark.stop()
   }

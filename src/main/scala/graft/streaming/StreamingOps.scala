@@ -462,4 +462,58 @@ object StreamingOps {
           SampleUpdate(lang, seq, merged.map(_._2), merged.map(_._3), merged.map(_._1))
       }
   }
+
+  /** One chunk occurrence for the streaming chunk dedup — the batch
+    * chunk grid ([[graft.operators.TextAnalysis.chunked]]) computed
+    * upstream as a row-local transform, so the stream and the batch
+    * rewrite share one chunk definition.
+    */
+  case class ChunkRow(doc_id: Long, chunk_idx: Long, chunk_md5: String)
+
+  /** Per-chunk verdict: survives = this (doc, idx) holds the canonical
+    * copy of its content; otherwise (c_doc, c_idx) is the canonical
+    * holder it duplicates — the ids-only record the rewrite stage
+    * (c43's reassembly) consumes.
+    */
+  case class ChunkVerdict(doc_id: Long, chunk_idx: Long, survives: Boolean, c_doc: Long, c_idx: Long)
+
+  /** Streaming chunk-level dedup — the incremental form of c38's
+    * measurement and c43's rewrite verdict (CCNet line dedup as a
+    * stream): per-chunk-hash state is ONE (doc_id, chunk_idx) pair —
+    * the canonical holder — so an arriving chunk survives iff its hash
+    * was never seen, O(1) state and work per chunk whatever the
+    * corpus length. Ownership is first-arrival with a lexicographic
+    * in-batch tiebreak, which under in-order replay by (doc_id,
+    * chunk_idx) coincides exactly with the batch survivor rule
+    * (lexicographic-min holder, spec-asserted row-for-row vs c38's
+    * verdicts). Redelivery of the canonical holder re-emits its own
+    * survival, never a self-collision — the same at-least-once guard
+    * as the LSH admission's owner re-probe. State is keyed by the
+    * 128-bit content hash (text never enters state), RocksDB-backed by
+    * default; growth is O(distinct chunks) — the dedup-against-history
+    * law (c26/c44's store), with GroupStateTimeout as the forgetting
+    * knob where the corpus contract allows a horizon. Update mode.
+    */
+  def streamingChunkDedup(chunks: Dataset[ChunkRow]): Dataset[ChunkVerdict] = {
+    import chunks.sparkSession.implicits._
+    chunks
+      .groupByKey(_.chunk_md5)
+      .flatMapGroupsWithState[(Long, Long), ChunkVerdict](
+        OutputMode.Update(),
+        GroupStateTimeout.NoTimeout
+      ) { (_: String, it: Iterator[ChunkRow], state: GroupState[(Long, Long)]) =>
+        var owner = state.getOption.getOrElse((-1L, -1L))
+        val out = Seq.newBuilder[ChunkVerdict]
+        // fold in (doc, idx) order so a batch's verdicts are independent
+        // of shuffle iteration order (the admission streams' posture)
+        it.toSeq.sortBy(r => (r.doc_id, r.chunk_idx)).foreach { r =>
+          if (owner._1 == -1L || (r.doc_id, r.chunk_idx) == owner) {
+            owner = (r.doc_id, r.chunk_idx)
+            out += ChunkVerdict(r.doc_id, r.chunk_idx, survives = true, r.doc_id, r.chunk_idx)
+          } else out += ChunkVerdict(r.doc_id, r.chunk_idx, survives = false, owner._1, owner._2)
+        }
+        state.update(owner)
+        out.result().iterator
+      }
+  }
 }

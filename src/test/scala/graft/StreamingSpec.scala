@@ -751,4 +751,68 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(streamed == batch)
   }
+
+  test("streaming chunk dedup: in-order replay matches the batch survivor rule row-for-row") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val chunks = graft.operators.TextAnalysis
+      .chunked(graft.sources.Tables.documents(spark, sf001).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_md5"))
+      .as[StreamingOps.ChunkRow]
+      .collect()
+      .sortBy(r => (r.doc_id, r.chunk_idx))
+
+    val input = MemoryStream[StreamingOps.ChunkRow]
+    val q = StreamingOps
+      .streamingChunkDedup(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("chunk_out")
+      .outputMode("update")
+      .start()
+    chunks.grouped(400).foreach { c =>
+      input.addData(c.toSeq)
+      q.processAllAvailable()
+    }
+    // redeliver a slice (canonical holders AND dups) — owners must
+    // re-emit their own survival, dups the same canonical, no state drift
+    input.addData(chunks.take(60).toSeq)
+    q.processAllAvailable()
+    val verdicts = spark.table("chunk_out").as[StreamingOps.ChunkVerdict].collect()
+    q.stop()
+
+    // every emission for a (doc, idx) must be identical (redelivery-stable)
+    val byKey = verdicts.groupBy(v => (v.doc_id, v.chunk_idx))
+    byKey.values.foreach(vs => assert(vs.toSet.size == 1, s"verdict drifted: $vs"))
+    val last = byKey.view.mapValues(_.head).toMap
+
+    // the batch survivor rule: canonical = lexicographic-min holder
+    val canon = chunks
+      .groupBy(_.chunk_md5)
+      .map { case (h, cs) => h -> cs.map(c => (c.doc_id, c.chunk_idx)).min }
+    chunks.foreach { c =>
+      val v = last((c.doc_id, c.chunk_idx))
+      assert(v.survives == (canon(c.chunk_md5) == ((c.doc_id, c.chunk_idx))), s"$c -> $v")
+      assert((v.c_doc, v.c_idx) == canon(c.chunk_md5), s"$c -> $v")
+    }
+
+    // and the measurement reconciles with batch c38 per doc
+    val streamedDups = last.values
+      .groupBy(_.doc_id)
+      .view
+      .mapValues(vs => (vs.size.toLong, vs.count(!_.survives).toLong))
+      .toMap
+    val batch = graft.operators.TextAnalysis
+      .c38ChunkDedup(spark, sf001)
+      .collect()
+      .map(r =>
+        r.getLong(r.fieldIndex("doc_id")) ->
+          ((r.getLong(r.fieldIndex("n_chunks")), r.getLong(r.fieldIndex("n_dup_chunks"))))
+      )
+      .toMap
+    assert(streamedDups == batch)
+    assert(chunks.exists(c => canon(c.chunk_md5) != ((c.doc_id, c.chunk_idx))), "gate data must contain dup chunks")
+  }
 }
