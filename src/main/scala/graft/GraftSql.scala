@@ -468,12 +468,17 @@ object GraftSql {
     * supplier) = the exact DECIMAL sum of that pair's extended prices —
     * deterministic, and the min-equality compares DECIMALs (a double
     * MIN would be ULP-fragile). Catalyst decorrelates the per-part MIN
-    * into an aggregate joined on p_partkey (never per-row); the `ps`
-    * CTE is the one big shuffle (l_partkey, l_suppkey) and is consumed
-    * by BOTH the outer join and the min side, the dims broadcast. The
-    * ORDER BY hits the unique (p_partkey, s_name) pair, so LIMIT 100
-    * is deterministic even when a part has cost-tied suppliers (Q2
-    * keeps ties, like b21).
+    * into an aggregate joined on p_partkey (never per-row), the dims
+    * broadcast, and the ORDER BY hits the unique (p_partkey, s_name)
+    * pair, so LIMIT 100 is deterministic even when a part has
+    * cost-tied suppliers (Q2 keeps ties, like b21). Honest plan note:
+    * Spark INLINES the `ps` CTE (no materialization), and exchange
+    * reuse does not unify the two consumers — the bridge aggregate's
+    * lineitem scan+shuffle runs twice (verified in the AQE final
+    * plan). The DataFrame form pays it once via localCheckpoint
+    * (c53's pattern); this one stays pure SQL because the oracle
+    * contract runs the character-identical text in DuckDB. At scale,
+    * prefer the DataFrame composition when the bridge dominates.
     */
   val Q2Sql: String =
     """WITH ps AS (

@@ -731,20 +731,18 @@ object TextAnalysis {
     * in the output via the left join (the score must exist to filter on).
     */
   def c53Boilerplate(spark: SparkSession, sfDir: String): DataFrame = {
-    val pos = Tables
+    val docs = Tables
       .documents(spark, sfDir)
       .select(
         col("doc_id"),
         col("source"),
         transform(tokens(col("text")), t => hash32(t)).as("ht")
       )
-      .select(
-        col("doc_id"),
-        col("source"),
-        explode_outer(rollingShingleHashes(col("ht"), BoilerplateN)).as("h")
-      )
+      .select(col("doc_id"), col("source"), rollingShingleHashes(col("ht"), BoilerplateN).as("hs"))
+      .localCheckpoint() // feeds the position explode AND the row-local totals
+    val pos = docs
+      .select(col("doc_id"), col("source"), explode_outer(col("hs")).as("h"))
       .filter(col("h").isNotNull)
-      .localCheckpoint() // feeds the df agg AND the coverage join
     val hot = pos
       .groupBy(col("source"), col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))
@@ -754,9 +752,12 @@ object TextAnalysis {
       .join(hot, Seq("source", "h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_boiler"))
-    pos
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_pos"))
+    // n_pos is a property of the ROW (array length) — no shuffle; the
+    // only per-doc aggregation is over boilerplate HITS (∝ duplication,
+    // not corpus), which then broadcasts back against the narrow scan
+    docs
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_pos"))
       .join(boiler, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
