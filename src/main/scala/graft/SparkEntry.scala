@@ -134,7 +134,8 @@ object SparkEntry {
     "s10_dynamic_overwrite" -> (graft.sources.Formats.s10DynamicOverwrite _),
     "s11_time_travel" -> (graft.sources.Formats.s11TimeTravel _),
     "s12_cdc_read" -> (graft.sources.Formats.s12CdcRead _),
-    "s13_vacuum" -> (graft.sources.Formats.s13Vacuum _)
+    "s13_vacuum" -> (graft.sources.Formats.s13Vacuum _),
+    "s14_zorder" -> (graft.sources.Formats.s14Zorder _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -819,6 +820,13 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem
         |GROUP BY 1""".stripMargin,
+    // rewrite fidelity: the z-ordered table must aggregate identically
+    // to the source (the z-value is layout only, never content)
+    "s14_zorder" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin,
     // reconstructs the schema-merged union: even keys predate the
     // o_orderpriority column (null-backfilled), odd keys carry it
     "s6_schema_evolution" ->

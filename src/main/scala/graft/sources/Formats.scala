@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Source/sink format coverage: parquet, CSV and JSON write→read
@@ -530,4 +530,102 @@ object Formats {
     */
   def s2PartitionedDir(spark: SparkSession, sfDir: String): String =
     scratch(spark, "part_orders", sfDir)
+
+  /** Z-order geometry: each clustering dimension quantizes to 16-bit
+    * rank space, the two bucket words interleave bit-by-bit into one
+    * 32-bit z-value. 16 bits per dim is what Delta's OPTIMIZE ZORDER
+    * uses per column in its range-id step — far finer than any
+    * realistic file count, so quantization never limits skipping.
+    */
+  val ZorderBits = 16
+  val ZorderFiles = 16
+
+  /** Bit-interleave two bucketized long columns (values in
+    * [0, 2^bits)): dim a occupies odd bit positions, dim b even — the
+    * classic Morton code, built from shift/and/or only, so the whole
+    * z-value stays one codegen'd row-local projection.
+    */
+  def zValue(a: Column, b: Column, bits: Int = ZorderBits): Column =
+    (0 until bits)
+      .map { i =>
+        shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+          .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+      }
+      .reduce(_ bitwiseOR _)
+
+  /** S14: Z-ORDER clustering rewrite (the OPTIMIZE ZORDER BY idiom —
+    * Delta/Iceberg's multi-dimensional data-skipping layout): orders
+    * rewritten into range-partitioned, internally sorted files by the
+    * Morton interleave of (o_custkey, o_orderdate-as-epoch-day), so a
+    * range predicate on EITHER dimension alone prunes most files at
+    * planning time — the property no single-column sort has (a
+    * date-sorted layout answers custkey ranges by reading every file).
+    * Mechanics: a two-row aggregate collects each dimension's min/max
+    * (the only non-row-local work), buckets are exact integer math
+    * `((v−min)·(2^16−1)) div (max−min)`, the z-value is a codegen'd
+    * bit-interleave, and the rewrite is repartitionByRange + sort on
+    * it — s5's compaction machinery pointed at a space-filling curve.
+    * At 100 TB this is the layout job that runs after compaction;
+    * Spark's parquet reader then skips via footer min/max exactly as
+    * the spec demonstrates by hand. The gate aggregates the rewritten
+    * table (rewrite fidelity — the oracle computes from source);
+    * PlanSpec asserts the physical effect: expected file count, and a
+    * mid-range single-dimension box on EACH dim intersects a small
+    * fraction of files' (custkey, day) min/max envelopes.
+    */
+  def s14Zorder(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = scratch(spark, "zorder", sfDir)
+    if (!exists(spark, s"$base/zordered/_SUCCESS")) {
+      val src = Tables
+        .orders(spark, sfDir)
+        .select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          col("o_orderdate"),
+          col("o_totalprice"),
+          col("o_orderpriority"),
+          datediff(col("o_orderdate"), lit("1990-01-01")).cast("long").as("o_day")
+        )
+      val r = src
+        .agg(
+          min(col("o_custkey")).as("cmin"),
+          max(col("o_custkey")).as("cmax"),
+          min(col("o_day")).as("dmin"),
+          max(col("o_day")).as("dmax")
+        )
+        .head()
+      val (cmin, cmax, dmin, dmax) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val top = (1L << ZorderBits) - 1
+      // floor(double div) is safe here: both operands are exact in a
+      // double at any realistic key range, and an off-by-one at a
+      // bucket boundary only nudges LAYOUT (the z-value never reaches
+      // the gate output or the oracle)
+      def bucket(c: Column, lo: Long, hi: Long): Column =
+        if (hi == lo) lit(0L)
+        else floor((c - lit(lo)) * lit(top) / lit((hi - lo).toDouble)).cast("long")
+      val z = zValue(bucket(col("o_custkey"), cmin, cmax), bucket(col("o_day"), dmin, dmax))
+      src
+        .withColumn("z", z)
+        .repartitionByRange(ZorderFiles, col("z"))
+        .sortWithinPartitions(col("z"))
+        .drop("z", "o_day")
+        .write
+        .mode("overwrite")
+        .parquet(s"$base/zordered")
+    }
+    spark.read
+      .parquet(s"$base/zordered")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        graft.functions.ExactAgg.moneySum(col("o_totalprice")).as("sum_price")
+      )
+  }
+
+  /** The z-ordered directory [[s14Zorder]] builds — for PlanSpec's
+    * skipping assertions (valid after the query has run in this
+    * application).
+    */
+  def s14ZorderDir(spark: SparkSession, sfDir: String): String =
+    s"${scratch(spark, "zorder", sfDir)}/zordered"
 }

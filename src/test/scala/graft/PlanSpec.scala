@@ -1926,6 +1926,57 @@ class PlanSpec extends SparkSpec {
     assert(want.values.exists(_._2 == 0), "and clean docs")
   }
 
+  test("s14: z-order layout — expected file count; single-dim ranges skip most files on BOTH dims") {
+    import org.apache.spark.sql.functions.{col, datediff, input_file_name, lit, max, min}
+    val df = graft.sources.Formats.s14Zorder(spark, sf0001)
+    // content fidelity is the oracle's job; run it so the layout exists
+    val got = df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val want = graft.sources.Tables
+      .orders(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(r.fieldIndex("o_orderpriority")), BigDecimal(r.getDouble(r.fieldIndex("o_totalprice"))).setScale(2)))
+      .groupBy(_._1)
+      .view
+      .mapValues(vs => (vs.size.toLong, vs.map(_._2).sum.toDouble))
+      .toMap
+    assert(got == want)
+
+    val dir = graft.sources.Formats.s14ZorderDir(spark, sf0001)
+    val perFile = spark.read
+      .parquet(dir)
+      .select(
+        input_file_name().as("f"),
+        col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1990-01-01")).cast("long").as("d")
+      )
+      .groupBy(col("f"))
+      .agg(
+        min(col("o_custkey")).as("cmin"), max(col("o_custkey")).as("cmax"),
+        min(col("d")).as("dmin"), max(col("d")).as("dmax")
+      )
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(perFile.length == graft.sources.Formats.ZorderFiles, s"got ${perFile.length} files")
+
+    val cLo = perFile.map(_._1).min; val cHi = perFile.map(_._2).max
+    val dLo = perFile.map(_._3).min; val dHi = perFile.map(_._4).max
+    // a mid-range band covering ~1/4 of ONE dimension: a z-ordered
+    // layout bounds both dims per file, so most files' envelopes miss
+    // the band; any single-column sort would leave the OTHER dim
+    // unbounded per file (every file intersects)
+    def touchFrac(band: (Long, Long), lo: Seq[Long], hi: Seq[Long]): Double =
+      lo.zip(hi).count { case (l, h) => h >= band._1 && l <= band._2 }.toDouble / perFile.length
+    // the band sits INSIDE one top-level curve quadrant (5/16..7/16):
+    // a band straddling the grid midline touches two quadrant columns
+    // by construction — that is curve geometry, not a layout failure
+    val cBand = (cLo + (cHi - cLo) * 5 / 16, cLo + (cHi - cLo) * 7 / 16)
+    val dBand = (dLo + (dHi - dLo) * 5 / 16, dLo + (dHi - dLo) * 7 / 16)
+    val cFrac = touchFrac(cBand, perFile.map(_._1).toSeq, perFile.map(_._2).toSeq)
+    val dFrac = touchFrac(dBand, perFile.map(_._3).toSeq, perFile.map(_._4).toSeq)
+    assert(cFrac <= 0.5, s"custkey band touches $cFrac of files — no skipping on dim 1")
+    assert(dFrac <= 0.5, s"date band touches $dFrac of files — no skipping on dim 2")
+  }
+
   test("c54: filtered ANN — label is the join key (no cartesian), exact filtered top-k re-derived") {
     import org.apache.spark.sql.functions.col
     val df = VectorOps.c54AnnFiltered(spark, sf0001)
