@@ -95,6 +95,24 @@ object OracleGen {
        |JOIN documents b ON b.doc_id = p.doc_b
        |WHERE a.source <> b.source""".stripMargin
 
+  /** C55 = the symmetric membership of c3's verified pairs, filtered
+    * to blocking partners of batch docs (c26's % split), aggregated
+    * per rejected doc. SUMs cast BIGINT per the widening meta-spec.
+    */
+  val c55NearDupIncremental: String = {
+    val e = graft.operators.Sampling.IncrEvery
+    s"""WITH $c3Ctes,
+       |res AS ($c3Select),
+       |mem AS (SELECT doc_a AS d, doc_b AS o FROM res UNION ALL SELECT doc_b AS d, doc_a AS o FROM res),
+       |blk AS (SELECT d, o FROM mem WHERE d % $e = 0 AND (o % $e <> 0 OR o < d)),
+       |rej AS (SELECT d AS doc_id,
+       |  CAST(SUM(CASE WHEN o % $e <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hist_partners,
+       |  CAST(SUM(CASE WHEN o % $e = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_batch_partners,
+       |  MIN(o) AS min_partner FROM blk GROUP BY d)
+       |SELECT r.doc_id, dcs.lang, r.n_hist_partners, r.n_batch_partners, r.min_partner
+       |FROM rej r JOIN documents dcs ON dcs.doc_id = r.doc_id""".stripMargin
+  }
+
   val c4SimHash: String = {
     val voteCols = (0 until SimHashBits)
       .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN cnt ELSE -cnt END) AS v$i")

@@ -112,6 +112,7 @@ object SparkEntry {
     "c32_curation_e2e" -> (Sampling.c32CurationE2e _),
     "c33_canonical_corpus" -> (TextAnalysis.c33CanonicalCorpus _),
     "c34_cross_source_neardups" -> (TextDedup.c34CrossSourceNearDups _),
+    "c55_neardup_incremental" -> (TextDedup.c55NearDupIncremental _),
     "c23_frame_sample" -> (Multimodal.c23FrameSample _),
     "c22_pii_redact" -> (Sampling.c22PiiRedact _),
     "c8_text_langid" -> (TextAnalysis.c8TextLangid _),
@@ -742,6 +743,7 @@ object SparkEntry {
         |QUALIFY rank <= ${VectorOps.TopK}""".stripMargin,
     "c33_canonical_corpus" -> OracleGen.c33CanonicalCorpus,
     "c34_cross_source_neardups" -> OracleGen.c34CrossSourceNearDups,
+    "c55_neardup_incremental" -> OracleGen.c55NearDupIncremental,
     "b14_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

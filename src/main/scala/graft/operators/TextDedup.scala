@@ -271,6 +271,62 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), col("source_a"), col("source_b"), col("jaccard"))
   }
 
+  /** C55: incremental NEAR-dup admission — c26's ingestion contract at
+    * near-duplicate granularity, closing the dedup matrix (exact×near,
+    * batch×incremental): a new batch (c26's doc_id % 10 split) is
+    * checked against the already-curated history, and a batch doc is
+    * REJECTED when it near-duplicates (verified Jaccard ≥ 0.8) a
+    * history doc or an EARLIER batch doc (the batch-canonical rule —
+    * c26's keep-min at near-dup granularity). Output is the rejection
+    * list (∝ duplication, not corpus): per rejected doc, how many
+    * history vs earlier-batch partners blocked it and its smallest
+    * blocking partner — what an ingestion pipeline logs and what the
+    * admitted set is the complement of.
+    *
+    * Rides the amortized c3 pair set (the banded LSH + exact-verify
+    * pass, paid once per session) exactly like c34: the incremental
+    * question is a FILTER over the symmetric pair membership, two tiny
+    * aggregations and one broadcast join against the lang projection —
+    * nothing new shuffles. At steady state the same shape runs with
+    * history's band keys as the persisted index (c44's posture: the
+    * 100 TB side pre-banded on disk, only the batch computes signatures).
+    */
+  def c55NearDupIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    c55NearDupIncrementalFrom(
+      c3MinHashLsh(spark, sfDir),
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")),
+      graft.operators.Sampling.IncrEvery
+    )
+
+  /** The admission verdict over ANY verified pair frame — split out so
+    * specs can plant intra-batch pairs (absent from the gate corpus)
+    * and so a production caller can feed pairs from a persisted index.
+    */
+  def c55NearDupIncrementalFrom(pairs: DataFrame, docs: DataFrame, every: Int): DataFrame = {
+    val mem = pairs
+      .select(col("doc_a").as("d"), col("doc_b").as("o"))
+      .union(pairs.select(col("doc_b").as("d"), col("doc_a").as("o")))
+    mem
+      // blocking partners only: history members, or batch members that
+      // precede this doc (the later member of an intra-batch pair is
+      // the one rejected — min-id canonical, c1/c26's rule)
+      .filter(col("d") % every === 0 && (col("o") % every =!= 0 || col("o") < col("d")))
+      .groupBy(col("d").as("doc_id"))
+      .agg(
+        count(when(col("o") % every =!= 0, 1)).as("n_hist_partners"),
+        count(when(col("o") % every === 0, 1)).as("n_batch_partners"),
+        min(col("o")).as("min_partner")
+      )
+      .join(docs, "doc_id")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_hist_partners"),
+        col("n_batch_partners"),
+        col("min_partner")
+      )
+  }
+
   /** Per-doc 60-bit SimHash signature: weighted bit votes over
     * md5-derived token hashes (weight = token multiplicity), computed
     * entirely within the row by [[graft.plans.SimHashOfTokens]] — the

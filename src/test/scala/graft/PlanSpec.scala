@@ -1926,6 +1926,53 @@ class PlanSpec extends SparkSpec {
     assert(want.values.exists(_._2 == 0), "and clean docs")
   }
 
+  test("c55: near-dup admission — verdicts re-derived from the pair set; planted intra-batch branch") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val every = graft.operators.Sampling.IncrEvery
+    val df = TextDedup.c55NearDupIncremental(spark, sf001)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val got = df
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val pairs = TextDedup
+      .c3MinHashLsh(spark, sf001)
+      .select(col("doc_a"), col("doc_b"))
+      .as[(Long, Long)]
+      .collect()
+    val langs = graft.sources.Tables
+      .documents(spark, sf001)
+      .select(col("doc_id"), col("lang"))
+      .as[(Long, String)]
+      .collect()
+      .toMap
+    val mem = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val want = mem
+      .filter { case (d, o) => d % every == 0 && (o % every != 0 || o < d) }
+      .groupBy(_._1)
+      .map { case (d, os) =>
+        val hist = os.count(_._2 % every != 0).toLong
+        val batch = os.count(_._2 % every == 0).toLong
+        d -> ((langs(d), hist, batch, os.map(_._2).min))
+      }
+    assert(got == want.toMap)
+    assert(want.nonEmpty && want.values.exists(_._2 > 0), "gate data must reject against history")
+
+    // the intra-batch branch is absent from the gate corpus — plant it:
+    // docs 10 and 20 are both batch members and near-dups; 20 must be
+    // rejected by 10 (min-id canonical), 10 admitted (no blocker)
+    val planted = Seq((10L, 20L), (7L, 30L)).toDF("doc_a", "doc_b")
+    val docs = Seq((10L, "en"), (20L, "en"), (30L, "de"), (7L, "de")).toDF("doc_id", "lang")
+    val verdict = TextDedup
+      .c55NearDupIncrementalFrom(planted, docs, every)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(verdict == Map(20L -> ((0L, 1L, 10L)), 30L -> ((1L, 0L, 7L))))
+  }
+
   test("s14: z-order layout — expected file count; single-dim ranges skip most files on BOTH dims") {
     import org.apache.spark.sql.functions.{col, datediff, input_file_name, lit, max, min}
     val df = graft.sources.Formats.s14Zorder(spark, sf0001)
