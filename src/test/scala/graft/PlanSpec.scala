@@ -1926,6 +1926,59 @@ class PlanSpec extends SparkSpec {
     assert(want.values.exists(_._2 == 0), "and clean docs")
   }
 
+  test("meta: EVERY gate query plans scale-safe — nested-loop joins and global windows only where documented") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // Nested-loop shapes (CartesianProduct / BroadcastNestedLoopJoin)
+    // allowed ONLY where one side is provably tiny or the cartesian IS
+    // the operator's definition. Every entry documents why it is safe
+    // at 100 TB; everything else must plan hash/sort-merge joins.
+    val allowNestedLoop: Map[String, String] = Map(
+      "c5_dedup_embedding" -> "intentional exact all-pairs baseline; c17 is the scale path",
+      "c6_ann_bruteforce" -> "broadcast ≤10-query set × corpus stream; the ANN correctness baseline",
+      "c54_ann_filtered" -> "broadcast ≤10-query set, label-keyed hash join does the pruning",
+      "c13_sql_vector" -> "single-row query-vector frame crossed with the corpus scan",
+      "c15_bigram_lm" -> "single-row corpus-total frame broadcast back",
+      "c49_source_mix" -> "single-row token-total frame broadcast back",
+      "c52_corpus_split" -> "no join at all (guard: entry present only for doc clarity)",
+      "b9_percentiles" -> "single-row sketch-edge frame broadcast back",
+      "b11_scalar_subquery" -> "uncorrelated scalar threshold broadcast back",
+      "c21_decontamination" -> "broadcast eval-shingle set vs corpus; eval sets are small by contract",
+      "c36_temperature_mix" -> "per-lang threshold frame (≤ #langs rows) broadcast back",
+      "c30_token_budget" -> "≤51-row band-offset frame broadcast back",
+      "c32_curation_e2e" -> "c30's band-offset frame inside the composition",
+      "c25_sequence_packing" -> "≤#buckets-row offset table broadcast back",
+      "c40_shuffled_packing" -> "≤1024-row hash-bucket offset table broadcast back",
+      "c39_embedding_outliers" -> "single-row p10-floor frame broadcast back",
+      "b12_approx_sketch" -> "single-row sketch frame broadcast back",
+      "a8_event_time_stats" -> "single-row watermark (max ts) frame broadcast back",
+      "c14_tfidf" -> "single-row corpus doc-count frame broadcast back",
+      "c18_ann_ivf" -> "broadcast coarse quantizer (≤k centroid rows) + ≤10-query frame",
+      "c24_ann_ivf_trained" -> "broadcast trained quantizer (bounded index artifact; see c24 spec)",
+      "c29_ann_pq" -> "broadcast ≤10-query frame over the 8-code ADC scan (see c29 spec)",
+      "c35_semdedup" -> "broadcast seeded-centroid frame for the cluster assignment"
+    )
+    // Unpartitioned windows are allowed only over an AGGREGATED frame
+    // (bucket/band offsets — rows ∝ buckets, not corpus); a global
+    // window over raw rows is the single-task sort that kills at scale.
+    val allowGlobalWindowOverRaw: Map[String, String] = Map.empty
+    val failures = Seq.newBuilder[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+      val qe = fn(spark, sf0001).queryExecution
+      val p = qe.executedPlan.toString
+      val nested = p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
+      if (nested && !allowNestedLoop.contains(n))
+        failures += s"$n: undocumented nested-loop join"
+      qe.optimizedPlan
+        .collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+        .foreach { w =>
+          val overAgg = w.collect { case a: Aggregate => a }.nonEmpty
+          if (!overAgg && !allowGlobalWindowOverRaw.contains(n))
+            failures += s"$n: global window over a non-aggregated frame"
+        }
+    }
+    assert(failures.result().isEmpty, failures.result().mkString("\n"))
+  }
+
   test("c55: near-dup admission — verdicts re-derived from the pair set; planted intra-batch branch") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
