@@ -617,6 +617,27 @@ object GraftSql {
   def b39SqlQ4(spark: SparkSession, sfDir: String): DataFrame =
     sql(spark, sfDir, Q4Sql)
 
+  /** B40: explicit GROUPING SETS — the general form b6's ROLLUP and
+    * b14's CUBE are sugar for, plus the GROUPING() markers that let a
+    * consumer distinguish "NULL because aggregated away" from "NULL in
+    * the data" (the reason every BI layer emits them). One Expand +
+    * one aggregate exchange regardless of how many sets — the same
+    * single-pass plan as the sugared forms; markers cast BIGINT
+    * (Spark emits TINYINT/INT, DuckDB BIGINT — the width meta-spec
+    * rule).
+    */
+  val GroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())""".stripMargin
+
+  def b40GroupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    sql(spark, sfDir, GroupingSetsSql)
+
   /** C13: vector search through SQL using graft's registered native
     * functions (array_l2_normalize / array_dot) — the
     * SparkSessionExtensions surface.

@@ -72,6 +72,7 @@ object SparkEntry {
     "b37_sql_q20" -> (GraftSql.b37SqlQ20 _),
     "b38_sql_q11" -> (GraftSql.b38SqlQ11 _),
     "b39_sql_q4" -> (GraftSql.b39SqlQ4 _),
+    "b40_grouping_sets" -> (GraftSql.b40GroupingSets _),
     "c50_length_histogram" -> (Sampling.c50LengthHistogram _),
     "c49_source_mix" -> (Sampling.c49SourceMix _),
     "c1_dedup_exact" -> (TextDedup.c1DedupExact _),
@@ -352,6 +353,7 @@ object SparkEntry {
     "b37_sql_q20" -> GraftSql.Q20Sql,
     "b38_sql_q11" -> GraftSql.Q11Sql,
     "b39_sql_q4" -> GraftSql.Q4Sql,
+    "b40_grouping_sets" -> GraftSql.GroupingSetsSql,
     // floor(log2) as length(bin(n))-1: integer/string ops only — libm
     // log rounds differently across engines, bin() cannot
     "c50_length_histogram" ->

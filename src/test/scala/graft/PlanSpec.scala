@@ -1961,6 +1961,16 @@ class PlanSpec extends SparkSpec {
     // (bucket/band offsets — rows ∝ buckets, not corpus); a global
     // window over raw rows is the single-task sort that kills at scale.
     val allowGlobalWindowOverRaw: Map[String, String] = Map.empty
+    // Document text must never ride an exchange (hash it, chunk it,
+    // band it — then shuffle the digests): queries here are the ones
+    // whose CONTRACT is to emit text (redaction, rewrite, roundtrip),
+    // where the text column through the final exchange IS the output.
+    val allowTextShuffle: Map[String, String] = Map(
+      "c22_pii_redact" -> "the redacted text IS the output contract",
+      "c43_chunk_dedup_rewrite" -> "the rewritten text IS the output contract",
+      "s1_format_roundtrip" -> "roundtrip fidelity requires writing the text",
+      "s8_text_roundtrip" -> "roundtrip fidelity requires writing the text"
+    )
     val failures = Seq.newBuilder[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
       val qe = fn(spark, sf0001).queryExecution
@@ -1975,8 +1985,39 @@ class PlanSpec extends SparkSpec {
           if (!overAgg && !allowGlobalWindowOverRaw.contains(n))
             failures += s"$n: global window over a non-aggregated frame"
         }
+      val textRides = qe.executedPlan
+        .collect { case e: org.apache.spark.sql.execution.exchange.Exchange => e }
+        .exists(_.output.exists(_.name == "text"))
+      if (textRides && !allowTextShuffle.contains(n))
+        failures += s"$n: document text rides an exchange"
     }
     assert(failures.result().isEmpty, failures.result().mkString("\n"))
+  }
+
+  test("b40: grouping sets — one Expand + one aggregate exchange, all four sets re-derived") {
+    import org.apache.spark.sql.functions.col
+    val df = GraftSql.b40GroupingSets(spark, sf0001)
+    val rows = df.collect()
+    val p = plan(df)
+    assert(p.contains("Expand"), s"grouping sets must plan one Expand:\n$p")
+    assert(p.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 2, s"one agg exchange (+AQE read):\n$p")
+    val li = graft.sources.Tables
+      .lineitem(spark, sf0001)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), BigDecimal(r.getDouble(2)).setScale(2)))
+    def agg(key: ((String, String, BigDecimal)) => (String, String)) =
+      li.groupBy(key).view.mapValues(vs => (vs.map(_._3).sum.toDouble, vs.size.toLong)).toMap
+    val want =
+      agg(v => (v._1, v._2)).map { case ((f, s), v) => ((f, s, 0L, 0L), v) } ++
+        agg(v => (v._1, null)).map { case ((f, _), v) => ((f, null, 0L, 1L), v) } ++
+        agg(v => (null, v._2)).map { case ((_, s), v) => ((null, s, 1L, 0L), v) } ++
+        Map((null: String, null: String, 1L, 1L) ->
+          ((li.map(_._3).sum.toDouble, li.length.toLong)))
+    val got = rows.map { r =>
+      ((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)), (r.getDouble(4), r.getLong(5)))
+    }.toMap
+    assert(got == want.map { case ((a, b, c, d), v) => ((a, b, c, d), v) })
   }
 
   test("c55: near-dup admission — verdicts re-derived from the pair set; planted intra-batch branch") {
