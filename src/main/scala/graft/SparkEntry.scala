@@ -114,6 +114,8 @@ object SparkEntry {
     "c33_canonical_corpus" -> (TextAnalysis.c33CanonicalCorpus _),
     "c34_cross_source_neardups" -> (TextDedup.c34CrossSourceNearDups _),
     "c55_neardup_incremental" -> (TextDedup.c55NearDupIncremental _),
+    "c56_bpe_pairs" -> (TextAnalysis.c56BpePairs _),
+    "c57_rag_retrieval" -> (VectorOps.c57RagRetrieval _),
     "c23_frame_sample" -> (Multimodal.c23FrameSample _),
     "c22_pii_redact" -> (Sampling.c22PiiRedact _),
     "c8_text_langid" -> (TextAnalysis.c8TextLangid _),
@@ -746,6 +748,47 @@ object SparkEntry {
     "c33_canonical_corpus" -> OracleGen.c33CanonicalCorpus,
     "c34_cross_source_neardups" -> OracleGen.c34CrossSourceNearDups,
     "c55_neardup_incremental" -> OracleGen.c55NearDupIncremental,
+    // c31's chunk grid + the md5 stub-encoder on both sides + c6's
+    // exact cosine rank — the whole retrieval pipeline recomputed
+    "c57_rag_retrieval" -> {
+      val cs = TextAnalysis.ChunkSize
+      val st = TextAnalysis.ChunkStride
+      val embed =
+        s"""list_transform(generate_series(0, ${VectorOps.RagDims - 1}),
+           |  j -> CAST(CAST(concat('0x', substr(h, CAST(j * 4 + 1 AS INT), 4)) AS BIGINT) AS DOUBLE) - 32768.0)""".stripMargin
+      val values = VectorOps.RagQueryTexts.zipWithIndex
+        .map { case (t, i) => s"($i, '$t')" }
+        .mkString(", ")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |n AS (SELECT doc_id, w, greatest(CAST(ceil(CAST(len(w) - $cs AS DOUBLE) / $st) AS INT), 0) + 1 AS nc FROM d),
+        |c AS (SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS ci FROM n),
+        |s AS (SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+        |  md5(array_to_string(list_slice(w, ci * $st + 1, ci * $st + $cs), ' ')) AS h FROM c),
+        |ce AS (SELECT doc_id, chunk_idx, $embed AS v FROM s),
+        |cn AS (SELECT doc_id, chunk_idx, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv FROM ce),
+        |q AS (SELECT CAST(query_id AS BIGINT) AS query_id, md5(qtext) AS h FROM (VALUES $values) AS t(query_id, qtext)),
+        |qe AS (SELECT query_id, $embed AS v FROM q),
+        |qn AS (SELECT query_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS qv FROM qe),
+        |sc AS (SELECT query_id, doc_id, chunk_idx, list_dot_product(qv, cv) AS cos FROM qn, cn)
+        |SELECT query_id, doc_id, chunk_idx,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id, chunk_idx) AS BIGINT) AS rank,
+        |  cos
+        |FROM sc
+        |QUALIFY rank <= ${VectorOps.RagTopK}""".stripMargin
+    },
+    // vocabulary-weighted adjacent-char pairs; the window mirrors the
+    // Spark rank exactly (n DESC, pair) so ties cut identically
+    "c56_bpe_pairs" ->
+      s"""WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT w, COUNT(*) AS cnt FROM words GROUP BY w),
+        |p AS (SELECT unnest(list_transform(
+        |    generate_series(1, greatest(length(w) - 1, 0)),
+        |    i -> substr(w, CAST(i AS INT), 2))) AS pair, cnt FROM wc),
+        |agg AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n FROM p GROUP BY pair)
+        |SELECT pair, n,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
+        |FROM agg
+        |QUALIFY rank <= ${TextAnalysis.BpeTopPairs}""".stripMargin,
     "b14_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -697,6 +697,57 @@ object TextAnalysis {
       .filter(col("cnt") * lit(100L) >= lit(total))
   }
 
+  /** c56: emit the top-K adjacent-character pairs — deep enough that
+    * both frequent and rare pairs appear at every SF, small enough
+    * that the final rank window runs over a bounded frame.
+    */
+  val BpeTopPairs = 20
+
+  /** C56: BPE merge-candidate counting — the first round of byte-pair
+    * tokenizer training (Sennrich et al. 2016): count adjacent
+    * character pairs across the corpus weighted by word frequency, and
+    * rank the top merge candidates. This is the inner loop of every
+    * BPE/WordPiece vocabulary build; one round as a gate query proves
+    * the distributed shape (the trainer iterates it).
+    *
+    * Scale shape: the corpus collapses to the VOCABULARY first (one
+    * word-count shuffle with map-side combine — words repeat, so this
+    * exchange is corpus→vocab compression, the standard BPE prep), the
+    * pair explosion then runs over vocab rows × word length (row-local
+    * transform over a sequence — never over raw corpus positions), and
+    * the pair aggregate is bounded by alphabet² . The final rank is a
+    * window over that bounded frame (meta-spec compliant: global
+    * window over an aggregate). Text rides no exchange — words do, and
+    * only as the deduplicated vocabulary.
+    */
+  def c56BpePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = Tables
+      .documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val pairs = vocab
+      .select(
+        explode(
+          when(
+            length(col("w")) >= 2,
+            transform(
+              sequence(lit(1), length(col("w")) - 1),
+              i => col("w").substr(i, lit(2))
+            )
+          ).otherwise(array().cast("array<string>"))
+        ).as("pair"),
+        col("cnt")
+      )
+      .groupBy(col("pair"))
+      .agg(sum(col("cnt")).as("n"))
+    val w = Window.orderBy(col("n").desc, col("pair"))
+    pairs
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= BpeTopPairs)
+  }
+
   /** c53: a 5-gram is boilerplate when at least this many DISTINCT docs
     * of the same source contain it (CCNet drops any line seen more than
     * once in a shard — threshold 2 is that rule at shingle granularity;

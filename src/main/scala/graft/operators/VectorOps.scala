@@ -148,6 +148,67 @@ object VectorOps {
     )
   }
 
+  /** c57 geometry: 8 pseudo-embedding dims carved from the chunk md5
+    * (4 hex chars each — exact integer → double, the c12 stub posture:
+    * the real encoder is an external model; the Spark-side plumbing is
+    * what the engine owns), top-5 per query, two literal queries.
+    */
+  val RagDims = 8
+  val RagTopK = 5
+  val RagQueryTexts: Seq[String] = Seq("spark join query", "vector similarity search")
+
+  /** md5-hex → l2-normalized pseudo-embedding, the SINGLE definition
+    * applied to chunks and queries alike (a retrieval stack must embed
+    * both sides with the same encoder or cosines are meaningless).
+    */
+  def md5Embed(h: Column): Column =
+    arrayNormalize(
+      transform(
+        sequence(lit(0), lit(RagDims - 1)),
+        j => conv(h.substr(j * lit(4) + lit(1), lit(4)), 16, 10).cast("double") - lit(32768.0d)
+      )
+    )
+
+  /** C57: RAG retrieval pipeline — the full index-side composition a
+    * retrieval-augmented stack runs, as ONE declarative plan: document
+    * → overlapping chunks (c31's grid, shared definition) → per-chunk
+    * embedding (deterministic md5 stub standing in for the external
+    * encoder — c12's posture, so the oracle can recompute it) → exact
+    * cosine top-k per query over the chunk index. Queries embed
+    * through the SAME encoder expression and broadcast; the chunk side
+    * streams once (chunking and embedding are row-local — no shuffle
+    * anywhere before the bounded top-k heaps). At 100 TB the chunk
+    * index is served by the ANN family (c7 LSH / c18 IVF / c29 PQ
+    * compose on the same (id, vector) contract); the gate runs the
+    * exact form — c6's posture on a derived index instead of a stored
+    * table.
+    */
+  def c57RagRetrieval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val chunks = graft.operators.TextAnalysis
+      .chunked(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("chunk_idx"), md5Embed(col("chunk_md5")).as("cv"))
+    val queries = RagQueryTexts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("query_id", "qtext")
+      .select(col("query_id"), md5Embed(md5(col("qtext"))).as("qv"))
+    val scored = chunks
+      .crossJoin(broadcast(queries))
+      .withColumn("cos", arrayDot(col("qv"), col("cv")))
+    val top = graft.plans.TopKPerKey.topKPerKey(
+      scored.select(col("query_id"), col("doc_id"), col("chunk_idx"), col("cos")),
+      keyCols = Seq("query_id"),
+      orderBy = Seq(("cos", false), ("doc_id", true), ("chunk_idx", true)),
+      k = RagTopK
+    )
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("doc_id"), col("chunk_idx"))
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("doc_id"), col("chunk_idx"), col("rank"), col("cos"))
+  }
+
   /** Deterministic ±1 random hyperplanes derived from MD5 — public,
     * engine-independent math (no RNG state). planes(j)(d) ∈ {-1, 1}.
     */

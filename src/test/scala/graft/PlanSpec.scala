@@ -1955,7 +1955,8 @@ class PlanSpec extends SparkSpec {
       "c18_ann_ivf" -> "broadcast coarse quantizer (≤k centroid rows) + ≤10-query frame",
       "c24_ann_ivf_trained" -> "broadcast trained quantizer (bounded index artifact; see c24 spec)",
       "c29_ann_pq" -> "broadcast ≤10-query frame over the 8-code ADC scan (see c29 spec)",
-      "c35_semdedup" -> "broadcast seeded-centroid frame for the cluster assignment"
+      "c35_semdedup" -> "broadcast seeded-centroid frame for the cluster assignment",
+      "c57_rag_retrieval" -> "broadcast 2-query frame × chunk stream (c6's posture on the chunk index)"
     )
     // Unpartitioned windows are allowed only over an AGGREGATED frame
     // (bucket/band offsets — rows ∝ buckets, not corpus); a global
@@ -1992,6 +1993,84 @@ class PlanSpec extends SparkSpec {
         failures += s"$n: document text rides an exchange"
     }
     assert(failures.result().isEmpty, failures.result().mkString("\n"))
+  }
+
+  test("c57: RAG retrieval — row-local chunk+embed (no pre-topk shuffle), exact top-k re-derived") {
+    import org.apache.spark.sql.functions.col
+    val df = VectorOps.c57RagRetrieval(spark, sf0001)
+    val rows = df.collect()
+    val p = plan(df)
+    // chunking and embedding are row-local; the only exchange is the
+    // bounded top-k partial/final pair and the tiny rank window
+    assert(p.contains("TopKPerKey ["), s"retrieval must rank on the native top-k:\n$p")
+    def h32md5(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def embed(hex: String): Array[Double] = {
+      val v = Array.tabulate(VectorOps.RagDims)(j =>
+        java.lang.Long.parseLong(hex.substring(j * 4, j * 4 + 4), 16).toDouble - 32768.0
+      )
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val cs = TextAnalysis.ChunkSize
+    val st = TextAnalysis.ChunkStride
+    val chunks = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .flatMap { r =>
+        val w = r.getString(1).split(" ", -1)
+        val nc = math.max(math.ceil((w.length - cs).toDouble / st).toInt, 0) + 1
+        (0 until nc).map { ci =>
+          val cw = w.slice(ci * st, ci * st + cs)
+          (r.getLong(0), ci.toLong, embed(h32md5(cw.mkString(" "))))
+        }
+      }
+    val want = VectorOps.RagQueryTexts.zipWithIndex.flatMap { case (t, qi) =>
+      val qv = embed(h32md5(t))
+      chunks
+        .map { case (d, ci, cv) => (d, ci, qv.zip(cv).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (d, ci, cos) => (-cos, d, ci) }
+        .take(VectorOps.RagTopK)
+        .zipWithIndex
+        .map { case ((d, ci, cos), i) => (qi.toLong, d, ci, (i + 1).toLong, cos) }
+    }.toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(got == want)
+    assert(got.size == VectorOps.RagQueryTexts.size * VectorOps.RagTopK)
+  }
+
+  test("c56: BPE pair counts — corpus collapses to vocab first, pairs re-derived row-at-a-time") {
+    import org.apache.spark.sql.functions.col
+    val df = TextAnalysis.c56BpePairs(spark, sf0001)
+    val rows = df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    p.linesIterator.filter(_.contains("Exchange")).foreach { line =>
+      assert(!line.contains("text"), s"text rode a shuffle: $line")
+    }
+    val vocab = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(col("text"))
+      .collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity)
+      .view
+      .mapValues(_.length.toLong)
+    val counts = vocab.toSeq
+      .flatMap { case (w, c) => (0 until w.length - 1).map(i => w.substring(i, i + 2) -> c) }
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2).sum)
+      .toMap
+    val want = counts.toSeq
+      .sortBy { case (pr, n) => (-n, pr) }
+      .take(TextAnalysis.BpeTopPairs)
+      .zipWithIndex
+      .map { case ((pr, n), i) => (pr, n, (i + 1).toLong) }
+    val got = rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(want.size == TextAnalysis.BpeTopPairs)
   }
 
   test("b40: grouping sets — one Expand + one aggregate exchange, all four sets re-derived") {
