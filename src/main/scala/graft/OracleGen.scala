@@ -485,6 +485,23 @@ object OracleGen {
        |FROM tot t JOIN ovl o USING (doc_id)""".stripMargin
   }
 
+  /** C58 = c21's join with the aggregation flipped to the eval axis;
+    * clean eval items kept at zero via the left join.
+    */
+  val c58DecontamReport: String = {
+    import graft.operators.Sampling.EvalEvery
+    s"""WITH $shingleCtes,
+       |ev AS (SELECT doc_id AS eval_doc, h FROM shh WHERE doc_id % $EvalEvery = 0),
+       |corpus AS (SELECT doc_id AS corpus_doc, h FROM shh WHERE doc_id % $EvalEvery <> 0),
+       |hits AS (SELECT eval_doc, count(DISTINCT corpus_doc) AS n_corpus_docs, count(DISTINCT h) AS n_leaked
+       |  FROM ev JOIN corpus USING (h) GROUP BY eval_doc),
+       |tot AS (SELECT eval_doc, count(*) AS n_eval_shingles FROM ev GROUP BY eval_doc)
+       |SELECT t.eval_doc, COALESCE(h.n_corpus_docs, 0) AS n_corpus_docs,
+       |  COALESCE(h.n_leaked, 0) AS n_leaked, t.n_eval_shingles,
+       |  CAST(COALESCE(h.n_leaked, 0) AS DOUBLE) / t.n_eval_shingles AS leak_ratio
+       |FROM tot t LEFT JOIN hits h USING (eval_doc)""".stripMargin
+  }
+
   /** c25's oracle recomputes the packing from the GLOBAL definition (one
     * window over everything) — DuckDB runs at test SF where that is
     * fine; the Spark side must reproduce it from the two-phase

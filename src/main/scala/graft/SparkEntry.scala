@@ -104,6 +104,7 @@ object SparkEntry {
     "b25_unpivot" -> (Relational.b25Unpivot _),
     "c20_training_pipeline" -> (Sampling.c20TrainingPipeline _),
     "c21_decontamination" -> (Sampling.c21Decontamination _),
+    "c58_decontam_report" -> (Sampling.c58DecontamReport _),
     "c25_sequence_packing" -> (Sampling.c25SequencePacking _),
     "c26_dedup_incremental" -> (Sampling.c26DedupIncremental _),
     "c27_doc_repetition" -> (TextAnalysis.c27DocRepetition _),
@@ -449,6 +450,7 @@ object SparkEntry {
     // exact oracle applies (see OracleGen.c7AnnLsh)
     "c7_ann_lsh" -> OracleGen.c7AnnLsh,
     "c21_decontamination" -> OracleGen.c21Decontamination,
+    "c58_decontam_report" -> OracleGen.c58DecontamReport,
     "c25_sequence_packing" -> OracleGen.c25SequencePacking,
     "c40_shuffled_packing" -> OracleGen.c40ShuffledPacking,
     "c41_heavy_hitters" -> OracleGen.c41HeavyHitters,

@@ -568,6 +568,46 @@ object Sampling {
       )
   }
 
+  /** C58: the EVAL-side decontamination report — c21 scores corpus
+    * docs; this answers the question the benchmark owner asks: which
+    * eval items leaked into the training corpus, through how many
+    * corpus documents, and how much of each item is covered. Per eval
+    * doc: distinct corpus docs sharing ≥1 shingle, distinct leaked
+    * shingles, the item's shingle total, and the leaked fraction —
+    * clean items stay in the report at zero (a leak audit that drops
+    * the clean rows can't prove absence).
+    *
+    * Scale shape: same join as c21 with the aggregation flipped to the
+    * eval axis — the corpus streams once through the hash join on
+    * 8-byte shingle hashes and collapses map-side; everything after
+    * the join is ∝ (eval items × their leaks), benchmark-sized. Text
+    * never shuffles (meta-spec).
+    */
+  def c58DecontamReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = TextDedup.shingleHashes(spark, sfDir).localCheckpoint()
+    val isEval = col("doc_id") % EvalEvery === 0
+    val ev = sh.filter(isEval).select(col("doc_id").as("eval_doc"), col("h"))
+    val corpus = sh.filter(!isEval).select(col("doc_id").as("corpus_doc"), col("h"))
+    val hits = ev
+      .join(corpus, "h")
+      .groupBy(col("eval_doc"))
+      .agg(
+        countDistinct(col("corpus_doc")).as("n_corpus_docs"),
+        countDistinct(col("h")).as("n_leaked")
+      )
+    ev.groupBy(col("eval_doc"))
+      .agg(count(lit(1)).as("n_eval_shingles"))
+      .join(hits, Seq("eval_doc"), "left")
+      .select(
+        col("eval_doc"),
+        coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        col("n_eval_shingles"),
+        (coalesce(col("n_leaked"), lit(0L)).cast("double") / col("n_eval_shingles"))
+          .as("leak_ratio")
+      )
+  }
+
   /** Per-source document cap for [[c28DomainQuota]] — sized so the cap
     * binds at every test SF (sources average ~25 docs at sf0.01).
     */

@@ -1995,6 +1995,48 @@ class PlanSpec extends SparkSpec {
     assert(failures.result().isEmpty, failures.result().mkString("\n"))
   }
 
+  test("c58: decontamination report — eval-axis leak audit re-derived; clean items kept at zero") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions.{rollCoeffs, RollP}
+    val df = Sampling.c58DecontamReport(spark, sf001)
+    val rows = df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    def h32(s: String) = {
+      val hex = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val ks = rollCoeffs(TextDedup.ShingleSize)
+    val docs = graft.sources.Tables
+      .documents(spark, sf001)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map { r =>
+        val ht = r.getString(1).split(" ", -1).map(h32)
+        val hs = (0 to ht.length - TextDedup.ShingleSize)
+          .map(i => (0 until TextDedup.ShingleSize).map(j => ht(i + j) * ks(j)).sum % RollP)
+          .toSet
+        (r.getLong(0), hs)
+      }
+    val ev = docs.filter(_._1 % Sampling.EvalEvery == 0)
+    val corpus = docs.filter(_._1 % Sampling.EvalEvery != 0)
+    val want = ev.map { case (id, hs) =>
+      val partners = corpus.filter(c => c._2.exists(hs)).map(_._1)
+      val leaked = hs.count(h => corpus.exists(_._2(h)))
+      id -> ((partners.length.toLong, leaked.toLong, hs.size.toLong, leaked.toDouble / hs.size))
+    }.toMap
+    val got = rows
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got == want)
+    assert(want.values.exists(_._2 > 0), "gate data must contain an actual leak")
+    assert(want.values.exists(_._2 == 0), "and clean eval items reported at zero")
+  }
+
   test("c57: RAG retrieval — row-local chunk+embed (no pre-topk shuffle), exact top-k re-derived") {
     import org.apache.spark.sql.functions.col
     val df = VectorOps.c57RagRetrieval(spark, sf0001)
