@@ -638,6 +638,49 @@ object GraftSql {
   def b40GroupingSets(spark: SparkSession, sfDir: String): DataFrame =
     sql(spark, sfDir, GroupingSetsSql)
 
+  /** B41's SQL parameterized on the source table so the spec can run
+    * the IDENTICAL text against a synthetic orders view with a planted
+    * empty month (the gate corpus has no gap months — the zero-fill
+    * branch needs data that exercises it). Portable SQL: the same text
+    * runs on Spark and DuckDB, so the two sides cannot drift.
+    */
+  def b41SqlOn(table: String): String =
+    s"""WITH RECURSIVE b AS (
+       |  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+       |         date_trunc('month', max(o_orderdate)) AS hi
+       |  FROM $table),
+       |spine(mon, hi) AS (
+       |  SELECT lo, hi FROM b
+       |  UNION ALL
+       |  SELECT mon + INTERVAL 1 MONTH, hi FROM spine WHERE mon < hi),
+       |m AS (
+       |  SELECT date_trunc('month', o_orderdate) AS mon,
+       |         COUNT(*) AS n_orders,
+       |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+       |  FROM $table GROUP BY 1)
+       |SELECT s.mon AS month_start,
+       |  CAST(COALESCE(m.n_orders, 0) AS BIGINT) AS n_orders,
+       |  CAST(COALESCE(m.rev, 0) AS DOUBLE) AS revenue
+       |FROM spine s LEFT JOIN m ON m.mon = s.mon""".stripMargin
+
+  val RecursiveSpineSql: String = b41SqlOn("orders")
+
+  /** B41: recursive CTE through spark.sql (Spark 4's `WITH RECURSIVE` →
+    * UnionLoop) — the gap-filled month spine every time-series report
+    * needs: a calendar month axis generated BY RECURSION from the data's
+    * own [min, max] order-date bounds, LEFT-joined to the monthly
+    * revenue aggregate so empty months surface as explicit zero rows
+    * (a plain GROUP BY silently drops them — the classic dashboard bug).
+    * Scale shape: the recursion advances one ROW per step (bounded by
+    * the calendar span, ~80 iterations here — never data-sized), the
+    * corpus-sized work is ONE map-side-combined monthly aggregate, and
+    * the spine side of the join is tiny so AQE broadcasts it. Revenue
+    * sums in DECIMAL (order-independent) and casts to double at the
+    * edge, b1's idiom.
+    */
+  def b41RecursiveCte(spark: SparkSession, sfDir: String): DataFrame =
+    sql(spark, sfDir, RecursiveSpineSql)
+
   /** C13: vector search through SQL using graft's registered native
     * functions (array_l2_normalize / array_dot) — the
     * SparkSessionExtensions surface.

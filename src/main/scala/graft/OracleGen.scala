@@ -50,6 +50,25 @@ object OracleGen {
        |WHERE common * $JaccardDen >= (na.ns + nb.ns - common) * $JaccardNum""".stripMargin
   }
 
+  /** C59 mirrors c2's capped index, then scores Broder containment of
+    * the smaller shingle set in the bigger (ties → lower id first).
+    */
+  val c59Containment: String = {
+    import graft.operators.TextDedup.{MaxShingleDf, ContainNum, ContainDen}
+    s"""WITH $shingleCtes,
+       |hot AS (SELECT h FROM shh GROUP BY h HAVING count(*) > $MaxShingleDf),
+       |shc AS (SELECT doc_id, h FROM shh WHERE h NOT IN (SELECT h FROM hot)),
+       |${jaccardTailOn("shc")}
+       |SELECT CASE WHEN na.ns <= nb.ns THEN doc_a ELSE doc_b END AS doc_small,
+       |  CASE WHEN na.ns <= nb.ns THEN doc_b ELSE doc_a END AS doc_big,
+       |  least(na.ns, nb.ns) AS n_small,
+       |  greatest(na.ns, nb.ns) AS n_big,
+       |  common,
+       |  CAST(common AS DOUBLE) / CAST(least(na.ns, nb.ns) AS DOUBLE) AS containment
+       |FROM pairs JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+       |WHERE common * $ContainDen >= least(na.ns, nb.ns) * $ContainNum""".stripMargin
+  }
+
   /** Shared c3 CTE body + verified-pair select, reused by the c3 gate
     * and anything built on its pair set (c34).
     */
@@ -346,6 +365,24 @@ object OracleGen {
        |c AS (SELECT vec_id AS neighbor_id, vn AS cv FROM nm WHERE vec_id >= $NumQueryVecs),
        |s AS (SELECT query_id, neighbor_id, list_dot_product(qv, cv) AS cos
        |  FROM q, c)
+       |SELECT query_id, neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+       |  cos
+       |FROM s
+       |QUALIFY rank <= $TopK""".stripMargin
+  }
+
+  /** c60 = c6 with the label-disequality predicate: top-k negatives of
+    * a DIFFERENT label per query.
+    */
+  val c60HardNegatives: String = {
+    import graft.operators.VectorOps.{NumQueryVecs, TopK}
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |nm AS (SELECT vec_id, label, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),
+       |q AS (SELECT vec_id AS query_id, label AS ql, vn AS qv FROM nm WHERE vec_id < $NumQueryVecs),
+       |c AS (SELECT vec_id AS neighbor_id, label AS cl, vn AS cv FROM nm WHERE vec_id >= $NumQueryVecs),
+       |s AS (SELECT query_id, neighbor_id, list_dot_product(qv, cv) AS cos
+       |  FROM q JOIN c ON cl <> ql)
        |SELECT query_id, neighbor_id,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
        |  cos

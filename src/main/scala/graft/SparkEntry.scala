@@ -73,6 +73,7 @@ object SparkEntry {
     "b38_sql_q11" -> (GraftSql.b38SqlQ11 _),
     "b39_sql_q4" -> (GraftSql.b39SqlQ4 _),
     "b40_grouping_sets" -> (GraftSql.b40GroupingSets _),
+    "b41_recursive_cte" -> (GraftSql.b41RecursiveCte _),
     "c50_length_histogram" -> (Sampling.c50LengthHistogram _),
     "c49_source_mix" -> (Sampling.c49SourceMix _),
     "c1_dedup_exact" -> (TextDedup.c1DedupExact _),
@@ -115,8 +116,10 @@ object SparkEntry {
     "c33_canonical_corpus" -> (TextAnalysis.c33CanonicalCorpus _),
     "c34_cross_source_neardups" -> (TextDedup.c34CrossSourceNearDups _),
     "c55_neardup_incremental" -> (TextDedup.c55NearDupIncremental _),
+    "c59_containment" -> (TextDedup.c59Containment _),
     "c56_bpe_pairs" -> (TextAnalysis.c56BpePairs _),
     "c57_rag_retrieval" -> (VectorOps.c57RagRetrieval _),
+    "c60_hard_negatives" -> (VectorOps.c60HardNegatives _),
     "c23_frame_sample" -> (Multimodal.c23FrameSample _),
     "c22_pii_redact" -> (Sampling.c22PiiRedact _),
     "c8_text_langid" -> (TextAnalysis.c8TextLangid _),
@@ -140,7 +143,8 @@ object SparkEntry {
     "s11_time_travel" -> (graft.sources.Formats.s11TimeTravel _),
     "s12_cdc_read" -> (graft.sources.Formats.s12CdcRead _),
     "s13_vacuum" -> (graft.sources.Formats.s13Vacuum _),
-    "s14_zorder" -> (graft.sources.Formats.s14Zorder _)
+    "s14_zorder" -> (graft.sources.Formats.s14Zorder _),
+    "s15_write_audit_publish" -> (graft.sources.Formats.s15WriteAuditPublish _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -357,6 +361,7 @@ object SparkEntry {
     "b38_sql_q11" -> GraftSql.Q11Sql,
     "b39_sql_q4" -> GraftSql.Q4Sql,
     "b40_grouping_sets" -> GraftSql.GroupingSetsSql,
+    "b41_recursive_cte" -> GraftSql.RecursiveSpineSql,
     // floor(log2) as length(bin(n))-1: integer/string ops only — libm
     // log rounds differently across engines, bin() cannot
     "c50_length_histogram" ->
@@ -750,6 +755,8 @@ object SparkEntry {
     "c33_canonical_corpus" -> OracleGen.c33CanonicalCorpus,
     "c34_cross_source_neardups" -> OracleGen.c34CrossSourceNearDups,
     "c55_neardup_incremental" -> OracleGen.c55NearDupIncremental,
+    "c59_containment" -> OracleGen.c59Containment,
+    "c60_hard_negatives" -> OracleGen.c60HardNegatives,
     // c31's chunk grid + the md5 stub-encoder on both sides + c6's
     // exact cosine rank — the whole retrieval pipeline recomputed
     "c57_rag_retrieval" -> {
@@ -915,6 +922,19 @@ object SparkEntry {
         |SELECT 1 AS version, * FROM base
         |UNION ALL
         |SELECT 2 AS version, * FROM v2""".stripMargin,
+    // the published WAP chain = base then the GOOD merge; the rejected
+    // duplicate-key batch must leave no trace in the final state — a
+    // leaked bad candidate doubles keys and breaks rows + hash
+    "s15_write_audit_publish" ->
+      """WITH base AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal + 100.0 AS c_acctbal FROM base WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, c_nationkey, c_acctbal FROM base WHERE c_custkey % 53 = 0),
+        |v2 AS (SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT b.* FROM base b WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = b.c_custkey))
+        |SELECT * FROM v2""".stripMargin,
     // the post-vacuum pointer state = the v3 merge chain reconstructed
     // relationally — a vacuum that deletes a live version, resurrects
     // dropped rows, or corrupts the chain each breaks the hash

@@ -568,6 +568,41 @@ object Sampling {
       )
   }
 
+  /** Stateless, stream-applicable decontamination scoring: each doc's
+    * distinct shingle hashes (same md5/rolling math as the batch path)
+    * intersect a FIXED eval-hash array entirely row-locally — no join,
+    * no state, no shuffle, so the transform drops into a streaming
+    * ingestion pipeline unchanged (c22/c27/c31's posture: admission
+    * screening happens per document as it arrives). `evalHashes` is the
+    * collected distinct eval shingle set — bounded by the
+    * eval-sets-are-small contract (c21's broadcast argument, here as a
+    * literal array: the c24/c48 bounded-artifact posture). Emits only
+    * contaminated docs (n_overlap ≥ 1), row-for-row identical to
+    * [[c21Decontamination]] on the same corpus.
+    */
+  def decontaminationScored(docs: DataFrame, evalHashes: Seq[Long]): DataFrame = {
+    import graft.functions.TextFunctions._
+    docs
+      .select(
+        col("doc_id"),
+        array_distinct(
+          rollingShingleHashes(transform(tokens(col("text")), t => hash32(t)), TextDedup.ShingleSize)
+        ).as("hs")
+      )
+      .select(
+        col("doc_id"),
+        size(array_intersect(col("hs"), typedLit(evalHashes))).cast("long").as("n_overlap"),
+        size(col("hs")).cast("long").as("n_shingles")
+      )
+      .filter(col("n_overlap") > 0)
+      .select(
+        col("doc_id"),
+        col("n_overlap"),
+        col("n_shingles"),
+        (col("n_overlap").cast("double") / col("n_shingles")).as("contamination_ratio")
+      )
+  }
+
   /** C58: the EVAL-side decontamination report — c21 scores corpus
     * docs; this answers the question the benchmark owner asks: which
     * eval items leaked into the training corpus, through how many

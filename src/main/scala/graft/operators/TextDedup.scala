@@ -164,6 +164,60 @@ object TextDedup {
     sh.join(hot, Seq("h"), "left_anti")
   }
 
+  /** Containment threshold (Broder's containment, not Jaccard):
+    * C(A,B) = |S(A)∩S(B)| / |S(A)| for the smaller shingle set A.
+    * 9/10 in exact integer math — no float boundary.
+    */
+  val ContainNum = 9
+  val ContainDen = 10
+
+  /** C59: asymmetric containment detection (doc-IN-doc) — the member
+    * of the dedup family symmetric Jaccard structurally misses: a short
+    * document quoted wholesale inside a much longer one has high
+    * containment but LOW Jaccard (the union is dominated by the long
+    * doc), so c2/c3 never flag it; CommonCrawl-style pipelines dedup
+    * these as "subset documents" (Broder 1997's containment measure).
+    * Candidates come from the SAME df-capped shingle inverted index as
+    * c2 — only docs sharing a shingle ever meet, per-key join work is
+    * bounded by cap² — and the verdict is pure integer arithmetic:
+    * den·common ≥ num·min(|A|,|B|). Output is the ordered
+    * (contained, container) pair, smaller set first (ties → lower id).
+    * Note the LSH scale path (c3) does NOT substitute here: MinHash
+    * collision probability estimates Jaccard, which is exactly the
+    * measure containment escapes — the inverted index (or a
+    * containment-aware sketch) is the right structure, which is why
+    * this operator keeps c2's machinery rather than c3's.
+    */
+  def c59Containment(spark: SparkSession, sfDir: String): DataFrame =
+    c59ContainmentFrom(cappedShingleIndex(spark, sfDir, MaxShingleDf).localCheckpoint())
+
+  /** Containment scoring over any (doc_id, h) shingle index — split out
+    * so the spec can plant the quotation shape (high containment, low
+    * Jaccard) that the gate corpus may not contain naturally.
+    */
+  def c59ContainmentFrom(sh: DataFrame): DataFrame = {
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val common = sh
+      .select(col("doc_id").as("doc_a"), col("h"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(n.select(col("doc_id").as("doc_a"), col("ns").as("na")), "doc_a")
+      .join(n.select(col("doc_id").as("doc_b"), col("ns").as("nb")), "doc_b")
+      .filter(col("common") * ContainDen >= least(col("na"), col("nb")) * ContainNum)
+      .select(
+        when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b")).as("doc_small"),
+        when(col("na") <= col("nb"), col("doc_b")).otherwise(col("doc_a")).as("doc_big"),
+        when(col("na") <= col("nb"), col("na")).otherwise(col("nb")).as("n_small"),
+        when(col("na") <= col("nb"), col("nb")).otherwise(col("na")).as("n_big"),
+        col("common"),
+        (col("common").cast("double") / least(col("na"), col("nb")).cast("double"))
+          .as("containment")
+      )
+  }
+
   /** C3: MinHash + LSH. Signature = 32 permutation-mins of md5-derived
     * shingle hashes; 8 bands of 4 rows hashed to buckets; candidate
     * pairs share a bucket in some band; candidates are then exactly

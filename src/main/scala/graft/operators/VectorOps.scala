@@ -148,6 +148,43 @@ object VectorOps {
     )
   }
 
+  /** C60: HARD-NEGATIVE mining — the contrastive-training data job
+    * (every embedding/retrieval model trains on them: for each anchor,
+    * the most-similar examples of a DIFFERENT class are the negatives
+    * that carry gradient; random negatives are too easy to matter —
+    * SimCLR/DPR's motivation). Per query vector: exact top-k by cosine
+    * over candidates whose label differs from the query's. The label
+    * INEQUALITY cannot become a join key (c54's trick needs equality),
+    * so this is c6's broadcast shape with the disequality evaluated
+    * in-stream: the ≤10-query frame broadcasts, the corpus streams once
+    * paying one codegen'd dot product + one int compare per row, and
+    * the native top-k heaps bound survivors. At 100 TB: same plan —
+    * broadcast size is #anchors (bounded by contract), never corpus;
+    * for huge anchor sets, chunk the anchors and union, or route
+    * through the ANN family per label partition.
+    */
+  def c60HardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables
+      .embeddings(spark, sfDir)
+      .select(
+        col("vec_id"),
+        col("label"),
+        arrayNormalize(transform(col("embedding"), _.cast("double"))).as("vn")
+      )
+    val queries = e
+      .filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"), col("vn").as("qv"))
+    val cands = e
+      .filter(col("vec_id") >= NumQueryVecs)
+      .select(col("vec_id").as("neighbor_id"), col("label").as("c_label"), col("vn").as("cv"))
+    rankTopK(
+      cands
+        .join(broadcast(queries), col("c_label") =!= col("q_label"))
+        .withColumn("cos", arrayDot(col("qv"), col("cv"))),
+      TopK
+    )
+  }
+
   /** c57 geometry: 8 pseudo-embedding dims carved from the chunk md5
     * (4 hex chars each — exact integer → double, the c12 stub posture:
     * the real encoder is an external model; the Spark-side plumbing is

@@ -516,6 +516,96 @@ object Formats {
   def s13VacuumDir(spark: SparkSession, sfDir: String): String =
     s"${scratch(spark, "vacuum", sfDir)}/t"
 
+  /** Write-Audit-Publish: stage `candidate` as an UNpublished version
+    * dir, run the audit gate against the staged files, and only on pass
+    * promote the dir to `v=<version>` and flip the pointer. A failing
+    * audit deletes the staging dir and leaves the table — pointer AND
+    * version history — bit-for-bit untouched; readers can never observe
+    * a candidate that has not passed its audits, because the pointer is
+    * the only publication event (the Netflix/Iceberg WAP contract).
+    * Audits here are the two invariants every keyed snapshot must hold
+    * — no NULL keys, no duplicate keys — each a distributed aggregate
+    * over the staged data (count-limited: the audit short-circuits at
+    * the first offending key, it never collects the table). Returns
+    * whether the candidate published.
+    */
+  def writeAuditPublish(
+      spark: SparkSession,
+      dir: String,
+      candidate: DataFrame,
+      version: Long,
+      keyCol: String
+  ): Boolean = {
+    val stagedPath = s"$dir/staged_v=$version"
+    candidate.write.mode("overwrite").parquet(stagedPath)
+    // audit the STAGED FILES, not the candidate plan: what publishes is
+    // what was written, so the audit must read exactly those bytes
+    val staged = spark.read.parquet(stagedPath)
+    val nullKeys = staged.filter(col(keyCol).isNull).limit(1).count()
+    val dupKeys = staged
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .limit(1)
+      .count()
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    if (nullKeys == 0 && dupKeys == 0) {
+      fs.rename(new Path(stagedPath), new Path(s"$dir/v=$version"))
+      graft.streaming.StreamingSink.flipLatest(spark, dir, version)
+      true
+    } else {
+      fs.delete(new Path(stagedPath), true)
+      false
+    }
+  }
+
+  /** S15: the WAP commit protocol end-to-end — v1 publishes the base
+    * customer snapshot through the audit gate, then a BAD batch (a
+    * merge bug that duplicates every 100th key) is staged, FAILS the
+    * duplicate-key audit, and vanishes without a trace; then the good
+    * merge batch (s11's update+insert churn) stages, passes, and
+    * publishes as v2. The gate reads the final pointer state, so the
+    * oracle (which reconstructs the good merge relationally) breaks if
+    * the bad batch ever leaks into the published chain OR the good one
+    * is lost. The rejected-candidate physics — pointer still at v1
+    * after the failed audit, no staged residue, v2 absent until the
+    * good publish — are PlanSpec-asserted.
+    */
+  def s15WriteAuditPublish(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StreamingSink
+    val base = Tables
+      .customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val dir = s"${scratch(spark, "wap", sfDir)}/t"
+    val marker = new Path(s"${scratch(spark, "wap", sfDir)}/done")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
+      require(writeAuditPublish(spark, dir, base, 1L, "c_custkey"), "clean base must publish")
+      // the buggy merge: every 100th key emitted twice (an unkeyed
+      // append instead of a merge) — the audit must catch it
+      val bad = base.unionByName(base.filter(col("c_custkey") % 100 === 0))
+      require(!writeAuditPublish(spark, dir, bad, 2L, "c_custkey"), "dup-key batch must be rejected")
+      val updates = base
+        .filter(col("c_custkey") % 5 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        .unionByName(
+          base
+            .filter(col("c_custkey") % 53 === 0)
+            .withColumn("c_custkey", col("c_custkey") + 10000000L)
+        )
+      val good = mergeInto(base, updates, Seq("c_custkey"))
+      require(writeAuditPublish(spark, dir, good, 2L, "c_custkey"), "clean merge must publish")
+      fs.create(marker, true).close()
+    }
+    StreamingSink.upsertTable(spark, dir)
+  }
+
+  /** The WAP table dir for [[s15WriteAuditPublish]]'s spec assertions
+    * (valid after the query has run in the same application).
+    */
+  def s15WapDir(spark: SparkSession, sfDir: String): String =
+    s"${scratch(spark, "wap", sfDir)}/t"
+
   /** The compacted directory for [[s5Compaction]]'s physical-layout
     * assertions (FormatsSpec) — valid after the query has run in the
     * same application.

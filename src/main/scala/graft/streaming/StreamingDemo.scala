@@ -122,6 +122,41 @@ object StreamingDemo {
     val nQuotaBatch = graft.operators.Sampling.c28DomainQuota(spark, sfDir).count()
     require(nQuota.toLong == nQuotaBatch, s"stream-batch quota divergence: $nQuota vs $nQuotaBatch")
 
+    // stateless decontamination screening over the replayed corpus:
+    // the eval shingle set is a fixed batch-collected artifact, each
+    // arriving doc scores row-locally — emissions must equal the batch
+    // c21 rows exactly (order-free: the transform is stateless)
+    val evalHashes = graft.operators.TextDedup
+      .shingleHashes(spark, sfDir)
+      .filter(col("doc_id") % graft.operators.Sampling.EvalEvery === 0)
+      .select(col("h"))
+      .distinct()
+      .as[Long]
+      .collect()
+      .toSeq
+    val decontamStream = spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .filter(col("doc_id") % graft.operators.Sampling.EvalEvery =!= 0)
+      .select(col("doc_id"), col("text"))
+    val decontam = graft.operators.Sampling
+      .decontaminationScored(decontamStream, evalHashes)
+      .writeStream
+      .format("memory")
+      .queryName("demo_decontam")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    decontam.awaitTermination()
+    val decontamStreamed = spark.table("demo_decontam").collect().map(_.toSeq).toSet
+    val decontamBatch =
+      graft.operators.Sampling.c21Decontamination(spark, sfDir).collect().map(_.toSeq).toSet
+    require(
+      decontamStreamed == decontamBatch,
+      s"stream-batch decontamination divergence: ${decontamStreamed.size} vs ${decontamBatch.size}"
+    )
+
     // incremental token-budget fill over the replayed documents. A file
     // stream arrives in file order, not the (q DESC, doc_id) replay
     // contract that gives batch parity (StreamingSpec covers that), so

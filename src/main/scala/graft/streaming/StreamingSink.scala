@@ -108,6 +108,17 @@ object StreamingSink {
     finally out.close()
   }
 
+  /** The version number the `_GRAFT_LATEST` pointer currently publishes
+    * — what a reader of [[upsertTable]] will see. Throws when nothing
+    * has committed yet (same contract as [[upsertTable]]).
+    */
+  def currentVersion(spark: org.apache.spark.sql.SparkSession, tableDir: String): Long = {
+    val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    latestVersion(fs, tableDir)
+      .map(_.stripPrefix("v=").toLong)
+      .getOrElse(throw new IllegalStateException(s"no committed version under $tableDir"))
+  }
+
   /** List the committed version numbers under the table, ascending —
     * every immutable `v=<n>` dir, whether or not the pointer has moved
     * past it.

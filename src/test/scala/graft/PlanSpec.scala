@@ -831,6 +831,63 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("s15: WAP — failed audit leaves pointer/history/staging untouched; both audits fire; publish is pointer-only") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    import graft.streaming.StreamingSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_wap_spec").toString + "/t"
+    try {
+      val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      val v1 = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "bal")
+      assert(graft.sources.Formats.writeAuditPublish(spark, dir, v1, 1L, "k"))
+      assert(StreamingSink.currentVersion(spark, dir) == 1L)
+      // duplicate-key candidate: rejected, and the table is untouched
+      val dup = Seq((1L, 10.0), (2L, 20.0), (2L, 99.0)).toDF("k", "bal")
+      assert(!graft.sources.Formats.writeAuditPublish(spark, dir, dup, 2L, "k"))
+      assert(StreamingSink.currentVersion(spark, dir) == 1L, "failed audit moved the pointer")
+      assert(!fs.exists(new Path(s"$dir/v=2")), "rejected candidate published a version dir")
+      assert(!fs.exists(new Path(s"$dir/staged_v=2")), "rejected candidate left staging residue")
+      // null-key candidate: the other audit fires
+      val nul = Seq((Some(1L), 10.0), (None, 20.0))
+        .toDF("k", "bal")
+      assert(!graft.sources.Formats.writeAuditPublish(spark, dir, nul, 2L, "k"))
+      assert(StreamingSink.currentVersion(spark, dir) == 1L)
+      // a clean candidate for the SAME version number then publishes
+      val good = Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)).toDF("k", "bal")
+      assert(graft.sources.Formats.writeAuditPublish(spark, dir, good, 2L, "k"))
+      assert(StreamingSink.currentVersion(spark, dir) == 2L)
+      assert(!fs.exists(new Path(s"$dir/staged_v=2")), "publish left the staging dir behind")
+      assert(
+        StreamingSink.upsertTable(spark, dir).as[(Long, Double)].collect().toSet ==
+          Set((1L, 10.0), (2L, 99.0), (3L, 30.0))
+      )
+      // history intact: v1 still time-travelable after the churn
+      assert(
+        StreamingSink.readVersion(spark, dir, 1L).as[(Long, Double)].collect().toSet ==
+          Set((1L, 10.0), (2L, 20.0))
+      )
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir).getParentFile): Unit
+    }
+  }
+
+  test("s15: gate table — rejected bad batch leaves no trace; v1 and v2 published") {
+    import graft.streaming.StreamingSink
+    val df = graft.sources.Formats.s15WriteAuditPublish(spark, sf0001)
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val base = graft.sources.Tables
+      .customer(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("c_custkey"), org.apache.spark.sql.functions.col("c_nationkey"), org.apache.spark.sql.functions.col("c_acctbal"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val want = base.map { case (k, n, b) => if (k % 5 == 0) (k, n, b + 100.0) else (k, n, b) } ++
+      base.collect { case (k, n, b) if k % 53 == 0 => (k + 10000000L, n, b) }
+    assert(got == want.toSet)
+    val dir = graft.sources.Formats.s15WapDir(spark, sf0001)
+    assert(StreamingSink.listVersions(spark, dir) == Seq(1L, 2L))
+    assert(StreamingSink.currentVersion(spark, dir) == 2L)
+  }
+
   test("s13: gate query — post-vacuum read equals the merge chain; only v2 and v3 remain") {
     import org.apache.spark.sql.functions.col
     import graft.streaming.StreamingSink
@@ -1956,7 +2013,8 @@ class PlanSpec extends SparkSpec {
       "c24_ann_ivf_trained" -> "broadcast trained quantizer (bounded index artifact; see c24 spec)",
       "c29_ann_pq" -> "broadcast ≤10-query frame over the 8-code ADC scan (see c29 spec)",
       "c35_semdedup" -> "broadcast seeded-centroid frame for the cluster assignment",
-      "c57_rag_retrieval" -> "broadcast 2-query frame × chunk stream (c6's posture on the chunk index)"
+      "c57_rag_retrieval" -> "broadcast 2-query frame × chunk stream (c6's posture on the chunk index)",
+      "c60_hard_negatives" -> "broadcast ≤10-anchor frame; label DISequality can't be a key, evaluated in-stream"
     )
     // Unpartitioned windows are allowed only over an AGGREGATED frame
     // (bucket/band offsets — rows ∝ buckets, not corpus); a global
@@ -2141,6 +2199,70 @@ class PlanSpec extends SparkSpec {
     assert(got == want.map { case ((a, b, c, d), v) => ((a, b, c, d), v) })
   }
 
+  test("b41: recursive month spine — UnionLoop plans, rows re-derived, planted gap month zero-fills") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = GraftSql.b41RecursiveCte(spark, sf0001)
+    val rows = df.collect()
+    val p = plan(df)
+    assert(p.contains("UnionLoop"), s"WITH RECURSIVE must plan the native UnionLoop:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // re-derive: month spine from the data's own bounds, decimal sums,
+    // explicit zero rows for empty months. date_trunc emits LTZ even on
+    // NTZ input (value-preserving in the UTC session) — accept both.
+    def localDate(v: Any): java.time.LocalDate = v match {
+      case t: java.sql.Timestamp => t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+      case d: java.time.LocalDateTime => d.toLocalDate
+    }
+    val orders = graft.sources.Tables
+      .orders(spark, sf0001)
+      .select(col("o_orderdate"), col("o_totalprice"))
+      .collect()
+      .map { r =>
+        val m = localDate(r.get(0)).withDayOfMonth(1)
+        (m, BigDecimal(r.getDouble(1)).setScale(2))
+      }
+    val lo = orders.map(_._1).min
+    val hi = orders.map(_._1).max
+    val byMonth = orders.groupBy(_._1).view.mapValues(vs => (vs.size.toLong, vs.map(_._2).sum)).toMap
+    val want = Iterator
+      .iterate(lo)(_.plusMonths(1))
+      .takeWhile(!_.isAfter(hi))
+      .map { m =>
+        val (n, rev) = byMonth.getOrElse(m, (0L, BigDecimal(0)))
+        m -> ((n, rev.toDouble))
+      }
+      .toMap
+    val got = rows.map { r =>
+      val m = localDate(r.get(0))
+      m -> ((r.getLong(1), r.getDouble(2)))
+    }.toMap
+    assert(got == want)
+    assert(got.size == java.time.temporal.ChronoUnit.MONTHS.between(lo, hi) + 1)
+
+    // the gate corpus has orders in every month — plant a gap so the
+    // zero-fill branch is exercised: Jan and Mar populated, Feb empty
+    Seq(
+      ("1995-01-15 00:00:00", 10.0),
+      ("1995-03-02 00:00:00", 20.0),
+      ("1995-03-20 00:00:00", 30.0)
+    ).toDF("d", "o_totalprice")
+      .select(col("d").cast("timestamp_ntz").as("o_orderdate"), col("o_totalprice"))
+      .createOrReplaceTempView("orders_b41_gap")
+    val gap = spark
+      .sql(GraftSql.b41SqlOn("orders_b41_gap"))
+      .collect()
+      .map(r => localDate(r.get(0)) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(
+      gap == Map(
+        java.time.LocalDate.of(1995, 1, 1) -> ((1L, 10.0)),
+        java.time.LocalDate.of(1995, 2, 1) -> ((0L, 0.0)),
+        java.time.LocalDate.of(1995, 3, 1) -> ((2L, 50.0))
+      )
+    )
+  }
+
   test("c55: near-dup admission — verdicts re-derived from the pair set; planted intra-batch branch") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
@@ -2186,6 +2308,68 @@ class PlanSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
       .toMap
     assert(verdict == Map(20L -> ((0L, 1L, 10L)), 30L -> ((1L, 0L, 7L))))
+  }
+
+  test("c59: containment — re-derived row-at-a-time; planted quotation pair that Jaccard misses") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.functions.TextFunctions.{rollCoeffs, RollP}
+    val df = TextDedup.c59Containment(spark, sf001)
+    val rows = df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    def h32(s: String) = {
+      val hex = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val ks = rollCoeffs(TextDedup.ShingleSize)
+    val docs = graft.sources.Tables
+      .documents(spark, sf001)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map { r =>
+        val ht = r.getString(1).split(" ", -1).map(h32)
+        val hs = (0 to ht.length - TextDedup.ShingleSize)
+          .map(i => (0 until TextDedup.ShingleSize).map(j => ht(i + j) * ks(j)).sum % RollP)
+          .toSet
+        (r.getLong(0), hs)
+      }
+    // the gate corpus is under the df cap (asserted by the c2 spec), so
+    // the capped index equals the full index here
+    val want = (for {
+      (a, ha) <- docs.iterator
+      (b, hb) <- docs.iterator if a < b
+      common = (ha & hb).size
+      small = math.min(ha.size, hb.size)
+      if small > 0 && common * TextDedup.ContainDen >= small * TextDedup.ContainNum
+    } yield {
+      val (ds, dbg, ns, nb) =
+        if (ha.size <= hb.size) (a, b, ha.size.toLong, hb.size.toLong)
+        else (b, a, hb.size.toLong, ha.size.toLong)
+      (ds, dbg) -> ((ns, nb, common.toLong, common.toDouble / small))
+    }).toMap
+    val got = rows.map { r =>
+      (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    }.toMap
+    assert(got == want)
+    assert(want.nonEmpty, "gate data must contain at least one containment pair")
+
+    // plant the shape this operator exists for: doc 1 (10 shingles)
+    // fully inside doc 2 (100 shingles) — containment 1.0, Jaccard 0.1,
+    // far below c2/c3's 0.8 near-dup bar
+    val small = (0L until 10L).map(h => (1L, h))
+    val big = (0L until 100L).map(h => (2L, h))
+    val other = Seq((3L, 500L)) // unrelated doc, shares nothing
+    val planted = TextDedup
+      .c59ContainmentFrom((small ++ big ++ other).toDF("doc_id", "h"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(planted == Map((1L, 2L) -> ((10L, 100L, 10L, 1.0))))
   }
 
   test("s14: z-order layout — expected file count; single-dim ranges skip most files on BOTH dims") {
@@ -2275,5 +2459,40 @@ class PlanSpec extends SparkSpec {
     // every query's neighbor list is label-homogeneous with the query
     val lbl = e.map(v => v._1 -> v._2).toMap
     rows.foreach(r => assert(lbl(r.getLong(1)) == lbl(r.getLong(0))))
+  }
+
+  test("c60: hard negatives — exact different-label top-k re-derived; no same-label row survives") {
+    import org.apache.spark.sql.functions.col
+    val df = VectorOps.c60HardNegatives(spark, sf0001)
+    val rows = df.collect()
+    val e = graft.sources.Tables
+      .embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](2).map(_.toDouble).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (r.getLong(0), r.getInt(1), v.map(_ / n))
+      }
+    val queries = e.filter(_._1 < VectorOps.NumQueryVecs)
+    val cands = e.filter(_._1 >= VectorOps.NumQueryVecs)
+    val want = queries.flatMap { case (qid, ql, qv) =>
+      cands
+        .filter(_._2 != ql)
+        .map { case (cid, _, cv) => (cid, qv.zip(cv).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (cid, cos) => (-cos, cid) }
+        .take(VectorOps.TopK)
+        .zipWithIndex
+        .map { case ((cid, cos), i) => (qid, cid, (i + 1).toLong, cos) }
+    }.toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want)
+    // the defining property: NO neighbor shares its anchor's label
+    val lbl = e.map(v => v._1 -> v._2).toMap
+    rows.foreach(r => assert(lbl(r.getLong(1)) != lbl(r.getLong(0))))
+    // and the negatives are HARD: each anchor's list is the global
+    // different-label maximum, so its top-1 cosine must be ≥ every
+    // different-label candidate's cosine (sanity on the re-derivation)
+    assert(rows.count(_.getLong(2) == 1L) == queries.length)
   }
 }

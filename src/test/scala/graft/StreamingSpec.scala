@@ -752,6 +752,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming decontamination matches the batch c21 result (stream-batch parity)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val every = graft.operators.Sampling.EvalEvery
+    // the fixed eval artifact: collected distinct eval shingle hashes
+    // (bounded by the eval-sets-are-small contract)
+    val evalHashes = graft.operators.TextDedup
+      .shingleHashes(spark, sf0001)
+      .filter(col("doc_id") % every === 0)
+      .select(col("h"))
+      .distinct()
+      .as[Long]
+      .collect()
+      .toSeq
+    val corpus = graft.sources.Tables
+      .documents(spark, sf0001)
+      .filter(col("doc_id") % every =!= 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .collect()
+
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.Sampling
+      .decontaminationScored(input.toDS().toDF("doc_id", "text"), evalHashes)
+      .writeStream
+      .format("memory")
+      .queryName("decontam_out")
+      .outputMode("append")
+      .start()
+    corpus.grouped(40).foreach { chunk =>
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val streamed = spark.table("decontam_out").collect().map(_.toSeq).toSet
+    q.stop()
+    val batch = graft.operators.Sampling.c21Decontamination(spark, sf0001).collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty, "gate data must contain contaminated docs")
+  }
+
   test("streaming chunk dedup: in-order replay matches the batch survivor rule row-for-row") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
