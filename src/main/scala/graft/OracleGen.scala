@@ -472,6 +472,33 @@ object OracleGen {
        |QUALIFY rank <= 5""".stripMargin
   }
 
+  /** c61 = the IVF-bucketed kNN graph recomputed exactly: seeded
+    * centroid assignment over ALL vectors, top-P probe lists per
+    * vector, exact cosine rank within the probed lists, self excluded.
+    */
+  val c61KnnGraph: String = {
+    import graft.operators.VectorOps.{KnnGraphLists, KnnGraphProbes, KnnGraphK}
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |nm AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),
+       |cent AS (SELECT vec_id AS cid, vn AS cv FROM nm WHERE vec_id < $KnnGraphLists),
+       |asgr AS (SELECT n.vec_id, c.cid,
+       |  ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.vn, c.cv) DESC, c.cid) rn
+       |  FROM nm n CROSS JOIN cent c),
+       |asg AS (SELECT vec_id, cid AS list_id FROM asgr WHERE rn = 1),
+       |pr AS (SELECT n.vec_id AS query_id, c.cid AS list_id,
+       |  ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.vn, c.cv) DESC, c.cid) pn
+       |  FROM nm n CROSS JOIN cent c),
+       |s AS (SELECT p.query_id, a.vec_id AS neighbor_id, list_dot_product(qn.vn, nn.vn) AS cos
+       |  FROM (SELECT query_id, list_id FROM pr WHERE pn <= $KnnGraphProbes) p
+       |  JOIN asg a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+       |  JOIN nm qn ON qn.vec_id = p.query_id JOIN nm nn ON nn.vec_id = a.vec_id)
+       |SELECT query_id, neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+       |  cos
+       |FROM s
+       |QUALIFY rank <= $KnnGraphK""".stripMargin
+  }
+
   /** c35 = the seeded-quantizer SemDeDup verdict: c18's assignment CTE
     * (argmax cos, ties to lowest cid) over ALL vectors, intra-cluster
     * keep-min-id pruning at the threshold. Output is integer/boolean

@@ -120,6 +120,8 @@ object SparkEntry {
     "c56_bpe_pairs" -> (TextAnalysis.c56BpePairs _),
     "c57_rag_retrieval" -> (VectorOps.c57RagRetrieval _),
     "c60_hard_negatives" -> (VectorOps.c60HardNegatives _),
+    "c61_knn_graph" -> (VectorOps.c61KnnGraph _),
+    "c62_dataset_card" -> (TextAnalysis.c62DatasetCard _),
     "c23_frame_sample" -> (Multimodal.c23FrameSample _),
     "c22_pii_redact" -> (Sampling.c22PiiRedact _),
     "c8_text_langid" -> (TextAnalysis.c8TextLangid _),
@@ -757,6 +759,21 @@ object SparkEntry {
     "c55_neardup_incremental" -> OracleGen.c55NearDupIncremental,
     "c59_containment" -> OracleGen.c59Containment,
     "c60_hard_negatives" -> OracleGen.c60HardNegatives,
+    "c61_knn_graph" -> OracleGen.c61KnnGraph,
+    // SUM(BIGINT)→HUGEINT and COUNT/GROUPING width casts per the
+    // round-6 widening meta-spec
+    "c62_dataset_card" -> {
+      val st = TextAnalysis.ShortDocTokens
+      s"""SELECT source, lang,
+         |  CAST(GROUPING(source) AS BIGINT) AS g_source,
+         |  CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+         |  CAST(COUNT(CASE WHEN len(string_split(text, ' ')) < $st THEN 1 END) AS BIGINT) AS n_short_docs
+         |FROM documents
+         |GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())""".stripMargin
+    },
     // c31's chunk grid + the md5 stub-encoder on both sides + c6's
     // exact cosine rank — the whole retrieval pipeline recomputed
     "c57_rag_retrieval" -> {

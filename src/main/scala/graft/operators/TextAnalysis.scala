@@ -817,4 +817,48 @@ object TextAnalysis {
         (coalesce(col("n_boiler"), lit(0L)).cast("double") / col("n_pos")).as("boiler_frac")
       )
   }
+
+  /** c62: a doc is "short" under this token count — the byte/doc-count
+    * skew cell every dataset card reports (short docs dominate counts
+    * but not tokens).
+    */
+  val ShortDocTokens = 64
+
+  /** C62: the DATASET CARD in one pass — every (source × lang) marginal
+    * a corpus release documents (doc counts, token totals, char totals,
+    * short-doc counts: the cell, both single-dim rollups, and the
+    * corpus total) through the Dataset.groupingSets API (b40 covers the
+    * SQL surface; this is the programmatic one a pipeline composes).
+    * Why it's an operator and not four queries: ONE narrow scan + ONE
+    * Expand + ONE aggregate exchange produce all four marginals —
+    * running c49-style groupBys per marginal would scan the corpus four
+    * times. Every statistic is integer-exact (counts and long sums — no
+    * float accumulates across groups), GROUPING() markers distinguish
+    * aggregated-away NULLs from data NULLs, token counting is row-local
+    * BEFORE the Expand so text never rides an exchange (plan-asserted).
+    */
+  def c62DatasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables
+      .documents(spark, sfDir)
+      .select(
+        col("source"),
+        col("lang"),
+        size(tokens(col("text"))).cast("long").as("nt"),
+        col("n_chars")
+      )
+    base
+      .groupingSets(
+        Seq(Seq(col("source"), col("lang")), Seq(col("source")), Seq(col("lang")), Seq()),
+        col("source"),
+        col("lang")
+      )
+      .agg(
+        grouping(col("source")).cast("long").as("g_source"),
+        grouping(col("lang")).cast("long").as("g_lang"),
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars_total"),
+        count(when(col("nt") < ShortDocTokens, 1)).as("n_short_docs")
+      )
+  }
 }

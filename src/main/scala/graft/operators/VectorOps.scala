@@ -148,6 +148,69 @@ object VectorOps {
     )
   }
 
+  /** c61 geometry: same seeded-quantizer posture as c35 (centroids =
+    * the first KnnGraphLists vectors — deterministic, so the oracle can
+    * recompute the identical graph; the trained path would ride c24's
+    * Lloyd machinery with a recall spec).
+    */
+  val KnnGraphLists = 25
+  val KnnGraphProbes = 3
+  val KnnGraphK = 5
+
+  /** C61: k-NN GRAPH construction — every vector's top-k neighbors,
+    * the building block SemDeDup-style dedup, graph clustering, and
+    * label-propagation pipelines all start from. The difference from
+    * c6/c18 is that EVERY vector is a query, so the broadcast-queries
+    * plan is structurally unavailable — this is the genuinely
+    * distributed ANN shape: (1) every vector assigns to its best list
+    * (broadcast bounded-centroid frame, row-local argmax); (2) every
+    * vector picks its top-P probe lists through the native TopKPerKey
+    * (bounded heaps — NOT a rank window, which would shuffle-sort
+    * n·k rows); (3) probers meet list members in ONE keyed shuffle
+    * join on list_id — per-reducer work is Σ |list|·|probers(list)|,
+    * never the global n²; (4) the native top-k bounds survivors per
+    * query. Contract: exact top-k WITHIN the probed lists (c18's
+    * determinism posture — the oracle recomputes the identical graph;
+    * recall against the unprobed exact graph is the trained variant's
+    * spec concern). At 100 TB: lists shard across executors, probe
+    * fan-out is the knob, and the only corpus-sized exchange is the
+    * list_id join.
+    */
+  def c61KnnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val cent = e
+      .filter(col("vec_id") < KnnGraphLists)
+      .select(col("vec_id").as("cid"), col("vn").as("cv"))
+    val scoredAll = e
+      .crossJoin(broadcast(cent))
+      .withColumn("cos_c", arrayDot(col("vn"), col("cv")))
+    // (1) assignment: argmax cos, ties to the lowest centroid id
+    val asg = scoredAll
+      .groupBy(col("vec_id"))
+      .agg(
+        max(struct(col("cos_c"), (-col("cid")).as("ncid"))).as("best"),
+        first(col("vn")).as("vn")
+      )
+      .select(col("vec_id").as("neighbor_id"), (-col("best.ncid")).as("list_id"), col("vn").as("cv_n"))
+    // (2) per-vector probe lists: bounded heaps, no rank window
+    val probes = graft.plans.TopKPerKey
+      .topKPerKey(
+        scoredAll.select(col("vec_id").as("query_id"), col("cid"), col("cos_c"), col("vn").as("qv")),
+        keyCols = Seq("query_id"),
+        orderBy = Seq(("cos_c", false), ("cid", true)),
+        k = KnnGraphProbes
+      )
+      .select(col("query_id"), col("cid").as("list_id"), col("qv"))
+    // (3) probers meet members on the list key; (4) bounded survivors
+    rankTopK(
+      probes
+        .join(asg, "list_id")
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", arrayDot(col("qv"), col("cv_n"))),
+      KnnGraphK
+    )
+  }
+
   /** C60: HARD-NEGATIVE mining — the contrastive-training data job
     * (every embedding/retrieval model trains on them: for each anchor,
     * the most-similar examples of a DIFFERENT class are the negatives

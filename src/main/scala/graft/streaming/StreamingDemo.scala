@@ -71,6 +71,37 @@ object StreamingDemo {
     }
     papi.awaitTermination()
 
+    // incremental funnel over the replayed events: per-user min-merge
+    // state, last emissions folded to the a9 aggregate — parity is
+    // exact because min-merge is arrival-order independent
+    val funnel = StreamingOps
+      .streamingFunnel(
+        events
+          .toDF()
+          .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("ts_us"))
+          .as[StreamingOps.FunnelEvent]
+      )
+      .writeStream
+      .format("memory")
+      .queryName("demo_funnel")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    funnel.awaitTermination()
+    val lastFunnel = spark
+      .table("demo_funnel")
+      .as[StreamingOps.FunnelUpdate]
+      .collect()
+      .groupBy(_.user_id)
+      .map { case (_, us) => us.maxBy(_.seq) }
+    val a9Row = graft.operators.EventStreamOps.a9Funnel(spark, sfDir).collect().head
+    require(
+      lastFunnel.count(_.first_view >= 0).toLong == a9Row.getLong(0) &&
+        lastFunnel.count(_.view_then_click).toLong == a9Row.getLong(1) &&
+        lastFunnel.count(_.full_funnel).toLong == a9Row.getLong(2),
+      "stream-batch funnel divergence"
+    )
+
     // curation pipeline as a stream: quality filter → keep-min dedup →
     // stratified sample over the documents table replayed as files —
     // the same predicates c20 runs in batch (StreamingSpec asserts

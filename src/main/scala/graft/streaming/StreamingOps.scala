@@ -224,6 +224,75 @@ object StreamingOps {
       }
   }
 
+  /** A funnel event: user key, stage name, event time as epoch
+    * MICROseconds (longs fold through state without timestamp-encoder
+    * friction; the µs resolution is the source table's).
+    */
+  case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long)
+
+  /** One funnel update per user per micro-batch that touched the user:
+    * current first-arrival times per stage (−1 = stage not reached) and
+    * the derived ordered-progression verdicts, with a per-key sequence
+    * so a sink keeps the latest.
+    */
+  case class FunnelUpdate(
+      user_id: Long,
+      seq: Long,
+      first_view: Long,
+      first_click: Long,
+      first_purchase: Long,
+      view_then_click: Boolean,
+      full_funnel: Boolean
+  )
+
+  /** Streaming funnel — a9's conversion analysis as an incremental
+    * operator: per-user state is THREE longs (the first-arrival time of
+    * each stage), folded by MIN as events arrive. Because min is
+    * commutative, associative and idempotent, the final state is
+    * arrival-order independent AND redelivery-proof by construction —
+    * the strongest delivery contract in the module (quota/budget need
+    * explicit redelivery floors; the funnel's merge IS one). Verdicts
+    * mirror the batch a9 definitions exactly: view→click = both stages
+    * reached with first_click strictly after first_view; full funnel
+    * additionally first_purchase strictly after first_click. Update
+    * mode, no watermark (a funnel has no event-time horizon — a late
+    * view may still legitimately predate the first click). The global
+    * a9 counts are the sink-side fold of each user's LAST emission —
+    * state stays per-user and bounded; nothing global accumulates in
+    * the stream.
+    */
+  def streamingFunnel(events: Dataset[FunnelEvent]): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    val Unset = Long.MaxValue
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Long, Long, Long), FunnelUpdate](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[(Long, Long, Long, Long)]) =>
+          val (seq0, v0, c0, p0) = state.getOption.getOrElse((0L, Unset, Unset, Unset))
+          var v = v0; var c = c0; var p = p0
+          rows.foreach { r =>
+            r.event_type match {
+              case "view"     => v = math.min(v, r.ts_us)
+              case "click"    => c = math.min(c, r.ts_us)
+              case "purchase" => p = math.min(p, r.ts_us)
+              case _          => ()
+            }
+          }
+          val seq = seq0 + 1
+          state.update((seq, v, c, p))
+          def emit(x: Long) = if (x == Unset) -1L else x
+          FunnelUpdate(
+            uid,
+            seq,
+            emit(v),
+            emit(c),
+            emit(p),
+            v != Unset && c != Unset && c > v,
+            v != Unset && c != Unset && p != Unset && c > v && p > c
+          )
+      }
+  }
+
   /** A token occurrence for the streaming heavy-hitter sketch; `key`
     * partitions the state (a language, a source — or one constant for
     * corpus-global hitters).

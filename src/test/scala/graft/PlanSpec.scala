@@ -2014,7 +2014,8 @@ class PlanSpec extends SparkSpec {
       "c29_ann_pq" -> "broadcast ≤10-query frame over the 8-code ADC scan (see c29 spec)",
       "c35_semdedup" -> "broadcast seeded-centroid frame for the cluster assignment",
       "c57_rag_retrieval" -> "broadcast 2-query frame × chunk stream (c6's posture on the chunk index)",
-      "c60_hard_negatives" -> "broadcast ≤10-anchor frame; label DISequality can't be a key, evaluated in-stream"
+      "c60_hard_negatives" -> "broadcast ≤10-anchor frame; label DISequality can't be a key, evaluated in-stream",
+      "c61_knn_graph" -> "broadcast bounded seeded-centroid frame; the corpus-sized meet is a keyed list_id join"
     )
     // Unpartitioned windows are allowed only over an AGGREGATED frame
     // (bucket/band offsets — rows ∝ buckets, not corpus); a global
@@ -2459,6 +2460,76 @@ class PlanSpec extends SparkSpec {
     // every query's neighbor list is label-homogeneous with the query
     val lbl = e.map(v => v._1 -> v._2).toMap
     rows.foreach(r => assert(lbl(r.getLong(1)) == lbl(r.getLong(0))))
+  }
+
+  test("c62: dataset card — one Expand + one agg exchange, text pre-counted, all four marginals re-derived") {
+    import org.apache.spark.sql.functions.col
+    val df = TextAnalysis.c62DatasetCard(spark, sf0001)
+    val rows = df.collect()
+    val p = plan(df)
+    assert(p.contains("Expand"), s"grouping sets must plan one Expand:\n$p")
+    assert(p.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 2, s"one agg exchange (+AQE read):\n$p")
+    p.linesIterator.filter(_.contains("Exchange")).foreach { line =>
+      assert(!line.contains("text"), s"text rode a shuffle: $line")
+    }
+    val docs = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(col("source"), col("lang"), col("text"), col("n_chars"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2).split(" ", -1).length.toLong, r.getLong(3)))
+    def cell(vs: Array[(String, String, Long, Long)]) =
+      (vs.length.toLong, vs.map(_._3).sum, vs.map(_._4).sum,
+        vs.count(_._3 < TextAnalysis.ShortDocTokens).toLong)
+    val want =
+      docs.groupBy(v => (v._1, v._2)).map { case ((s, l), vs) => (s, l, 0L, 0L) -> cell(vs) } ++
+        docs.groupBy(_._1).map { case (s, vs) => (s, null, 0L, 1L) -> cell(vs) } ++
+        docs.groupBy(_._2).map { case (l, vs) => (null, l, 1L, 0L) -> cell(vs) } ++
+        Map((null: String, null: String, 1L, 1L) -> cell(docs))
+    val got = rows.map { r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    }.toMap
+    assert(got == want.toMap)
+  }
+
+  test("c61: kNN graph — probe heaps on the native top-k, keyed list join, graph re-derived exactly") {
+    import org.apache.spark.sql.functions.col
+    val df = VectorOps.c61KnnGraph(spark, sf0001)
+    val rows = df.collect()
+    val p = plan(df)
+    assert(p.contains("TopKPerKey ["), s"probe selection must ride the native top-k:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    val e = graft.sources.Tables
+      .embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (r.getLong(0), v.map(_ / n))
+      }
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    val cent = e.filter(_._1 < VectorOps.KnnGraphLists)
+    def rankedLists(v: Array[Double]) =
+      cent.map { case (cid, cv) => (cid, dot(v, cv)) }.sortBy { case (cid, c) => (-c, cid) }
+    val asg = e.map { case (id, v) => id -> rankedLists(v).head._1 }.toMap
+    val members = e.groupBy { case (id, _) => asg(id) }
+    val want = e.flatMap { case (qid, qv) =>
+      val probed = rankedLists(qv).take(VectorOps.KnnGraphProbes).map(_._1)
+      probed
+        .flatMap(members.getOrElse(_, Array.empty[(Long, Array[Double])]))
+        .filter(_._1 != qid)
+        .map { case (nid, nv) => (nid, dot(qv, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(VectorOps.KnnGraphK)
+        .zipWithIndex
+        .map { case ((nid, c), i) => (qid, nid, (i + 1).toLong, c) }
+    }.toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want)
+    // a graph, not a query result: (almost) every vector has neighbors
+    assert(rows.map(_.getLong(0)).distinct.length >= e.length - 1)
   }
 
   test("c60: hard negatives — exact different-label top-k re-derived; no same-label row survives") {

@@ -752,6 +752,72 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming funnel: last emissions match batch a9 per-user and in aggregate; order/redelivery-proof") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.sources.Tables
+      .events(spark, sf0001)
+      .select(
+        col("user_id"),
+        col("event_type"),
+        // epoch micros of the LTZ-cast ts (UTC session: value-preserving)
+        org.apache.spark.sql.functions.expr("unix_micros(ts)").as("ts_us")
+      )
+      .as[StreamingOps.FunnelEvent]
+      .collect()
+
+    def runReplay(ordered: Seq[StreamingOps.FunnelEvent], name: String) = {
+      val input = MemoryStream[StreamingOps.FunnelEvent]
+      val q = StreamingOps
+        .streamingFunnel(input.toDS())
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+      ordered.grouped(200).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      // redeliver a slice: min-merge must make this a no-op on state
+      input.addData(ordered.take(100))
+      q.processAllAvailable()
+      val last = spark
+        .table(name)
+        .as[StreamingOps.FunnelUpdate]
+        .collect()
+        .groupBy(_.user_id)
+        .map { case (_, us) => us.maxBy(_.seq) }
+        .toSeq
+      q.stop()
+      last
+    }
+
+    val inOrder = runReplay(events.sortBy(_.ts_us).toSeq, "funnel_out")
+    val shuffled = runReplay(
+      events.sortBy(e => e.hashCode.toLong * 2654435761L).toSeq,
+      "funnel_out_shuf"
+    )
+    // per-user verdicts re-derived from the raw events
+    val byUser = events.groupBy(_.user_id)
+    val want = byUser.map { case (uid, es) =>
+      def firstOf(t: String) = es.filter(_.event_type == t).map(_.ts_us).minOption.getOrElse(-1L)
+      val (v, c, p) = (firstOf("view"), firstOf("click"), firstOf("purchase"))
+      (uid, v, c, p, v >= 0 && c >= 0 && c > v, v >= 0 && c >= 0 && p >= 0 && c > v && p > c)
+    }.toSet
+    def proj(us: Seq[StreamingOps.FunnelUpdate]) =
+      us.map(u => (u.user_id, u.first_view, u.first_click, u.first_purchase, u.view_then_click, u.full_funnel)).toSet
+    assert(proj(inOrder) == want)
+    assert(proj(shuffled) == want, "funnel state must be arrival-order independent")
+    // aggregate parity with the batch a9 gate row
+    val a9 = graft.operators.EventStreamOps.a9Funnel(spark, sf0001).collect().head
+    assert(inOrder.count(_.first_view >= 0).toLong == a9.getLong(0))
+    assert(inOrder.count(_.view_then_click).toLong == a9.getLong(1))
+    assert(inOrder.count(_.full_funnel).toLong == a9.getLong(2))
+    assert(a9.getLong(2) > 0, "gate data must contain full-funnel users")
+  }
+
   test("streaming decontamination matches the batch c21 result (stream-batch parity)") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
