@@ -146,7 +146,8 @@ object SparkEntry {
     "s12_cdc_read" -> (graft.sources.Formats.s12CdcRead _),
     "s13_vacuum" -> (graft.sources.Formats.s13Vacuum _),
     "s14_zorder" -> (graft.sources.Formats.s14Zorder _),
-    "s15_write_audit_publish" -> (graft.sources.Formats.s15WriteAuditPublish _)
+    "s15_write_audit_publish" -> (graft.sources.Formats.s15WriteAuditPublish _),
+    "s16_bad_records" -> (graft.sources.Formats.s16BadRecords _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -952,6 +953,18 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT b.* FROM base b WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = b.c_custkey))
         |SELECT * FROM v2""".stripMargin,
+    // the salvage set and quarantine count reconstructed from the
+    // source table: every non-corrupted doc must survive ingestion with
+    // its chars intact, every corrupted line must be counted
+    "s16_bad_records" -> {
+      val e = graft.sources.Formats.BadRecordEvery
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+         |FROM documents WHERE doc_id % $e <> 0 GROUP BY lang
+         |UNION ALL
+         |SELECT '_corrupt' AS lang, COUNT(*) AS n_docs, 0 AS sum_chars
+         |FROM documents WHERE doc_id % $e = 0""".stripMargin
+    },
     // the post-vacuum pointer state = the v3 merge chain reconstructed
     // relationally — a vacuum that deletes a live version, resurrects
     // dropped rows, or corrupts the chain each breaks the hash

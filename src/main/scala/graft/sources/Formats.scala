@@ -606,6 +606,68 @@ object Formats {
   def s15WapDir(spark: SparkSession, sfDir: String): String =
     s"${scratch(spark, "wap", sfDir)}/t"
 
+  /** s16: every Nth JSONL line ships corrupted (truncated mid-object) —
+    * the deterministic stand-in for the malformed-line rate every real
+    * web-scale ingest has.
+    */
+  val BadRecordEvery = 10
+
+  /** S16: error-tolerant JSONL ingestion — the PERMISSIVE
+    * corrupt-record contract every 100 TB web ingest depends on: one
+    * malformed line in a billion must neither kill the job
+    * (FAILFAST's behavior) nor silently vanish (schema-less DROPMALFORMED);
+    * it lands in the `_corrupt_record` column where it is COUNTED and
+    * quarantinable while every clean line salvages. The gate builds a
+    * dirty JSONL deterministically (every [[BadRecordEvery]]th doc's
+    * line truncated mid-object), reads it back with an explicit schema
+    * + corrupt-record column (schema-on-read: no inference pass over
+    * 100 TB), and reports per-lang salvaged doc/char counts plus a
+    * `_corrupt` row carrying the quarantine count. The oracle
+    * reconstructs both from the source table, so a salvage that drops a
+    * clean line, resurrects a corrupt one, or miscounts the quarantine
+    * breaks rows+hash. Parsing is per-line — embarrassingly parallel,
+    * no shuffle before the tiny per-lang aggregate.
+    */
+  def s16BadRecords(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"), col("lang"))
+    val dir = s"${scratch(spark, "badrec", sfDir)}/dirty_jsonl"
+    if (!exists(spark, s"$dir/_SUCCESS")) {
+      docs
+        .select(
+          when(
+            col("doc_id") % BadRecordEvery === 0,
+            // truncate the serialized object mid-string: never valid JSON
+            expr(s"substring(to_json(struct(doc_id, text, lang)), 1, length(to_json(struct(doc_id, text, lang))) - 5)")
+          ).otherwise(to_json(struct(col("doc_id"), col("text"), col("lang"))))
+            .as("value")
+        )
+        .write
+        .mode("overwrite")
+        .text(dir)
+    }
+    val parsed = spark.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+    // ONE aggregate over one parse pass: Spark disallows queries that
+    // reference ONLY the corrupt column (SPARK-21610), and two branches
+    // would parse the files twice anyway — the quarantine is just
+    // another group key
+    parsed
+      .groupBy(
+        when(col("_corrupt_record").isNotNull, lit("_corrupt"))
+          .otherwise(col("lang"))
+          .as("lang")
+      )
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(when(col("_corrupt_record").isNull, length(col("text")))), lit(0L))
+          .cast("long")
+          .as("sum_chars")
+      )
+  }
+
   /** The compacted directory for [[s5Compaction]]'s physical-layout
     * assertions (FormatsSpec) — valid after the query has run in the
     * same application.

@@ -390,7 +390,7 @@ object StreamingDemo {
     val nJoined = spark.table("demo_papi").filter("view_id IS NOT NULL").count()
     val total = spark.read.parquet(s"$sfDir/events.parquet").count()
     println(
-      s"""{"streaming_demo":{"input_events":$total,"deduped_kept":$nDedup,"closed_windows":$nWindows,"enriched_clicks":$nClicks,"clicks_with_view":$nJoined,"curated_docs":$nCurated,"quota_docs":$nQuota,"budget_admits":$nBudget,"reservoir_docs":$nWsamp,"neardup_suspects":$nSuspects,"chunk_survivors":$nChunkSurv,"upsert_rows":$nUpsert,"sink_rows":$nSunk}}"""
+      s"""{"streaming_demo":{"input_events":$total,"deduped_kept":$nDedup,"closed_windows":$nWindows,"enriched_clicks":$nClicks,"clicks_with_view":$nJoined,"funnel_users":${lastFunnel.size},"full_funnels":${lastFunnel.count(_.full_funnel)},"curated_docs":$nCurated,"contaminated_docs":${decontamStreamed.size},"quota_docs":$nQuota,"budget_admits":$nBudget,"reservoir_docs":$nWsamp,"neardup_suspects":$nSuspects,"chunk_survivors":$nChunkSurv,"upsert_rows":$nUpsert,"sink_rows":$nSunk}}"""
     )
     spark.stop()
   }

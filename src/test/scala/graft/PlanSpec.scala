@@ -888,6 +888,30 @@ class PlanSpec extends SparkSpec {
     assert(StreamingSink.currentVersion(spark, dir) == 2L)
   }
 
+  test("s16: bad-record ingestion — clean lines salvage with chars intact, corrupt lines counted, one parse pass") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.sources.Formats.s16BadRecords(spark, sf0001)
+    val rows = df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val docs = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val e = graft.sources.Formats.BadRecordEvery
+    val clean = docs.filter(_._1 % e != 0)
+    val want = clean
+      .groupBy(_._3)
+      .map { case (l, vs) => l -> ((vs.length.toLong, vs.map(_._2.length.toLong).sum)) } ++
+      Map("_corrupt" -> ((docs.count(_._1 % e == 0).toLong, 0L)))
+    assert(rows == want.toMap)
+    assert(rows("_corrupt")._1 > 0, "gate data must produce actual quarantined lines")
+    // exactly one JSON parse of the files feeds both branches (AQE
+    // prints the Initial Plan again below the final one — count the
+    // final section only)
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(p.linesIterator.count(_.contains("FileScan json")) == 1, s"the quarantine must not re-parse:\n$p")
+  }
+
   test("s13: gate query — post-vacuum read equals the merge chain; only v2 and v3 remain") {
     import org.apache.spark.sql.functions.col
     import graft.streaming.StreamingSink
