@@ -147,7 +147,9 @@ object SparkEntry {
     "s13_vacuum" -> (graft.sources.Formats.s13Vacuum _),
     "s14_zorder" -> (graft.sources.Formats.s14Zorder _),
     "s15_write_audit_publish" -> (graft.sources.Formats.s15WriteAuditPublish _),
-    "s16_bad_records" -> (graft.sources.Formats.s16BadRecords _)
+    "s16_bad_records" -> (graft.sources.Formats.s16BadRecords _),
+    "s17_manifest_append" -> (graft.sources.Formats.s17ManifestAppend _),
+    "c63_kanon_report" -> (Sampling.c63KanonReport _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -953,6 +955,28 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT b.* FROM base b WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = b.c_custkey))
         |SELECT * FROM v2""".stripMargin,
+    // the three-commit append chain reconstructed relationally: a lost
+    // batch, a double-listed file, or a disturbed base breaks the hash
+    "s17_manifest_append" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 30000000, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 97 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 40000000, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 53 = 0""".stripMargin,
+    // suppressed cells merge into the complementary bucket; totals are
+    // preserved (suppress-don't-drop), so a dropped small cell breaks
+    // BOTH the bucket row and the corpus reconciliation
+    "c63_kanon_report" -> {
+      val k = Sampling.KAnonMin
+      s"""WITH cells AS (SELECT source, lang, COUNT(*) AS cn,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ct
+         |  FROM documents GROUP BY 1, 2)
+         |SELECT CASE WHEN cn < $k THEN '_suppressed' ELSE source END AS source,
+         |  CASE WHEN cn < $k THEN '_suppressed' ELSE lang END AS lang,
+         |  CAST(SUM(cn) AS BIGINT) AS n_docs,
+         |  CAST(SUM(ct) AS BIGINT) AS n_tokens
+         |FROM cells GROUP BY 1, 2""".stripMargin
+    },
     // the salvage set and quarantine count reconstructed from the
     // source table: every non-corrupted doc must survive ingestion with
     // its chars intact, every corrupted line must be counted

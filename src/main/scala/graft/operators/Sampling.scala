@@ -568,6 +568,42 @@ object Sampling {
       )
   }
 
+  /** c63: cells with fewer docs than this are suppressed — the
+    * small-cell threshold every privacy-reviewed data release applies.
+    */
+  val KAnonMin = 5
+
+  /** C63: k-anonymity small-cell suppression — the privacy-safe
+    * release form of a (source × lang) report: a cell smaller than
+    * [[KAnonMin]] identifies its members too narrowly to publish, so
+    * small cells merge into one complementary `_suppressed` bucket
+    * whose totals are kept (suppress-don't-drop: the report still sums
+    * to the corpus, the standard statistical-disclosure-control rule —
+    * dropping small cells would let a reader reconstruct them by
+    * subtraction from the marginals). Two-level shape: the corpus-sized
+    * work is ONE keyed aggregate with map-side combine; the suppression
+    * re-aggregation runs over the CELL frame (rows ∝ source×lang, not
+    * corpus). Token counting is row-local — text never rides an
+    * exchange.
+    */
+  def c63KanonReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables
+      .documents(spark, sfDir)
+      .select(
+        col("source"),
+        col("lang"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("nt")
+      )
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cn"), sum(col("nt")).as("ct"))
+    cells
+      .groupBy(
+        when(col("cn") < KAnonMin, lit("_suppressed")).otherwise(col("source")).as("source"),
+        when(col("cn") < KAnonMin, lit("_suppressed")).otherwise(col("lang")).as("lang")
+      )
+      .agg(sum(col("cn")).as("n_docs"), sum(col("ct")).as("n_tokens"))
+  }
+
   /** Stateless, stream-applicable decontamination scoring: each doc's
     * distinct shingle hashes (same md5/rolling math as the batch path)
     * intersect a FIXED eval-hash array entirely row-locally — no join,

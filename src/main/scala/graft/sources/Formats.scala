@@ -606,6 +606,121 @@ object Formats {
   def s15WapDir(spark: SparkSession, sfDir: String): String =
     s"${scratch(spark, "wap", sfDir)}/t"
 
+  /** The manifest-table pointer file name (distinct from the
+    * version-DIR pointer `_GRAFT_LATEST` of [[graft.streaming.StreamingSink]]:
+    * that protocol snapshots whole dirs, this one snapshots FILE LISTS).
+    */
+  private val ManifestPointer = "_GRAFT_MANIFEST"
+
+  /** Read the manifest table at an explicit version: the manifest is a
+    * text file of data-file paths relative to the table dir — the
+    * reader opens exactly the listed files, nothing else (an orphan
+    * file from a failed write is invisible until a manifest names it).
+    */
+  def readManifestVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    val p = new Path(s"$dir/m=$version.txt")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val files =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+  }
+
+  /** Read the manifest table at the committed pointer. */
+  def readManifestTable(spark: SparkSession, dir: String): DataFrame = {
+    val p = new Path(dir, ManifestPointer)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val v =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    readManifestVersion(spark, dir, v)
+  }
+
+  /** APPEND-commit `batch` as version `version`: write the batch's
+    * parquet under its own data dir, then commit a NEW manifest =
+    * previous manifest's lines + the batch's files, then flip the
+    * pointer. Commit cost ∝ THE BATCH — existing data files are never
+    * read, copied or rewritten (the property that makes appending to a
+    * 100 TB table an O(delta) operation; s9's merge rewrites because
+    * an upsert must, an append must not). Manifests and data files are
+    * immutable once written; the pointer is the only mutable object —
+    * crash order data → manifest → pointer means readers see the old
+    * or the new table, never a torn one.
+    */
+  def manifestAppend(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      version: Long
+  ): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val dataDir = s"data_v=$version"
+    batch.write.mode("overwrite").parquet(s"$dir/$dataDir")
+    val newFiles = fs
+      .listStatus(new Path(s"$dir/$dataDir"))
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") || n.endsWith(".snappy.parquet"))
+      .sorted
+      .map(n => s"$dataDir/$n")
+    val prev =
+      if (!fs.exists(new Path(s"$dir/m=${version - 1}.txt"))) Nil
+      else {
+        val in = fs.open(new Path(s"$dir/m=${version - 1}.txt"))
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+    val out = fs.create(new Path(s"$dir/m=$version.txt"), true)
+    try out.write((prev ++ newFiles).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val ptr = fs.create(new Path(dir, ManifestPointer), true)
+    try ptr.write(version.toString.getBytes("UTF-8"))
+    finally ptr.close()
+  }
+
+  /** S17: the manifest-append table — three O(delta) commits (v1 base
+    * orders slice; v2 appends a re-keyed copy of every 97th order;
+    * v3 of every 53rd), read back through the committed manifest. The
+    * oracle reconstructs the union relationally, so a lost batch, a
+    * double-listed file, or an append that disturbed existing data
+    * breaks rows+hash. The append-economics physics — v1's data files
+    * BYTE-STABLE across both appends (no rewrite, the O(delta) proof),
+    * manifests immutable, v1/v2 still time-travelable, orphan files
+    * invisible until a manifest names them — are PlanSpec-asserted.
+    */
+  def s17ManifestAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables
+      .orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val dir = s"${scratch(spark, "manifest", sfDir)}/t"
+    val marker = new Path(s"${scratch(spark, "manifest", sfDir)}/done")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
+      manifestAppend(spark, dir, base, 1L)
+      manifestAppend(
+        spark,
+        dir,
+        base.filter(col("o_orderkey") % 97 === 0).withColumn("o_orderkey", col("o_orderkey") + 30000000L),
+        2L
+      )
+      manifestAppend(
+        spark,
+        dir,
+        base.filter(col("o_orderkey") % 53 === 0).withColumn("o_orderkey", col("o_orderkey") + 40000000L),
+        3L
+      )
+      fs.create(marker, true).close()
+    }
+    readManifestTable(spark, dir)
+  }
+
+  /** The manifest table dir for [[s17ManifestAppend]]'s spec assertions
+    * (valid after the query has run in the same application).
+    */
+  def s17ManifestDir(spark: SparkSession, sfDir: String): String =
+    s"${scratch(spark, "manifest", sfDir)}/t"
+
   /** s16: every Nth JSONL line ships corrupted (truncated mid-object) —
     * the deterministic stand-in for the malformed-line rate every real
     * web-scale ingest has.

@@ -888,6 +888,86 @@ class PlanSpec extends SparkSpec {
     assert(StreamingSink.currentVersion(spark, dir) == 2L)
   }
 
+  test("s17: manifest append — O(delta) commits: base files byte-stable, time travel intact, orphans invisible") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest_spec").toString + "/t"
+    try {
+      val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      def files(sub: String) = fs
+        .listStatus(new Path(s"$dir/$sub"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+        .toSet
+      val v1 = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "bal")
+      graft.sources.Formats.manifestAppend(spark, dir, v1, 1L)
+      val v1Files = files("data_v=1")
+      graft.sources.Formats.manifestAppend(spark, dir, Seq((3L, 30.0)).toDF("k", "bal"), 2L)
+      graft.sources.Formats.manifestAppend(spark, dir, Seq((4L, 40.0)).toDF("k", "bal"), 3L)
+      // the O(delta) proof: two appends later, v1's data files are
+      // byte-for-byte untouched (same names, lengths, mtimes)
+      assert(files("data_v=1") == v1Files, "append rewrote existing data files")
+      assert(
+        graft.sources.Formats.readManifestTable(spark, dir).as[(Long, Double)].collect().toSet ==
+          Set((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+      )
+      // manifests are immutable history: v1 and v2 still time-travel
+      assert(
+        graft.sources.Formats.readManifestVersion(spark, dir, 1L).as[(Long, Double)].collect().toSet ==
+          Set((1L, 10.0), (2L, 20.0))
+      )
+      assert(
+        graft.sources.Formats.readManifestVersion(spark, dir, 2L).as[(Long, Double)].collect().toSet ==
+          Set((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      )
+      // an orphan data file (failed write, never committed) is invisible
+      Seq((99L, 99.0)).toDF("k", "bal").write.parquet(s"$dir/data_orphan")
+      assert(
+        graft.sources.Formats.readManifestTable(spark, dir).as[(Long, Double)].collect().toSet ==
+          Set((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)),
+        "uncommitted file leaked into the read"
+      )
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir).getParentFile): Unit
+    }
+  }
+
+  test("s17: gate table — the committed union re-derived; append chain files grow, never rewrite") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.sources.Formats.s17ManifestAppend(spark, sf0001)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val base = graft.sources.Tables
+      .orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = base ++
+      base.collect { case (k, c, p) if k % 97 == 0 => (k + 30000000L, c, p) } ++
+      base.collect { case (k, c, p) if k % 53 == 0 => (k + 40000000L, c, p) }
+    assert(got == want.toSet)
+  }
+
+  test("c63: k-anon suppression — no released cell under k, totals preserved, re-derived") {
+    import org.apache.spark.sql.functions.col
+    val df = Sampling.c63KanonReport(spark, sf0001)
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val docs = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(col("source"), col("lang"), col("text"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2).split(" ", -1).length.toLong))
+    val cells = docs.groupBy(v => (v._1, v._2)).view.mapValues(vs => (vs.size.toLong, vs.map(_._3).sum)).toMap
+    val (small, big) = cells.partition(_._2._1 < Sampling.KAnonMin)
+    val want = big.map { case ((s, l), v) => (s, l) -> v } ++
+      Map(("_suppressed", "_suppressed") -> ((small.values.map(_._1).sum, small.values.map(_._2).sum)))
+    assert(rows == want.toMap)
+    // the privacy contract: nothing released identifies < k docs…
+    rows.foreach { case ((s, _), (n, _)) => if (s != "_suppressed") assert(n >= Sampling.KAnonMin) }
+    // …both branches are exercised, and nothing was dropped
+    assert(small.nonEmpty && big.nonEmpty)
+    assert(rows.values.map(_._1).sum == docs.length.toLong)
+  }
+
   test("s16: bad-record ingestion — clean lines salvage with chars intact, corrupt lines counted, one parse pass") {
     import org.apache.spark.sql.functions.col
     val df = graft.sources.Formats.s16BadRecords(spark, sf0001)
