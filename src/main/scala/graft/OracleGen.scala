@@ -259,6 +259,22 @@ object OracleGen {
       |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3 END AS quality_score
       |FROM m)""".stripMargin
 
+  /** c64 = the NAIVE global definition the two-phase plan must equal:
+    * per-lang row_number over (quality DESC, doc_id), kept while
+    * rn ≤ ceil(n·num/den) (as the integer cross-product 10·rn ≤ 3n+9).
+    */
+  val c64QualityTopFrac: String = {
+    import graft.operators.Sampling.{QTopNum, QTopDen}
+    s"""WITH $qualityCtes,
+       |j AS (SELECT d.doc_id, d.lang, qs.quality_score
+       |  FROM documents d JOIN qs ON qs.doc_id = d.doc_id),
+       |n AS (SELECT lang, COUNT(*) AS cnt FROM j GROUP BY lang),
+       |r AS (SELECT j.*, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS rn FROM j)
+       |SELECT r.lang, r.doc_id, r.quality_score
+       |FROM r JOIN n USING (lang)
+       |WHERE rn * $QTopDen <= cnt * $QTopNum + ${QTopDen - 1}""".stripMargin
+  }
+
   /** c46 = Efraimidis-Spirakis priority keys u^(1/w) with power-of-two
     * weights (sqrt chains — correctly rounded in both engines), per-lang
     * top-k by (priority DESC, doc_id).

@@ -149,7 +149,8 @@ object SparkEntry {
     "s15_write_audit_publish" -> (graft.sources.Formats.s15WriteAuditPublish _),
     "s16_bad_records" -> (graft.sources.Formats.s16BadRecords _),
     "s17_manifest_append" -> (graft.sources.Formats.s17ManifestAppend _),
-    "c63_kanon_report" -> (Sampling.c63KanonReport _)
+    "c63_kanon_report" -> (Sampling.c63KanonReport _),
+    "c64_quality_topfrac" -> (Sampling.c64QualityTopFrac _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -763,6 +764,7 @@ object SparkEntry {
     "c59_containment" -> OracleGen.c59Containment,
     "c60_hard_negatives" -> OracleGen.c60HardNegatives,
     "c61_knn_graph" -> OracleGen.c61KnnGraph,
+    "c64_quality_topfrac" -> OracleGen.c64QualityTopFrac,
     // SUM(BIGINT)→HUGEINT and COUNT/GROUPING width casts per the
     // round-6 widening meta-spec
     "c62_dataset_card" -> {

@@ -568,6 +568,65 @@ object Sampling {
       )
   }
 
+  /** c64: keep the top QTopNum/QTopDen fraction per language (by
+    * quality, ties to lower doc_id); scores bucket into QBuckets
+    * integer cells for the two-phase threshold.
+    */
+  val QTopNum = 3
+  val QTopDen = 10
+  val QBuckets = 1024
+
+  /** C64: per-language TOP-FRACTION quality gate — "keep the best 30%
+    * of every language" (the percentile form of curation: c30 cuts by
+    * token budget, c28 by doc quota, this by RELATIVE quality rank, the
+    * rule real mixes use when absolute thresholds would starve
+    * low-resource languages). k_l = ceil(0.3·n_l) is data-dependent
+    * per key, so no fixed-k operator applies directly — and a
+    * row_number window per language would SORT each language's whole
+    * partition (the b5 anti-pattern, fatal when one language is half
+    * the corpus). Instead the exact two-phase rank: (1) bucket each
+    * score into one of [[QBuckets]] integer cells (floor(q·1024) —
+    * IEEE-exact in both engines; bucket order REFINES score order, so
+    * higher buckets rank wholly before lower ones); (2) per-(lang,
+    * bucket) counts → a tiny cumulative frame yields each language's
+    * threshold bucket and the residual r_l to take from inside it;
+    * (3) docs above the threshold bucket pass with NO sort, and only
+    * the boundary bucket (~1/1024 of each language) pays a partitioned
+    * rank for its top r_l. Output provably equals the global
+    * per-language top-k — the oracle computes the naive window
+    * definition and the hash must match.
+    */
+  def c64QualityTopFrac(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = graft.operators.TextAnalysis
+      .qualityScored(Tables.documents(spark, sfDir).select(col("doc_id"), col("text"), col("lang")))
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+      .withColumn("b", floor(col("quality_score") * QBuckets).cast("long"))
+      .localCheckpoint()
+    val counts = scored.groupBy(col("lang"), col("b")).agg(count(lit(1)).as("cnt"))
+    val wl = Window
+      .partitionBy(col("lang"))
+      .orderBy(col("b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val thr = counts
+      .withColumn("above", coalesce(sum(col("cnt")).over(wl), lit(0L)))
+      .join(counts.groupBy(col("lang")).agg(sum(col("cnt")).as("n")), "lang")
+      .withColumn("k", expr(s"(n * $QTopNum + ${QTopDen - 1}) DIV $QTopDen"))
+      .filter(col("above") < col("k") && col("above") + col("cnt") >= col("k"))
+      .select(col("lang"), col("b").as("tb"), (col("k") - col("above")).as("r"))
+    val withThr = scored.join(broadcast(thr), "lang")
+    val keepAbove = withThr.filter(col("b") > col("tb"))
+    // only the boundary bucket pays a rank — ~1/QBuckets of each lang
+    val wb = Window.partitionBy(col("lang")).orderBy(col("quality_score").desc, col("doc_id"))
+    val keepBoundary = withThr
+      .filter(col("b") === col("tb"))
+      .withColumn("rn", row_number().over(wb))
+      .filter(col("rn") <= col("r"))
+    keepAbove
+      .select(col("lang"), col("doc_id"), col("quality_score"))
+      .unionByName(keepBoundary.select(col("lang"), col("doc_id"), col("quality_score")))
+  }
+
   /** c63: cells with fewer docs than this are suppressed — the
     * small-cell threshold every privacy-reviewed data release applies.
     */

@@ -947,6 +947,39 @@ class PlanSpec extends SparkSpec {
     assert(got == want.toSet)
   }
 
+  test("c64: per-lang top-fraction — two-phase bucket rank equals the naive global window; boundary-only sort") {
+    import org.apache.spark.sql.functions.col
+    val df = Sampling.c64QualityTopFrac(spark, sf001)
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // naive definition: per-lang global rank by (quality DESC, doc_id)
+    val scored = graft.operators.TextAnalysis
+      .qualityScored(
+        graft.sources.Tables.documents(spark, sf001).select(col("doc_id"), col("text"), col("lang"))
+      )
+      .select(col("lang"), col("doc_id"), col("quality_score"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val want = scored
+      .groupBy(_._1)
+      .toSeq
+      .flatMap { case (_, vs) =>
+        val k = (vs.length * Sampling.QTopNum + Sampling.QTopDen - 1) / Sampling.QTopDen
+        vs.sortBy { case (_, id, q) => (-q, id) }.take(k).toSeq
+      }
+      .toSet
+    assert(rows == want)
+    // the fraction contract holds per language
+    val perLang = scored.groupBy(_._1).view.mapValues(_.length).toMap
+    rows.groupBy(_._1).foreach { case (l, kept) =>
+      assert(kept.size == (perLang(l) * Sampling.QTopNum + Sampling.QTopDen - 1) / Sampling.QTopDen)
+    }
+    // the only corpus-side window is over the boundary-bucket filter —
+    // the bulk passes sort-free (the cumulative window runs on the tiny
+    // per-(lang, bucket) count frame)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("c63: k-anon suppression — no released cell under k, totals preserved, re-derived") {
     import org.apache.spark.sql.functions.col
     val df = Sampling.c63KanonReport(spark, sf0001)
