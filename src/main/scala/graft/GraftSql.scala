@@ -665,6 +665,39 @@ object GraftSql {
 
   val RecursiveSpineSql: String = b41SqlOn("orders")
 
+  /** B42's SQL, parameterized on the two table names so the spec can
+    * plant an order-LESS customer (the gate corpus has none — the
+    * (0, NULL) branch needs data that exercises it). Portable: the
+    * same text runs on Spark and DuckDB.
+    */
+  def b42SqlOn(customer: String, orders: String): String =
+    s"""SELECT c.c_custkey,
+       |  t.n_orders,
+       |  CAST(t.max_price AS DOUBLE) AS max_price
+       |FROM $customer c, LATERAL (
+       |  SELECT COUNT(*) AS n_orders, MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS max_price
+       |  FROM $orders WHERE o_custkey = c.c_custkey
+       |) t""".stripMargin
+
+  val LateralSql: String = b42SqlOn("customer", "orders")
+
+  /** B42: LATERAL correlated derived table through spark.sql — the
+    * modern SQL surface for "per row of the outer table, run this
+    * parameterized subquery" (every customer's order count and max
+    * price here). The semantic richness over a plain join+groupBy:
+    * an ungrouped aggregate subquery yields exactly ONE row even for
+    * customers with no orders (count 0, max NULL) — the join+groupBy
+    * spelling silently drops them. The naive reading executes the
+    * subquery per outer row; Catalyst decorrelates the lateral into
+    * one grouped aggregate left-outer-joined on the correlation key
+    * (plan-asserted: no per-row subquery, no nested loop survives),
+    * so the 100 TB cost is one keyed aggregate + one join. MAX in
+    * DECIMAL (double MAX is ULP-stable, but the DECIMAL keeps the
+    * b1 money idiom), cast to double at the edge.
+    */
+  def b42LateralAgg(spark: SparkSession, sfDir: String): DataFrame =
+    sql(spark, sfDir, LateralSql)
+
   /** B41: recursive CTE through spark.sql (Spark 4's `WITH RECURSIVE` →
     * UnionLoop) — the gap-filled month spine every time-series report
     * needs: a calendar month axis generated BY RECURSION from the data's

@@ -515,6 +515,31 @@ object OracleGen {
        |QUALIFY rank <= $KnnGraphK""".stripMargin
   }
 
+  /** c65 = the chunk-pooled doc embedding reconstructed relationally:
+    * same chunk grid, same md5 stub dims, exact BIGINT dim sums, one
+    * division, one normalize; emitted as per-dim columns (e0..e7) so
+    * the driver's scalar compare applies.
+    */
+  val c65DocEmbedding: String = {
+    import graft.operators.TextAnalysis.{ChunkSize, ChunkStride}
+    import graft.operators.VectorOps.RagDims
+    val dims = (0 until RagDims)
+      .map(j => s"list_transform(mv, x -> x / sqrt(list_dot_product(mv, mv)))[${j + 1}] AS e$j")
+      .mkString(",\n  ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+       |n AS (SELECT doc_id, w, greatest(CAST(ceil(CAST(len(w) - $ChunkSize AS DOUBLE) / $ChunkStride) AS INT), 0) + 1 AS nc FROM d),
+       |c AS (SELECT doc_id, nc, w, unnest(generate_series(0, nc - 1)) AS ci FROM n),
+       |h AS (SELECT doc_id, nc, md5(array_to_string(list_slice(w, ci * $ChunkStride + 1, ci * $ChunkStride + $ChunkSize), ' ')) AS h FROM c),
+       |e AS (SELECT doc_id, nc, t.j,
+       |  CAST(concat('0x', substr(h, CAST(t.j * 4 + 1 AS INT), 4)) AS BIGINT) - 32768 AS v
+       |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, ${RagDims - 1})) AS j) t),
+       |s AS (SELECT doc_id, nc, j, CAST(SUM(v) AS BIGINT) AS sv FROM e GROUP BY 1, 2, 3),
+       |m AS (SELECT doc_id, nc, list(CAST(sv AS DOUBLE) / nc ORDER BY j) AS mv FROM s GROUP BY 1, 2)
+       |SELECT doc_id, CAST(nc AS BIGINT) AS n_chunks,
+       |  $dims
+       |FROM m""".stripMargin
+  }
+
   /** c35 = the seeded-quantizer SemDeDup verdict: c18's assignment CTE
     * (argmax cos, ties to lowest cid) over ALL vectors, intra-cluster
     * keep-min-id pruning at the threshold. Output is integer/boolean

@@ -150,7 +150,9 @@ object SparkEntry {
     "s16_bad_records" -> (graft.sources.Formats.s16BadRecords _),
     "s17_manifest_append" -> (graft.sources.Formats.s17ManifestAppend _),
     "c63_kanon_report" -> (Sampling.c63KanonReport _),
-    "c64_quality_topfrac" -> (Sampling.c64QualityTopFrac _)
+    "c64_quality_topfrac" -> (Sampling.c64QualityTopFrac _),
+    "c65_doc_embedding" -> (VectorOps.c65DocEmbedding _),
+    "b42_lateral_agg" -> (GraftSql.b42LateralAgg _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -765,6 +767,8 @@ object SparkEntry {
     "c60_hard_negatives" -> OracleGen.c60HardNegatives,
     "c61_knn_graph" -> OracleGen.c61KnnGraph,
     "c64_quality_topfrac" -> OracleGen.c64QualityTopFrac,
+    "c65_doc_embedding" -> OracleGen.c65DocEmbedding,
+    "b42_lateral_agg" -> GraftSql.LateralSql,
     // SUM(BIGINT)→HUGEINT and COUNT/GROUPING width casts per the
     // round-6 widening meta-spec
     "c62_dataset_card" -> {

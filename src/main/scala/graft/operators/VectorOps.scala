@@ -211,6 +211,64 @@ object VectorOps {
     )
   }
 
+  /** C65: DOCUMENT embeddings by chunk pooling — the standard recipe
+    * when the encoder's context is shorter than the document (embed
+    * overlapping chunks, mean-pool, re-normalize; the retrieval
+    * literature's default doc representation). The entire computation
+    * is ROW-LOCAL: the chunk grid (c31's definition), the per-chunk
+    * stub encoder (c57's md5 posture), the pooling fold, and the final
+    * normalize all happen inside one projection over one documents
+    * scan — ZERO exchanges for a whole-corpus embedding pass, which is
+    * the property that makes doc-embedding 100 TB of text an
+    * embarrassingly parallel map (the real encoder swaps in at the
+    * same codec boundary as c12). Exactness: pooling sums the
+    * PRE-normalization integer dimensions (exact long arithmetic —
+    * float mean-pooling would be addition-order-dependent), divides
+    * once, normalizes once; the oracle reconstructs the same integers
+    * relationally and must hash-match every dimension.
+    */
+  def c65DocEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextAnalysis.{ChunkSize, ChunkStride}
+    val d = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("w"))
+      .withColumn(
+        "nc",
+        greatest(ceil((size(col("w")) - ChunkSize).cast("double") / ChunkStride).cast("int"), lit(0)) + 1
+      )
+      .withColumn(
+        "hs",
+        transform(
+          sequence(lit(0), col("nc") - 1),
+          ci => md5(concat_ws(" ", slice(col("w"), ci * ChunkStride + 1, lit(ChunkSize))))
+        )
+      )
+      .withColumn(
+        "iv",
+        transform(
+          col("hs"),
+          h =>
+            transform(
+              sequence(lit(0), lit(RagDims - 1)),
+              j => conv(h.substr(j * lit(4) + lit(1), lit(4)), 16, 10).cast("long") - lit(32768L)
+            )
+        )
+      )
+      .withColumn(
+        "sums",
+        aggregate(
+          col("iv"),
+          array((0 until RagDims).map(_ => lit(0L)): _*),
+          (acc, x) => zip_with(acc, x, _ + _)
+        )
+      )
+      .withColumn("emb", arrayNormalize(transform(col("sums"), s => s.cast("double") / col("nc"))))
+    d.select(
+      col("doc_id") +: col("nc").cast("long").as("n_chunks") +:
+        (0 until RagDims).map(j => col("emb")(j).as(s"e$j")): _*
+    )
+  }
+
   /** C60: HARD-NEGATIVE mining — the contrastive-training data job
     * (every embedding/retrieval model trains on them: for each anchor,
     * the most-similar examples of a DIFFERENT class are the negatives

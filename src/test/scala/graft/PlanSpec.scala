@@ -2599,6 +2599,84 @@ class PlanSpec extends SparkSpec {
     rows.foreach(r => assert(lbl(r.getLong(1)) == lbl(r.getLong(0))))
   }
 
+  test("b42: LATERAL agg — decorrelated to one keyed aggregate join; orderless customers keep their row") {
+    import org.apache.spark.sql.functions.col
+    val df = GraftSql.b42LateralAgg(spark, sf0001)
+    val rows = df
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("LateralJoin"), "lateral did not decorrelate")
+    val custs = graft.sources.Tables
+      .customer(spark, sf0001)
+      .select(col("c_custkey"))
+      .collect()
+      .map(_.getLong(0))
+    val orders = graft.sources.Tables
+      .orders(spark, sf0001)
+      .select(col("o_custkey"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDouble(1)).setScale(2)))
+      .groupBy(_._1)
+    val want = custs.map { c =>
+      val os = orders.getOrElse(c, Array.empty[(Long, BigDecimal)])
+      c -> ((os.length.toLong, if (os.isEmpty) None else Some(os.map(_._2).max.toDouble)))
+    }.toMap
+    assert(rows == want)
+    assert(rows.size == custs.length)
+
+    // the lateral's defining property vs join+groupBy: a customer with
+    // NO orders still yields its (0, NULL) row — plant one, since the
+    // gate corpus has orders for every customer
+    import spark.implicits._
+    Seq(1L, 2L).toDF("c_custkey").createOrReplaceTempView("cust_b42")
+    Seq((1L, 10.0)).toDF("o_custkey", "o_totalprice").createOrReplaceTempView("ord_b42")
+    val planted = spark
+      .sql(GraftSql.b42SqlOn("cust_b42", "ord_b42"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    assert(planted == Map(1L -> ((1L, Some(10.0))), 2L -> ((0L, None))))
+  }
+
+  test("c65: doc embedding — whole pass row-local (zero exchanges), pooled dims re-derived exactly") {
+    import org.apache.spark.sql.functions.col
+    val df = VectorOps.c65DocEmbedding(spark, sf0001)
+    val rows = df.collect()
+    // THE property: embedding 100 TB is a pure map — no exchange at all
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"doc embedding must be exchange-free:\n$p")
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val cs = TextAnalysis.ChunkSize
+    val st = TextAnalysis.ChunkStride
+    val want = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map { r =>
+        val w = r.getString(1).split(" ", -1)
+        val nc = math.max(math.ceil((w.length - cs).toDouble / st).toInt, 0) + 1
+        val sums = new Array[Long](VectorOps.RagDims)
+        (0 until nc).foreach { ci =>
+          val h = md5hex(w.slice(ci * st, ci * st + cs).mkString(" "))
+          (0 until VectorOps.RagDims).foreach { j =>
+            sums(j) += java.lang.Long.parseLong(h.substring(j * 4, j * 4 + 4), 16) - 32768L
+          }
+        }
+        val mv = sums.map(_.toDouble / nc)
+        val norm = math.sqrt(mv.zip(mv).map { case (a, b) => a * b }.sum)
+        (r.getLong(0), (nc.toLong, mv.map(_ / norm).toSeq))
+      }
+      .toMap
+    val got = rows.map { r =>
+      (r.getLong(0), (r.getLong(1), (0 until VectorOps.RagDims).map(j => r.getDouble(2 + j))))
+    }.toMap
+    assert(got == want)
+  }
+
   test("c62: dataset card — one Expand + one agg exchange, text pre-counted, all four marginals re-derived") {
     import org.apache.spark.sql.functions.col
     val df = TextAnalysis.c62DatasetCard(spark, sf0001)
