@@ -59,6 +59,50 @@ object StreamingSink {
       }
       .trigger(trigger)
 
+  /** Exactly-once streaming APPEND into a manifest table
+    * ([[graft.sources.Formats.manifestAppend]] — s17's O(delta) commit
+    * protocol driven by a stream): micro-batch N commits as manifest
+    * version N+1, so the table grows one immutable file-list snapshot
+    * per batch and readers ([[graft.sources.Formats.readManifestTable]])
+    * always see a complete prefix of the stream — never a torn batch.
+    * Idempotency follows [[idempotentParquet]]'s contract: a replayed
+    * batchId finds its checkpoint-scoped commit marker and skips, so
+    * at-least-once redelivery never double-appends; a marker from a
+    * DIFFERENT checkpoint does not suppress the write. Commit order is
+    * data → manifest → pointer → marker: a crash at any point leaves
+    * either the old table or the new one, and the redelivered batch
+    * rewrites the same version deterministically.
+    */
+  def manifestAppendSink(
+      df: DataFrame,
+      tableDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): DataStreamWriter[Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+        val version = batchId + 1
+        val marker = new Path(s"$tableDir/${Marker}_v=$version")
+        val fs = marker.getFileSystem(conf)
+        val committed = fs.exists(marker) && {
+          val in = fs.open(marker)
+          try {
+            val bytes = new Array[Byte](math.min(fs.getFileStatus(marker).getLen, 65536L).toInt)
+            in.readFully(bytes)
+            new String(bytes, StandardCharsets.UTF_8) == checkpointDir
+          } finally in.close()
+        }
+        if (!committed) {
+          graft.sources.Formats.manifestAppend(batch.sparkSession, tableDir, batch, version)
+          val out = fs.create(marker, true)
+          try out.write(checkpointDir.getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+        }
+      }
+      .trigger(trigger)
+
   /** The current version directory name recorded in the `_GRAFT_LATEST`
     * pointer, if any — versions are immutable `v=<batchId>` dirs and
     * the pointer flip is the "commit" (the lakehouse version-pointer

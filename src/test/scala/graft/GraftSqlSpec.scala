@@ -33,6 +33,18 @@ class GraftSqlSpec extends SparkSpec {
     )
   }
 
+  test("every gate query has a BASELINE.md row (no query ships unbaselined)") {
+    // a query absent from BASELINE.md reports no vs-baseline ratio and
+    // never trips the 2x regression flag — it is effectively
+    // unmonitored (c58 shipped that way for most of a round before
+    // this guard existed). Bench.readBaseline is the same parser the
+    // benchmark uses, so this asserts exactly what the artifact sees.
+    val baseline = Bench.readBaseline()
+    assume(baseline.nonEmpty, "BASELINE.md not present (running outside the repo root)")
+    val missing = SparkEntry.queries.keySet -- baseline.keySet
+    assert(missing.isEmpty, s"queries with no baseline row: ${missing.toSeq.sorted}")
+  }
+
   test("sql() runs against the registered sfDir and re-registers on a dir switch") {
     val n1 = GraftSql.sql(spark, sf0001, "SELECT count(*) AS n FROM orders").collect()(0).getLong(0)
     val n2 = GraftSql.sql(spark, sf001, "SELECT count(*) AS n FROM orders").collect()(0).getLong(0)

@@ -71,6 +71,49 @@ class StreamingSinkSpec extends SparkSpec {
     assert(state() == expected)
   }
 
+  test("manifest-append sink: one O(delta) commit per batch, restart-safe, base files byte-stable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.hadoop.fs.Path
+
+    val table = Files.createTempDirectory("graft_manifest_sink").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_manifest_ckpt").toString
+    val fs = new Path(table).getFileSystem(spark.sessionState.newHadoopConf())
+    def files(sub: String) = fs
+      .listStatus(new Path(s"$table/$sub"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+      .toSet
+    def state() =
+      graft.sources.Formats.readManifestTable(spark, table).as[(Long, Double)].collect().toSet
+
+    val input = MemoryStream[(Long, Double)]
+    def writer() = StreamingSink.manifestAppendSink(input.toDF().toDF("k", "v"), table, ckpt)
+
+    input.addData((1L, 10.0), (2L, 20.0))
+    writer().start().awaitTermination()
+    assert(state() == Set((1L, 10.0), (2L, 20.0)))
+    val v1Files = files("data_v=1")
+
+    input.addData((3L, 30.0))
+    writer().start().awaitTermination()
+    assert(state() == Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    // the O(delta) property holds under streaming commits too: the
+    // second batch's append left batch 1's data files untouched
+    assert(files("data_v=1") == v1Files, "streaming append rewrote a committed batch")
+    assert(fs.exists(new Path(s"$table/m=1.txt")) && fs.exists(new Path(s"$table/m=2.txt")))
+    // earlier stream positions stay time-travelable
+    assert(
+      graft.sources.Formats.readManifestVersion(spark, table, 1L).as[(Long, Double)].collect().toSet ==
+        Set((1L, 10.0), (2L, 20.0))
+    )
+
+    // restart from the same checkpoint with no new data: no re-append
+    writer().start().awaitTermination()
+    assert(state() == Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    assert(!fs.exists(new Path(s"$table/m=3.txt")), "restart re-committed a version")
+  }
+
   test("a stale marker from a DIFFERENT checkpoint does not suppress the write") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
