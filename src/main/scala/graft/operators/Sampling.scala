@@ -596,11 +596,21 @@ object Sampling {
     * per-language top-k — the oracle computes the naive window
     * definition and the hash must match.
     */
-  def c64QualityTopFrac(spark: SparkSession, sfDir: String): DataFrame = {
+  def c64QualityTopFrac(spark: SparkSession, sfDir: String): DataFrame =
+    c64QualityTopFracFrom(
+      graft.operators.TextAnalysis
+        .qualityScored(Tables.documents(spark, sfDir).select(col("doc_id"), col("text"), col("lang")))
+        .select(col("doc_id"), col("lang"), col("quality_score"))
+    )
+
+  /** The two-phase selection over any (doc_id, lang, quality_score)
+    * frame — split out so randomized trials can drive it with scores
+    * planted ON bucket boundaries and langs whose k_l hits every
+    * rounding case.
+    */
+  def c64QualityTopFracFrom(input: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = graft.operators.TextAnalysis
-      .qualityScored(Tables.documents(spark, sfDir).select(col("doc_id"), col("text"), col("lang")))
-      .select(col("doc_id"), col("lang"), col("quality_score"))
+    val scored = input
       .withColumn("b", floor(col("quality_score") * QBuckets).cast("long"))
       .localCheckpoint()
     val counts = scored.groupBy(col("lang"), col("b")).agg(count(lit(1)).as("cnt"))

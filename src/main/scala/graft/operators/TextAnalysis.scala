@@ -837,15 +837,24 @@ object TextAnalysis {
     * aggregated-away NULLs from data NULLs, token counting is row-local
     * BEFORE the Expand so text never rides an exchange (plan-asserted).
     */
-  def c62DatasetCard(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables
-      .documents(spark, sfDir)
-      .select(
-        col("source"),
-        col("lang"),
-        size(tokens(col("text"))).cast("long").as("nt"),
-        col("n_chars")
-      )
+  def c62DatasetCard(spark: SparkSession, sfDir: String): DataFrame =
+    c62DatasetCardFrom(
+      Tables
+        .documents(spark, sfDir)
+        .select(
+          col("source"),
+          col("lang"),
+          size(tokens(col("text"))).cast("long").as("nt"),
+          col("n_chars")
+        )
+    )
+
+  /** The grouping-sets card over any (source, lang, nt, n_chars) frame
+    * — split out so the spec can plant a DATA-null lang (absent from
+    * the gate corpus) and prove the GROUPING() markers separate it
+    * from the aggregated-away NULLs of the rollup rows.
+    */
+  def c62DatasetCardFrom(base: DataFrame): DataFrame = {
     base
       .groupingSets(
         Seq(Seq(col("source"), col("lang")), Seq(col("source")), Seq(col("lang")), Seq()),

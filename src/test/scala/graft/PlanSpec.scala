@@ -980,6 +980,115 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("c64: randomized trials — two-phase selection ≡ naive window, boundary ties and rounding cases planted") {
+    import spark.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 7919)
+      val langs = Seq("aa", "bb", "cc", "dd")
+      // scores drawn from a grid that INCLUDES exact bucket edges
+      // (k/1024) and duplicated values — the tie cases the threshold
+      // logic must not double-count; lang sizes hit every k_l rounding
+      // residue (n mod 10 ∈ 0..9)
+      val rows = (0 until 500).map { i =>
+        val q =
+          if (rnd.nextBoolean()) rnd.nextInt(Sampling.QBuckets + 1).toDouble / Sampling.QBuckets
+          else math.rint(rnd.nextDouble() * 10000) / 10000.0
+        (i.toLong, langs(rnd.nextInt(langs.length)), q)
+      } ++ (500 until 507).map(i => (i.toLong, "ee", 0.5)) // tiny lang, all tied
+      val got = Sampling
+        .c64QualityTopFracFrom(rows.toDF("doc_id", "lang", "quality_score"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val want = rows
+        .groupBy(_._2)
+        .toSeq
+        .flatMap { case (_, vs) =>
+          val k = (vs.length * Sampling.QTopNum + Sampling.QTopDen - 1) / Sampling.QTopDen
+          vs.sortBy { case (id, _, q) => (-q, id) }.take(k).map { case (id, l, q) => (l, id, q) }
+        }
+        .toSet
+      assert(got == want, s"seed $seed diverged from the naive window definition")
+    }
+  }
+
+  test("c59: randomized trials — containment verdicts ≡ brute force over random shingle sets") {
+    import spark.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 104729)
+      // random sets over a small hash universe so overlaps are common;
+      // sizes from 1..40 so the small/big tie-break and the threshold
+      // integer math see many configurations
+      val sets = (0 until 60).map { id =>
+        val n = 1 + rnd.nextInt(40)
+        id.toLong -> Iterator.continually(rnd.nextInt(120).toLong).take(n * 2).toSet.take(n)
+      }
+      val df = sets.flatMap { case (id, hs) => hs.map(h => (id, h)) }.toDF("doc_id", "h")
+      val got = TextDedup
+        .c59ContainmentFrom(df)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+        .toMap
+      val want = (for {
+        (a, ha) <- sets.iterator
+        (b, hb) <- sets.iterator if a < b
+        common = (ha & hb).size
+        small = math.min(ha.size, hb.size)
+        if common * TextDedup.ContainDen >= small * TextDedup.ContainNum
+      } yield {
+        val (ds, dbg, ns, nb) =
+          if (ha.size <= hb.size) (a, b, ha.size.toLong, hb.size.toLong)
+          else (b, a, hb.size.toLong, ha.size.toLong)
+        (ds, dbg) -> ((ns, nb, common.toLong, common.toDouble / small))
+      }).toMap
+      assert(got == want, s"seed $seed diverged from brute-force containment")
+    }
+  }
+
+  test("b41: randomized trials — spine covers exactly [min,max] months with zero-fill on random gap patterns") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 31337)
+      val months = (0 until 36).filter(_ => rnd.nextBoolean())
+      val chosen = if (months.isEmpty) Seq(0) else months
+      val orders = chosen.flatMap { m =>
+        (0 until 1 + rnd.nextInt(3)).map { _ =>
+          (f"${2000 + m / 12}-${m % 12 + 1}%02d-${1 + rnd.nextInt(28)}%02d 00:00:00",
+            (1 + rnd.nextInt(1000)).toDouble)
+        }
+      }
+      orders
+        .toDF("d", "o_totalprice")
+        .select(col("d").cast("timestamp_ntz").as("o_orderdate"), col("o_totalprice"))
+        .createOrReplaceTempView("orders_b41_rand")
+      val got = spark
+        .sql(GraftSql.b41SqlOn("orders_b41_rand"))
+        .collect()
+        .map { r =>
+          val m = r.get(0) match {
+            case t: java.sql.Timestamp => t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+            case d: java.time.LocalDateTime => d.toLocalDate
+          }
+          m -> ((r.getLong(1), r.getDouble(2)))
+        }
+        .toMap
+      val byMonth = orders
+        .groupBy(o => java.time.LocalDate.parse(o._1.take(10)).withDayOfMonth(1))
+        .view
+        .mapValues(vs => (vs.size.toLong, vs.map(o => BigDecimal(o._2).setScale(2)).sum.toDouble))
+        .toMap
+      val lo = byMonth.keys.min
+      val hi = byMonth.keys.max
+      val want = Iterator
+        .iterate(lo)(_.plusMonths(1))
+        .takeWhile(!_.isAfter(hi))
+        .map(m => m -> byMonth.getOrElse(m, (0L, 0.0)))
+        .toMap
+      assert(got == want, s"seed $seed: spine diverged on a random gap pattern")
+    }
+  }
+
   test("c63: k-anon suppression — no released cell under k, totals preserved, re-derived") {
     import org.apache.spark.sql.functions.col
     val df = Sampling.c63KanonReport(spark, sf0001)
@@ -2705,6 +2814,31 @@ class PlanSpec extends SparkSpec {
         ((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
     }.toMap
     assert(got == want.toMap)
+  }
+
+  test("c62: GROUPING() markers separate a planted data-NULL lang from the aggregated-away NULLs") {
+    import spark.implicits._
+    // two docs with lang = NULL, one with 'en' — without the markers,
+    // the (src, NULL) cell row and the (src) rollup row are identical
+    // tuples; the markers are the only disambiguation (the BI contract
+    // b40/c62 exist to honor)
+    val base = Seq(
+      ("s1", Some("en"), 10L, 100L),
+      ("s1", None, 5L, 50L),
+      ("s1", None, 7L, 70L)
+    ).toDF("source", "lang", "nt", "n_chars")
+    val rows = TextAnalysis
+      .c62DatasetCardFrom(base)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)) -> ((r.getLong(4), r.getLong(5))))
+      .toMap
+    // the DATA-null cell: lang NULL but g_lang = 0 (lang was grouped ON)
+    assert(rows(("s1", null, 0L, 0L)) == ((2L, 12L)))
+    // the rollup row: lang NULL because aggregated away — g_lang = 1
+    assert(rows(("s1", null, 0L, 1L)) == ((3L, 22L)))
+    // both NULL-lang rows coexist, distinguished ONLY by the marker
+    assert(rows(("s1", "en", 0L, 0L)) == ((1L, 10L)))
+    assert(rows((null, null, 1L, 1L)) == ((3L, 22L)))
   }
 
   test("c61: kNN graph — probe heaps on the native top-k, keyed list join, graph re-derived exactly") {
