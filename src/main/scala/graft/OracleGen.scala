@@ -565,6 +565,46 @@ object OracleGen {
   /** c39 = the best-centroid cosine per vector (c35's assignment CTE
     * keeping the winning cos) + the outlier flag.
     */
+  /** c69 = the seeded assignment (c35's CTE, labels carried through)
+    * re-aggregated to per-list label purity; the majority vote breaks
+    * count ties to the LOWEST label, mirrored in both engines.
+    */
+  val c69ClusterPurity: String = {
+    import graft.operators.VectorOps.SemLists
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v, label FROM embeddings),
+       |nm AS (SELECT vec_id, label, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),
+       |cent AS (SELECT vec_id AS cid, vn AS cv FROM nm WHERE vec_id < $SemLists),
+       |asgr AS (SELECT n.vec_id, n.label, c.cid,
+       |  ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.vn, c.cv) DESC, c.cid) rn
+       |  FROM nm n CROSS JOIN cent c),
+       |asg AS (SELECT vec_id, label, cid AS list_id FROM asgr WHERE rn = 1),
+       |cl AS (SELECT list_id, label, COUNT(*) AS c FROM asg GROUP BY 1, 2),
+       |sel AS (SELECT list_id, label, c, ROW_NUMBER() OVER (PARTITION BY list_id ORDER BY c DESC, label) rn FROM cl),
+       |t AS (SELECT list_id, CAST(SUM(c) AS BIGINT) AS n_vectors FROM cl GROUP BY 1)
+       |SELECT CAST(t.list_id AS BIGINT) AS list_id, t.n_vectors,
+       |  CAST(s.label AS BIGINT) AS majority_label, CAST(s.c AS BIGINT) AS n_majority,
+       |  CAST(s.c AS DOUBLE) / t.n_vectors AS purity
+       |FROM t JOIN (SELECT * FROM sel WHERE rn = 1) s USING (list_id)""".stripMargin
+  }
+
+  /** c70 = the int8 max-abs quantization recomputed per vector: both
+    * `x * 127` and the division are single correctly-rounded IEEE ops
+    * in the same association both engines, so floor() agrees exactly.
+    */
+  val c70EmbeddingQuant: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+      |q AS (SELECT vec_id, maxabs,
+      |  CASE WHEN maxabs = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+      |       ELSE list_transform(v, x -> CAST(floor(x * 127 / maxabs) AS BIGINT)) END AS codes
+      |FROM m)
+      |SELECT vec_id, maxabs,
+      |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+      |  CAST(list_min(codes) AS BIGINT) AS code_min,
+      |  CAST(list_max(codes) AS BIGINT) AS code_max,
+      |  CAST(len(list_filter(codes, c -> c = 0)) AS BIGINT) AS n_zero_codes
+      |FROM q""".stripMargin
+
   val c39EmbeddingOutliers: String = {
     import graft.operators.VectorOps.{SemLists, OutlierCosFloor}
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),

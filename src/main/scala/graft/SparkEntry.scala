@@ -152,7 +152,15 @@ object SparkEntry {
     "c63_kanon_report" -> (Sampling.c63KanonReport _),
     "c64_quality_topfrac" -> (Sampling.c64QualityTopFrac _),
     "c65_doc_embedding" -> (VectorOps.c65DocEmbedding _),
-    "b42_lateral_agg" -> (GraftSql.b42LateralAgg _)
+    "b42_lateral_agg" -> (GraftSql.b42LateralAgg _),
+    "b43_ntile" -> (Relational.b43Ntile _),
+    "b44_value_windows" -> (Relational.b44ValueWindows _),
+    "b45_listagg" -> (Relational.b45Listagg _),
+    "c66_gopher_signals" -> (TextAnalysis.c66GopherSignals _),
+    "c67_mojibake" -> (TextAnalysis.c67Mojibake _),
+    "c68_prefix_dedup" -> (TextDedup.c68PrefixDedup _),
+    "c69_cluster_purity" -> (VectorOps.c69ClusterPurity _),
+    "c70_embedding_quant" -> (VectorOps.c70EmbeddingQuant _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -395,6 +403,31 @@ object SparkEntry {
         |  CAST(epoch(o_orderdate) - epoch(lag(o_orderdate) OVER w) AS BIGINT) AS gap_seconds
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    // NTILE's declarative definition; the Spark side computes the same
+    // tile from a two-phase distributed rank (no whole-priority sort)
+    "b43_ntile" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(NTILE(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+        |FROM orders""".stripMargin,
+    "b44_value_windows" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_orderkey,
+        |  FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_orderkey,
+        |  LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS latest_orderkey,
+        |  NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_orderkey
+        |FROM orders""".stripMargin,
+    // ordered LISTAGG over the rank-bounded frame — the string order is
+    // part of the contract, so the ORDER BY lives inside the aggregate
+    "b45_listagg" ->
+      """WITH top AS (
+        |  SELECT n_name, s_suppkey, s_name, s_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey) AS rn
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT n_name, COUNT(*) AS n_top,
+        |  string_agg(s_name, ',' ORDER BY s_acctbal DESC, s_suppkey) AS top_names,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_top_bal
+        |FROM top WHERE rn <= 5
+        |GROUP BY n_name""".stripMargin,
     "b6_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -447,6 +480,53 @@ object SparkEntry {
     "c1_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    // word-length mean = exact long sum / exact count, divided ONCE in
+    // double — identical in both engines; every other column is integer
+    "c66_gopher_signals" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_unique_words,
+        |  CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_word_chars,
+        |  CAST(list_max(list_transform(w, x -> length(x))) AS BIGINT) AS max_word_len,
+        |  CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+        |  CAST(len(list_filter(w, x -> regexp_matches(x, '^[0-9]+$$'))) AS BIGINT) AS n_numeric_words,
+        |  CAST(len(list_filter(w, x -> regexp_matches(x, '^[A-Z]'))) AS BIGINT) AS n_cap_words
+        |FROM d)
+        |SELECT doc_id, n_words, n_unique_words, max_word_len, n_alpha_words, n_numeric_words, n_cap_words,
+        |  CAST(sum_word_chars AS DOUBLE) / n_words AS mean_word_len,
+        |  CAST(n_unique_words AS DOUBLE) / n_words AS unique_ratio,
+        |  (n_words < ${TextAnalysis.GopherMinWords}
+        |    OR CAST(sum_word_chars AS DOUBLE) / n_words < ${TextAnalysis.GopherMinMeanWordLen}
+        |    OR CAST(sum_word_chars AS DOUBLE) / n_words > ${TextAnalysis.GopherMaxMeanWordLen}
+        |    OR CAST(n_unique_words AS DOUBLE) / n_words < ${TextAnalysis.GopherMinUniqueRatio}) AS gopher_flagged
+        |FROM m""".stripMargin,
+    // U+FFFD embedded as a literal char in both engines' expressions;
+    // counts are length arithmetic (exact), the one ratio divides two
+    // exact longs in double
+    "c67_mojibake" ->
+      s"""SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(regexp_replace(text, '[^ -~]', '', 'g')) AS BIGINT) AS n_ascii_printable,
+        |  CAST(length(text) - length(regexp_replace(text, '�', '', 'g')) AS BIGINT) AS n_replacement,
+        |  CAST(length(text) - length(regexp_replace(text, '[\\x00-\\x1f]', '', 'g')) AS BIGINT) AS n_control,
+        |  CAST(len(regexp_extract_all(text, 'Ã.')) AS BIGINT) AS n_mojibake,
+        |  CASE WHEN length(text) = 0 THEN 1.0
+        |       ELSE CAST(length(regexp_replace(text, '[^ -~]', '', 'g')) AS DOUBLE) / length(text) END AS ascii_ratio,
+        |  (length(text) - length(regexp_replace(text, '�', '', 'g')) > 0
+        |    OR length(text) - length(regexp_replace(text, '[\\x00-\\x1f]', '', 'g')) > 0
+        |    OR len(regexp_extract_all(text, 'Ã.')) > 0
+        |    OR (CASE WHEN length(text) = 0 THEN 1.0
+        |             ELSE CAST(length(regexp_replace(text, '[^ -~]', '', 'g')) AS DOUBLE) / length(text) END)
+        |       < ${TextAnalysis.MojibakeMinAsciiRatio}) AS encoding_suspect
+        |FROM documents""".stripMargin,
+    "c68_prefix_dedup" ->
+      s"""WITH d AS (SELECT doc_id, md5(text) AS full_md5,
+        |  md5(array_to_string(list_slice(string_split(text, ' '), 1, ${TextDedup.HeadTokens}), ' ')) AS head_md5
+        |FROM documents)
+        |SELECT head_md5, COUNT(*) AS n_docs, COUNT(DISTINCT full_md5) AS n_variants, MIN(doc_id) AS keep_doc_id
+        |FROM d GROUP BY head_md5
+        |HAVING COUNT(*) >= 2 AND COUNT(DISTINCT full_md5) >= 2""".stripMargin,
     "c2_dedup_ngram_jaccard" -> OracleGen.c2NgramJaccard,
     "c3_dedup_minhash_lsh" -> OracleGen.c3MinHashLsh,
     "c4_dedup_simhash" -> OracleGen.c4SimHash,
@@ -458,6 +538,8 @@ object SparkEntry {
     "c18_ann_ivf" -> OracleGen.c18AnnIvf,
     "c35_semdedup" -> OracleGen.c35SemDedup,
     "c39_embedding_outliers" -> OracleGen.c39EmbeddingOutliers,
+    "c69_cluster_purity" -> OracleGen.c69ClusterPurity,
+    "c70_embedding_quant" -> OracleGen.c70EmbeddingQuant,
     "c29_ann_pq" -> OracleGen.c29AnnPq,
     // adjudicated zero-miss vs the exact top-5 at both test SFs → the
     // exact oracle applies (see OracleGen.c7AnnLsh)

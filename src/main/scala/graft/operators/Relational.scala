@@ -494,6 +494,143 @@ object Relational {
       .groupBy(col("c_count"))
       .agg(count(lit(1)).as("custdist"))
 
+  /** B43: distributed NTILE — quartile assignment per order within its
+    * priority class WITHOUT the global per-partition sort NTILE normally
+    * costs. `ntile(4) OVER (PARTITION BY priority ORDER BY price, key)`
+    * has 5 partition values, so the declarative window serializes the
+    * whole orders table into 5 sort tasks — the b5 anti-pattern, and
+    * unlike rank-≤-k there is no prune: every row gets a tile. Instead
+    * the exact two-phase rank (b9/c64's shape generalized to FULL rank):
+    * coarse price buckets (monotone in the order-by, ties stay inside
+    * one bucket), per-(priority, bucket) counts → tiny cumulative-offset
+    * frame (rows ∝ buckets), global rank = broadcast offset + in-bucket
+    * row_number (each bucket sorts in parallel), then the tile is pure
+    * integer arithmetic on (rank, n) — NTILE's definition: the first
+    * n mod t tiles hold ceil(n/t) rows, the rest floor(n/t). Provably
+    * equal to the naive window (randomized trials in OperatorsSpec cover
+    * every n mod t case incl. n < t).
+    */
+  def b43Ntile(spark: SparkSession, sfDir: String): DataFrame =
+    b43NtileFrom(
+      Tables
+        .orders(spark, sfDir)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+      tiles = 4
+    )
+
+  /** The two-phase NTILE over any (o_orderpriority, o_orderkey,
+    * o_totalprice) frame — split out so randomized trials can drive it
+    * with planted group sizes hitting every n mod tiles case.
+    */
+  def b43NtileFrom(input: DataFrame, tiles: Int): DataFrame = {
+    require(tiles >= 1, s"tiles must be >= 1, got $tiles")
+    // bucket is monotone in o_totalprice: cross-bucket order refines the
+    // order-by, in-bucket ties resolve by the row_number below
+    val rows = input.withColumn("bkt", floor(col("o_totalprice") / 1000.0).cast("long"))
+    val counts = rows.groupBy(col("o_orderpriority"), col("bkt")).agg(count(lit(1)).as("cnt"))
+    // offsets + group totals over the AGGREGATED bucket frame (rows ∝
+    // distinct buckets, not orders) — the only windows over a
+    // low-cardinality partition key run here, on the tiny frame
+    val wOff = Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("o_orderpriority"))
+    val offsets = counts
+      .withColumn("offset", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .select(col("o_orderpriority"), col("bkt"), col("offset"), col("n"))
+    // in-bucket rank in parallel; offset + rn = exact global rank
+    val wb = Window
+      .partitionBy(col("o_orderpriority"), col("bkt"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    // NTILE definition in pure integer arithmetic on (global rank, n):
+    // tiles 1..(n mod t) hold (n DIV t)+1 rows, the rest n DIV t. The
+    // ELSE division is unreachable when n DIV t = 0 (then the WHEN spans
+    // all n rows) — CASE short-circuits, so no division by zero fires.
+    val tile = expr(
+      s"""CASE WHEN grn <= (n % $tiles) * (n DIV $tiles + 1)
+         |     THEN (grn + (n DIV $tiles)) DIV (n DIV $tiles + 1)
+         |     ELSE (n % $tiles) + (grn - (n % $tiles) * (n DIV $tiles + 1) + (n DIV $tiles) - 1) DIV (n DIV $tiles)
+         |END""".stripMargin
+    )
+    rows
+      .join(broadcast(offsets), Seq("o_orderpriority", "bkt"))
+      .withColumn("grn", col("offset") + row_number().over(wb))
+      .withColumn("quartile", tile.cast("long"))
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("quartile"))
+  }
+
+  /** B44: value-window battery — LEAD / FIRST_VALUE / LAST_VALUE /
+    * NTH_VALUE over each customer's order history, completing the
+    * navigation-function family (b22 covered LAG). All four share ONE
+    * partition spec (o_custkey — high cardinality, parallelism grows
+    * with customers) and ONE ordering, so Catalyst plans a single sort
+    * feeding every frame; the unbounded-following frames only ever span
+    * one customer's bounded history. first/next are bigint keys — no
+    * float leaves the window.
+    */
+  def b44ValueWindows(spark: SparkSession, sfDir: String): DataFrame =
+    b44ValueWindowsFrom(
+      Tables.orders(spark, sfDir).select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    )
+
+  /** The window battery over any (o_custkey, o_orderkey, o_orderdate)
+    * frame — split out so the spec can plant a single-order customer
+    * (all three null branches) that the gate corpus lacks.
+    */
+  def b44ValueWindowsFrom(input: DataFrame): DataFrame = {
+    val ord = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    input
+      .withColumn("next_orderkey", lead(col("o_orderkey"), 1).over(ord))
+      .withColumn(
+        "first_orderkey",
+        first(col("o_orderkey")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      )
+      .withColumn("latest_orderkey", last(col("o_orderkey")).over(full))
+      .withColumn("second_orderkey", nth_value(col("o_orderkey"), 2).over(full))
+  }
+
+  /** B45: bounded ordered LISTAGG — each nation's top-5 suppliers by
+    * account balance as ONE ordered comma-joined string (the
+    * string_agg/LISTAGG surface). Unbounded listagg is output-∝-group —
+    * a group's payload grows with the corpus, the one aggregate that
+    * can never stream at 100 TB — so the operator bounds it FIRST: the
+    * native TopKPerKey (bounded heaps, no per-nation sort) admits ≤ 5
+    * rows per key, and only that bounded frame pays collect_list. Order
+    * inside the string is imposed by array_sort on a (−acctbal,
+    * suppkey) struct — collect_list order is partition-nondeterministic
+    * and must never reach the output.
+    */
+  def b45Listagg(spark: SparkSession, sfDir: String): DataFrame = {
+    val sup = Tables
+      .supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("s_suppkey"), col("s_name"), col("s_acctbal"))
+    val top = graft.plans.TopKPerKey.topKPerKey(
+      sup,
+      keyCols = Seq("n_name"),
+      orderBy = Seq(("s_acctbal", false), ("s_suppkey", true)),
+      k = 5
+    )
+    top
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_top"),
+        array_join(
+          transform(
+            array_sort(
+              collect_list(struct(negate(col("s_acctbal")).as("nb"), col("s_suppkey").as("sk"), col("s_name").as("nm")))
+            ),
+            x => x.getField("nm")
+          ),
+          ","
+        ).as("top_names"),
+        moneySum(col("s_acctbal")).as("sum_top_bal")
+      )
+  }
+
   /** B16: Q14-style promo revenue share — lineitem⋈part with a
     * conditional decimal aggregate, closing the star schema (the one
     * table no other query touched). Scale: the shipdate filter prunes

@@ -870,4 +870,125 @@ object TextAnalysis {
         count(when(col("nt") < ShortDocTokens, 1)).as("n_short_docs")
       )
   }
+
+  /** C66: extended Gopher-style quality-signal battery (Rae et al. 2021
+    * arXiv:2112.11446 §A1.1 repetition/quality rules; the per-word
+    * signals c9's score does not cover): unique-word ratio, mean/max
+    * word length, alphabetic / numeric / capitalized word counts, and
+    * the composite rule flag a Gopher-style filter cuts on. Everything
+    * is integer counts from ONE token split folded row-locally (the
+    * word-length sum is an exact long fold — a float mean over words
+    * would be addition-order-dependent; dividing two exact longs once
+    * in double is engine-identical), so the whole battery is a
+    * zero-shuffle projection: at 100 TB this is an embarrassingly
+    * parallel scan, same posture as c9/c27.
+    */
+  def c66GopherSignals(spark: SparkSession, sfDir: String): DataFrame =
+    c66GopherSignalsFrom(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+
+  /** The battery over any (doc_id, text) frame — split out so the spec
+    * can plant docs firing each rule branch (the gate corpus is clean).
+    */
+  def c66GopherSignalsFrom(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", tokens(col("text")))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("n_unique_words", size(array_distinct(col("w"))).cast("long"))
+      .withColumn(
+        "sum_word_chars",
+        aggregate(col("w"), lit(0L), (acc, x) => acc + length(x).cast("long"))
+      )
+      .withColumn("max_word_len", array_max(transform(col("w"), x => length(x))).cast("long"))
+      .withColumn(
+        "n_alpha_words",
+        size(filter(col("w"), x => x.rlike("[A-Za-z]"))).cast("long")
+      )
+      .withColumn(
+        "n_numeric_words",
+        size(filter(col("w"), x => x.rlike("^[0-9]+$"))).cast("long")
+      )
+      .withColumn(
+        "n_cap_words",
+        size(filter(col("w"), x => x.rlike("^[A-Z]"))).cast("long")
+      )
+      .withColumn("mean_word_len", col("sum_word_chars").cast("double") / col("n_words"))
+      .withColumn("unique_ratio", col("n_unique_words").cast("double") / col("n_words"))
+      .withColumn(
+        "gopher_flagged",
+        col("n_words") < GopherMinWords ||
+          col("mean_word_len") < GopherMinMeanWordLen ||
+          col("mean_word_len") > GopherMaxMeanWordLen ||
+          col("unique_ratio") < GopherMinUniqueRatio
+      )
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        col("n_unique_words"),
+        col("max_word_len"),
+        col("n_alpha_words"),
+        col("n_numeric_words"),
+        col("n_cap_words"),
+        col("mean_word_len"),
+        col("unique_ratio"),
+        col("gopher_flagged")
+      )
+
+  /** Gopher-rule thresholds (arXiv:2112.11446 §A1.1 adapted to the
+    * single-line test corpus): documents shorter than 50 words, mean
+    * word length outside [3, 10], or with fewer than half the words
+    * unique get the flag. Comparisons on exactly-computed values —
+    * the flag is a boolean, no float crosses the gate.
+    */
+  val GopherMinWords = 50L
+  val GopherMinMeanWordLen = 3.0
+  val GopherMaxMeanWordLen = 10.0
+  val GopherMinUniqueRatio = 0.5
+
+  /** C67: encoding-anomaly (mojibake) detection — the ingest-side
+    * corruption screen a web corpus runs before any text signal is
+    * trusted: U+FFFD replacement characters (a decoder already gave
+    * up), control bytes, the `Ã·`-style UTF-8-read-as-Latin-1
+    * signature, and the printable-ASCII share. All row-local string
+    * ops (regexp counts + length arithmetic — exact integers; the one
+    * ratio divides two exact longs in double), zero shuffle: the scan
+    * IS the operator, c66's posture. The suspect flag is the
+    * conjunction a curation mix would actually cut on.
+    */
+  def c67Mojibake(spark: SparkSession, sfDir: String): DataFrame =
+    c67MojibakeFrom(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+
+  /** The screen over any (doc_id, text) frame — split out so the spec
+    * can plant corrupted docs (replacement chars, control bytes,
+    * Latin-1 mojibake) the gate corpus lacks.
+    */
+  def c67MojibakeFrom(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn(
+        "n_ascii_printable",
+        length(regexp_replace(col("text"), "[^ -~]", "")).cast("long")
+      )
+      .withColumn(
+        "n_replacement",
+        (length(col("text")) - length(regexp_replace(col("text"), "�", ""))).cast("long")
+      )
+      .withColumn("n_control", (length(col("text")) - length(regexp_replace(col("text"), "[\\x00-\\x1f]", ""))).cast("long"))
+      .withColumn("n_mojibake", regexp_count(col("text"), lit("Ã.")).cast("long"))
+      .withColumn(
+        "ascii_ratio",
+        when(col("n_chars") === 0, lit(1.0))
+          .otherwise(col("n_ascii_printable").cast("double") / col("n_chars"))
+      )
+      .withColumn(
+        "encoding_suspect",
+        col("n_replacement") > 0 || col("n_control") > 0 || col("n_mojibake") > 0 ||
+          col("ascii_ratio") < MojibakeMinAsciiRatio
+      )
+      .drop("text")
+
+  /** Below this printable-ASCII share an (English-leaning) doc is more
+    * binary/mis-decoded than text. Non-ASCII languages would tune this
+    * per-lang; the flag composes ORs so a zero threshold disables it.
+    */
+  val MojibakeMinAsciiRatio = 0.6
 }

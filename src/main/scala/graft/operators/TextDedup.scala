@@ -446,4 +446,47 @@ object TextDedup {
       .filter(col("hamming") <= HammingMax)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** Head fingerprint width for c68 — long enough that coincidental
+    * prefix collisions are ~impossible in natural text, short enough
+    * that a truncated mirror still shares it.
+    */
+  val HeadTokens = 16
+
+  /** C68: prefix (head) dedup — the truncation/expansion family member
+    * of the dedup matrix: a scraped page re-crawled with more (or
+    * fewer) paragraphs, a feed item vs its full article, a doc cut at
+    * a context limit. Whole-doc hashing (c1) calls these distinct;
+    * symmetric Jaccard (c2/c3) misses them when the tails diverge
+    * enough; containment (c59) finds quotation but pays the shingle
+    * index. The head fingerprint — md5 of the first [[HeadTokens]]
+    * tokens — is O(1) per doc: groups sharing a head but with ≥ 2
+    * distinct FULL texts are truncation families (exact-copy groups
+    * have one full hash and are c1's business, so they are excluded
+    * here). Scale: one shuffle of (head_md5, full_md5, doc_id) triples
+    * — text never rides the exchange; map-side combine applies; output
+    * ∝ duplication.
+    */
+  def c68PrefixDedup(spark: SparkSession, sfDir: String): DataFrame =
+    c68PrefixDedupFrom(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+
+  /** The family detector over any (doc_id, text) frame — split out so
+    * the spec can plant an exact-copy-only head group (the gate corpus
+    * has truncation families but no exact dups) and prove the HAVING
+    * excludes it.
+    */
+  def c68PrefixDedupFrom(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        md5(array_join(slice(tokens(col("text")), 1, HeadTokens), " ")).as("head_md5"),
+        md5(col("text")).as("full_md5"),
+        col("doc_id")
+      )
+      .groupBy(col("head_md5"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("full_md5")).as("n_variants"),
+        min(col("doc_id")).as("keep_doc_id")
+      )
+      .filter(col("n_docs") >= 2 && col("n_variants") >= 2)
 }

@@ -1122,4 +1122,82 @@ object VectorOps {
       5
     )
   }
+
+  /** C69: cluster label purity — per seeded-IVF list: vector count,
+    * majority label, and the majority share. The standard clustering
+    * diagnostic (does the embedding space actually separate the
+    * labels?) and the health check a SemDeDup/IVF deployment reads
+    * before trusting cluster-scoped pruning. Same deterministic
+    * broadcast-argmax assignment as c18/c35/c39 (hash-exact against
+    * the oracle); ONE corpus-sized keyed aggregate with map-side
+    * combine (k rows per vector fold to 1 before the exchange), then
+    * the majority vote runs over the (list × label) frame — rows ∝
+    * clusters × labels, not corpus. Purity divides two exact longs
+    * once in double.
+    */
+  def c69ClusterPurity(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables
+      .embeddings(spark, sfDir)
+      .select(
+        col("vec_id"),
+        col("label"),
+        arrayNormalize(transform(col("embedding"), _.cast("double"))).as("vn")
+      )
+    val cent = e
+      .filter(col("vec_id") < SemLists)
+      .select(col("vec_id").as("cid"), col("vn").as("cv"))
+    val asg = e
+      .crossJoin(broadcast(cent))
+      .withColumn("cos_c", arrayDot(col("vn"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(struct(col("cos_c"), (-col("cid")).as("ncid"))).as("best"),
+        first(col("label")).as("label")
+      )
+      .select(col("vec_id"), (-col("best.ncid")).as("list_id"), col("label"))
+    val cl = asg.groupBy(col("list_id"), col("label")).agg(count(lit(1)).as("c"))
+    cl
+      .groupBy(col("list_id"))
+      .agg(
+        sum(col("c")).as("n_vectors"),
+        max(struct(col("c"), (-col("label")).cast("long").as("nl"))).as("best")
+      )
+      .select(
+        col("list_id").cast("long").as("list_id"),
+        col("n_vectors"),
+        (-col("best.nl")).as("majority_label"),
+        col("best.c").as("n_majority"),
+        (col("best.c").cast("double") / col("n_vectors")).as("purity")
+      )
+  }
+
+  /** C70: int8 max-abs embedding quantization report — the serving-side
+    * compression every vector index applies before shipping (8× smaller
+    * than float64, 4× than float32): per vector, the max-abs scale and
+    * the summary of `floor(x·127 / maxabs)` codes. Both ops are single
+    * correctly-rounded IEEE operations evaluated in the same order by
+    * any engine, so the codes are engine-exact (the c36/c37 exactness
+    * rule) and the gate hash-compares them; the per-dim reconstruction
+    * bound |x − code·maxabs/127| ≤ maxabs/127 is spec-asserted. Pure
+    * row-local projection — zero shuffle, c65's posture: quantizing
+    * 100 TB of vectors is an embarrassingly parallel map.
+    */
+  def c70EmbeddingQuant(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+      .withColumn(
+        "codes",
+        when(col("maxabs") === 0, transform(col("v"), _ => lit(0L)))
+          .otherwise(transform(col("v"), x => floor(x * lit(127.0) / col("maxabs")).cast("long")))
+      )
+      .select(
+        col("vec_id"),
+        col("maxabs"),
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"),
+        size(filter(col("codes"), _ === 0L)).cast("long").as("n_zero_codes")
+      )
 }

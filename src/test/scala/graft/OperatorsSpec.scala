@@ -495,4 +495,252 @@ class OperatorsSpec extends SparkSpec {
       "Scan ".r.findAllMatchIn(p.queryExecution.executedPlan.toString).size
     assert(nScans(df) == nScans(flagship))
   }
+
+  test("b43 distributed NTILE equals the declarative window (8 seeded trials incl. n <= tiles and heavy ties)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    (1 to 8).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val tiles = 2 + rnd.nextInt(5) // 2..6
+      // group 0 forces the n <= tiles edge (ELSE branch unreachable);
+      // the others sweep sizes so every n mod tiles residue occurs
+      val groups = (0 until 5).map { g =>
+        (s"p$g", if (g == 0) 1 + rnd.nextInt(tiles) else 1 + rnd.nextInt(60))
+      }
+      var id = 0L
+      val rows = groups.flatMap { case (p, n) =>
+        (0 until n).map { _ =>
+          id += 1
+          // coarse prices: many exact ties AND many bucket collisions,
+          // so in-bucket ranks and cross-bucket offsets both matter
+          (p, id, rnd.nextInt(8) * 997.0 + (if (rnd.nextBoolean()) 0.0 else rnd.nextInt(3) * 250.0))
+        }
+      }
+      val df = rows.toDF("o_orderpriority", "o_orderkey", "o_totalprice")
+      val got = Relational
+        .b43NtileFrom(df, tiles)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3))
+        .toMap
+      val w = Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val expected = df
+        .withColumn("quartile", ntile(tiles).over(w).cast("long"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3))
+        .toMap
+      assert(got == expected, s"seed=$seed tiles=$tiles: ${(expected.toSet -- got.toSet).take(3)}")
+    }
+  }
+
+  test("b44 value windows: navigation columns re-derived from each customer's ordered history") {
+    import spark.implicits._
+    // plant a single-order customer — the gate corpus has none, and it
+    // is the row where all three null/degenerate branches fire at once
+    val base = graft.sources.Tables
+      .orders(spark, sf0001)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    val planted = Seq((-1L, -10L, java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate")
+      .withColumn("o_orderdate", col("o_orderdate").cast(base.schema("o_orderdate").dataType))
+    val rows = Relational.b44ValueWindowsFrom(base.unionByName(planted)).collect()
+    val byCust = rows.groupBy(_.getLong(0))
+    def epoch(r: org.apache.spark.sql.Row): Long = r.get(2) match {
+      case t: java.sql.Timestamp => t.getTime
+      case t: java.time.LocalDateTime => t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case t: java.time.Instant => t.toEpochMilli
+    }
+    byCust.foreach { case (_, rs) =>
+      val ordered = rs.sortBy(r => (epoch(r), r.getLong(1)))
+      val keys = ordered.map(_.getLong(1))
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        def optKey(idx: Int): Option[Long] = if (r.isNullAt(idx)) None else Some(r.getLong(idx))
+        assert(optKey(3) == (if (i + 1 < keys.length) Some(keys(i + 1)) else None), "next_orderkey")
+        assert(r.getLong(4) == keys.head, "first_orderkey is the running first")
+        assert(r.getLong(5) == keys.last, "latest_orderkey spans the whole history")
+        assert(optKey(6) == keys.lift(1), "second_orderkey = NTH_VALUE(2) over the full frame")
+      }
+    }
+    assert(byCust.exists(_._2.length == 1), "single-order customers must exercise the null branches")
+  }
+
+  test("b45 listagg: top-5 string re-derived exactly; order imposed, never collect_list order") {
+    val got = Relational
+      .b45Listagg(spark, sf001)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2), r.getDouble(3))))
+      .toMap
+    val sup = graft.sources.Tables
+      .supplier(spark, sf001)
+      .join(graft.sources.Tables.nation(spark, sf001), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val expected = sup.groupBy(_._1).map { case (nation, xs) =>
+      val top = xs.sortBy(x => (-x._4, x._2)).take(5)
+      val sum = top.map(x => BigDecimal(x._4).setScale(2)).sum.toDouble
+      nation -> ((top.length.toLong, top.map(_._3).mkString(","), sum))
+    }
+    assert(got == expected)
+    assert(expected.values.exists(_._1 == 5L), "at least one nation must hit the k=5 bound")
+  }
+
+  test("c66 gopher signals: re-derived row-at-a-time; planted docs fire every rule branch") {
+    import spark.implicits._
+    val planted = Seq(
+      (-1L, "short doc"), // n_words rule
+      (-2L, "ab " * 59 + "ab"), // mean_word_len < 3 AND unique_ratio
+      (-3L, ("supercalifragilistic " * 59).trim), // mean_word_len > 10
+      (-4L, (1 to 60).map(i => f"word$i%03d").mkString(" ")) // clean: no rule fires (7-char words)
+    ).toDF("doc_id", "text")
+    val base = graft.sources.Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+    val rows = TextAnalysis.c66GopherSignalsFrom(base.unionByName(planted)).collect()
+    val texts = (base.collect().map(r => (r.getLong(0), r.getString(1))) ++
+      planted.collect().map(r => (r.getLong(0), r.getString(1)))).toMap
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val w = texts(r.getLong(0)).split(" ", -1)
+      val sumLen = w.map(_.length.toLong).sum
+      val mean = sumLen.toDouble / w.length
+      val uniq = w.distinct.length.toDouble / w.length
+      assert(r.getLong(1) == w.length.toLong, "n_words")
+      assert(r.getLong(2) == w.distinct.length.toLong, "n_unique_words")
+      assert(r.getLong(3) == w.map(_.length).max.toLong, "max_word_len")
+      assert(r.getLong(4) == w.count(_.exists(_.isLetter)).toLong, "n_alpha_words")
+      assert(r.getLong(5) == w.count(x => x.nonEmpty && x.forall(c => c >= '0' && c <= '9')).toLong, "n_numeric_words")
+      assert(r.getLong(6) == w.count(x => x.nonEmpty && x.head >= 'A' && x.head <= 'Z').toLong, "n_cap_words")
+      assert(r.getDouble(7) == mean, "mean_word_len")
+      assert(r.getDouble(8) == uniq, "unique_ratio")
+      val flag = w.length < TextAnalysis.GopherMinWords ||
+        mean < TextAnalysis.GopherMinMeanWordLen || mean > TextAnalysis.GopherMaxMeanWordLen ||
+        uniq < TextAnalysis.GopherMinUniqueRatio
+      assert(r.getBoolean(9) == flag, s"gopher_flagged for ${r.getLong(0)}")
+    }
+    val byId = rows.map(r => r.getLong(0) -> r.getBoolean(9)).toMap
+    assert(byId(-1L) && byId(-2L) && byId(-3L) && !byId(-4L), "planted branches")
+  }
+
+  test("c67 mojibake: re-derived row-at-a-time; planted corruption fires each detector") {
+    import spark.implicits._
+    val planted = Seq(
+      (-1L, "clean ascii text that is long enough to stay unflagged ok"),
+      (-2L, "broken � decode � here padding padding padding padding"), // replacement chars
+      (-3L, "control" + "\u0001" + "char doc padding padding padding padding padding p"), // control byte
+      (-4L, "latin1 mojibake cafÃ© style padding padding padding pad"), // Ã-pair signature
+      (-5L, "世界世界世界") // low ascii ratio
+    ).toDF("doc_id", "text")
+    val base = graft.sources.Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+    val rows = TextAnalysis.c67MojibakeFrom(base.unionByName(planted)).collect()
+    val texts = (base.collect().map(r => (r.getLong(0), r.getString(1))) ++
+      planted.collect().map(r => (r.getLong(0), r.getString(1)))).toMap
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val t = texts(r.getLong(0))
+      val nAscii = t.count(c => c >= ' ' && c <= '~').toLong
+      val nRepl = t.count(_ == '�').toLong
+      val nCtl = t.count(_ <= '\u001f').toLong
+      val nMoji = "Ã.".r.findAllIn(t).length.toLong
+      val ratio = if (t.isEmpty) 1.0 else nAscii.toDouble / t.length
+      assert(r.getLong(1) == t.length.toLong, "n_chars")
+      assert(r.getLong(2) == nAscii, "n_ascii_printable")
+      assert(r.getLong(3) == nRepl, "n_replacement")
+      assert(r.getLong(4) == nCtl, "n_control")
+      assert(r.getLong(5) == nMoji, s"n_mojibake for ${r.getLong(0)}")
+      assert(r.getDouble(6) == ratio, "ascii_ratio")
+      val suspect = nRepl > 0 || nCtl > 0 || nMoji > 0 || ratio < TextAnalysis.MojibakeMinAsciiRatio
+      assert(r.getBoolean(7) == suspect, s"encoding_suspect for ${r.getLong(0)}")
+    }
+    val byId = rows.map(r => r.getLong(0) -> r.getBoolean(7)).toMap
+    assert(!byId(-1L) && byId(-2L) && byId(-3L) && byId(-4L) && byId(-5L), "planted branches")
+  }
+
+  test("c68 prefix dedup: families re-derived; planted exact-copy-only group excluded") {
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // the gate corpus has truncation families but zero exact dups —
+    // plant an exact-copy pair (same head AND same full text) to prove
+    // the n_variants >= 2 clause excludes what is c1's business
+    val copyText = (1 to 40).map(i => s"copy$i").mkString(" ")
+    val planted = Seq((-1L, copyText), (-2L, copyText)).toDF("doc_id", "text")
+    val base = graft.sources.Tables.documents(spark, sf001).select(col("doc_id"), col("text"))
+    val docs = (base.collect().map(r => (r.getLong(0), r.getString(1))) ++
+      Seq((-1L, copyText), (-2L, copyText)))
+    val byHead = docs
+      .map { case (id, t) =>
+        (md5hex(t.split(" ", -1).take(TextDedup.HeadTokens).mkString(" ")), md5hex(t), id)
+      }
+      .groupBy(_._1)
+    val expected = byHead.collect {
+      case (hh, xs) if xs.length >= 2 && xs.map(_._2).distinct.length >= 2 =>
+        hh -> ((xs.length.toLong, xs.map(_._2).distinct.length.toLong, xs.map(_._3).min))
+    }
+    val got = TextDedup
+      .c68PrefixDedupFrom(base.unionByName(planted))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected.toMap)
+    assert(expected.nonEmpty, "gate data must contain truncation families")
+    val copyHead = md5hex(copyText.split(" ", -1).take(TextDedup.HeadTokens).mkString(" "))
+    assert(!got.contains(copyHead), "the exact-copy-only group must be excluded")
+  }
+
+  test("c69 cluster purity: majority vote re-derived from c39's assignment (same seeded quantizer)") {
+    // c39 emits the same (vec_id → list_id) assignment; folding labels
+    // over it in the JVM re-derives every c69 row in exact integer math
+    val asg = VectorOps
+      .c39EmbeddingOutliers(spark, sf0001)
+      .select(col("vec_id"), col("list_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = graft.sources.Tables
+      .embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .toMap
+    val expected = asg.groupBy(_._2).map { case (list, xs) =>
+      val byLabel = xs.groupBy(x => labels(x._1)).map { case (l, ys) => (l, ys.length) }
+      val (ml, mc) = byLabel.toSeq.minBy { case (l, c) => (-c, l) }
+      list -> ((xs.length.toLong, ml.toLong, mc.toLong, mc.toDouble / xs.length))
+    }
+    val got = VectorOps
+      .c69ClusterPurity(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got == expected)
+    assert(expected.values.map(_._1).sum == labels.size.toLong, "every vector lands in exactly one list")
+    assert(expected.values.exists(_._4 < 1.0), "gate data must contain an impure cluster")
+  }
+
+  test("c70 embedding quant: codes re-derived dim-by-dim; reconstruction bound holds") {
+    val vecs = graft.sources.Tables
+      .embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .toMap
+    val rows = VectorOps.c70EmbeddingQuant(spark, sf0001).collect()
+    assert(rows.length == vecs.size)
+    rows.foreach { r =>
+      val v = vecs(r.getLong(0))
+      val maxabs = v.map(math.abs).max
+      val codes =
+        if (maxabs == 0) v.map(_ => 0L)
+        else v.map(x => math.floor(x * 127.0 / maxabs).toLong)
+      assert(r.getDouble(1) == maxabs, "maxabs")
+      assert(r.getLong(2) == codes.sum, s"code_sum for ${r.getLong(0)}")
+      assert(r.getLong(3) == codes.min, "code_min")
+      assert(r.getLong(4) == codes.max, "code_max")
+      assert(r.getLong(5) == codes.count(_ == 0L).toLong, "n_zero_codes")
+      // the int8 contract: every code fits and reconstructs within one step
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      if (maxabs > 0) v.zip(codes).foreach { case (x, c) =>
+        assert(math.abs(x - c * maxabs / 127.0) <= maxabs / 127.0 + 1e-12)
+      }
+    }
+  }
 }
