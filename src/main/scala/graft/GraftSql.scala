@@ -714,6 +714,30 @@ object GraftSql {
   def b41RecursiveCte(spark: SparkSession, sfDir: String): DataFrame =
     sql(spark, sfDir, RecursiveSpineSql)
 
+  /** B46: multi-column DISTINCT aggregation in one pass — the
+    * cardinality dashboard (distinct customers / suppliers / parts per
+    * order-year) every warehouse runs: Spark plans N COUNT DISTINCTs
+    * over one input as a single Expand-based aggregate — the table is
+    * read ONCE and rows multiply by N before the keyed exchange, the
+    * standard trade (the alternative is N separate scans; the
+    * approximate escape hatch is HLL, b12's posture). Portable SQL —
+    * the identical text runs on both engines; year() cast BIGINT
+    * (Spark INT vs DuckDB BIGINT, the width meta-spec rule), the money
+    * sum in exact DECIMAL cast once to DOUBLE.
+    */
+  val MultiDistinctSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      |  COUNT(*) AS n_lines,
+      |  COUNT(DISTINCT o_custkey) AS n_customers,
+      |  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
+  def b46MultiDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    sql(spark, sfDir, MultiDistinctSql)
+
   /** C13: vector search through SQL using graft's registered native
     * functions (array_l2_normalize / array_dot) — the
     * SparkSessionExtensions surface.

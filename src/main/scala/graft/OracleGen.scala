@@ -102,6 +102,20 @@ object OracleGen {
     s"""WITH $c3Ctes
        |$c3Select""".stripMargin
 
+  /** c71 = the c3 pair set with the exact Levenshtein second opinion:
+    * unit-cost edit distance in both engines (integer-exact), the
+    * normalized similarity divides the distance by the longer length.
+    */
+  val c71EditVerify: String = {
+    import graft.operators.TextDedup.EditSimThreshold
+    s"""WITH vp AS ($c3MinHashLsh)
+       |SELECT p.doc_a, p.doc_b, p.jaccard,
+       |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance,
+       |  1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) / greatest(length(a.text), length(b.text)) AS edit_sim,
+       |  (1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) / greatest(length(a.text), length(b.text))) >= $EditSimThreshold AS edit_confirmed
+       |FROM vp p JOIN documents a ON a.doc_id = p.doc_a JOIN documents b ON b.doc_id = p.doc_b""".stripMargin
+  }
+
   /** C34 = c3's verified pairs with each member's source attached,
     * cross-source only.
     */

@@ -160,7 +160,12 @@ object SparkEntry {
     "c67_mojibake" -> (TextAnalysis.c67Mojibake _),
     "c68_prefix_dedup" -> (TextDedup.c68PrefixDedup _),
     "c69_cluster_purity" -> (VectorOps.c69ClusterPurity _),
-    "c70_embedding_quant" -> (VectorOps.c70EmbeddingQuant _)
+    "c70_embedding_quant" -> (VectorOps.c70EmbeddingQuant _),
+    "b46_multi_distinct" -> (GraftSql.b46MultiDistinct _),
+    "c71_edit_verify" -> (TextDedup.c71EditVerify _),
+    "c72_packing_efficiency" -> (Sampling.c72PackingEfficiency _),
+    "s18_codec_roundtrip" -> (graft.sources.Formats.s18CodecRoundtrip _),
+    "s19_column_stats" -> (graft.sources.Formats.s19ColumnStats _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -540,6 +545,41 @@ object SparkEntry {
     "c39_embedding_outliers" -> OracleGen.c39EmbeddingOutliers,
     "c69_cluster_purity" -> OracleGen.c69ClusterPurity,
     "c70_embedding_quant" -> OracleGen.c70EmbeddingQuant,
+    // same ANSI text both engines (year cast BIGINT per the width rule)
+    "b46_multi_distinct" -> GraftSql.MultiDistinctSql,
+    "c71_edit_verify" -> OracleGen.c71EditVerify,
+    "c72_packing_efficiency" ->
+      s"""WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) nt FROM documents),
+        |x AS (SELECT c.ctx_len, t.nt FROM t CROSS JOIN (SELECT unnest([${Sampling.PackCandidateLengths.mkString(", ")}]) AS ctx_len) c),
+        |g AS (SELECT CAST(ctx_len AS BIGINT) AS ctx_len, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS total_tokens,
+        |  COUNT(*) FILTER (WHERE nt > ctx_len) AS n_truncated,
+        |  CAST(SUM(CASE WHEN nt > ctx_len THEN nt - ctx_len ELSE 0 END) AS BIGINT) AS tokens_lost,
+        |  CAST(SUM(least(nt, ctx_len)) AS BIGINT) AS tokens_kept
+        |FROM x GROUP BY 1)
+        |SELECT ctx_len, n_docs, total_tokens, n_truncated, tokens_lost, tokens_kept,
+        |  (tokens_kept + ctx_len - 1) // ctx_len AS n_bins,
+        |  ((tokens_kept + ctx_len - 1) // ctx_len) * ctx_len - tokens_kept AS pad_waste,
+        |  CAST(tokens_kept AS DOUBLE) / (((tokens_kept + ctx_len - 1) // ctx_len) * ctx_len) AS efficiency
+        |FROM g""".stripMargin,
+    "s18_codec_roundtrip" ->
+      s"""WITH a AS (SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events WHERE event_id < 1000)
+        |SELECT c.codec, a.n, a.sum_id, a.sum_value
+        |FROM a CROSS JOIN (SELECT unnest([${graft.sources.Formats.RoundtripCodecs.map(c => s"'$c'").mkString(", ")}]) AS codec) c""".stripMargin,
+    "s19_column_stats" ->
+      """WITH s AS (SELECT l_orderkey, l_quantity, l_extendedprice, l_discount FROM lineitem)
+        |SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows, COUNT(*) - COUNT(l_orderkey) AS n_null,
+        |  COUNT(DISTINCT l_orderkey) AS n_distinct, CAST(MIN(l_orderkey) AS DOUBLE) AS min_val, CAST(MAX(l_orderkey) AS DOUBLE) AS max_val FROM s
+        |UNION ALL
+        |SELECT 'l_quantity', COUNT(*), COUNT(*) - COUNT(l_quantity),
+        |  COUNT(DISTINCT l_quantity), CAST(MIN(l_quantity) AS DOUBLE), CAST(MAX(l_quantity) AS DOUBLE) FROM s
+        |UNION ALL
+        |SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+        |  COUNT(DISTINCT l_extendedprice), CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE) FROM s
+        |UNION ALL
+        |SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+        |  COUNT(DISTINCT l_discount), CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE) FROM s""".stripMargin,
     "c29_ann_pq" -> OracleGen.c29AnnPq,
     // adjudicated zero-miss vs the exact top-5 at both test SFs → the
     // exact oracle applies (see OracleGen.c7AnnLsh)

@@ -1074,4 +1074,39 @@ object Sampling {
       )
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+
+  /** Candidate context lengths c72 evaluates — powers of two spanning
+    * the corpus's length distribution (docs run 10-99 tokens, so the
+    * small candidates truncate and the large ones pad: both branches
+    * of the report carry signal at the test SFs).
+    */
+  val PackCandidateLengths: Seq[Int] = Seq(32, 64, 128, 256)
+
+  /** C72: packing-efficiency report — for each candidate context
+    * length, what a truncate-and-pack build (c25's grid at per-doc
+    * granularity) costs: docs truncated, tokens lost to truncation,
+    * bins needed, padding waste in the last bin, and the packed-token
+    * efficiency. The report a team reads BEFORE fixing the context
+    * length (c50's histogram shows the length distribution; this
+    * prices each choice). All integer arithmetic off ONE corpus scan —
+    * the explode multiplies rows by #candidates before a 4-group
+    * map-side-combined aggregate, the only shuffle is 4 partial rows
+    * per task; efficiency divides two exact longs once.
+    */
+  def c72PackingEfficiency(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .documents(spark, sfDir)
+      .select(size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("nt"))
+      .select(explode(array(PackCandidateLengths.map(l => lit(l.toLong)): _*)).as("ctx_len"), col("nt"))
+      .groupBy(col("ctx_len"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"),
+        count(when(col("nt") > col("ctx_len"), 1)).as("n_truncated"),
+        sum(when(col("nt") > col("ctx_len"), col("nt") - col("ctx_len")).otherwise(lit(0L))).as("tokens_lost"),
+        sum(least(col("nt"), col("ctx_len"))).as("tokens_kept")
+      )
+      .withColumn("n_bins", expr("(tokens_kept + ctx_len - 1) DIV ctx_len"))
+      .withColumn("pad_waste", col("n_bins") * col("ctx_len") - col("tokens_kept"))
+      .withColumn("efficiency", col("tokens_kept").cast("double") / (col("n_bins") * col("ctx_len")).cast("double"))
 }

@@ -475,6 +475,42 @@ object TextDedup {
     * has truncation families but no exact dups) and prove the HAVING
     * excludes it.
     */
+  /** c71 verdict floor: normalized edit similarity at or above this is
+    * an edit-level near-dup (the second opinion on the shingle verdict).
+    */
+  val EditSimThreshold = 0.8
+
+  /** C71: edit-distance verification of near-dup candidates — the
+    * exact character-level second opinion on the shingle-level Jaccard
+    * verdict (the layering a production dedup runs: cheap LSH prunes
+    * the pair space, an expensive exact measure verifies what
+    * survives; Levenshtein is O(|a|·|b|) per pair and must NEVER see
+    * the raw pair space). Rides the amortized c3 pair set like
+    * c34/c55: the only texts that travel are the pair members' —
+    * bounded by duplication, not corpus — and they travel inside
+    * broadcasts of the tiny pair frame, never a corpus exchange.
+    * Levenshtein is unit-cost in both engines, so the distance is
+    * integer-exact; the normalized similarity divides two exact longs.
+    */
+  def c71EditVerify(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val pairs = c3MinHashLsh(spark, sfDir)
+    val withA = docs
+      .join(broadcast(pairs), col("doc_id") === col("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("text").as("ta"))
+    docs
+      .join(broadcast(withA), col("doc_id") === col("doc_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("jaccard"),
+        levenshtein(col("ta"), col("text")).cast("long").as("edit_distance"),
+        (lit(1.0) - levenshtein(col("ta"), col("text")).cast("double") /
+          greatest(length(col("ta")), length(col("text"))).cast("double")).as("edit_sim")
+      )
+      .withColumn("edit_confirmed", col("edit_sim") >= EditSimThreshold)
+  }
+
   def c68PrefixDedupFrom(docs: DataFrame): DataFrame =
     docs
       .select(

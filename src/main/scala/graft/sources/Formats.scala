@@ -895,4 +895,129 @@ object Formats {
     */
   def s14ZorderDir(spark: SparkSession, sfDir: String): String =
     s"${scratch(spark, "zorder", sfDir)}/zordered"
+
+  /** The codecs s18 proves: Spark's parquet default (snappy), the
+    * modern archival choice (zstd) and the legacy interop one (gzip).
+    */
+  val RoundtripCodecs: Seq[String] = Seq("snappy", "zstd", "gzip")
+
+  /** S18: compression-codec roundtrip — the same event slice written as
+    * snappy / zstd / gzip parquet and read back with identical
+    * aggregates (s1's fidelity contract per codec: a codec that loses,
+    * reorders or corrupts anything breaks the hash against the
+    * source-table oracle). The codec is a WRITE property — readers
+    * auto-detect per column chunk, so a 100 TB table can mix codecs
+    * across files/generations and still read as one table (the
+    * recompression-free migration path). File-extension proof that each
+    * codec was actually applied (not silently defaulted) lives in the
+    * spec.
+    */
+  def s18CodecRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = scratch(spark, "codec", sfDir)
+    val src = Tables
+      .events(spark, sfDir)
+      .filter(col("event_id") < 1000)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    RoundtripCodecs
+      .map { c =>
+        src.write.mode("overwrite").option("compression", c).parquet(s"$base/$c")
+        spark.read
+          .parquet(s"$base/$c")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("event_id")).as("sum_id"),
+            graft.functions.ExactAgg.moneySum(col("value")).as("sum_value")
+          )
+          .withColumn("codec", lit(c))
+      }
+      .reduce(_.unionByName(_))
+      .select(col("codec"), col("n"), col("sum_id"), col("sum_value"))
+  }
+
+  /** The directory a codec's s18 files land in (for the spec's
+    * extension check).
+    */
+  def s18CodecDir(spark: SparkSession, sfDir: String, codec: String): String =
+    s"${scratch(spark, "codec", sfDir)}/$codec"
+
+  /** S19: column-statistics collection — the ANALYZE TABLE job: per
+    * column, row count, null count, exact distinct count, min and max.
+    * These are the stats a cost-based optimizer and a file-skipping
+    * layout both feed on; at 100 TB the shape matters: ONE scan
+    * computes every column's stats together (Spark plans the multiple
+    * COUNT DISTINCTs as a single Expand-based aggregate — rows
+    * multiply by #distinct-columns but the table is still read once,
+    * the standard ANALYZE trade; an approximate variant would swap
+    * count_distinct for HLL sketches and drop the Expand, b12's
+    * posture). Output is one row per column via a row-local explode of
+    * the single aggregate row.
+    */
+  def s19ColumnStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables
+      .lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    val agg = li.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("l_orderkey")).as("nn_ok"),
+      count_distinct(col("l_orderkey")).as("nd_ok"),
+      min(col("l_orderkey")).cast("double").as("mn_ok"),
+      max(col("l_orderkey")).cast("double").as("mx_ok"),
+      count(col("l_quantity")).as("nn_q"),
+      count_distinct(col("l_quantity")).as("nd_q"),
+      min(col("l_quantity")).cast("double").as("mn_q"),
+      max(col("l_quantity")).cast("double").as("mx_q"),
+      count(col("l_extendedprice")).as("nn_ep"),
+      count_distinct(col("l_extendedprice")).as("nd_ep"),
+      min(col("l_extendedprice")).cast("double").as("mn_ep"),
+      max(col("l_extendedprice")).cast("double").as("mx_ep"),
+      count(col("l_discount")).as("nn_d"),
+      count_distinct(col("l_discount")).as("nd_d"),
+      min(col("l_discount")).cast("double").as("mn_d"),
+      max(col("l_discount")).cast("double").as("mx_d")
+    )
+    agg
+      .select(
+        col("n_rows"),
+        explode(
+          array(
+            struct(
+              lit("l_orderkey").as("col_name"),
+              col("nn_ok").as("n_nonnull"),
+              col("nd_ok").as("n_distinct"),
+              col("mn_ok").as("min_val"),
+              col("mx_ok").as("max_val")
+            ),
+            struct(
+              lit("l_quantity").as("col_name"),
+              col("nn_q").as("n_nonnull"),
+              col("nd_q").as("n_distinct"),
+              col("mn_q").as("min_val"),
+              col("mx_q").as("max_val")
+            ),
+            struct(
+              lit("l_extendedprice").as("col_name"),
+              col("nn_ep").as("n_nonnull"),
+              col("nd_ep").as("n_distinct"),
+              col("mn_ep").as("min_val"),
+              col("mx_ep").as("max_val")
+            ),
+            struct(
+              lit("l_discount").as("col_name"),
+              col("nn_d").as("n_nonnull"),
+              col("nd_d").as("n_distinct"),
+              col("mn_d").as("min_val"),
+              col("mx_d").as("max_val")
+            )
+          )
+        ).as("s")
+      )
+      .select(
+        col("s.col_name"),
+        col("n_rows"),
+        (col("n_rows") - col("s.n_nonnull")).as("n_null"),
+        col("s.n_distinct"),
+        col("s.min_val"),
+        col("s.max_val")
+      )
+  }
 }

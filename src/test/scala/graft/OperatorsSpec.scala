@@ -687,6 +687,113 @@ class OperatorsSpec extends SparkSpec {
     assert(!got.contains(copyHead), "the exact-copy-only group must be excluded")
   }
 
+  test("s18 codec roundtrip: every codec actually applied (file extensions) and stats identical") {
+    val rows = graft.sources.Formats.s18CodecRoundtrip(spark, sf0001).collect()
+    assert(rows.length == graft.sources.Formats.RoundtripCodecs.length)
+    val stats = rows.map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).distinct
+    assert(stats.length == 1, "all codecs must read back the identical aggregates")
+    val extFor = Map("snappy" -> ".snappy.parquet", "zstd" -> ".zstd.parquet", "gzip" -> ".gz.parquet")
+    graft.sources.Formats.RoundtripCodecs.foreach { c =>
+      val dir = new java.io.File(graft.sources.Formats.s18CodecDir(spark, sf0001, c))
+      val files = Option(dir.listFiles()).getOrElse(Array.empty).map(_.getName).filter(_.endsWith(".parquet"))
+      assert(files.nonEmpty && files.forall(_.endsWith(extFor(c))),
+        s"$c files ${files.toSeq} must carry ${extFor(c)} — otherwise the codec silently defaulted")
+    }
+  }
+
+  test("s19 column stats: ANALYZE report re-derived exactly; one Expand-based pass") {
+    val li = graft.sources.Tables
+      .lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .collect()
+    def stats(get: org.apache.spark.sql.Row => Double, name: String) = {
+      val vs = li.map(get)
+      name -> ((li.length.toLong, 0L, vs.distinct.length.toLong, vs.min, vs.max))
+    }
+    val expected = Map(
+      stats(_.getLong(0).toDouble, "l_orderkey"),
+      stats(_.getDouble(1), "l_quantity"),
+      stats(_.getDouble(2), "l_extendedprice"),
+      stats(_.getDouble(3), "l_discount")
+    )
+    val df = graft.sources.Formats.s19ColumnStats(spark, sf0001)
+    val got = df
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got == expected)
+    // AQE's plan string repeats the tree under "== Initial Plan ==" —
+    // count scans in the current-plan segment only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("Expand"), "multi-distinct must plan the single-pass Expand aggregate")
+    assert("Scan ".r.findAllMatchIn(p).size == 1, "the table is read exactly once")
+  }
+
+  test("b46 multi-distinct: single-pass Expand plan, both tables read once") {
+    val df = GraftSql.b46MultiDistinct(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("Expand"), "multi COUNT DISTINCT must plan one Expand aggregate, not N scans")
+    assert("Scan ".r.findAllMatchIn(p).size == 2, "lineitem + orders each read exactly once")
+    assert(df.count() > 0)
+  }
+
+  test("c71 edit verify: Levenshtein re-derived per pair in the JVM") {
+    def lev(a: String, b: String): Long = {
+      val prev = new Array[Int](b.length + 1)
+      val cur = new Array[Int](b.length + 1)
+      for (j <- 0 to b.length) prev(j) = j
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length) {
+          val cost = if (a(i - 1) == b(j - 1)) 0 else 1
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        }
+        Array.copy(cur, 0, prev, 0, b.length + 1)
+      }
+      prev(b.length).toLong
+    }
+    val texts = graft.sources.Tables
+      .documents(spark, sf001)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toMap
+    val rows = TextDedup.c71EditVerify(spark, sf001).collect()
+    assert(rows.nonEmpty, "the pair set must be non-empty at sf0.01")
+    rows.foreach { r =>
+      val (a, b) = (texts(r.getLong(0)), texts(r.getLong(1)))
+      val d = lev(a, b)
+      assert(r.getLong(3) == d, s"edit_distance for (${r.getLong(0)}, ${r.getLong(1)})")
+      val sim = 1.0 - d.toDouble / math.max(a.length, b.length)
+      assert(r.getDouble(4) == sim, "edit_sim")
+      assert(r.getBoolean(5) == (sim >= TextDedup.EditSimThreshold), "edit_confirmed")
+    }
+    assert(rows.exists(_.getBoolean(5)), "gate pairs must contain edit-confirmed near-dups")
+  }
+
+  test("c72 packing efficiency: every candidate length re-derived from the length list") {
+    val lens = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+      .collect()
+      .map(_.getLong(0))
+    val expected = Sampling.PackCandidateLengths.map { l =>
+      val kept = lens.map(n => math.min(n, l.toLong)).sum
+      val bins = (kept + l - 1) / l
+      l.toLong -> ((lens.length.toLong, lens.sum, lens.count(_ > l).toLong,
+        lens.map(n => math.max(n - l, 0L)).sum, kept, bins, bins * l - kept,
+        kept.toDouble / (bins * l)))
+    }.toMap
+    val got = Sampling
+      .c72PackingEfficiency(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getDouble(8))))
+      .toMap
+    assert(got == expected)
+    assert(expected.values.exists(_._3 > 0), "some candidate length must truncate some doc")
+  }
+
   test("c69 cluster purity: majority vote re-derived from c39's assignment (same seeded quantizer)") {
     // c39 emits the same (vec_id → list_id) assignment; folding labels
     // over it in the JVM re-derives every c69 row in exact integer math
