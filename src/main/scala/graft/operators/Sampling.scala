@@ -321,16 +321,22 @@ object Sampling {
     * emitted copy (doc_id, lang, copy_idx): the materialized mix a
     * packing stage consumes directly.
     */
-  def c42EpochMix(spark: SparkSession, sfDir: String): DataFrame = {
+  def c42EpochMix(spark: SparkSession, sfDir: String): DataFrame =
+    epochCopies(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")))
+
+  /** c42's upsampling as a df→df transform over any (doc_id, lang)
+    * frame — row-local when-chain + one Generate, no shuffle, so the
+    * epoch materialization runs unchanged as a stream transform
+    * (stream-batch parity spec-verified).
+    */
+  def epochCopies(docs: DataFrame): DataFrame = {
     val intPart = EpochsByLang.foldLeft(lit(0)) { case (acc, (l, e)) =>
       when(col("lang") === l, lit(math.floor(e).toInt)).otherwise(acc)
     }
     val fracThresh = EpochsByLang.foldLeft(lit(0L)) { case (acc, (l, e)) =>
       when(col("lang") === l, lit(((e - math.floor(e)) * 4294967296.0).toLong)).otherwise(acc)
     }
-    Tables
-      .documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"))
+    docs
       .withColumn(
         "n_copies",
         intPart + when(
@@ -956,8 +962,14 @@ object Sampling {
     * transform itself is oracle-verified without dumping full text.
     */
   def c22PiiRedact(spark: SparkSession, sfDir: String): DataFrame =
-    Tables
-      .documents(spark, sfDir)
+    piiScored(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+
+  /** c22's scrub as a df→df transform over any (doc_id, text) frame —
+    * pure per-row column expressions, so it drops unchanged into a
+    * streaming ingestion pipeline (stream-batch parity spec-verified).
+    */
+  def piiScored(docs: DataFrame): DataFrame =
+    docs
       .select(
         col("doc_id"),
         regexp_count(col("text"), lit(EmailPattern)).cast("long").as("n_emails"),

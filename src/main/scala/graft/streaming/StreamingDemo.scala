@@ -352,6 +352,57 @@ object StreamingDemo {
     require(chunkSurvivors == batchSurvivors,
       s"stream-batch chunk-dedup divergence: ${(batchSurvivors -- chunkSurvivors).take(3)}")
 
+    // stateless PII screen over the replayed corpus — row-local
+    // regexp counting + redaction fingerprints, so the emissions must
+    // equal batch c22 exactly regardless of arrival order
+    val piiQ = graft.operators.Sampling
+      .piiScored(
+        spark.readStream
+          .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(sfDir)
+          .select(col("doc_id"), col("text"))
+      )
+      .writeStream
+      .format("memory")
+      .queryName("demo_pii")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    piiQ.awaitTermination()
+    val piiStreamed = spark.table("demo_pii").collect().map(_.toSeq).toSet
+    val piiBatch = graft.operators.Sampling.c22PiiRedact(spark, sfDir).collect().map(_.toSeq).toSet
+    require(piiStreamed == piiBatch,
+      s"stream-batch PII divergence: ${piiStreamed.size} vs ${piiBatch.size}")
+    val nPiiHits = spark
+      .table("demo_pii")
+      .filter(col("n_emails") > 0 || col("n_digit_runs") > 0)
+      .count()
+
+    // stateless epoch-mix upsampling over the replayed corpus — the
+    // copy fan-out is a row-local when-chain + Generate, so the emitted
+    // copy set must equal batch c42 exactly
+    val epochQ = graft.operators.Sampling
+      .epochCopies(
+        spark.readStream
+          .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(sfDir)
+          .select(col("doc_id"), col("lang"))
+      )
+      .writeStream
+      .format("memory")
+      .queryName("demo_epoch")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    epochQ.awaitTermination()
+    val epochStreamed = spark.table("demo_epoch").collect().map(_.toSeq).toSet
+    val epochBatch = graft.operators.Sampling.c42EpochMix(spark, sfDir).collect().map(_.toSeq).toSet
+    require(epochStreamed == epochBatch,
+      s"stream-batch epoch-mix divergence: ${epochStreamed.size} vs ${epochBatch.size}")
+    val nEpochCopies = epochStreamed.size
+
     // streaming MERGE INTO: the replayed documents upsert into a
     // versioned table keyed on doc_id (seq = doc_id — one batch here;
     // StreamingSinkSpec drives the multi-batch fold + restart legs);
@@ -390,7 +441,7 @@ object StreamingDemo {
     val nJoined = spark.table("demo_papi").filter("view_id IS NOT NULL").count()
     val total = spark.read.parquet(s"$sfDir/events.parquet").count()
     println(
-      s"""{"streaming_demo":{"input_events":$total,"deduped_kept":$nDedup,"closed_windows":$nWindows,"enriched_clicks":$nClicks,"clicks_with_view":$nJoined,"funnel_users":${lastFunnel.size},"full_funnels":${lastFunnel.count(_.full_funnel)},"curated_docs":$nCurated,"contaminated_docs":${decontamStreamed.size},"quota_docs":$nQuota,"budget_admits":$nBudget,"reservoir_docs":$nWsamp,"neardup_suspects":$nSuspects,"chunk_survivors":$nChunkSurv,"upsert_rows":$nUpsert,"sink_rows":$nSunk}}"""
+      s"""{"streaming_demo":{"input_events":$total,"deduped_kept":$nDedup,"closed_windows":$nWindows,"enriched_clicks":$nClicks,"clicks_with_view":$nJoined,"funnel_users":${lastFunnel.size},"full_funnels":${lastFunnel.count(_.full_funnel)},"curated_docs":$nCurated,"contaminated_docs":${decontamStreamed.size},"quota_docs":$nQuota,"budget_admits":$nBudget,"reservoir_docs":$nWsamp,"neardup_suspects":$nSuspects,"chunk_survivors":$nChunkSurv,"pii_hit_docs":$nPiiHits,"epoch_copies":$nEpochCopies,"upsert_rows":$nUpsert,"sink_rows":$nSunk}}"""
     )
     spark.stop()
   }

@@ -922,4 +922,96 @@ class StreamingSpec extends SparkSpec {
     assert(streamedDups == batch)
     assert(chunks.exists(c => canon(c.chunk_md5) != ((c.doc_id, c.chunk_idx))), "gate data must contain dup chunks")
   }
+
+  /** Shared harness for the stateless screens: drive a (doc_id, text)
+    * transform through a MemoryStream in chunks and return all rows.
+    * Stateless transforms need no watermark, no state store, and no
+    * output-mode subtlety — parity with batch is the whole contract.
+    */
+  private def streamStateless(
+      rows: Array[(Long, String)],
+      name: String
+  )(transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Set[Seq[Any]] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = transform(input.toDS().toDF("doc_id", "text"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .start()
+    rows.grouped(40).foreach { chunk =>
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val out = spark.table(name).collect().map(_.toSeq).toSet
+    q.stop()
+    out
+  }
+
+  test("streaming PII redaction matches batch c22 row-for-row (stateless screen parity)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // plant live PII (the sf0.001 corpus is clean) so the hit branches
+    // stream through the same path as the clean bulk
+    val planted = Array(
+      (-1L, "contact bob@example.com or call 5551234567 today"),
+      (-2L, "account 123456789012 belongs to eve@corp.example.org")
+    )
+    val docs = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1))) ++ planted
+    val streamed = streamStateless(docs, "pii_out")(graft.operators.Sampling.piiScored)
+    val batch = graft.operators.Sampling
+      .piiScored(docs.toSeq.toDF("doc_id", "text"))
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    assert(streamed == batch)
+    assert(batch.exists(r => r(1).asInstanceOf[Long] > 0 && r(2).asInstanceOf[Long] > 0),
+      "planted docs must fire both detectors")
+  }
+
+  test("streaming gopher signals match batch c66 row-for-row (stateless screen parity)") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val streamed = streamStateless(docs, "gopher_out")(graft.operators.TextAnalysis.c66GopherSignalsFrom)
+    val batch = graft.operators.TextAnalysis.c66GopherSignals(spark, sf0001).collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
+  test("streaming epoch mix matches batch c42 row-for-row (stateless upsampling parity)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.Sampling
+      .epochCopies(input.toDS().toDF("doc_id", "lang"))
+      .writeStream
+      .format("memory")
+      .queryName("epoch_out")
+      .outputMode("append")
+      .start()
+    docs.grouped(40).foreach { chunk =>
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val streamed = spark.table("epoch_out").collect().map(_.toSeq).toSet
+    q.stop()
+    val batch = graft.operators.Sampling.c42EpochMix(spark, sf0001).collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.exists(_(2).asInstanceOf[Long] > 0), "gate data must contain multi-copy docs")
+  }
 }
