@@ -165,7 +165,10 @@ object SparkEntry {
     "c71_edit_verify" -> (TextDedup.c71EditVerify _),
     "c72_packing_efficiency" -> (Sampling.c72PackingEfficiency _),
     "s18_codec_roundtrip" -> (graft.sources.Formats.s18CodecRoundtrip _),
-    "s19_column_stats" -> (graft.sources.Formats.s19ColumnStats _)
+    "s19_column_stats" -> (graft.sources.Formats.s19ColumnStats _),
+    "b47_mode_native" -> (Relational.b47ModeNative _),
+    "b48_ratio_to_report" -> (Relational.b48RatioToReport _),
+    "s20_neardup_index" -> (TextDedup.s20NearDupIndex _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -885,6 +888,22 @@ object SparkEntry {
     "c33_canonical_corpus" -> OracleGen.c33CanonicalCorpus,
     "c34_cross_source_neardups" -> OracleGen.c34CrossSourceNearDups,
     "c55_neardup_incremental" -> OracleGen.c55NearDupIncremental,
+    // the persisted-index serve path produces c55's verdicts verbatim —
+    // same oracle (the index changes WHERE signatures come from, not
+    // what a near-dup is)
+    "s20_neardup_index" -> OracleGen.c55NearDupIncremental,
+    "b47_mode_native" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, COUNT(*) AS n_occurrences FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY n_occurrences DESC, l_quantity) AS rn FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_quantity, n_occurrences FROM r WHERE rn = 1""".stripMargin,
+    // the oracle states the declarative window form; the Spark side
+    // computes the same shares from the broadcast totals decomposition
+    "b48_ratio_to_report" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS prio_total,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+        |    / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS price_share
+        |FROM orders""".stripMargin,
     "c59_containment" -> OracleGen.c59Containment,
     "c60_hard_negatives" -> OracleGen.c60HardNegatives,
     "c61_knn_graph" -> OracleGen.c61KnnGraph,

@@ -631,6 +631,60 @@ object Relational {
       )
   }
 
+  /** B47: exact MODE per group — the most frequent quantity per return
+    * flag (tie → smallest value), computed as value-counts + the native
+    * TopKPerKey at k=1: bounded heaps over the (flag, quantity) count
+    * frame, no per-flag sort anywhere (the declarative alternative is
+    * a rank window over the counts — fine here because counts are
+    * small, but the native prune is the shape that holds when the
+    * value domain is large). Mode is the one "average" that is exact
+    * on any data type; counts are integers, so the result is
+    * engine-exact by construction.
+    */
+  def b47ModeNative(spark: SparkSession, sfDir: String): DataFrame =
+    graft.plans.TopKPerKey
+      .topKPerKey(
+        Tables
+          .lineitem(spark, sfDir)
+          .groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(count(lit(1)).as("n_occurrences")),
+        keyCols = Seq("l_returnflag"),
+        orderBy = Seq(("n_occurrences", false), ("l_quantity", true)),
+        k = 1
+      )
+      .select(col("l_returnflag"), col("l_quantity").as("mode_quantity"), col("n_occurrences"))
+
+  /** B48: ratio-to-report WITHOUT the window — each order's share of
+    * its priority class's revenue. The declarative form is
+    * `price / SUM(price) OVER (PARTITION BY priority)` — which at 5
+    * partition values serializes the whole table into 5 window tasks
+    * (the b5/b43 anti-pattern, and unlike rank there is no prune).
+    * The scalable plan is the decomposition Catalyst does NOT do for
+    * you: one map-side-combined aggregate to a 5-row totals frame,
+    * broadcast back, row-local divide. Exact: numerator and
+    * denominator are DECIMAL(18,2) values cast to double once each,
+    * divided once — engine-identical (the oracle states the window
+    * form; the values are equal by exactness of the decimal sum).
+    * Spec asserts the plan contains NO Window node at all.
+    */
+  def b48RatioToReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables
+      .orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    val totals = ord
+      .groupBy(col("o_orderpriority"))
+      .agg(moneySum(col("o_totalprice")).as("prio_total"))
+    ord
+      .join(broadcast(totals), Seq("o_orderpriority"))
+      .select(
+        col("o_orderpriority"),
+        col("o_orderkey"),
+        col("o_totalprice"),
+        col("prio_total"),
+        (col("o_totalprice").cast("decimal(18,2)").cast("double") / col("prio_total")).as("price_share")
+      )
+  }
+
   /** B16: Q14-style promo revenue share — lineitem⋈part with a
     * conditional decimal aggregate, closing the star schema (the one
     * table no other query touched). Scale: the shipdate filter prunes

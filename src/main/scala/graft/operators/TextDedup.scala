@@ -381,6 +381,78 @@ object TextDedup {
       )
   }
 
+  /** S20 index location, unique per (application, sfDir) like
+    * Formats' scratch dirs; built once and reused within the app.
+    */
+  private val bandIndexBuilt = java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+
+  /** S20: PERSISTED near-dup band index — the steady-state deployment
+    * c55's doc promises (c44's posture at near-dup granularity): the
+    * 100 TB history side is pre-banded ON DISK as a (doc_id, band-key
+    * array) parquet table, so admitting an ingestion batch recomputes
+    * signatures for THE BATCH ONLY — history text is never re-shingled,
+    * re-hashed or re-banded on the ingest path. Build: one pass over
+    * history writes the index (8 longs per doc — ~64 bytes/doc
+    * regardless of document size). Serve: the batch's band keys probe
+    * the index with the same keyed (band_idx, bkey) join and
+    * first-matching-band dedup as the batch detector, plus the
+    * batch×batch self-join; exact Jaccard verification then touches
+    * only candidate partners (output ∝ duplication; a full deployment
+    * would persist shingle sets alongside to close that re-read too).
+    * The verdict frame is [[c55NearDupIncrementalFrom]]'s — row-for-row
+    * identical to the from-scratch c55 run, so c55's oracle gates this
+    * query directly; the spec asserts the serve plan reads the index
+    * parquet and computes NO history signatures.
+    */
+  def s20NearDupIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val every = graft.operators.Sampling.IncrEvery
+    val app = spark.sparkContext.applicationId
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bandindex_${app}_${Integer.toHexString(sfDir.hashCode)}"
+    bandIndexBuilt.synchronized {
+      if (!bandIndexBuilt.contains(dir)) {
+        val histSh = shingleHashes(spark, sfDir).filter(col("doc_id") % every =!= 0)
+        bandKeyFrame(histSh).write.mode("overwrite").parquet(dir)
+        bandIndexBuilt.add(dir): Unit
+      }
+    }
+    serveNearDupIndex(spark, sfDir, dir, every)
+  }
+
+  /** The serve half of s20, split out so the spec can drive it in
+    * isolation (fresh read of a prebuilt index) and audit its plan.
+    */
+  def serveNearDupIndex(spark: SparkSession, sfDir: String, indexDir: String, every: Int): DataFrame = {
+    val index = spark.read.parquet(indexDir)
+    val batchKeys = bandKeyFrame(
+      shingleHashes(spark, sfDir).filter(col("doc_id") % every === 0)
+    ).localCheckpoint()
+    val probe = batchKeys
+      .select(col("doc_id"), col("bkeys"), posexplode(col("bkeys")).as(Seq("band_idx", "bkey")))
+    val indexed = index
+      .select(col("doc_id").as("doc_h"), col("bkeys").as("bkeys_h"), posexplode(col("bkeys")).as(Seq("band_idx", "bkey")))
+    // batch × history: keyed probe into the persisted index, pair kept
+    // only in its first matching band (same row-local dedup as the
+    // batch detector — no distinct() over (pair × band) duplicates)
+    val crossPairs = probe
+      .join(indexed, Seq("band_idx", "bkey"))
+      .filter(
+        array_position(zip_with(col("bkeys"), col("bkeys_h"), _ === _), lit(true)) === col("band_idx") + 1
+      )
+      .select(
+        least(col("doc_id"), col("doc_h")).as("doc_a"),
+        greatest(col("doc_id"), col("doc_h")).as("doc_b")
+      )
+    // batch × batch: the ordinary banded self-join over the batch keys
+    val batchPairs = lshCandidatePairs(batchKeys)
+    val cand = crossPairs.unionByName(batchPairs)
+    val verified = jaccardVerified(shingleHashes(spark, sfDir), Some(cand))
+    c55NearDupIncrementalFrom(
+      verified,
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")),
+      every
+    )
+  }
+
   /** Per-doc 60-bit SimHash signature: weighted bit votes over
     * md5-derived token hashes (weight = token multiplicity), computed
     * entirely within the row by [[graft.plans.SimHashOfTokens]] — the

@@ -794,6 +794,59 @@ class OperatorsSpec extends SparkSpec {
     assert(expected.values.exists(_._3 > 0), "some candidate length must truncate some doc")
   }
 
+  test("b47 native mode: re-derived from value counts; plans the native top-k, no window") {
+    val li = graft.sources.Tables
+      .lineitem(spark, sf0001)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val expected = li.groupBy(_._1).map { case (f, xs) =>
+      val counts = xs.groupBy(_._2).map { case (q, ys) => (q, ys.length.toLong) }
+      val (q, n) = counts.toSeq.minBy { case (q, n) => (-n, q) }
+      f -> ((q, n))
+    }
+    val df = Relational.b47ModeNative(spark, sf0001)
+    val got = df.collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("GraftTopKPerKey") || p.contains("TopKPerKey"), "mode must run on the native operator")
+    assert(!p.contains("Window"), "no rank window anywhere in the mode plan")
+  }
+
+  test("b48 ratio-to-report: shares re-derived; the plan contains NO window node") {
+    val df = Relational.b48RatioToReport(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "the decomposition must replace the partition-only window")
+    val rows = df.collect()
+    val byPrio = rows.groupBy(_.getString(0))
+    byPrio.foreach { case (_, rs) =>
+      val total = rs.map(r => BigDecimal(r.getDouble(2)).setScale(2)).sum.toDouble
+      rs.foreach { r =>
+        assert(r.getDouble(3) == total, "prio_total is the exact decimal group sum")
+        assert(r.getDouble(4) == BigDecimal(r.getDouble(2)).setScale(2).toDouble / total, "share")
+      }
+      val shareSum = rs.map(_.getDouble(4)).sum
+      assert(math.abs(shareSum - 1.0) < 1e-9, s"shares must sum to ~1, got $shareSum")
+    }
+  }
+
+  test("s20 persisted band index: serve plan reads the index and matches c55 verbatim") {
+    val df = TextDedup.s20NearDupIndex(spark, sf001)
+    val got = df.collect().map(_.toSeq).toSet
+    val batch = TextDedup.c55NearDupIncremental(spark, sf001).collect().map(_.toSeq).toSet
+    assert(got == batch, "index-served verdicts must equal the from-scratch c55 run")
+    assert(got.nonEmpty, "gate data must reject at least one batch doc")
+    // the serve half, driven against the prebuilt index in isolation:
+    // its plan must scan the index parquet (history signatures come
+    // from disk, not recomputation)
+    val app = spark.sparkContext.applicationId
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bandindex_${app}_${Integer.toHexString(sf001.hashCode)}"
+    val serve = TextDedup.serveNearDupIndex(spark, sf001, dir, graft.operators.Sampling.IncrEvery)
+    assert(serve.queryExecution.executedPlan.toString.contains("graft_bandindex_"),
+      "the serve plan must read the persisted index")
+    assert(serve.collect().map(_.toSeq).toSet == batch)
+  }
+
   test("c69 cluster purity: majority vote re-derived from c39's assignment (same seeded quantizer)") {
     // c39 emits the same (vec_id → list_id) assignment; folding labels
     // over it in the JVM re-derives every c69 row in exact integer math
