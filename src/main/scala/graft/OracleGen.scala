@@ -579,6 +579,31 @@ object OracleGen {
   /** c39 = the best-centroid cosine per vector (c35's assignment CTE
     * keeping the winning cos) + the outlier flag.
     */
+  /** c73 = the split coin applied to the shared shingle CTEs, train
+    * side joined to test side on the 8-byte hash, clean test docs kept
+    * at zero via the left join (c58's shape with the split as the
+    * partition).
+    */
+  val c73SplitLeakage: String = {
+    import graft.operators.Sampling.{SplitTrainPerMille, SplitValPerMille}
+    val coin = "CAST(concat('0x', substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000"
+    s"""WITH $shingleCtes,
+       |lab AS (SELECT doc_id, h,
+       |  CASE WHEN $coin < $SplitTrainPerMille THEN 'train'
+       |       WHEN $coin < $SplitValPerMille THEN 'val'
+       |       ELSE 'test' END AS split
+       |  FROM shh),
+       |tr AS (SELECT doc_id AS train_doc, h FROM lab WHERE split = 'train'),
+       |te AS (SELECT doc_id AS test_doc, h FROM lab WHERE split = 'test'),
+       |hits AS (SELECT test_doc, COUNT(DISTINCT train_doc) AS n_train_partners, COUNT(DISTINCT h) AS n_leaked
+       |  FROM te JOIN tr USING (h) GROUP BY 1),
+       |tot AS (SELECT test_doc, COUNT(*) AS n_shingles FROM te GROUP BY 1)
+       |SELECT t.test_doc, COALESCE(x.n_train_partners, 0) AS n_train_partners,
+       |  COALESCE(x.n_leaked, 0) AS n_leaked, t.n_shingles,
+       |  CAST(COALESCE(x.n_leaked, 0) AS DOUBLE) / t.n_shingles AS leak_ratio
+       |FROM tot t LEFT JOIN hits x USING (test_doc)""".stripMargin
+  }
+
   /** c69 = the seeded assignment (c35's CTE, labels carried through)
     * re-aggregated to per-list label purity; the majority vote breaks
     * count ties to the LOWEST label, mirrored in both engines.

@@ -168,7 +168,9 @@ object SparkEntry {
     "s19_column_stats" -> (graft.sources.Formats.s19ColumnStats _),
     "b47_mode_native" -> (Relational.b47ModeNative _),
     "b48_ratio_to_report" -> (Relational.b48RatioToReport _),
-    "s20_neardup_index" -> (TextDedup.s20NearDupIndex _)
+    "s20_neardup_index" -> (TextDedup.s20NearDupIndex _),
+    "c73_split_leakage" -> (Sampling.c73SplitLeakage _),
+    "s21_shallow_clone" -> (graft.sources.Formats.s21ShallowClone _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -892,6 +894,14 @@ object SparkEntry {
     // same oracle (the index changes WHERE signatures come from, not
     // what a near-dup is)
     "s20_neardup_index" -> OracleGen.c55NearDupIncremental,
+    "c73_split_leakage" -> OracleGen.c73SplitLeakage,
+    // the clone's committed view = source base + the clone's own append;
+    // a clone that copied stale data, lost the append, or disturbed the
+    // source breaks rows+hash
+    "s21_shallow_clone" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 50000000, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 101 = 0""".stripMargin,
     "b47_mode_native" ->
       """WITH c AS (SELECT l_returnflag, l_quantity, COUNT(*) AS n_occurrences FROM lineitem GROUP BY 1, 2),
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY n_occurrences DESC, l_quantity) AS rn FROM c)

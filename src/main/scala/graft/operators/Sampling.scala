@@ -1087,6 +1087,50 @@ object Sampling {
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
 
+  /** C73: train/test split-leakage report — the hygiene check c52's
+    * split guarantee does NOT give you: the hash coin prevents a DOC
+    * from drifting between splits, but near-duplicate CONTENT can still
+    * land on both sides (a syndicated article in train, its mirror in
+    * test) and quietly inflate eval scores. Per test doc: distinct
+    * train partners sharing ≥1 shingle, distinct leaked shingles,
+    * shingle total, leak fraction — clean test docs stay in the report
+    * at zero (c58's posture: an audit that drops clean rows cannot
+    * prove absence). Same 8-byte rolling-hash join as c21/c58 with the
+    * split coin as the partition: text never shuffles, output ∝ the
+    * test split (1% of the corpus). The gate corpus's test slice is
+    * clean (all-zero report); the spec plants a cross-split near-dup
+    * and proves the hit branch.
+    */
+  def c73SplitLeakage(spark: SparkSession, sfDir: String): DataFrame =
+    c73SplitLeakageFrom(graft.operators.TextDedup.shingleHashes(spark, sfDir))
+
+  /** The leakage report over any (doc_id, h) distinct-shingle frame —
+    * split out so the spec can plant shingle sets whose ids land in
+    * train and test by the real coin.
+    */
+  def c73SplitLeakageFrom(sh: DataFrame): DataFrame = {
+    val lab = sh.withColumn("split", splitName(col("doc_id")))
+    val tr = lab.filter(col("split") === "train").select(col("doc_id").as("train_doc"), col("h"))
+    val te = lab.filter(col("split") === "test").select(col("doc_id").as("test_doc"), col("h"))
+    val hits = te
+      .join(tr, "h")
+      .groupBy(col("test_doc"))
+      .agg(
+        count_distinct(col("train_doc")).as("n_train_partners"),
+        count_distinct(col("h")).as("n_leaked")
+      )
+    te.groupBy(col("test_doc"))
+      .agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("test_doc"), "left")
+      .select(
+        col("test_doc"),
+        coalesce(col("n_train_partners"), lit(0L)).as("n_train_partners"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        col("n_shingles"),
+        (coalesce(col("n_leaked"), lit(0L)).cast("double") / col("n_shingles")).as("leak_ratio")
+      )
+  }
+
   /** Candidate context lengths c72 evaluates — powers of two spanning
     * the corpus's length distribution (docs run 10-99 tokens, so the
     * small candidates truncate and the large ones pad: both branches

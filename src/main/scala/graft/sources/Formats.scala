@@ -679,6 +679,76 @@ object Formats {
     finally ptr.close()
   }
 
+  /** SHALLOW CLONE: commit `cloneDir` version 1 whose manifest lists
+    * the SOURCE's committed data files by relative reference — zero
+    * data bytes copied (the Delta SHALLOW CLONE / Iceberg snapshot-ref
+    * contract: a clone of a 100 TB table costs one small text file).
+    * The clone then evolves independently: its own appends land under
+    * its own dir; the source never observes them, and because data
+    * files are immutable in this protocol, the source can never mutate
+    * the clone's view either.
+    */
+  def shallowClone(spark: SparkSession, srcDir: String, cloneDir: String): Unit = {
+    val fs = new Path(srcDir).getFileSystem(spark.sessionState.newHadoopConf())
+    val ptrIn = fs.open(new Path(srcDir, ManifestPointer))
+    val v =
+      try scala.io.Source.fromInputStream(ptrIn, "UTF-8").mkString.trim.toLong
+      finally ptrIn.close()
+    val mIn = fs.open(new Path(s"$srcDir/m=$v.txt"))
+    val lines =
+      try scala.io.Source.fromInputStream(mIn, "UTF-8").getLines().toList
+      finally mIn.close()
+    val srcName = new Path(srcDir).getName
+    fs.mkdirs(new Path(cloneDir)): Unit
+    val out = fs.create(new Path(s"$cloneDir/m=1.txt"), true)
+    try out.write(lines.map(l => s"../$srcName/$l").mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val ptr = fs.create(new Path(cloneDir, ManifestPointer), true)
+    try ptr.write("1".getBytes("UTF-8"))
+    finally ptr.close()
+  }
+
+  /** S21: shallow clone + independent evolution — the dev/staging
+    * workflow every lakehouse supports: clone the production table
+    * WITHOUT copying data (manifest references only), then append to
+    * the clone; the source is untouched (pointer, manifests and data
+    * files all byte-stable — spec-asserted) and the clone reads
+    * source data + its own append through one manifest. The gate reads
+    * the evolved clone; the oracle reconstructs base + appended batch
+    * relationally, so a clone that copied stale data, dropped the
+    * append, or mutated the source breaks rows+hash.
+    */
+  def s21ShallowClone(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = scratch(spark, "clone", sfDir)
+    val src = s"$root/src"
+    val clone = s"$root/clone"
+    val marker = new Path(s"$root/done")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
+      val base = Tables
+        .orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      manifestAppend(spark, src, base, 1L)
+      shallowClone(spark, src, clone)
+      manifestAppend(
+        spark,
+        clone,
+        base.filter(col("o_orderkey") % 101 === 0).withColumn("o_orderkey", col("o_orderkey") + 50000000L),
+        2L
+      )
+      fs.create(marker, true).close()
+    }
+    readManifestTable(spark, clone)
+  }
+
+  /** The s21 dirs for the spec's physics assertions (valid after the
+    * query has run in the same application).
+    */
+  def s21CloneDirs(spark: SparkSession, sfDir: String): (String, String) = {
+    val root = scratch(spark, "clone", sfDir)
+    (s"$root/src", s"$root/clone")
+  }
+
   /** S17: the manifest-append table — three O(delta) commits (v1 base
     * orders slice; v2 appends a re-keyed copy of every 97th order;
     * v3 of every 53rd), read back through the committed manifest. The

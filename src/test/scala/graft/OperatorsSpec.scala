@@ -847,6 +847,62 @@ class OperatorsSpec extends SparkSpec {
     assert(serve.collect().map(_.toSeq).toSet == batch)
   }
 
+  test("c73 split leakage: planted cross-split near-dup fires the hit branch; report re-derived") {
+    import spark.implicits._
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest
+        .getInstance("MD5").digest(s"split_$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1000
+    }
+    // hunt ids by the REAL coin: one train doc, one leaking test doc
+    // (sharing hashes with the train doc), one clean test doc
+    val trainId = (10000000L to 10001000L).find(bucket(_) < Sampling.SplitTrainPerMille).get
+    val testIds = (10000000L to 10002000L).filter(bucket(_) >= Sampling.SplitValPerMille).take(2)
+    val (leakyId, cleanId) = (testIds(0), testIds(1))
+    val planted =
+      (1L to 10L).map(h => (trainId, h * 31)) ++ // train shingles
+        ((1L to 5L).map(h => (leakyId, h * 31)) ++ (1L to 3L).map(h => (leakyId, 100000L + h))) ++
+        (1L to 7L).map(h => (cleanId, 200000L + h))
+    val got = Sampling
+      .c73SplitLeakageFrom(planted.toDF("doc_id", "h"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got == Map(
+      leakyId -> ((1L, 5L, 8L, 5.0 / 8)),
+      cleanId -> ((0L, 0L, 7L, 0.0))
+    ))
+    // and the gate-corpus report at sf0.01 keeps its clean rows at zero
+    val gate = Sampling.c73SplitLeakage(spark, sf001).collect()
+    assert(gate.nonEmpty && gate.forall(_.getLong(3) > 0))
+  }
+
+  test("s21 shallow clone: zero bytes copied, source untouched, clone time-travels to pre-append") {
+    val cloned = graft.sources.Formats.s21ShallowClone(spark, sf001)
+    val nCloned = cloned.count()
+    val (src, clone) = graft.sources.Formats.s21CloneDirs(spark, sf001)
+    def read(p: String) = {
+      val f = scala.io.Source.fromFile(p, "UTF-8"); try f.mkString.trim finally f.close()
+    }
+    // source untouched: pointer still 1, no v2 data dir ever appeared
+    assert(read(s"$src/_GRAFT_MANIFEST") == "1")
+    assert(!new java.io.File(s"$src/data_v=2").exists())
+    // clone committed at 2, and its v1 manifest references the SOURCE's
+    // files relatively — nothing was copied under the clone
+    assert(read(s"$clone/_GRAFT_MANIFEST") == "2")
+    val m1 = read(s"$clone/m=1.txt").split("\n")
+    assert(m1.nonEmpty && m1.forall(_.startsWith("../src/")), "clone v1 must reference source files")
+    assert(!new java.io.File(s"$clone/data_v=1").exists(), "a shallow clone copies no data")
+    // clone time travel: v1 == the source's committed content
+    val srcRows = graft.sources.Formats.readManifestTable(spark, src).count()
+    val cloneV1 = graft.sources.Formats.readManifestVersion(spark, clone, 1L).count()
+    assert(cloneV1 == srcRows)
+    // and the evolved clone = source + its own append, invisible to source
+    val nOrders = graft.sources.Tables.orders(spark, sf001).count()
+    assert(srcRows == nOrders)
+    assert(nCloned > nOrders, "the clone's append must be visible in the clone")
+  }
+
   test("c69 cluster purity: majority vote re-derived from c39's assignment (same seeded quantizer)") {
     // c39 emits the same (vec_id → list_id) assignment; folding labels
     // over it in the JVM re-derives every c69 row in exact integer math
