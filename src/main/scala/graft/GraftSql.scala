@@ -738,6 +738,27 @@ object GraftSql {
   def b46MultiDistinct(spark: SparkSession, sfDir: String): DataFrame =
     sql(spark, sfDir, MultiDistinctSql)
 
+  /** B49: INTERSECT ALL / EXCEPT ALL — the MULTISET set operations
+    * (b8 covered the DISTINCT forms): per-key multiplicities survive,
+    * which is what bag semantics means and what Spark plans via
+    * count-min aggregates + generate (no distinct collapse). Customers
+    * appear once per qualifying order, so multiset and set counts
+    * genuinely diverge on this data (the spec asserts it). Portable
+    * SQL — identical text both engines.
+    */
+  val SetOpsAllSql: String =
+    """WITH hv AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+      |urg AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |tagged AS (
+      |  SELECT o_custkey, 'both_all' AS tag FROM (SELECT * FROM hv INTERSECT ALL SELECT * FROM urg)
+      |  UNION ALL
+      |  SELECT o_custkey, 'hv_only_all' AS tag FROM (SELECT * FROM hv EXCEPT ALL SELECT * FROM urg))
+      |SELECT tag, COUNT(*) AS n_rows, COUNT(DISTINCT o_custkey) AS n_keys
+      |FROM tagged GROUP BY tag""".stripMargin
+
+  def b49SetOpsAll(spark: SparkSession, sfDir: String): DataFrame =
+    sql(spark, sfDir, SetOpsAllSql)
+
   /** C13: vector search through SQL using graft's registered native
     * functions (array_l2_normalize / array_dot) — the
     * SparkSessionExtensions surface.

@@ -604,6 +604,22 @@ object OracleGen {
        |FROM tot t LEFT JOIN hits x USING (test_doc)""".stripMargin
   }
 
+  /** c74 = recall@5 of both approximate indexes recomputed from the
+    * three member oracles (each deterministic, so the report is
+    * hash-exact); hits by equi-join against the exact top-5.
+    */
+  lazy val c74AnnRecall: String =
+    s"""WITH ex AS (SELECT query_id, neighbor_id FROM ($c6AnnBruteforce) WHERE rank <= 5),
+       |lshm AS (SELECT query_id, neighbor_id FROM ($c7AnnLsh)),
+       |ivfm AS (SELECT query_id, neighbor_id FROM ($c18AnnIvf)),
+       |legs AS (SELECT 'lsh' AS method, query_id, neighbor_id FROM lshm
+       |  UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ivfm),
+       |j AS (SELECT l.method, CASE WHEN e.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM legs l LEFT JOIN ex e ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id)
+       |SELECT method, COUNT(*) AS n_returned, CAST(SUM(hit) AS BIGINT) AS n_hits,
+       |  CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS recall_at_5
+       |FROM j GROUP BY method""".stripMargin
+
   /** c69 = the seeded assignment (c35's CTE, labels carried through)
     * re-aggregated to per-list label purity; the majority vote breaks
     * count ties to the LOWEST label, mirrored in both engines.

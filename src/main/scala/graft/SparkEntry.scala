@@ -170,7 +170,10 @@ object SparkEntry {
     "b48_ratio_to_report" -> (Relational.b48RatioToReport _),
     "s20_neardup_index" -> (TextDedup.s20NearDupIndex _),
     "c73_split_leakage" -> (Sampling.c73SplitLeakage _),
-    "s21_shallow_clone" -> (graft.sources.Formats.s21ShallowClone _)
+    "s21_shallow_clone" -> (graft.sources.Formats.s21ShallowClone _),
+    "b49_set_ops_all" -> (GraftSql.b49SetOpsAll _),
+    "c74_ann_recall" -> (VectorOps.c74AnnRecall _),
+    "c75_langid_margin" -> (TextAnalysis.c75LangidMargin _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -895,6 +898,30 @@ object SparkEntry {
     // what a near-dup is)
     "s20_neardup_index" -> OracleGen.c55NearDupIncremental,
     "c73_split_leakage" -> OracleGen.c73SplitLeakage,
+    "b49_set_ops_all" -> GraftSql.SetOpsAllSql,
+    "c74_ann_recall" -> OracleGen.c74AnnRecall,
+    // c8's marker scores + a row-local descending sort for the runner-up
+    "c75_langid_margin" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(w, t -> t = 'data' OR t = 'table')) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(w, t -> t = 'merge' OR t = 'line')) AS BIGINT) AS s_fr,
+        |  CAST(len(list_filter(w, t -> t = 'order' OR t = 'group')) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(w, t -> t = 'key' OR t = 'value')) AS BIGINT) AS s_zh
+        |FROM docs),
+        |p AS (SELECT doc_id,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es >= s_en AND s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+        |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       ELSE 'zh' END AS pred_lang,
+        |  list_sort([s_en, s_es, s_fr, s_de, s_zh], 'DESC') AS ss
+        |FROM s)
+        |SELECT doc_id, pred_lang, ss[1] AS top_score, ss[2] AS second_score,
+        |  ss[1] - ss[2] AS margin,
+        |  (ss[1] - ss[2] < ${TextAnalysis.LangidMarginMin} OR ss[1] = 0) AS low_confidence
+        |FROM p""".stripMargin,
     // the clone's committed view = source base + the clone's own append;
     // a clone that copied stale data, lost the append, or disturbed the
     // source breaks rows+hash

@@ -991,4 +991,41 @@ object TextAnalysis {
     * per-lang; the flag composes ORs so a zero threshold disables it.
     */
   val MojibakeMinAsciiRatio = 0.6
+
+  /** c75: below this top-minus-runner-up marker margin the language
+    * call is a coin flip and the doc routes to a fallback classifier.
+    */
+  val LangidMarginMin = 2L
+
+  /** C75: language-ID confidence margin — the routing signal next to
+    * c8's argmax call: top marker score minus the runner-up (and a
+    * low-confidence flag when the margin is under [[LangidMarginMin]]
+    * or the top score is zero). A mix build sends low-margin docs to a
+    * heavier classifier instead of trusting the cheap marker vote —
+    * the standard cascade. Scores are integer marker counts off the
+    * shared single token split; the runner-up comes from a row-local
+    * descending sort of the 5-score array. Zero shuffle (c8's posture).
+    */
+  def c75LangidMargin(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = langPredicted(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    )
+    val arr = sort_array(array(Markers.map { case (l, _) => col(s"s_$l") }: _*), asc = false)
+    scored
+      .withColumn("top_score", element_at(arr, 1))
+      .withColumn("second_score", element_at(arr, 2))
+      .withColumn("margin", col("top_score") - col("second_score"))
+      .withColumn(
+        "low_confidence",
+        col("margin") < LangidMarginMin || col("top_score") === 0
+      )
+      .select(
+        col("doc_id"),
+        col("pred_lang"),
+        col("top_score"),
+        col("second_score"),
+        col("margin"),
+        col("low_confidence")
+      )
+  }
 }

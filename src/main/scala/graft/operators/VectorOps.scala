@@ -1123,6 +1123,38 @@ object VectorOps {
     )
   }
 
+  /** C74: ANN recall report — the measured recall@5 of BOTH
+    * approximate indexes (multi-band LSH and IVF) against the exact
+    * brute-force top-5, emitted as a first-class auditable query
+    * instead of only a spec floor: the number an ANN deployment puts
+    * on its dashboard. Every input is deterministic (c6/c7/c18's
+    * contracts), so the report is hash-exact: hits are an equi-join
+    * on (query, neighbor), recall divides two exact longs once. Cost
+    * is the three member queries plus two tiny joins — the exact
+    * baseline is 10 queries by contract, so "measuring recall" never
+    * touches corpus² (on a real deployment this runs on a held-out
+    * query sample the same way).
+    */
+  def c74AnnRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = c6AnnBruteforce(spark, sfDir)
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val legs = Seq(
+      "lsh" -> c7AnnLsh(spark, sfDir),
+      "ivf" -> c18AnnIvf(spark, sfDir)
+    ).map { case (m, df) =>
+      df.select(col("query_id"), col("neighbor_id")).withColumn("method", lit(m))
+    }.reduce(_.unionByName(_))
+    legs
+      .join(broadcast(exact), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("method"))
+      .agg(
+        count(lit(1)).as("n_returned"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits")
+      )
+      .withColumn("recall_at_5", col("n_hits").cast("double") / col("n_returned"))
+  }
+
   /** C69: cluster label purity — per seeded-IVF list: vector count,
     * majority label, and the majority share. The standard clustering
     * diagnostic (does the embedding space actually separate the

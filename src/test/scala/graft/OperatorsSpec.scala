@@ -903,6 +903,74 @@ class OperatorsSpec extends SparkSpec {
     assert(nCloned > nOrders, "the clone's append must be visible in the clone")
   }
 
+  test("b49 multiset set-ops: bag semantics re-derived; multiplicities genuinely survive") {
+    val orders = graft.sources.Tables
+      .orders(spark, sf0001)
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val hv = orders.filter(_._2 > 150000).map(_._1)
+    val urg = orders.filter(_._3 == "1-URGENT").map(_._1)
+    def bagIntersect(a: Seq[Long], b: Seq[Long]): Long = {
+      val cb = b.groupBy(identity).map { case (k, v) => (k, v.length) }
+      a.groupBy(identity).map { case (k, v) => math.min(v.length, cb.getOrElse(k, 0)) }.sum.toLong
+    }
+    def bagExcept(a: Seq[Long], b: Seq[Long]): Long = {
+      val cb = b.groupBy(identity).map { case (k, v) => (k, v.length) }
+      a.groupBy(identity).map { case (k, v) => math.max(v.length - cb.getOrElse(k, 0), 0) }.sum.toLong
+    }
+    val got = GraftSql
+      .b49SetOpsAll(spark, sf0001)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got("both_all")._1 == bagIntersect(hv.toSeq, urg.toSeq))
+    assert(got("hv_only_all")._1 == bagExcept(hv.toSeq, urg.toSeq))
+    assert(got.values.exists(v => v._1 > v._2), "multiset counts must exceed key counts somewhere — else ALL is vacuous here")
+  }
+
+  test("c74 ANN recall report: hits re-derived; LSH zero-miss and IVF above its floor") {
+    val exact = VectorOps
+      .c6AnnBruteforce(spark, sf001)
+      .filter(col("rank") <= 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(col("query_id"), col("neighbor_id"))
+        .collect()
+        .count(r => exact((r.getLong(0), r.getLong(1))))
+        .toLong
+    val got = VectorOps
+      .c74AnnRecall(spark, sf001)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got("lsh")._2 == hits(VectorOps.c7AnnLsh(spark, sf001)))
+    assert(got("ivf")._2 == hits(VectorOps.c18AnnIvf(spark, sf001)))
+    assert(got("lsh")._3 == 1.0, "c7 is adjudicated zero-miss at the test SFs")
+    assert(got("ivf")._3 >= 0.9, "c18's recall floor")
+  }
+
+  test("c75 langid margin: runner-up and flag re-derived from the marker scores") {
+    val scores = TextAnalysis
+      .c8TextLangid(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> (2 to 6).map(r.getLong).toVector)
+      .toMap
+    val rows = TextAnalysis.c75LangidMargin(spark, sf0001).collect()
+    assert(rows.length == scores.size)
+    rows.foreach { r =>
+      val ss = scores(r.getLong(0)).sorted.reverse
+      assert(r.getLong(2) == ss(0), "top_score")
+      assert(r.getLong(3) == ss(1), "second_score")
+      assert(r.getLong(4) == ss(0) - ss(1), "margin")
+      assert(r.getBoolean(5) == (ss(0) - ss(1) < TextAnalysis.LangidMarginMin || ss(0) == 0))
+    }
+    val flags = rows.map(_.getBoolean(5))
+    assert(flags.contains(true) && flags.contains(false), "both confidence branches on gate data")
+  }
+
   test("c69 cluster purity: majority vote re-derived from c39's assignment (same seeded quantizer)") {
     // c39 emits the same (vec_id → list_id) assignment; folding labels
     // over it in the JVM re-derives every c69 row in exact integer math

@@ -2262,7 +2262,8 @@ class PlanSpec extends SparkSpec {
       "c57_rag_retrieval" -> "broadcast 2-query frame × chunk stream (c6's posture on the chunk index)",
       "c60_hard_negatives" -> "broadcast ≤10-anchor frame; label DISequality can't be a key, evaluated in-stream",
       "c61_knn_graph" -> "broadcast bounded seeded-centroid frame; the corpus-sized meet is a keyed list_id join",
-      "c69_cluster_purity" -> "broadcast seeded-centroid frame for the cluster assignment (c35's shape)"
+      "c69_cluster_purity" -> "broadcast seeded-centroid frame for the cluster assignment (c35's shape)",
+      "c74_ann_recall" -> "composes c6/c7/c18 — inherits c6's broadcast ≤10-query baseline"
     )
     // Unpartitioned windows are allowed only over an AGGREGATED frame
     // (bucket/band offsets — rows ∝ buckets, not corpus); a global
