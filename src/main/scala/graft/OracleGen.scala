@@ -604,6 +604,80 @@ object OracleGen {
        |FROM tot t LEFT JOIN hits x USING (test_doc)""".stripMargin
   }
 
+  /** c38's chunk-dedup oracle (lifted here so c76 can compose it). */
+  val c38ChunkDedup: String = {
+    import graft.operators.TextAnalysis.{ChunkSize, ChunkStride}
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      |n AS (SELECT doc_id, w, greatest(CAST(ceil(CAST(len(w) - $ChunkSize AS DOUBLE) / $ChunkStride) AS INT), 0) + 1 AS nc FROM d),
+      |c AS (SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS ci FROM n),
+      |s AS (SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+      |  md5(array_to_string(list_slice(w, ci * $ChunkStride + 1, ci * $ChunkStride + $ChunkSize), ' ')) AS chunk_md5
+      |FROM c),
+      |cr AS (SELECT chunk_md5, doc_id AS c_doc, chunk_idx AS c_idx,
+      |  ROW_NUMBER() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_idx) AS rn FROM s),
+      |canon AS (SELECT chunk_md5, c_doc, c_idx FROM cr WHERE rn = 1)
+      |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(count(*) FILTER (WHERE NOT (k.c_doc = s.doc_id AND k.c_idx = s.chunk_idx)) AS BIGINT) AS n_dup_chunks,
+      |  CAST(count(*) FILTER (WHERE NOT (k.c_doc = s.doc_id AND k.c_idx = s.chunk_idx)) AS DOUBLE) / count(*) AS dup_chunk_ratio
+      |FROM s JOIN canon k USING (chunk_md5)
+      |GROUP BY s.doc_id""".stripMargin
+  }
+
+  /** c68's prefix-dedup oracle (lifted here so c76 can compose it). */
+  val c68PrefixDedup: String = {
+    import graft.operators.TextDedup.HeadTokens
+    s"""WITH d AS (SELECT doc_id, md5(text) AS full_md5,
+      |  md5(array_to_string(list_slice(string_split(text, ' '), 1, $HeadTokens), ' ')) AS head_md5
+      |FROM documents)
+      |SELECT head_md5, COUNT(*) AS n_docs, COUNT(DISTINCT full_md5) AS n_variants, MIN(doc_id) AS keep_doc_id
+      |FROM d GROUP BY head_md5
+      |HAVING COUNT(*) >= 2 AND COUNT(DISTINCT full_md5) >= 2""".stripMargin
+  }
+
+  /** c76 = the one-row dedup card recomputed by composing the member
+    * oracles (each already proven alone): exact, near-dup pairs,
+    * clusters, prefix families, chunk dups.
+    */
+  lazy val c76DedupCard: String =
+    s"""WITH ex AS (SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct_texts FROM documents),
+       |pr AS (SELECT COUNT(*) AS n_neardup_pairs FROM ($c3MinHashLsh)),
+       |cl AS (SELECT COUNT(*) AS n_clustered_docs, COUNT(DISTINCT cluster_id) AS n_clusters FROM ($c16Clusters)),
+       |pf AS (SELECT COUNT(*) AS n_prefix_families FROM ($c68PrefixDedup)),
+       |ch AS (SELECT CAST(SUM(n_chunks) AS BIGINT) AS n_chunks_total, CAST(SUM(n_dup_chunks) AS BIGINT) AS n_dup_chunks FROM ($c38ChunkDedup))
+       |SELECT ex.n_docs, ex.n_distinct_texts, ex.n_docs - ex.n_distinct_texts AS n_exact_dup_docs,
+       |  pr.n_neardup_pairs, cl.n_clustered_docs, cl.n_clusters, pf.n_prefix_families,
+       |  ch.n_chunks_total, ch.n_dup_chunks,
+       |  CAST(ch.n_dup_chunks AS DOUBLE) / ch.n_chunks_total AS dup_chunk_ratio
+       |FROM ex, pr, cl, pf, ch""".stripMargin
+
+  /** c77 = per-source stub-embedding drift: exact HUGEINT dim sums per
+    * source (cosine is scale-invariant, so the un-divided sums stand in
+    * for the centroids), pairwise cosine with one double cast per
+    * factor — every operation single-rounded in the same order.
+    */
+  val c77SourceDrift: String = {
+    import graft.operators.TextAnalysis.{ChunkSize, ChunkStride}
+    import graft.operators.VectorOps.RagDims
+    val dimSums = (0 until RagDims)
+      .map(j => s"CAST(SUM(CAST(concat('0x', substr(h, ${j * 4 + 1}, 4)) AS BIGINT) - 32768) AS HUGEINT) AS d$j")
+      .mkString(",\n  ")
+    val dot = (0 until RagDims).map(j => s"a.d$j * b.d$j").mkString(" + ")
+    val na = (0 until RagDims).map(j => s"a.d$j * a.d$j").mkString(" + ")
+    val nb = (0 until RagDims).map(j => s"b.d$j * b.d$j").mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') w FROM documents),
+       |n AS (SELECT doc_id, source, w, greatest(CAST(ceil(CAST(len(w) - $ChunkSize AS DOUBLE) / $ChunkStride) AS INT), 0) + 1 AS nc FROM d),
+       |c AS (SELECT doc_id, source, w, unnest(generate_series(0, nc - 1)) AS ci FROM n),
+       |h AS (SELECT source, md5(array_to_string(list_slice(w, ci * $ChunkStride + 1, ci * $ChunkStride + $ChunkSize), ' ')) AS h FROM c),
+       |s AS (SELECT source, COUNT(*) AS n_chunks,
+       |  $dimSums
+       |FROM h GROUP BY source)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  a.n_chunks AS n_chunks_a, b.n_chunks AS n_chunks_b,
+       |  CAST(CAST($dot AS HUGEINT) AS DOUBLE)
+       |    / (sqrt(CAST(CAST($na AS HUGEINT) AS DOUBLE)) * sqrt(CAST(CAST($nb AS HUGEINT) AS DOUBLE))) AS cos_drift
+       |FROM s a JOIN s b ON a.source < b.source""".stripMargin
+  }
+
   /** c74 = recall@5 of both approximate indexes recomputed from the
     * three member oracles (each deterministic, so the report is
     * hash-exact); hits by equi-join against the exact top-5.

@@ -173,7 +173,9 @@ object SparkEntry {
     "s21_shallow_clone" -> (graft.sources.Formats.s21ShallowClone _),
     "b49_set_ops_all" -> (GraftSql.b49SetOpsAll _),
     "c74_ann_recall" -> (VectorOps.c74AnnRecall _),
-    "c75_langid_margin" -> (TextAnalysis.c75LangidMargin _)
+    "c75_langid_margin" -> (TextAnalysis.c75LangidMargin _),
+    "c76_dedup_card" -> (TextDedup.c76DedupCard _),
+    "c77_source_drift" -> (VectorOps.c77SourceDrift _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -533,13 +535,7 @@ object SparkEntry {
         |             ELSE CAST(length(regexp_replace(text, '[^ -~]', '', 'g')) AS DOUBLE) / length(text) END)
         |       < ${TextAnalysis.MojibakeMinAsciiRatio}) AS encoding_suspect
         |FROM documents""".stripMargin,
-    "c68_prefix_dedup" ->
-      s"""WITH d AS (SELECT doc_id, md5(text) AS full_md5,
-        |  md5(array_to_string(list_slice(string_split(text, ' '), 1, ${TextDedup.HeadTokens}), ' ')) AS head_md5
-        |FROM documents)
-        |SELECT head_md5, COUNT(*) AS n_docs, COUNT(DISTINCT full_md5) AS n_variants, MIN(doc_id) AS keep_doc_id
-        |FROM d GROUP BY head_md5
-        |HAVING COUNT(*) >= 2 AND COUNT(DISTINCT full_md5) >= 2""".stripMargin,
+    "c68_prefix_dedup" -> OracleGen.c68PrefixDedup,
     "c2_dedup_ngram_jaccard" -> OracleGen.c2NgramJaccard,
     "c3_dedup_minhash_lsh" -> OracleGen.c3MinHashLsh,
     "c4_dedup_simhash" -> OracleGen.c4SimHash,
@@ -745,21 +741,7 @@ object SparkEntry {
         |SELECT * FROM upd
         |UNION ALL
         |SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)""".stripMargin,
-    "c38_chunk_dedup" ->
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-        |n AS (SELECT doc_id, w, greatest(CAST(ceil(CAST(len(w) - ${TextAnalysis.ChunkSize} AS DOUBLE) / ${TextAnalysis.ChunkStride}) AS INT), 0) + 1 AS nc FROM d),
-        |c AS (SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS ci FROM n),
-        |s AS (SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
-        |  md5(array_to_string(list_slice(w, ci * ${TextAnalysis.ChunkStride} + 1, ci * ${TextAnalysis.ChunkStride} + ${TextAnalysis.ChunkSize}), ' ')) AS chunk_md5
-        |FROM c),
-        |cr AS (SELECT chunk_md5, doc_id AS c_doc, chunk_idx AS c_idx,
-        |  ROW_NUMBER() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_idx) AS rn FROM s),
-        |canon AS (SELECT chunk_md5, c_doc, c_idx FROM cr WHERE rn = 1)
-        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
-        |  CAST(count(*) FILTER (WHERE NOT (k.c_doc = s.doc_id AND k.c_idx = s.chunk_idx)) AS BIGINT) AS n_dup_chunks,
-        |  CAST(count(*) FILTER (WHERE NOT (k.c_doc = s.doc_id AND k.c_idx = s.chunk_idx)) AS DOUBLE) / count(*) AS dup_chunk_ratio
-        |FROM s JOIN canon k USING (chunk_md5)
-        |GROUP BY s.doc_id""".stripMargin,
+    "c38_chunk_dedup" -> OracleGen.c38ChunkDedup,
     "c20_training_pipeline" ->
       s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents),
         |m AS (SELECT doc_id,
@@ -900,6 +882,8 @@ object SparkEntry {
     "c73_split_leakage" -> OracleGen.c73SplitLeakage,
     "b49_set_ops_all" -> GraftSql.SetOpsAllSql,
     "c74_ann_recall" -> OracleGen.c74AnnRecall,
+    "c76_dedup_card" -> OracleGen.c76DedupCard,
+    "c77_source_drift" -> OracleGen.c77SourceDrift,
     // c8's marker scores + a row-local descending sort for the runner-up
     "c75_langid_margin" ->
       s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),

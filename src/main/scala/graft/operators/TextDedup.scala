@@ -453,6 +453,49 @@ object TextDedup {
     )
   }
 
+  /** C76: the DEDUP CARD — one row summarizing every duplication axis
+    * a corpus release documents (the dedup sibling of c62's dataset
+    * card): exact-dup docs (whole-text hash), verified near-dup pairs,
+    * near-dup clusters and their member count, prefix/truncation
+    * families, and cross-document chunk duplication with its corpus
+    * ratio. Pure composition: every member is a proven gate operator,
+    * the near-dup members ride the amortized c3 pair set, and each
+    * contributes ONE bounded aggregate; the single-row frames cross at
+    * the end (5 one-row broadcasts — the c14 idiom, not a data join).
+    * The one number a training-mix review asks for first lives here.
+    */
+  def c76DedupCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val ex = docs.agg(
+      count(lit(1)).as("n_docs"),
+      count_distinct(md5(col("text"))).as("n_distinct_texts")
+    )
+    val pr = c3MinHashLsh(spark, sfDir).agg(count(lit(1)).as("n_neardup_pairs"))
+    val cl = graft.operators.TextAnalysis
+      .c16DedupClusters(spark, sfDir)
+      .agg(count(lit(1)).as("n_clustered_docs"), count_distinct(col("cluster_id")).as("n_clusters"))
+    val pf = c68PrefixDedup(spark, sfDir).agg(count(lit(1)).as("n_prefix_families"))
+    val ch = graft.operators.TextAnalysis
+      .c38ChunkDedup(spark, sfDir)
+      .agg(sum(col("n_chunks")).as("n_chunks_total"), sum(col("n_dup_chunks")).as("n_dup_chunks"))
+    ex.crossJoin(pr)
+      .crossJoin(cl)
+      .crossJoin(pf)
+      .crossJoin(ch)
+      .select(
+        col("n_docs"),
+        col("n_distinct_texts"),
+        (col("n_docs") - col("n_distinct_texts")).as("n_exact_dup_docs"),
+        col("n_neardup_pairs"),
+        col("n_clustered_docs"),
+        col("n_clusters"),
+        col("n_prefix_families"),
+        col("n_chunks_total"),
+        col("n_dup_chunks"),
+        (col("n_dup_chunks").cast("double") / col("n_chunks_total")).as("dup_chunk_ratio")
+      )
+  }
+
   /** Per-doc 60-bit SimHash signature: weighted bit votes over
     * md5-derived token hashes (weight = token multiplicity), computed
     * entirely within the row by [[graft.plans.SimHashOfTokens]] — the

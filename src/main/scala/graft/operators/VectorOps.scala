@@ -1123,6 +1123,64 @@ object VectorOps {
     )
   }
 
+  /** C77: source embedding drift — pairwise cosine between each
+    * source's mean document embedding (c65's stub dims), the
+    * distribution-shift signal a mix build reads when deciding whether
+    * two sources cover the same content (high cosine = redundant
+    * coverage, candidates for c28's quota; low = complementary).
+    * Cosine is scale-invariant, so the UN-divided per-source dim sums
+    * stand in for the centroids and everything to the final cosine is
+    * EXACT integer arithmetic (long dims summed in DECIMAL — float
+    * mean-pooling would be addition-order-dependent, c65's reasoning);
+    * the cosine casts each exact factor to double once, then sqrt /
+    * multiply / divide — single correctly-rounded ops in one order,
+    * engine-identical. ONE corpus scan + one keyed aggregate; the
+    * pairwise step runs over the #sources-row frame (tiny by
+    * definition of "source").
+    */
+  def c77SourceDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextAnalysis.{ChunkSize, ChunkStride}
+    val chunks = Tables
+      .documents(spark, sfDir)
+      .select(col("source"), graft.functions.TextFunctions.tokens(col("text")).as("w"))
+      .withColumn(
+        "nc",
+        greatest(ceil((size(col("w")) - ChunkSize).cast("double") / ChunkStride).cast("int"), lit(0)) + 1
+      )
+      .select(
+        col("source"),
+        explode(
+          transform(
+            sequence(lit(0), col("nc") - 1),
+            ci => md5(concat_ws(" ", slice(col("w"), ci * ChunkStride + 1, lit(ChunkSize))))
+          )
+        ).as("h")
+      )
+    val dims = (0 until RagDims).map { j =>
+      sum((conv(col("h").substr(lit(j * 4 + 1), lit(4)), 16, 10).cast("long") - lit(32768L)).cast("decimal(19,0)"))
+        .cast("decimal(19,0)")
+        .as(s"d$j")
+    }
+    val agg = chunks.groupBy(col("source")).agg(count(lit(1)).as("n_chunks"), dims: _*)
+    def side(tag: String) =
+      agg.select(
+        col("source").as(s"source_$tag") +: col("n_chunks").as(s"n_chunks_$tag") +:
+          (0 until RagDims).map(j => col(s"d$j").as(s"d${tag}$j")): _*
+      )
+    val dot = (0 until RagDims).map(j => col(s"da$j") * col(s"db$j")).reduce(_ + _)
+    val na = (0 until RagDims).map(j => col(s"da$j") * col(s"da$j")).reduce(_ + _)
+    val nb = (0 until RagDims).map(j => col(s"db$j") * col(s"db$j")).reduce(_ + _)
+    side("a")
+      .join(side("b"), col("source_a") < col("source_b"))
+      .select(
+        col("source_a"),
+        col("source_b"),
+        col("n_chunks_a"),
+        col("n_chunks_b"),
+        (dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))).as("cos_drift")
+      )
+  }
+
   /** C74: ANN recall report — the measured recall@5 of BOTH
     * approximate indexes (multi-band LSH and IVF) against the exact
     * brute-force top-5, emitted as a first-class auditable query

@@ -585,4 +585,55 @@ object StreamingOps {
         out.result().iterator
       }
   }
+
+  /** One head-fingerprinted doc (c68's projection) arriving on a stream. */
+  case class HeadRow(doc_id: Long, head_md5: String, full_md5: String)
+
+  /** Current family verdict for a head fingerprint after each batch. */
+  case class HeadFamilyUpdate(
+      head_md5: String,
+      n_docs: Long,
+      n_variants: Long,
+      keep_doc_id: Long,
+      is_family: Boolean
+  )
+
+  /** StreamingPrefixDedup: c68's truncation-family detector as an
+    * incremental operator — per head fingerprint the state is the set
+    * of member doc ids and distinct full-text hashes seen so far (state
+    * ∝ the family's own size and variant count — the duplication
+    * structure itself, the same growth law as the chunk-holder and
+    * LSH-bucket states; heads with one member stay two entries). Each
+    * batch re-emits the head's CURRENT verdict: member count, variant
+    * count, canonical min id, and whether the head now qualifies as a
+    * family (≥ 2 docs AND ≥ 2 variants — exact-copy groups stay
+    * non-families, c1's business). Sets make the fold idempotent, so
+    * redelivery can never inflate counts and the last emission under
+    * in-order replay equals the batch c68 row exactly (spec-verified).
+    */
+  def streamingPrefixDedup(rows: Dataset[HeadRow]): Dataset[HeadFamilyUpdate] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.head_md5)
+      .flatMapGroupsWithState[(Set[Long], Set[String]), HeadFamilyUpdate](
+        OutputMode.Update(),
+        GroupStateTimeout.NoTimeout
+      ) { (head: String, it: Iterator[HeadRow], state: GroupState[(Set[Long], Set[String])]) =>
+        var (docs, fulls) = state.getOption.getOrElse((Set.empty[Long], Set.empty[String]))
+        it.foreach { r =>
+          docs += r.doc_id
+          fulls += r.full_md5
+        }
+        state.update((docs, fulls))
+        Iterator.single(
+          HeadFamilyUpdate(
+            head,
+            docs.size.toLong,
+            fulls.size.toLong,
+            docs.min,
+            docs.size >= 2 && fulls.size >= 2
+          )
+        )
+      }
+  }
 }

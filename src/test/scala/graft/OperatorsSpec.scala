@@ -971,6 +971,71 @@ class OperatorsSpec extends SparkSpec {
     assert(flags.contains(true) && flags.contains(false), "both confidence branches on gate data")
   }
 
+  test("c76 dedup card: every cell reconciles with its member operator") {
+    val row = TextDedup.c76DedupCard(spark, sf001).collect().head
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    val nDocs = docs.count()
+    val nDistinct = docs.select(md5(col("text"))).distinct().count()
+    assert(row.getLong(0) == nDocs)
+    assert(row.getLong(1) == nDistinct)
+    assert(row.getLong(2) == nDocs - nDistinct)
+    assert(row.getLong(3) == TextDedup.c3MinHashLsh(spark, sf001).count())
+    val clusters = TextAnalysis.c16DedupClusters(spark, sf001)
+    assert(row.getLong(4) == clusters.count())
+    assert(row.getLong(5) == clusters.select(col("cluster_id")).distinct().count())
+    assert(row.getLong(6) == TextDedup.c68PrefixDedup(spark, sf001).count())
+    val ch = TextAnalysis
+      .c38ChunkDedup(spark, sf001)
+      .agg(sum(col("n_chunks")), sum(col("n_dup_chunks")))
+      .head()
+    assert(row.getLong(7) == ch.getLong(0) && row.getLong(8) == ch.getLong(1))
+    assert(row.getDouble(9) == ch.getLong(1).toDouble / ch.getLong(0))
+    assert(row.getLong(3) > 0 && row.getLong(8) > 0, "gate data must contain duplication")
+  }
+
+  test("c77 source drift: integer centroid cosines re-derived dim-by-dim in the JVM") {
+    import graft.operators.TextAnalysis.{ChunkSize, ChunkStride}
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(col("source"), col("text"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val sums = scala.collection.mutable.Map[String, (Long, Array[BigInt])]()
+    docs.foreach { case (src, text) =>
+      val w = text.split(" ", -1)
+      val nc = math.max(math.ceil((w.length - ChunkSize).toDouble / ChunkStride).toInt, 0) + 1
+      val (n0, d0) = sums.getOrElseUpdate(src, (0L, Array.fill(graft.operators.VectorOps.RagDims)(BigInt(0))))
+      var n = n0
+      (0 until nc).foreach { ci =>
+        val h = md5hex(w.slice(ci * ChunkStride, ci * ChunkStride + ChunkSize).mkString(" "))
+        (0 until graft.operators.VectorOps.RagDims).foreach { j =>
+          d0(j) += BigInt(java.lang.Long.parseLong(h.substring(j * 4, j * 4 + 4), 16) - 32768L)
+        }
+        n += 1
+      }
+      sums(src) = (n, d0)
+    }
+    val expected = (for {
+      (sa, (na, da)) <- sums.toSeq
+      (sb, (nb, db)) <- sums.toSeq
+      if sa < sb
+    } yield {
+      val dot = (0 until da.length).map(j => da(j) * db(j)).sum
+      val qa = da.map(x => x * x).sum
+      val qb = db.map(x => x * x).sum
+      (sa, sb) -> ((na, nb, dot.toDouble / (math.sqrt(qa.toDouble) * math.sqrt(qb.toDouble))))
+    }).toMap
+    val got = VectorOps
+      .c77SourceDrift(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got == expected)
+    assert(expected.nonEmpty)
+  }
+
   test("c69 cluster purity: majority vote re-derived from c39's assignment (same seeded quantizer)") {
     // c39 emits the same (vec_id → list_id) assignment; folding labels
     // over it in the JVM re-derives every c69 row in exact integer math

@@ -2263,7 +2263,9 @@ class PlanSpec extends SparkSpec {
       "c60_hard_negatives" -> "broadcast ≤10-anchor frame; label DISequality can't be a key, evaluated in-stream",
       "c61_knn_graph" -> "broadcast bounded seeded-centroid frame; the corpus-sized meet is a keyed list_id join",
       "c69_cluster_purity" -> "broadcast seeded-centroid frame for the cluster assignment (c35's shape)",
-      "c74_ann_recall" -> "composes c6/c7/c18 — inherits c6's broadcast ≤10-query baseline"
+      "c74_ann_recall" -> "composes c6/c7/c18 — inherits c6's broadcast ≤10-query baseline",
+      "c76_dedup_card" -> "five single-row summary frames crossed (the c14 idiom, not a data join)",
+      "c77_source_drift" -> "pairwise join over the #sources-row centroid frame (tiny by definition)"
     )
     // Unpartitioned windows are allowed only over an AGGREGATED frame
     // (bucket/band offsets — rows ∝ buckets, not corpus); a global

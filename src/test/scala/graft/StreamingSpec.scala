@@ -950,6 +950,59 @@ class StreamingSpec extends SparkSpec {
     out
   }
 
+  test("streaming prefix dedup: families converge to the batch c68 verdicts; redelivery-stable") {
+    import org.apache.spark.sql.functions.{array_join, col, md5, slice}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val heads = graft.sources.Tables
+      .documents(spark, sf001)
+      .select(
+        col("doc_id"),
+        md5(array_join(slice(graft.functions.TextFunctions.tokens(col("text")), 1, graft.operators.TextDedup.HeadTokens), " ")).as("head_md5"),
+        md5(col("text")).as("full_md5")
+      )
+      .as[StreamingOps.HeadRow]
+      .collect()
+      .sortBy(_.doc_id)
+    val input = MemoryStream[StreamingOps.HeadRow]
+    val q = StreamingOps
+      .streamingPrefixDedup(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("prefix_out")
+      .outputMode("update")
+      .start()
+    heads.grouped(100).foreach { c =>
+      input.addData(c.toSeq)
+      q.processAllAvailable()
+    }
+    val beforeRedelivery = spark.table("prefix_out").as[StreamingOps.HeadFamilyUpdate].collect()
+    // redeliver a slice: the set-based fold is idempotent, so verdicts
+    // must not drift (counts cannot inflate)
+    input.addData(heads.take(50).toSeq)
+    q.processAllAvailable()
+    val all = spark.table("prefix_out").as[StreamingOps.HeadFamilyUpdate].collect()
+    q.stop()
+    def lastPerHead(vs: Array[StreamingOps.HeadFamilyUpdate]) =
+      vs.zipWithIndex.groupBy(_._1.head_md5).map { case (h, xs) => h -> xs.maxBy(_._2)._1 }
+    val last = lastPerHead(all)
+    assert(
+      lastPerHead(beforeRedelivery).forall { case (h, v) => last(h) == v },
+      "redelivery drifted a verdict"
+    )
+    val streamedFamilies = last.values
+      .filter(_.is_family)
+      .map(v => v.head_md5 -> ((v.n_docs, v.n_variants, v.keep_doc_id)))
+      .toMap
+    val batch = graft.operators.TextDedup
+      .c68PrefixDedup(spark, sf001)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(streamedFamilies == batch)
+    assert(batch.nonEmpty, "gate data must contain truncation families")
+  }
+
   test("streaming PII redaction matches batch c22 row-for-row (stateless screen parity)") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
