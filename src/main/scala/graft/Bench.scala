@@ -32,7 +32,10 @@ object Bench {
     // JIT across the job; a cold local JVM would charge it to the first
     // query)
     spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count().collect()
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // optional first arg: comma-separated query subset (dev iteration /
+    // baselining a new query solo — the driver always runs everything)
+    val only = args.headOption.map(_.split(",").toSet)
+    val names = SparkEntry.queries.toSeq.filter(kv => only.forall(_.contains(kv._1))).sortBy(_._1)
     // n≥3 full passes, report the per-query MEDIAN — a single run can't
     // distinguish a real regression from JIT/ordering noise
     val samples: Seq[Seq[(String, Double, Boolean)]] = (1 to Passes).map { _ =>

@@ -906,4 +906,85 @@ object OracleGen {
     s"""WITH $shingleCtes
        |SELECT doc_id, min(h) AS fp_min, CAST(SUM(h) % ${MinHashParams.P} AS BIGINT) AS fp_sum
        |FROM shh GROUP BY doc_id""".stripMargin
+
+  /** c80 recomputes the c15 score, then the declarative NTILE(3) the
+    * two-phase Spark plan is provably equal to (b43's equivalence,
+    * same tie-break ORDER BY lm_score, doc_id).
+    */
+  val c80CcnetBuckets: String = {
+    import graft.operators.Sampling.CcnetTiles
+    val scoreSql = c15BigramLm
+    s"""WITH sc AS ($scoreSql),
+       |j AS (SELECT sc.doc_id, d2.lang, sc.lm_score FROM sc JOIN documents d2 ON sc.doc_id = d2.doc_id),
+       |t AS (SELECT doc_id, lang, lm_score,
+       |  NTILE($CcnetTiles) OVER (PARTITION BY lang ORDER BY lm_score, doc_id) AS tl FROM j)
+       |SELECT doc_id, lang, lm_score,
+       |  CASE tl WHEN 1 THEN 'tail' WHEN 2 THEN 'middle' ELSE 'head' END AS ppl_bucket
+       |FROM t""".stripMargin
+  }
+
+  /** c79 re-derives the md5 weight vector bucket-for-bucket (token →
+    * hash32 mod QcDim → bucket-id weight), sums the integer weights
+    * exactly inside the list (order-free), and mirrors the two final
+    * float ops in the same order.
+    */
+  val c79LinearQuality: String = {
+    import graft.operators.TextAnalysis.{QcDim, QcScale}
+    val h = "CAST(concat('0x', substr(md5(%s), 1, 8)) AS BIGINT)"
+    val bucket = h.format("t") + s" % $QcDim"
+    val weight = h.format(s"concat('qw#', CAST($bucket AS VARCHAR))") + s" % ${2 * QcScale + 1} - $QcScale"
+    s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') w FROM documents),
+       |sc AS (SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_tokens,
+       |  CAST(list_sum(list_transform(w, t -> $weight)) AS BIGINT) AS w_sum
+       |FROM d)
+       |SELECT doc_id, lang, n_tokens, w_sum,
+       |  CAST(w_sum AS DOUBLE) / (${QcScale.toDouble} * n_tokens) AS qc_score,
+       |  CAST(CAST(w_sum AS DOUBLE) / (${QcScale.toDouble} * n_tokens) > 0.0 AS INT) AS admit
+       |FROM sc""".stripMargin
+  }
+
+  /** c82: per corpus vector the max/argmax over the eval set, same
+    * normalize + dot as c6, tie on the lower eval id.
+    */
+  val c82SemanticDecontam: String = {
+    import graft.operators.VectorOps.{NumQueryVecs, SemanticLeakThreshold}
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |nm AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),
+       |ev AS (SELECT vec_id AS eval_id, vn AS evv FROM nm WHERE vec_id < $NumQueryVecs),
+       |c AS (SELECT vec_id, vn AS cv FROM nm WHERE vec_id >= $NumQueryVecs),
+       |s AS (SELECT vec_id, eval_id, list_dot_product(cv, evv) AS cos FROM c, ev),
+       |r AS (SELECT vec_id, eval_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_id) AS rn FROM s)
+       |SELECT vec_id, eval_id AS nearest_eval, cos AS max_cos,
+       |  CAST(cos >= $SemanticLeakThreshold AS INT) AS leaked
+       |FROM r WHERE rn = 1""".stripMargin
+  }
+
+  /** c78 mirrors the Spark side slot-for-slot: top-k neighborhood
+    * cosines extracted by rank into columns and folded with the SAME
+    * explicit association (((c1+c2)+c3)+c4)/k, margin division written
+    * in the same order — every float op correctly rounded once, so the
+    * margins and the best-margin ordering are bit-identical.
+    */
+  val c78BitextMargin: String = {
+    import graft.operators.VectorOps.{BitextSrcLabels, BitextMarginK, BitextMarginThreshold}
+    def slots(alias: String) =
+      (1 to BitextMarginK).map(j => s"max(CASE WHEN r = $j THEN cos END)").reduceLeft((a, b) => s"($a + $b)") +
+        s" / ${BitextMarginK.toDouble} AS $alias"
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |nm AS (SELECT vec_id, label, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),
+       |s AS (SELECT vec_id AS src_id, vn AS sv FROM nm WHERE label < $BitextSrcLabels),
+       |t AS (SELECT vec_id AS tgt_id, vn AS tv FROM nm WHERE label >= $BitextSrcLabels),
+       |p AS (SELECT src_id, tgt_id, list_dot_product(sv, tv) AS cos FROM s, t),
+       |sr AS (SELECT src_id, cos, ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS r FROM p),
+       |sd AS (SELECT src_id, ${slots("denom_src")} FROM sr WHERE r <= $BitextMarginK GROUP BY src_id),
+       |tr AS (SELECT tgt_id, cos, ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS r FROM p),
+       |td AS (SELECT tgt_id, ${slots("denom_tgt")} FROM tr WHERE r <= $BitextMarginK GROUP BY tgt_id),
+       |m AS (SELECT p.src_id, p.tgt_id, p.cos,
+       |  p.cos / ((sd.denom_src + td.denom_tgt) / 2.0) AS margin
+       |  FROM p JOIN sd ON p.src_id = sd.src_id JOIN td ON p.tgt_id = td.tgt_id),
+       |b AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rr FROM m)
+       |SELECT src_id, tgt_id, cos, margin, CAST(margin >= $BitextMarginThreshold AS INT) AS aligned
+       |FROM b WHERE rr = 1""".stripMargin
+  }
 }

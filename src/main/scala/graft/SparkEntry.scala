@@ -149,6 +149,9 @@ object SparkEntry {
     "s15_write_audit_publish" -> (graft.sources.Formats.s15WriteAuditPublish _),
     "s16_bad_records" -> (graft.sources.Formats.s16BadRecords _),
     "s17_manifest_append" -> (graft.sources.Formats.s17ManifestAppend _),
+    "s22_delta_log" -> (graft.sources.Formats.s22DeltaLog _),
+    "s23_partition_evolution" -> (graft.sources.Formats.s23PartitionEvolution _),
+    "c81_token_fertility" -> (TextAnalysis.c81TokenFertility _),
     "c63_kanon_report" -> (Sampling.c63KanonReport _),
     "c64_quality_topfrac" -> (Sampling.c64QualityTopFrac _),
     "c65_doc_embedding" -> (VectorOps.c65DocEmbedding _),
@@ -172,10 +175,16 @@ object SparkEntry {
     "c73_split_leakage" -> (Sampling.c73SplitLeakage _),
     "s21_shallow_clone" -> (graft.sources.Formats.s21ShallowClone _),
     "b49_set_ops_all" -> (GraftSql.b49SetOpsAll _),
+    "b50_dist_windows" -> (Relational.b50DistWindows _),
     "c74_ann_recall" -> (VectorOps.c74AnnRecall _),
     "c75_langid_margin" -> (TextAnalysis.c75LangidMargin _),
     "c76_dedup_card" -> (TextDedup.c76DedupCard _),
-    "c77_source_drift" -> (VectorOps.c77SourceDrift _)
+    "c77_source_drift" -> (VectorOps.c77SourceDrift _),
+    "c78_bitext_margin" -> (VectorOps.c78BitextMargin _),
+    "c79_linear_quality" -> (TextAnalysis.c79LinearQuality _),
+    "c80_ccnet_buckets" -> (Sampling.c80CcnetBuckets _),
+    "c82_semantic_decontam" -> (VectorOps.c82SemanticDecontam _),
+    "c83_normalized_dedup" -> (TextDedup.c83NormalizedDedup _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -741,6 +750,38 @@ object SparkEntry {
         |SELECT * FROM upd
         |UNION ALL
         |SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)""".stripMargin,
+    "b50_dist_windows" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  PERCENT_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS pct_rank,
+        |  CUME_DIST() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS cume_dist
+        |FROM orders""".stripMargin,
+    "s23_partition_evolution" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |WHERE month(o_orderdate) = 3 AND o_orderstatus = 'F'
+        |GROUP BY o_orderpriority""".stripMargin,
+    "c81_token_fertility" ->
+      """WITH d AS (SELECT lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS nb,
+        |  CAST(length(text) AS BIGINT) AS nc
+        |FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(nw) AS BIGINT) AS total_words,
+        |  CAST(SUM(nb) AS BIGINT) AS total_subtokens,
+        |  CAST(SUM(nc) AS BIGINT) AS total_chars,
+        |  CAST(CAST(SUM(nb) AS BIGINT) AS DOUBLE) / CAST(SUM(nw) AS BIGINT) AS fertility,
+        |  CAST(CAST(SUM(nc) AS BIGINT) AS DOUBLE) / CAST(SUM(nb) AS BIGINT) AS chars_per_subtoken
+        |FROM d GROUP BY lang""".stripMargin,
+    // final state after v1 create / v2 append / v3 rewrite-update /
+    // checkpoint / v4 append — prices pass through untouched, so the
+    // compare is float-op-free
+    "s22_delta_log" ->
+      """WITH base AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders)
+        |SELECT o_orderkey, 'REWRITTEN' AS o_orderpriority, o_totalprice FROM base WHERE o_orderkey % 2 = 0
+        |UNION ALL SELECT o_orderkey, o_orderpriority, o_totalprice FROM base WHERE o_orderkey % 2 = 1
+        |UNION ALL SELECT o_orderkey + 50000000, o_orderpriority, o_totalprice FROM base WHERE o_orderkey % 101 = 0""".stripMargin,
     "c38_chunk_dedup" -> OracleGen.c38ChunkDedup,
     "c20_training_pipeline" ->
       s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents),
@@ -884,6 +925,15 @@ object SparkEntry {
     "c74_ann_recall" -> OracleGen.c74AnnRecall,
     "c76_dedup_card" -> OracleGen.c76DedupCard,
     "c77_source_drift" -> OracleGen.c77SourceDrift,
+    "c78_bitext_margin" -> OracleGen.c78BitextMargin,
+    "c79_linear_quality" -> OracleGen.c79LinearQuality,
+    "c80_ccnet_buckets" -> OracleGen.c80CcnetBuckets,
+    "c82_semantic_decontam" -> OracleGen.c82SemanticDecontam,
+    "c83_normalized_dedup" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+        |  MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies,
+        |  COUNT(DISTINCT md5(text)) AS n_raw_variants
+        |FROM documents GROUP BY 1""".stripMargin,
     // c8's marker scores + a row-local descending sort for the runner-up
     "c75_langid_margin" ->
       s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),

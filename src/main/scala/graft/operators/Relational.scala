@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -518,6 +518,21 @@ object Relational {
       tiles = 4
     )
 
+  /** NTILE's definition in pure integer arithmetic over columns `grn`
+    * (1-based global rank within the partition) and `n` (partition row
+    * count): tiles 1..(n mod t) hold (n DIV t)+1 rows, the rest
+    * n DIV t. The ELSE division is unreachable when n DIV t = 0 (then
+    * the WHEN spans all n rows) — CASE short-circuits, so no division
+    * by zero fires. Shared by b43 and every other two-phase tiler
+    * (c80's per-language perplexity buckets).
+    */
+  def ntileFromRank(tiles: Int): Column = expr(
+    s"""CASE WHEN grn <= (n % $tiles) * (n DIV $tiles + 1)
+       |     THEN (grn + (n DIV $tiles)) DIV (n DIV $tiles + 1)
+       |     ELSE (n % $tiles) + (grn - (n % $tiles) * (n DIV $tiles + 1) + (n DIV $tiles) - 1) DIV (n DIV $tiles)
+       |END""".stripMargin
+  )
+
   /** The two-phase NTILE over any (o_orderpriority, o_orderkey,
     * o_totalprice) frame — split out so randomized trials can drive it
     * with planted group sizes hitting every n mod tiles case.
@@ -544,21 +559,61 @@ object Relational {
     val wb = Window
       .partitionBy(col("o_orderpriority"), col("bkt"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
-    // NTILE definition in pure integer arithmetic on (global rank, n):
-    // tiles 1..(n mod t) hold (n DIV t)+1 rows, the rest n DIV t. The
-    // ELSE division is unreachable when n DIV t = 0 (then the WHEN spans
-    // all n rows) — CASE short-circuits, so no division by zero fires.
-    val tile = expr(
-      s"""CASE WHEN grn <= (n % $tiles) * (n DIV $tiles + 1)
-         |     THEN (grn + (n DIV $tiles)) DIV (n DIV $tiles + 1)
-         |     ELSE (n % $tiles) + (grn - (n % $tiles) * (n DIV $tiles + 1) + (n DIV $tiles) - 1) DIV (n DIV $tiles)
-         |END""".stripMargin
-    )
+    val tile = ntileFromRank(tiles)
     rows
       .join(broadcast(offsets), Seq("o_orderpriority", "bkt"))
       .withColumn("grn", col("offset") + row_number().over(wb))
       .withColumn("quartile", tile.cast("long"))
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("quartile"))
+  }
+
+  /** B50: distribution-window battery — PERCENT_RANK and CUME_DIST
+    * through the same two-phase exact-rank shape as b43/b9/c80 (bucket
+    * counts → tiny offset frame → parallel in-bucket ranks), never a
+    * whole-partition sort: with ~5 priority values a declarative
+    * distribution window serializes the table into 5 tasks. The
+    * order-by is tie-free by construction (price, unique orderkey), so
+    * RANK = ROW_NUMBER and both statistics are one exact-integer
+    * division each — PERCENT_RANK = (rank−1)/(n−1) (0 for a
+    * single-row partition, the SQL convention), CUME_DIST = rank/n —
+    * bit-identical to the declarative windows on any engine.
+    */
+  def b50DistWindows(spark: SparkSession, sfDir: String): DataFrame =
+    b50DistWindowsFrom(
+      Tables
+        .orders(spark, sfDir)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    )
+
+  /** The two-phase distribution windows over any (o_orderpriority,
+    * o_orderkey, o_totalprice) frame — split out so the spec can plant
+    * single-row partitions and randomized group sizes.
+    */
+  def b50DistWindowsFrom(input: DataFrame): DataFrame = {
+    val rows = input.withColumn("bkt", floor(col("o_totalprice") / 1000.0).cast("long"))
+    val counts = rows.groupBy(col("o_orderpriority"), col("bkt")).agg(count(lit(1)).as("cnt"))
+    val wOff = Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("o_orderpriority"))
+    val offsets = counts
+      .withColumn("offset", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .select(col("o_orderpriority"), col("bkt"), col("offset"), col("n"))
+    val wb = Window
+      .partitionBy(col("o_orderpriority"), col("bkt"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    rows
+      .join(broadcast(offsets), Seq("o_orderpriority", "bkt"))
+      .withColumn("grn", col("offset") + row_number().over(wb))
+      .withColumn(
+        "pct_rank",
+        when(col("n") === 1, lit(0.0))
+          .otherwise((col("grn") - 1).cast("double") / (col("n") - 1).cast("double"))
+      )
+      .withColumn("cume_dist", col("grn").cast("double") / col("n").cast("double"))
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("pct_rank"), col("cume_dist"))
   }
 
   /** B44: value-window battery — LEAD / FIRST_VALUE / LAST_VALUE /

@@ -1165,4 +1165,56 @@ object Sampling {
       .withColumn("n_bins", expr("(tokens_kept + ctx_len - 1) DIV ctx_len"))
       .withColumn("pad_waste", col("n_bins") * col("ctx_len") - col("tokens_kept"))
       .withColumn("efficiency", col("tokens_kept").cast("double") / (col("n_bins") * col("ctx_len")).cast("double"))
+
+  /** c80: number of perplexity buckets (CCNet's head/middle/tail). */
+  val CcnetTiles = 3
+
+  /** C80: CCNet-style per-language perplexity bucketing (Wenzek et al.
+    * 2020, arXiv:1911.00359): each language's documents split into
+    * equal head/middle/tail thirds by LM score, so downstream mixes can
+    * keep "head" (most wiki-like) text without starving low-resource
+    * languages — the RELATIVE-quality cousin of c64's top-fraction
+    * gate, here over the c15 bigram-LM score instead of c9's heuristic.
+    *
+    * A naive NTILE(3) OVER (PARTITION BY lang ...) serializes each
+    * language into one task — with ~10 languages over 100 TB that is
+    * ~10 sort tasks of 10 TB each. This runs the b43 two-phase shape
+    * instead: an integer score bucket (monotone in lm_score) splits
+    * each language into parallel-sortable slices, per-(lang, bucket)
+    * counts make a tiny offset frame (the only low-cardinality window
+    * runs there), and the tile is [[Relational.ntileFromRank]]'s
+    * exact integer arithmetic on the reconstructed global rank —
+    * provably NTILE, never a per-language sort.
+    */
+  def c80CcnetBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = TextAnalysis.c15BigramLmScore(spark, sfDir).select(col("doc_id"), col("lm_score"))
+    val rows = scores
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("bkt", floor(col("lm_score")).cast("long"))
+    val counts = rows.groupBy(col("lang"), col("bkt")).agg(count(lit(1)).as("cnt"))
+    val wOff = Window
+      .partitionBy(col("lang"))
+      .orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("lang"))
+    val offsets = counts
+      .withColumn("offset", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .select(col("lang"), col("bkt"), col("offset"), col("n"))
+    val wb = Window.partitionBy(col("lang"), col("bkt")).orderBy(col("lm_score"), col("doc_id"))
+    rows
+      .join(broadcast(offsets), Seq("lang", "bkt"))
+      .withColumn("grn", col("offset") + row_number().over(wb))
+      .withColumn("tl", Relational.ntileFromRank(CcnetTiles).cast("long"))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("lm_score"),
+        when(col("tl") === 1, lit("tail"))
+          .when(col("tl") === 2, lit("middle"))
+          .otherwise(lit("head"))
+          .as("ppl_bucket")
+      )
+  }
 }

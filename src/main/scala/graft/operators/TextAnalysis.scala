@@ -1028,4 +1028,87 @@ object TextAnalysis {
         col("low_confidence")
       )
   }
+
+  /** c79 constants: feature-hash dimensionality and the integer weight
+    * scale (weights live in [-QcScale, QcScale] / QcScale).
+    */
+  val QcDim = 512
+  val QcScale = 1000
+
+  /** The c79 per-token integer weight as a column expression: token →
+    * feature bucket (md5-derived hash mod [[QcDim]], the hashing
+    * trick) → the bucket's weight, itself md5-derived from the bucket
+    * id — a deterministic stand-in for a trained coefficient vector
+    * that DuckDB re-derives exactly. Swapping in real learned weights
+    * is a broadcast lookup over the same bucket column.
+    */
+  private def qcWeight(tok: Column): Column = {
+    val bucket = hash32(tok) % QcDim
+    hash32(concat(lit("qw#"), bucket.cast("string"))) % (2 * QcScale + 1) - QcScale
+  }
+
+  /** C79: linear quality-classifier INFERENCE (the fastText-style
+    * hashed bag-of-words scorer GPT-3/CCNet/LLaMA-class pipelines run
+    * over every crawled document to keep "wiki-like" text): each token
+    * hashes into one of [[QcDim]] feature buckets, the document score
+    * is the mean bucket weight, admit = score > 0. The weight vector
+    * here is md5-derived (deterministic, so the oracle re-derives it
+    * bit-for-bit); a production model drops in by replacing the weight
+    * expression with a broadcast coefficient array of the same shape.
+    *
+    * The entire scorer is ROW-LOCAL column math — tokenize, hash, fold
+    * an exact BIGINT sum inside the array, one final double division —
+    * so classification of a 100 TB corpus is a map-only scan: no
+    * shuffle, no UDF, whole-stage codegen end to end, and the exact
+    * integer sum makes the score independent of partitioning on any
+    * cluster.
+    */
+  def c79LinearQuality(spark: SparkSession, sfDir: String): DataFrame =
+    linearQualityScored(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("text")))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("w_sum"), col("qc_score"), col("admit"))
+
+  /** c79's scorer as a df→df transform over any frame with a `text`
+    * column (adds n_tokens, w_sum, qc_score, admit): row-local column
+    * math only, so it applies verbatim to a stream — another stateless
+    * admission screen next to PII and the Gopher signals.
+    */
+  def linearQualityScored(docs: DataFrame): DataFrame = {
+    val base = if (docs.columns.contains("w")) docs else docs.withColumn("w", tokens(col("text")))
+    base
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("w_sum", aggregate(transform(col("w"), qcWeight(_)), lit(0L), (acc, x) => acc + x))
+      .withColumn("qc_score", col("w_sum").cast("double") / (lit(QcScale.toDouble) * col("n_tokens")))
+      .withColumn("admit", (col("qc_score") > 0.0).cast("int"))
+  }
+
+  /** C81: tokenizer FERTILITY report — per language: documents, words
+    * (whitespace tokens), subword tokens (c10's BPE-ish segmentation)
+    * and characters, with fertility = subtokens/word and
+    * chars-per-subtoken. Fertility is the standard multilingual
+    * tokenizer-equity metric (how many subwords a word costs — e.g.
+    * Rust et al. 2021, arXiv:2012.15613): a language with 2× fertility
+    * pays 2× the context budget for the same content, so mix designers
+    * read this table next to c62's marginals before setting c36's
+    * temperatures. All counts are exact integer sums (map-side
+    * combined, ≤ #langs result rows); the two ratios are one double
+    * division each — engine-identical.
+    */
+  def c81TokenFertility(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .documents(spark, sfDir)
+      .select(
+        col("lang"),
+        size(tokens(col("text"))).cast("long").as("nw"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]")).cast("long").as("nb"),
+        length(col("text")).cast("long").as("nc")
+      )
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("total_words"),
+        sum(col("nb")).as("total_subtokens"),
+        sum(col("nc")).as("total_chars")
+      )
+      .withColumn("fertility", col("total_subtokens").cast("double") / col("total_words"))
+      .withColumn("chars_per_subtoken", col("total_chars").cast("double") / col("total_subtokens"))
 }

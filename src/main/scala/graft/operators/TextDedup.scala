@@ -95,6 +95,41 @@ object TextDedup {
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** C83: NORMALIZED exact dedup — the canonical-form cell of the
+    * dedup matrix raw-exact (c1) misses: the same sentence re-cased,
+    * re-punctuated or re-spaced hashes differently raw but identically
+    * after canonicalization (lowercase → non-alphanumerics to spaces →
+    * collapse runs → trim), which is why production Bloom/exact dedup
+    * keys on normalized text (c4/c3 would eventually catch these as
+    * near-dups, at banding cost; this catches them at exact-hash
+    * cost). Emits one row per normalized family with the canonical
+    * survivor and BOTH multiplicities — total copies and distinct raw
+    * variants (families with ≥ 2 raw variants are exactly c1's
+    * misses). Same plan shape as c1: normalization is row-local
+    * column math, one shuffle on the 128-bit hash, text never rides
+    * an exchange.
+    */
+  def c83NormalizedDedup(spark: SparkSession, sfDir: String): DataFrame =
+    c83NormalizedDedupFrom(Tables.documents(spark, sfDir))
+
+  /** The c83 transform over any frame with (doc_id, text) — split out
+    * so the spec can plant re-cased / re-punctuated variants.
+    */
+  def c83NormalizedDedupFrom(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("raw_hash"),
+        md5(trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+          .as("norm_hash")
+      )
+      .groupBy(col("norm_hash"))
+      .agg(
+        min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("raw_hash")).as("n_raw_variants")
+      )
+
   /** Exact pairwise Jaccard ≥ 0.8 for a candidate pair set
     * (doc_a < doc_b). The threshold test is pure integer arithmetic
     * (den·common ≥ num·union) — no float boundary anywhere.

@@ -1290,4 +1290,143 @@ object VectorOps {
         array_max(col("codes")).as("code_max"),
         size(filter(col("codes"), _ === 0L)).cast("long").as("n_zero_codes")
       )
+
+  /** c82: cosine threshold above which a corpus vector counts as a
+    * semantic leak of an eval item (the test embeddings have no
+    * planted near-dups; 0.45 is c5's calibrated near-dup floor).
+    */
+  val SemanticLeakThreshold = 0.45
+
+  /** C82: SEMANTIC decontamination — the embedding-space sibling of
+    * c21's shingle screen: an eval item leaked as a PARAPHRASE shares
+    * no 5-gram, so n-gram decontamination misses it; this flags every
+    * corpus vector whose cosine to ANY eval vector reaches the leak
+    * threshold, with the nearest eval item named for the audit trail
+    * (the contamination check frontier-model reports run alongside
+    * exact-match n-gram overlap). Eval vectors (vec_id <
+    * [[NumQueryVecs]]) are the small fixed artifact — broadcast, the
+    * corpus streams once with no shuffle; per corpus vector the
+    * argmax/max fold over the eval set is row-bounded by the native
+    * top-k heap (k=1), ties to the lower eval id. Exact by
+    * construction at any corpus size (every corpus×eval cosine is
+    * evaluated — |eval| is small by contract, the same posture as
+    * c21's broadcast shingle set); the flag, max-cos and nearest-id
+    * reproduce bit-for-bit in DuckDB.
+    */
+  def c82SemanticDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val eval0 = e
+      .filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("eval_id"), col("vn").as("ev"))
+    val corpus = e
+      .filter(col("vec_id") >= NumQueryVecs)
+      .select(col("vec_id"), col("vn").as("cv"))
+    val scored = corpus
+      .crossJoin(broadcast(eval0))
+      .select(
+        col("vec_id").as("query_id"),
+        col("eval_id").as("neighbor_id"),
+        arrayDot(col("cv"), col("ev")).as("cos")
+      )
+    graft.plans.TopKPerKey
+      .topKPerKey(scored, keyCols = Seq("query_id"), orderBy = Seq(("cos", false), ("neighbor_id", true)), k = 1)
+      .select(
+        col("query_id").as("vec_id"),
+        col("neighbor_id").as("nearest_eval"),
+        col("cos").as("max_cos"),
+        (col("cos") >= SemanticLeakThreshold).cast("int").as("leaked")
+      )
+  }
+
+  /** c78 constants — the side split (labels 0..4 = source language,
+    * 5..9 = target), the neighborhood size k of the margin denominator,
+    * and the alignment threshold. Interpolated into the oracle too.
+    */
+  val BitextSrcLabels = 5
+  val BitextMarginK = 4
+  val BitextMarginThreshold = 1.0
+
+  /** C78: margin-based bitext mining (Artetxe & Schwenk 2019,
+    * arXiv:1811.01136 — the parallel-corpus miner behind CCMatrix/
+    * LASER): raw cosine is a bad alignment score because some vectors
+    * are "hubs" that sit close to everything, so each candidate pair
+    * (x, y) is scored by the RATIO margin — cos(x,y) divided by the
+    * mean of the two vectors' top-k neighborhoods toward the OTHER
+    * side — and each source anchor keeps its best-margin target with
+    * an aligned flag at threshold 1.0 (margin > 1 ⇔ this pair beats
+    * the anchor's own neighborhood average).
+    *
+    * Labels stand in for the two languages (0..4 vs 5..9). The pair
+    * frame is computed ONCE (checkpointed) and feeds all three
+    * consumers: the per-anchor top-k denominator, the per-candidate
+    * top-k denominator, and the final margin scoring — both top-k
+    * passes ride the native bounded-heap [[graft.plans.TopKPerKey]],
+    * never a per-key sort. Engine-exactness: the k neighborhood
+    * cosines are folded in RANK order with explicit association
+    * (((c1+c2)+c3)+c4)/k — each step one correctly-rounded IEEE op in
+    * one order, so the denominator, the margin division, and the
+    * margin ORDER BY reproduce bit-for-bit in DuckDB.
+    *
+    * This exact all-pairs form is the correctness baseline; at 100 TB
+    * the identical margin contract rides IVF-restricted candidate
+    * lists (c18's posture) for BOTH the pair frame and the
+    * neighborhood denominators — the ratio only needs each vector's
+    * top-k, which the index serves directly — so nothing here is
+    * structurally n².
+    */
+  def c78BitextMargin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables
+      .embeddings(spark, sfDir)
+      .select(
+        col("vec_id"),
+        col("label"),
+        arrayNormalize(transform(col("embedding"), _.cast("double"))).as("vn")
+      )
+    val src = e.filter(col("label") < BitextSrcLabels).select(col("vec_id").as("src_id"), col("vn").as("sv"))
+    val tgt = e.filter(col("label") >= BitextSrcLabels).select(col("vec_id").as("tgt_id"), col("vn").as("tv"))
+    val pairs = tgt
+      .crossJoin(broadcast(src))
+      .select(col("src_id"), col("tgt_id"), arrayDot(col("sv"), col("tv")).as("cos"))
+      .localCheckpoint()
+    // mean of the top-k cosines toward the other side, folded in rank
+    // order: heap-prune to k rows per key, rank the survivors (bounded
+    // input), then an explicit left-associated sum of the rank slots
+    def knnDenom(key: String, other: String, out: String): DataFrame = {
+      val top = graft.plans.TopKPerKey.topKPerKey(
+        pairs.select(col(key), col(other), col("cos")),
+        keyCols = Seq(key),
+        orderBy = Seq(("cos", false), (other, true)),
+        k = BitextMarginK
+      )
+      val w = Window.partitionBy(col(key)).orderBy(col("cos").desc, col(other))
+      val ranked = top.withColumn("r", row_number().over(w))
+      val slots = (1 to BitextMarginK).map(j => max(when(col("r") === j, col("cos"))).as(s"c$j"))
+      ranked
+        .groupBy(col(key))
+        .agg(slots.head, slots.tail: _*)
+        .select(
+          col(key),
+          ((1 to BitextMarginK).map(j => col(s"c$j")).reduceLeft(_ + _) / BitextMarginK.toDouble).as(out)
+        )
+    }
+    val ds = knnDenom("src_id", "tgt_id", "denom_src")
+    val dt = knnDenom("tgt_id", "src_id", "denom_tgt")
+    val scored = pairs
+      .join(ds, Seq("src_id"))
+      .join(dt, Seq("tgt_id"))
+      .withColumn("margin", col("cos") / ((col("denom_src") + col("denom_tgt")) / lit(2.0)))
+    val best = graft.plans.TopKPerKey.topKPerKey(
+      scored.select(col("src_id"), col("tgt_id"), col("cos"), col("margin")),
+      keyCols = Seq("src_id"),
+      orderBy = Seq(("margin", false), ("tgt_id", true)),
+      k = 1
+    )
+    best.select(
+      col("src_id"),
+      col("tgt_id"),
+      col("cos"),
+      col("margin"),
+      (col("margin") >= BitextMarginThreshold).cast("int").as("aligned")
+    )
+  }
 }

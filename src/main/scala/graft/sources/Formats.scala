@@ -1090,4 +1090,289 @@ object Formats {
         col("s.max_val")
       )
   }
+
+  // ————————————————————————————————————————————————————————————————————
+  // s22: delta-log commit protocol (add/remove actions + checkpoints)
+  // ————————————————————————————————————————————————————————————————————
+
+  /** The delta-log pointer file (latest committed version). */
+  private val DeltaPointer = "_GRAFT_DELTA"
+
+  /** Commit `version`: write `batch` (if any) under its own data dir,
+    * then write the version's DELTA file listing only this commit's
+    * actions — `R <path>` lines for removed files, `A <path>` lines
+    * for added ones — and flip the pointer. Unlike [[manifestAppend]]
+    * (whose manifest re-lists the whole table), a delta commit is
+    * O(THIS COMMIT) in both data and metadata — the Delta-Lake
+    * `_delta_log` JSON-commit contract, which is what lets a 100 TB
+    * table take a million commits without each one rewriting a
+    * million-line manifest. Same crash-safety order: data → log →
+    * pointer; readers see the old or the new table, never a torn one.
+    */
+  def deltaCommit(
+      spark: SparkSession,
+      dir: String,
+      version: Long,
+      batch: Option[DataFrame],
+      removes: Seq[String] = Nil
+  ): Seq[String] = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val adds = batch match {
+      case Some(df) =>
+        val dataDir = s"data_v=$version"
+        df.write.mode("overwrite").parquet(s"$dir/$dataDir")
+        fs.listStatus(new Path(s"$dir/$dataDir"))
+          .map(_.getPath.getName)
+          .filter(n => n.endsWith(".parquet") || n.endsWith(".snappy.parquet"))
+          .sorted
+          .map(n => s"$dataDir/$n")
+          .toSeq
+      case None => Nil
+    }
+    val lines = removes.map(p => s"R $p") ++ adds.map(p => s"A $p")
+    val out = fs.create(new Path(s"$dir/d=$version.txt"), true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val ptr = fs.create(new Path(dir, DeltaPointer), true)
+    try ptr.write(version.toString.getBytes("UTF-8"))
+    finally ptr.close()
+    adds
+  }
+
+  /** The committed delta-log version (0 when the table is empty). */
+  def deltaVersion(spark: SparkSession, dir: String): Long = {
+    val p = new Path(dir, DeltaPointer)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** OPTIMISTIC-CONCURRENCY commit: succeed only if the table is still
+    * at `expectedVersion` (the version this writer read before
+    * preparing its batch) — otherwise throw, leaving the table
+    * untouched; the caller re-reads, revalidates its batch against the
+    * interleaved commit, and retries. This is Delta/Iceberg's
+    * transaction contract: writers never lock, conflicts surface at
+    * commit time. The check-then-write here models the coordinator's
+    * compare-and-swap — on a real object store the pointer flip rides
+    * a conditional PUT (if-match), on HDFS an atomic rename; the
+    * PROTOCOL (version observed → version+1 published, stale writers
+    * rejected) is what the spec pins.
+    */
+  def deltaCommitGuarded(
+      spark: SparkSession,
+      dir: String,
+      expectedVersion: Long,
+      batch: Option[DataFrame],
+      removes: Seq[String] = Nil
+  ): Seq[String] = {
+    val at = deltaVersion(spark, dir)
+    if (at != expectedVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"commit conflict: table at version $at, writer expected $expectedVersion — re-read and retry"
+      )
+    deltaCommit(spark, dir, expectedVersion + 1, batch, removes)
+  }
+
+  /** All data files a commit's dir removes — convenience for
+    * rewrite-style commits ("replace everything data_v=N added").
+    */
+  def deltaFilesOf(spark: SparkSession, dir: String, version: Long): Seq[String] = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(new Path(s"$dir/data_v=$version"))
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") || n.endsWith(".snappy.parquet"))
+      .sorted
+      .map(n => s"data_v=$version/$n")
+      .toSeq
+  }
+
+  /** CHECKPOINT at `version`: replay deltas 1..version once and
+    * persist the materialized live-file list as `c=<version>.txt` plus
+    * a `_last_checkpoint` marker. Readers at or past this version then
+    * open ONE checkpoint file + the delta tail after it — O(1)-ish
+    * read planning regardless of commit count, the reason Delta Lake
+    * checkpoints every N commits (a reader of a million-commit table
+    * cannot replay a million JSONs).
+    */
+  def deltaCheckpoint(spark: SparkSession, dir: String, version: Long): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val (files, _) = resolveDeltaFiles(spark, dir, version)
+    val out = fs.create(new Path(s"$dir/c=$version.txt"), true)
+    try out.write(files.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val mk = fs.create(new Path(s"$dir/_last_checkpoint"), true)
+    try mk.write(version.toString.getBytes("UTF-8"))
+    finally mk.close()
+  }
+
+  /** Resolve the live data-file set at `version`: start from the
+    * newest checkpoint ≤ version (if any), then apply the delta tail
+    * in order — adds append, removes drop. Returns (live files, log
+    * files actually read) so the spec can assert the checkpoint
+    * shortcut: after c=3, reading v4 opens exactly 2 log files.
+    */
+  def resolveDeltaFiles(spark: SparkSession, dir: String, version: Long): (Seq[String], Seq[String]) = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    def readLines(name: String): Seq[String] = {
+      val in = fs.open(new Path(s"$dir/$name"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.filter(_.nonEmpty)
+      finally in.close()
+    }
+    val ckpt = (version to 1L by -1L).find(v => fs.exists(new Path(s"$dir/c=$v.txt")))
+    val (start, opened0) = ckpt match {
+      case Some(v) => (readLines(s"c=$v.txt"), Seq(s"c=$v.txt"))
+      case None    => (Seq.empty[String], Seq.empty[String])
+    }
+    val tail = (ckpt.getOrElse(0L) + 1) to version
+    val (files, opened) = tail.foldLeft((start, opened0)) { case ((live, op), v) =>
+      val actions = readLines(s"d=$v.txt")
+      val removed = actions.collect { case l if l.startsWith("R ") => l.drop(2) }.toSet
+      val added = actions.collect { case l if l.startsWith("A ") => l.drop(2) }
+      (live.filterNot(removed) ++ added, op :+ s"d=$v.txt")
+    }
+    (files, opened)
+  }
+
+  /** Read the delta table at an explicit version (time travel). */
+  def readDeltaVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    val files = resolveDeltaFiles(spark, dir, version)._1
+    spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+  }
+
+  /** Read the delta table at the committed pointer. */
+  def readDeltaTable(spark: SparkSession, dir: String): DataFrame = {
+    val p = new Path(dir, DeltaPointer)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val v =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    readDeltaVersion(spark, dir, v)
+  }
+
+  /** The delta-log table dir for [[s22DeltaLog]]'s spec assertions
+    * (valid after the query has run in the same application).
+    */
+  def s22DeltaDir(spark: SparkSession, sfDir: String): String =
+    s"${scratch(spark, "deltalog", sfDir)}/t"
+
+  /** The s23 generation dirs (valid after the gate query has run in
+    * the same application) — gen1 partitioned by month only, gen2 by
+    * (month, status).
+    */
+  def s23Dirs(spark: SparkSession, sfDir: String): (String, String) = {
+    val base = scratch(spark, "partevo", sfDir)
+    (s"$base/gen1", s"$base/gen2")
+  }
+
+  /** S23: PARTITION-SPEC EVOLUTION — the Iceberg contract that a
+    * table's partitioning can change WITHOUT rewriting history: orders
+    * land first under layout v1 (partitioned by order month), later
+    * data under layout v2 (month, status). One logical read spans both
+    * generations, and each generation prunes by ITS OWN spec — a
+    * month+status predicate skips non-matching month dirs in gen1 and
+    * non-matching (month, status) dirs in gen2 (spec asserts the
+    * pruned file lists; gen1 rows still evaluate the status filter
+    * row-wise, exactly Iceberg's behavior for pre-evolution
+    * snapshots). At 100 TB this is how a table re-partitions when the
+    * query pattern changes: no 100 TB rewrite, old files keep their
+    * old dirs, new files get the better layout, and pruning improves
+    * for new data immediately. The gate reads month 3 / status F
+    * across both generations; the oracle recomputes from the source
+    * table, so a generation dropped, double-read, or mis-pruned breaks
+    * the match.
+    */
+  def s23PartitionEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val (gen1, gen2) = s23Dirs(spark, sfDir)
+    val marker = new Path(s"${scratch(spark, "partevo", sfDir)}/done")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    val base = Tables
+      .orders(spark, sfDir)
+      .select(
+        col("o_orderkey"),
+        col("o_orderpriority"),
+        col("o_orderstatus"),
+        col("o_totalprice"),
+        month(col("o_orderdate")).as("p_m")
+      )
+    if (!fs.exists(marker)) {
+      base.filter(col("o_orderkey") % 2 === 0).write.partitionBy("p_m").mode("overwrite").parquet(gen1)
+      base
+        .filter(col("o_orderkey") % 2 === 1)
+        .write
+        .partitionBy("p_m", "o_orderstatus")
+        .mode("overwrite")
+        .parquet(gen2)
+      fs.create(marker, true).close()
+    }
+    // each generation reads through its own layout; the union presents
+    // one logical table (columns re-ordered to a common shape because
+    // partition columns come back LAST from a partitioned read)
+    val cols = Seq("o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice", "p_m").map(col)
+    val g1 = spark.read.parquet(gen1).select(cols: _*)
+    val g2 = spark.read.parquet(gen2).select(cols: _*)
+    g1.unionByName(g2)
+      .filter(col("p_m") === 3 && col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price")
+      )
+  }
+
+  /** S22: DELTA-LOG commits with checkpoint compaction — the
+    * action-log half of the table-format story (s17's manifests
+    * snapshot the full file list per commit; real Delta/Iceberg logs
+    * record per-commit add/remove ACTIONS and periodically checkpoint).
+    * The gate drives the protocol through its four canonical commit
+    * shapes: v1 CREATE (even orderkeys), v2 APPEND (odd orderkeys),
+    * v3 UPDATE-BY-REWRITE (v1's files removed, evens re-added with a
+    * rewritten priority — file-level copy-on-write, exactly how
+    * UPDATE executes on immutable parquet), CHECKPOINT at 3, v4 APPEND
+    * (shifted slice). The read resolves checkpoint + delta tail and
+    * must reproduce the expected final table row-for-row; time travel
+    * to any version still replays from scratch. The oracle recomputes
+    * the same final state relationally, so a lost remove, a
+    * double-applied add, or a checkpoint that froze stale files all
+    * break rows+hash.
+    */
+  def s22DeltaLog(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables
+      .orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val dir = s22DeltaDir(spark, sfDir)
+    val marker = new Path(s"${scratch(spark, "deltalog", sfDir)}/done")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
+      deltaCommit(spark, dir, 1L, Some(base.filter(col("o_orderkey") % 2 === 0)))
+      deltaCommit(spark, dir, 2L, Some(base.filter(col("o_orderkey") % 2 === 1)))
+      deltaCommit(
+        spark,
+        dir,
+        3L,
+        Some(
+          base
+            .filter(col("o_orderkey") % 2 === 0)
+            .withColumn("o_orderpriority", lit("REWRITTEN"))
+        ),
+        removes = deltaFilesOf(spark, dir, 1L)
+      )
+      deltaCheckpoint(spark, dir, 3L)
+      deltaCommit(
+        spark,
+        dir,
+        4L,
+        Some(
+          base.filter(col("o_orderkey") % 101 === 0).withColumn("o_orderkey", col("o_orderkey") + 50000000L)
+        )
+      )
+      fs.create(marker, true).close()
+    }
+    readDeltaTable(spark, dir)
+  }
 }

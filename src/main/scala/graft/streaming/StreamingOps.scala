@@ -636,4 +636,66 @@ object StreamingOps {
         )
       }
   }
+
+  /** Mixed click/view record for [[streamingAsofEnrich]] (one keyed
+    * stream, the reference's topology shape).
+    */
+  case class AsofIn(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
+
+  /** A click enriched with the latest at-or-before view (None when no
+    * view within tolerance).
+    */
+  case class AsofOut(
+      click_id: Long,
+      user_id: Long,
+      ts: Timestamp,
+      view_id: Option[Long],
+      view_ts: Option[Timestamp]
+  )
+
+  /** Streaming AS-OF enrich — the online form of
+    * [[graft.operators.AsOfJoin]] / the a13 gate: per user, state is
+    * ONLY the newest view seen (two longs — the KTable-style
+    * "latest value per key" the reference's Processor API keeps in its
+    * store, ClickstreamJoinExample.scala:333-352), and every click
+    * emits exactly once, enriched with that view when it is
+    * at-or-before the click within `toleranceMs`, null otherwise.
+    * Contrast with the stream-stream interval join
+    * ([[clickstreamLeftJoin]]): that emits every in-window pair and
+    * buffers the whole window on both sides; this reduces to the
+    * single LATEST match with O(1) state per user — the right
+    * operator when the question is "which view produced this click".
+    *
+    * Within a micro-batch, rows process in event-time order (views
+    * before clicks at equal timestamps — a13's at-or-before tie), so
+    * under in-order replay the emissions equal the batch a13 rows
+    * row-for-row (StreamingSpec). Re-delivered views can never corrupt
+    * state (max-(ts, id) fold is idempotent); a re-delivered click
+    * re-emits the same enrichment — at-least-once, deduplicable
+    * downstream by click_id.
+    */
+  def streamingAsofEnrich(events: Dataset[AsofIn], toleranceMs: Long): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), AsofOut](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[AsofIn], state: GroupState[(Long, Long)]) =>
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsofOut]
+          it.toSeq
+            .sortBy(e => (e.ts.getTime, if (e.event_type == "view") 0 else 1, e.event_id))
+            .foreach { e =>
+              if (e.event_type == "view") {
+                val t = e.ts.getTime
+                if (cur.forall(c => t > c._1 || (t == c._1 && e.event_id > c._2)))
+                  cur = Some((t, e.event_id))
+              } else {
+                val m = cur.filter(c => c._1 <= e.ts.getTime && c._1 >= e.ts.getTime - toleranceMs)
+                out += AsofOut(e.event_id, user, e.ts, m.map(_._2), m.map(c => new Timestamp(c._1)))
+              }
+            }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
 }

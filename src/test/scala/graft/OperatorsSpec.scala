@@ -1092,4 +1092,234 @@ class OperatorsSpec extends SparkSpec {
       }
     }
   }
+
+  test("c78 bitext margins: re-derived bit-exactly in the JVM (denominators, margins, best match)") {
+    import graft.operators.VectorOps.{BitextMarginK, BitextMarginThreshold, BitextSrcLabels}
+    val vecs = graft.sources.Tables
+      .embeddings(spark, sf0001)
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+        var q = 0.0
+        v.foreach(x => q += x * x) // sequential IEEE fold — ArrayNormalize's order
+        val n = math.sqrt(q)
+        (r.getLong(r.fieldIndex("vec_id")), r.getInt(r.fieldIndex("label")), v.map(_ / n))
+      }
+    val src = vecs.filter(_._2 < BitextSrcLabels)
+    val tgt = vecs.filter(_._2 >= BitextSrcLabels)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val cos = (for { (si, _, sv) <- src; (ti, _, tv) <- tgt } yield (si, ti) -> dot(sv, tv)).toMap
+    def denom(anchors: Array[Long], others: Array[Long], key: ((Long, Long)) => (Long, Long)): Map[Long, Double] =
+      anchors.map { a =>
+        val top = others
+          .map(o => (cos(key((a, o))), o))
+          .sortBy { case (c, o) => (-c, o) }
+          .take(BitextMarginK)
+          .map(_._1)
+        a -> top.reduceLeft(_ + _) / BitextMarginK.toDouble
+      }.toMap
+    val ds = denom(src.map(_._1), tgt.map(_._1), identity)
+    val dt = denom(tgt.map(_._1), src.map(_._1), { case (t, s) => (s, t) })
+    val expected = src.map(_._1).map { s =>
+      val best = tgt
+        .map(_._1)
+        .map { t => (cos((s, t)) / ((ds(s) + dt(t)) / 2.0), t) }
+        .minBy { case (m, t) => (-m, t) }
+      s -> ((best._2, cos((s, best._2)), best._1, if (best._1 >= BitextMarginThreshold) 1 else 0))
+    }.toMap
+    val got = VectorOps
+      .c78BitextMargin(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4))))
+      .toMap
+    assert(got == expected)
+    assert(expected.size == src.length && expected.nonEmpty)
+  }
+
+  test("c79 linear quality: md5 weight sums re-derived exactly; score bounded in [-1, 1]") {
+    import graft.operators.TextAnalysis.{QcDim, QcScale}
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h32(s: String) = java.lang.Long.parseLong(md5hex(s).substring(0, 8), 16)
+    val expected = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map { r =>
+        val w = r.getString(1).split(" ", -1)
+        val sum = w.map { t =>
+          val bucket = h32(t) % QcDim
+          h32(s"qw#$bucket") % (2 * QcScale + 1) - QcScale
+        }.sum
+        r.getLong(0) -> ((w.length.toLong, sum))
+      }
+      .toMap
+    val got = TextAnalysis
+      .c79LinearQuality(spark, sf0001)
+      .collect()
+      .map { r =>
+        val score = r.getDouble(r.fieldIndex("qc_score"))
+        assert(score >= -1.0 && score <= 1.0, s"score out of [-1,1]: $score")
+        assert((score > 0.0) == (r.getInt(r.fieldIndex("admit")) == 1))
+        r.getLong(r.fieldIndex("doc_id")) ->
+          ((r.getLong(r.fieldIndex("n_tokens")), r.getLong(r.fieldIndex("w_sum"))))
+      }
+      .toMap
+    assert(got == expected)
+    assert(expected.nonEmpty)
+  }
+
+  test("b50 distribution windows: two-phase equals declarative percent_rank/cume_dist; edge partitions") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    def declarative(df: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"), col("o_orderkey"))
+      df.select(
+        col("o_orderpriority"),
+        col("o_orderkey"),
+        col("o_totalprice"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume_dist")
+      )
+    }
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1)) -> ((r.getDouble(3), r.getDouble(4)))
+    val input = graft.sources.Tables
+      .orders(spark, sf0001)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    val got = Relational.b50DistWindowsFrom(input).collect().map(key).toMap
+    val want = declarative(input).collect().map(key).toMap
+    assert(got == want && got.nonEmpty)
+    // planted edges: a single-row partition (pct_rank = 0 by SQL
+    // convention) and a two-row one spanning a bucket boundary
+    val planted = Seq(
+      ("solo", 1L, 500.0),
+      ("pair", 2L, 999.99),
+      ("pair", 3L, 1000.01)
+    ).toDF("o_orderpriority", "o_orderkey", "o_totalprice")
+    val gp = Relational.b50DistWindowsFrom(planted).collect().map(key).toMap
+    assert(gp(("solo", 1L)) == ((0.0, 1.0)))
+    assert(gp(("pair", 2L)) == ((0.0, 0.5)) && gp(("pair", 3L)) == ((1.0, 1.0)))
+  }
+
+  test("c83 normalized dedup: planted case/punct/space variants collapse; raw-exact families preserved") {
+    import spark.implicits._
+    val planted = Seq(
+      (100L, "The Quick Brown Fox"),
+      (101L, "the quick  brown fox!!"),   // re-cased, re-spaced, re-punctuated
+      (102L, "the, quick. brown; fox"),   // re-punctuated only
+      (103L, "The Quick Brown Fox"),      // RAW exact dup of 100
+      (200L, "a different document")
+    ).toDF("doc_id", "text")
+    val got = TextDedup
+      .c83NormalizedDedupFrom(planted)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // one family of four (canonical 100: 4 copies, 3 raw variants), one singleton
+    assert(got == Map(100L -> ((4L, 3L)), 200L -> ((1L, 1L))))
+    // on the gate corpus the family count can never exceed c1's raw count
+    val nNorm = TextDedup.c83NormalizedDedup(spark, sf0001).count()
+    val nRaw = TextDedup.c1DedupExact(spark, sf0001).count()
+    assert(nNorm <= nRaw && nNorm > 0)
+  }
+
+  test("c82 semantic decontamination: max/argmax over the eval set re-derived bit-exactly") {
+    import graft.operators.VectorOps.{NumQueryVecs, SemanticLeakThreshold}
+    val vecs = graft.sources.Tables
+      .embeddings(spark, sf0001)
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+        var q = 0.0
+        v.foreach(x => q += x * x)
+        val n = math.sqrt(q)
+        (r.getLong(r.fieldIndex("vec_id")), v.map(_ / n))
+      }
+    val eval0 = vecs.filter(_._1 < NumQueryVecs)
+    val corpus = vecs.filter(_._1 >= NumQueryVecs)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val expected = corpus.map { case (id, cv) =>
+      val (c, e) = eval0.map { case (eid, ev) => (dot(cv, ev), eid) }.minBy { case (c, eid) => (-c, eid) }
+      id -> ((e, c, if (c >= SemanticLeakThreshold) 1 else 0))
+    }.toMap
+    val got = VectorOps
+      .c82SemanticDecontam(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getInt(3))))
+      .toMap
+    assert(got == expected)
+    assert(expected.size == corpus.length && expected.nonEmpty)
+  }
+
+  test("c81 token fertility: per-lang exact counts re-derived; ratios consistent") {
+    val re = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]".r
+    val expected = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(col("lang"), col("text"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1)
+      .map { case (l, docs) =>
+        val texts = docs.map(_._2)
+        l -> ((
+          texts.length.toLong,
+          texts.map(_.split(" ", -1).length.toLong).sum,
+          texts.map(t => re.findAllIn(t).size.toLong).sum,
+          texts.map(_.length.toLong).sum
+        ))
+      }
+    val got = TextAnalysis
+      .c81TokenFertility(spark, sf0001)
+      .collect()
+      .map { r =>
+        val (nb, nw, nc) = (r.getLong(3), r.getLong(2), r.getLong(4))
+        assert(r.getDouble(5) == nb.toDouble / nw, "fertility must be the exact ratio of the counts")
+        assert(r.getDouble(6) == nc.toDouble / nb, "chars_per_subtoken must be the exact ratio")
+        r.getString(0) -> ((r.getLong(1), nw, nb, nc))
+      }
+      .toMap
+    assert(got == expected)
+    assert(expected.size >= 2)
+  }
+
+  test("c80 ccnet buckets: two-phase tiling equals the declarative NTILE window; thirds balanced") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Sampling.c80CcnetBuckets(spark, sf0001).cache()
+    val scores = TextAnalysis
+      .c15BigramLmScore(spark, sf0001)
+      .join(graft.sources.Tables.documents(spark, sf0001).select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("lm_score"), col("doc_id"))
+    val expected = scores
+      .withColumn("tl", ntile(graft.operators.Sampling.CcnetTiles).over(w))
+      .select(
+        col("doc_id"),
+        when(col("tl") === 1, "tail").when(col("tl") === 2, "middle").otherwise("head").as("ppl_bucket")
+      )
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    val gotMap = got.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(gotMap == expected)
+    // per (lang, bucket) sizes differ by at most 1 within a language
+    val sizes = got
+      .groupBy(col("lang"), col("ppl_bucket"))
+      .count()
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rows) => l -> rows.map(_.getLong(2)) }
+    sizes.foreach { case (l, ns) =>
+      assert(ns.length == graft.operators.Sampling.CcnetTiles, s"$l missing a bucket: ${ns.toSeq}")
+      assert(ns.max - ns.min <= 1, s"$l buckets unbalanced: ${ns.toSeq}")
+    }
+    assert(sizes.nonEmpty)
+  }
 }

@@ -947,6 +947,167 @@ class PlanSpec extends SparkSpec {
     assert(got == want.toSet)
   }
 
+  test("s22: delta log — removes drop files, checkpoint shortcut reads 2 log files, time travel replays") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_deltalog_spec").toString + "/t"
+    try {
+      val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      def dataFiles(sub: String) = fs
+        .listStatus(new Path(s"$dir/$sub"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+        .toSet
+      val F = graft.sources.Formats
+      F.deltaCommit(spark, dir, 1L, Some(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "bal")))
+      val v1Files = dataFiles("data_v=1")
+      F.deltaCommit(spark, dir, 2L, Some(Seq((3L, 30.0)).toDF("k", "bal")))
+      // v3: copy-on-write UPDATE — v1's files removed, corrected rows added
+      F.deltaCommit(
+        spark,
+        dir,
+        3L,
+        Some(Seq((1L, 11.0), (2L, 22.0)).toDF("k", "bal")),
+        removes = F.deltaFilesOf(spark, dir, 1L)
+      )
+      F.deltaCheckpoint(spark, dir, 3L)
+      F.deltaCommit(spark, dir, 4L, Some(Seq((4L, 40.0)).toDF("k", "bal")))
+      // data files are immutable: the removed generation still exists on
+      // disk byte-for-byte (vacuum is a separate concern, s13) — the
+      // REMOVE is purely logical
+      assert(dataFiles("data_v=1") == v1Files, "remove mutated data files")
+      assert(
+        F.readDeltaTable(spark, dir).as[(Long, Double)].collect().toSet ==
+          Set((1L, 11.0), (2L, 22.0), (3L, 30.0), (4L, 40.0)),
+        "final state wrong"
+      )
+      // the checkpoint shortcut: resolving v4 must open EXACTLY the
+      // checkpoint and the one delta after it, not the full history
+      val (_, opened) = F.resolveDeltaFiles(spark, dir, 4L)
+      assert(opened == Seq("c=3.txt", "d=4.txt"), s"read planning opened $opened")
+      // time travel before the checkpoint replays the delta chain
+      assert(
+        F.readDeltaVersion(spark, dir, 2L).as[(Long, Double)].collect().toSet ==
+          Set((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      )
+      val (_, opened2) = F.resolveDeltaFiles(spark, dir, 2L)
+      assert(opened2 == Seq("d=1.txt", "d=2.txt"), s"pre-checkpoint resolve opened $opened2")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir).getParentFile): Unit
+    }
+  }
+
+  test("s22: optimistic concurrency — a stale writer's commit is rejected, table state untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_occ_spec").toString + "/t"
+    try {
+      val F = graft.sources.Formats
+      F.deltaCommit(spark, dir, 1L, Some(Seq((1L, 10.0)).toDF("k", "bal")))
+      F.deltaCommit(spark, dir, 2L, Some(Seq((2L, 20.0)).toDF("k", "bal")))
+      // two writers both observe v2 and prepare commits
+      val observedA = F.deltaVersion(spark, dir)
+      val observedB = F.deltaVersion(spark, dir)
+      assert(observedA == 2L && observedB == 2L)
+      // writer A wins the race
+      F.deltaCommitGuarded(spark, dir, observedA, Some(Seq((3L, 30.0)).toDF("k", "bal")))
+      // writer B's commit must be REJECTED (stale expected version)...
+      val e = intercept[java.util.ConcurrentModificationException] {
+        F.deltaCommitGuarded(spark, dir, observedB, Some(Seq((4L, 99.0)).toDF("k", "bal")))
+      }
+      assert(e.getMessage.contains("conflict"))
+      // ...and the table shows exactly A's history: B's rows absent,
+      // version unchanged since A's commit
+      assert(F.deltaVersion(spark, dir) == 3L)
+      assert(
+        F.readDeltaTable(spark, dir).as[(Long, Double)].collect().toSet ==
+          Set((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      )
+      // B retries correctly: re-read, commit against the current version
+      F.deltaCommitGuarded(spark, dir, F.deltaVersion(spark, dir), Some(Seq((4L, 40.0)).toDF("k", "bal")))
+      assert(
+        F.readDeltaTable(spark, dir).as[(Long, Double)].collect().toSet ==
+          Set((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+      )
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir).getParentFile): Unit
+    }
+  }
+
+  test("s22: gate table — create/append/rewrite/checkpoint/append re-derived row-for-row") {
+    import org.apache.spark.sql.functions.col
+    val got = graft.sources.Formats
+      .s22DeltaLog(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    val base = graft.sources.Tables
+      .orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val want = base.collect { case (k, _, p) if k % 2 == 0 => (k, "REWRITTEN", p) } ++
+      base.filter(_._1 % 2 == 1) ++
+      base.collect { case (k, pr, p) if k % 101 == 0 => (k + 50000000L, pr, p) }
+    assert(got == want.toSet)
+    assert(want.exists(_._2 == "REWRITTEN"))
+  }
+
+  test("s23: partition evolution — each generation prunes by its own spec; union re-derived") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.hadoop.fs.Path
+    val df = graft.sources.Formats.s23PartitionEvolution(spark, sf0001)
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // content: month-3 F orders across BOTH generations (odd + even keys)
+    val want = graft.sources.Tables
+      .orders(spark, sf0001)
+      .collect()
+      .filter { r =>
+        val m = r.getAs[Any](r.fieldIndex("o_orderdate")) match {
+          case t: java.sql.Timestamp      => t.toLocalDateTime.getMonthValue
+          case d: java.time.LocalDateTime => d.getMonthValue
+        }
+        m == 3 && r.getString(r.fieldIndex("o_orderstatus")) == "F"
+      }
+      .groupBy(_.getString(5))
+      .view
+      .mapValues(_.length.toLong)
+      .toMap
+    assert(got == want && got.nonEmpty)
+    val (gen1, gen2) = graft.sources.Formats.s23Dirs(spark, sf0001)
+    val fs = new Path(gen1).getFileSystem(spark.sessionState.newHadoopConf())
+    def parquetCount(dir: String): Int = {
+      val it = fs.listFiles(new Path(dir), true)
+      var n = 0
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    // AQE wraps finished stages in leaf QueryStageExec nodes plain
+    // collect() cannot descend into — unwrap to the final plan first
+    def deepScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      p match {
+        case a: AdaptiveSparkPlanExec => deepScans(a.executedPlan)
+        case q: QueryStageExec        => deepScans(q.plan)
+        case f: FileSourceScanExec    => Seq(f)
+        case o                        => o.children.flatMap(deepScans)
+      }
+    }
+    val scans = deepScans(df.queryExecution.executedPlan)
+    assert(scans.size == 2, s"expected two generation scans, got ${scans.size}")
+    def prunedFiles(f: FileSourceScanExec): Int =
+      f.relation.location.listFiles(f.partitionFilters, f.dataFilters).map(_.files.size).sum
+    val byRoot = scans.map(f => f.relation.location.rootPaths.head.toString -> f).toMap
+    val g1 = byRoot.find(_._1.contains("gen1")).map(_._2).get
+    val g2 = byRoot.find(_._1.contains("gen2")).map(_._2).get
+    // gen1 (layout: month) prunes to the p_m=3 dirs — strictly fewer
+    // than the full table, exactly the month partition's files
+    assert(prunedFiles(g1) == parquetCount(s"$gen1/p_m=3"))
+    assert(prunedFiles(g1) < parquetCount(gen1))
+    // gen2 (layout: month, status) prunes on BOTH dims
+    assert(prunedFiles(g2) == parquetCount(s"$gen2/p_m=3/o_orderstatus=F"))
+    assert(prunedFiles(g2) < parquetCount(s"$gen2/p_m=3"), "status dim must prune further in gen2")
+  }
+
   test("c64: per-lang top-fraction — two-phase bucket rank equals the naive global window; boundary-only sort") {
     import org.apache.spark.sql.functions.col
     val df = Sampling.c64QualityTopFrac(spark, sf001)
@@ -2265,7 +2426,9 @@ class PlanSpec extends SparkSpec {
       "c69_cluster_purity" -> "broadcast seeded-centroid frame for the cluster assignment (c35's shape)",
       "c74_ann_recall" -> "composes c6/c7/c18 — inherits c6's broadcast ≤10-query baseline",
       "c76_dedup_card" -> "five single-row summary frames crossed (the c14 idiom, not a data join)",
-      "c77_source_drift" -> "pairwise join over the #sources-row centroid frame (tiny by definition)"
+      "c77_source_drift" -> "pairwise join over the #sources-row centroid frame (tiny by definition)",
+      "c78_bitext_margin" -> "exact-baseline cross of the two sides (documented; 100 TB path = IVF candidates)",
+      "c82_semantic_decontam" -> "broadcast eval-vector set vs corpus; eval sets are small by contract (c21's posture)"
     )
     // Unpartitioned windows are allowed only over an AGGREGATED frame
     // (bucket/band offsets — rows ∝ buckets, not corpus); a global

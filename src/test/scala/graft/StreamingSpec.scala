@@ -1040,6 +1040,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming linear quality matches batch c79 row-for-row (stateless screen parity)") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def screen(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis
+        .linearQualityScored(df)
+        .select(col("doc_id"), col("n_tokens"), col("w_sum"), col("qc_score"), col("admit"))
+    val streamed = streamStateless(docs, "qc_out")(screen)
+    val batch = graft.operators.TextAnalysis
+      .c79LinearQuality(spark, sf0001)
+      .select(col("doc_id"), col("n_tokens"), col("w_sum"), col("qc_score"), col("admit"))
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    assert(streamed == batch)
+    assert(batch.exists(_(4).asInstanceOf[Int] == 1) && batch.exists(_(4).asInstanceOf[Int] == 0),
+      "gate data must exercise both admit branches")
+  }
+
   test("streaming epoch mix matches batch c42 row-for-row (stateless upsampling parity)") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
@@ -1066,5 +1089,55 @@ class StreamingSpec extends SparkSpec {
     val batch = graft.operators.Sampling.c42EpochMix(spark, sf0001).collect().map(_.toSeq).toSet
     assert(streamed == batch)
     assert(batch.exists(_(2).asInstanceOf[Long] > 0), "gate data must contain multi-copy docs")
+  }
+
+  test("streaming as-of enrich matches batch a13 row-for-row under in-order replay; view redelivery idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.sources.Tables
+      .events(spark, sf0001)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[StreamingOps.AsofIn]
+      .collect()
+      // in-order replay: event time, views before clicks at equal times
+      .sortBy(e => (e.ts.getTime, if (e.event_type == "view") 0 else 1, e.event_id))
+    val input = MemoryStream[StreamingOps.AsofIn]
+    val q = StreamingOps
+      .streamingAsofEnrich(input.toDS(), toleranceMs = 600000L)
+      .writeStream
+      .format("memory")
+      .queryName("asof_out")
+      .outputMode("append")
+      .start()
+    events.grouped(200).foreach { chunk =>
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val beforeRedelivery = spark.table("asof_out").count()
+    // redeliver a prefix of the VIEWS: the max-(ts, id) state fold is
+    // idempotent, so no new emissions and no state corruption
+    input.addData(events.filter(_.event_type == "view").take(50).toSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("asof_out")
+      .as[StreamingOps.AsofOut]
+      .collect()
+    q.stop()
+    assert(streamed.length == beforeRedelivery, "redelivered views must not re-emit")
+    val streamedMap = streamed.map(o => o.click_id -> ((o.view_id, o.view_ts.map(_.getTime)))).toMap
+    val batch = graft.operators.EventStreamOps
+      .a13AsofJoin(spark, sf0001)
+      .collect()
+      .map { r =>
+        val vid = if (r.isNullAt(r.fieldIndex("right_view_id"))) None else Some(r.getLong(r.fieldIndex("right_view_id")))
+        val vts =
+          if (r.isNullAt(r.fieldIndex("right_vts"))) None
+          else Some(r.getTimestamp(r.fieldIndex("right_vts")).getTime)
+        r.getLong(r.fieldIndex("click_id")) -> ((vid, vts))
+      }
+      .toMap
+    assert(streamedMap == batch)
+    assert(batch.exists(_._2._1.isDefined), "gate data must contain matched clicks")
+    assert(batch.exists(_._2._1.isEmpty), "gate data must contain unmatched clicks")
   }
 }
