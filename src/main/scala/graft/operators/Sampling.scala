@@ -1187,10 +1187,19 @@ object Sampling {
     * provably NTILE, never a per-language sort.
     */
   def c80CcnetBuckets(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scores = TextAnalysis.c15BigramLmScore(spark, sfDir).select(col("doc_id"), col("lm_score"))
-    val rows = scores
-      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+    c80CcnetBucketsFrom(
+      scores.join(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+    )
+  }
+
+  /** The two-phase tercile assignment over any (doc_id, lang, lm_score)
+    * frame — split out so randomized trials can drive it with planted
+    * group sizes hitting every n mod 3 case (including n < 3).
+    */
+  def c80CcnetBucketsFrom(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = scored
       .withColumn("bkt", floor(col("lm_score")).cast("long"))
     val counts = rows.groupBy(col("lang"), col("bkt")).agg(count(lit(1)).as("cnt"))
     val wOff = Window

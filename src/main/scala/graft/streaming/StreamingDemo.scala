@@ -58,6 +58,24 @@ object StreamingDemo {
       .start()
     counts.awaitTermination()
 
+    // as-of enrich: every click keyed to its latest at-or-before view
+    // (O(1) state per user — the online a13)
+    val asof = StreamingOps
+      .streamingAsofEnrich(
+        events
+          .filter(col("event_type").isin("view", "click"))
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+          .as[StreamingOps.AsofIn],
+        toleranceMs = 600000L
+      )
+      .writeStream
+      .format("memory")
+      .queryName("demo_asof")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    asof.awaitTermination()
+
     // Processor-API topology: stateful join+dedup per user key
     // (join window widened to 10 min for the synthetic event density)
     val papi = ProcessorApiJoin.withChainedStatefulAllowed(spark) {
@@ -437,11 +455,13 @@ object StreamingDemo {
 
     val nDedup = spark.table("demo_dedup").count()
     val nWindows = spark.table("demo_counts").count()
+    val nAsof = spark.table("demo_asof").count()
+    val nAsofMatched = spark.table("demo_asof").filter("view_id IS NOT NULL").count()
     val nClicks = spark.table("demo_papi").count()
     val nJoined = spark.table("demo_papi").filter("view_id IS NOT NULL").count()
     val total = spark.read.parquet(s"$sfDir/events.parquet").count()
     println(
-      s"""{"streaming_demo":{"input_events":$total,"deduped_kept":$nDedup,"closed_windows":$nWindows,"enriched_clicks":$nClicks,"clicks_with_view":$nJoined,"funnel_users":${lastFunnel.size},"full_funnels":${lastFunnel.count(_.full_funnel)},"curated_docs":$nCurated,"contaminated_docs":${decontamStreamed.size},"quota_docs":$nQuota,"budget_admits":$nBudget,"reservoir_docs":$nWsamp,"neardup_suspects":$nSuspects,"chunk_survivors":$nChunkSurv,"pii_hit_docs":$nPiiHits,"epoch_copies":$nEpochCopies,"upsert_rows":$nUpsert,"sink_rows":$nSunk}}"""
+      s"""{"streaming_demo":{"input_events":$total,"deduped_kept":$nDedup,"closed_windows":$nWindows,"asof_clicks":$nAsof,"asof_with_view":$nAsofMatched,"enriched_clicks":$nClicks,"clicks_with_view":$nJoined,"funnel_users":${lastFunnel.size},"full_funnels":${lastFunnel.count(_.full_funnel)},"curated_docs":$nCurated,"contaminated_docs":${decontamStreamed.size},"quota_docs":$nQuota,"budget_admits":$nBudget,"reservoir_docs":$nWsamp,"neardup_suspects":$nSuspects,"chunk_survivors":$nChunkSurv,"pii_hit_docs":$nPiiHits,"epoch_copies":$nEpochCopies,"upsert_rows":$nUpsert,"sink_rows":$nSunk}}"""
     )
     spark.stop()
   }

@@ -1260,6 +1260,40 @@ class OperatorsSpec extends SparkSpec {
     assert(expected.size == corpus.length && expected.nonEmpty)
   }
 
+  test("b50/c80: two-phase rank machinery equals declarative windows on randomized data (6 seeded trials)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    (1 to 6).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // group sizes hit every n mod 3 case incl. n < 3; values collide
+      // across bucket boundaries (mod 7 → many floor-bucket repeats)
+      val rows = (0 until 5).flatMap { g =>
+        val n = Seq(1, 2, 3, 4, 7, 30)(rnd.nextInt(6))
+        (0 until n).map(i => (s"g$g", rnd.nextLong().abs % 100000, (rnd.nextInt(2100) / 7).toDouble + rnd.nextInt(3) * 0.25))
+      }
+      val df = rows.toDF("o_orderpriority", "o_orderkey", "o_totalprice").dropDuplicates("o_orderpriority", "o_orderkey")
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"), col("o_orderkey"))
+      def k(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1))
+      val gotDist = Relational.b50DistWindowsFrom(df).collect().map(r => k(r) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+      val wantDist = df
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          percent_rank().over(w).as("p"), cume_dist().over(w).as("c"))
+        .collect().map(r => k(r) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+      assert(gotDist == wantDist, s"b50 trial $seed diverged")
+      // same frame through the c80 tiler (lang=group, lm_score=value)
+      val scored = df.select(col("o_orderkey").as("doc_id"), col("o_orderpriority").as("lang"), col("o_totalprice").as("lm_score"))
+      val wt = Window.partitionBy(col("lang")).orderBy(col("lm_score"), col("doc_id"))
+      val gotT = Sampling.c80CcnetBucketsFrom(scored).collect().map(r => (r.getString(1), r.getLong(0)) -> r.getString(3)).toMap
+      val wantT = scored
+        .withColumn("tl", ntile(Sampling.CcnetTiles).over(wt))
+        .collect()
+        .map(r => (r.getString(1), r.getLong(0)) ->
+          (r.getInt(3) match { case 1 => "tail"; case 2 => "middle"; case _ => "head" }))
+        .toMap
+      assert(gotT == wantT, s"c80 trial $seed diverged")
+    }
+  }
+
   test("c81 token fertility: per-lang exact counts re-derived; ratios consistent") {
     val re = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]".r
     val expected = graft.sources.Tables
