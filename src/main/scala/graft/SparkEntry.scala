@@ -184,7 +184,8 @@ object SparkEntry {
     "c79_linear_quality" -> (TextAnalysis.c79LinearQuality _),
     "c80_ccnet_buckets" -> (Sampling.c80CcnetBuckets _),
     "c82_semantic_decontam" -> (VectorOps.c82SemanticDecontam _),
-    "c83_normalized_dedup" -> (TextDedup.c83NormalizedDedup _)
+    "c83_normalized_dedup" -> (TextDedup.c83NormalizedDedup _),
+    "c84_lang_confusion" -> (TextAnalysis.c84LangConfusion _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -821,6 +822,26 @@ object SparkEntry {
         |SELECT pred_lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
         |  MIN(quality_score) AS min_quality, MAX(quality_score) AS max_quality
         |FROM samp GROUP BY 1""".stripMargin,
+    // c8's scorer + argmax wrapped in the (labeled, predicted) rollup —
+    // the CASE mirrors c8's oracle text exactly (same tie-break order)
+    "c84_lang_confusion" ->
+      """WITH docs AS (SELECT doc_id, lang, string_split(text, ' ') w FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(w, t -> t = 'data' OR t = 'table')) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(w, t -> t = 'merge' OR t = 'line')) AS BIGINT) AS s_fr,
+        |  CAST(len(list_filter(w, t -> t = 'order' OR t = 'group')) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(w, t -> t = 'key' OR t = 'value')) AS BIGINT) AS s_zh
+        |FROM docs),
+        |p AS (SELECT doc_id, lang,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es >= s_en AND s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+        |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       ELSE 'zh' END AS pred_lang
+        |FROM s)
+        |SELECT lang, pred_lang, COUNT(*) AS n_docs
+        |FROM p GROUP BY lang, pred_lang""".stripMargin,
     "c8_text_langid" ->
       """WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |s AS (SELECT doc_id,

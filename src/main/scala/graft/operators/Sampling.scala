@@ -1188,8 +1188,13 @@ object Sampling {
     */
   def c80CcnetBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     val scores = TextAnalysis.c15BigramLmScore(spark, sfDir).select(col("doc_id"), col("lm_score"))
+    // checkpoint the per-doc score frame: the tiler consumes it TWICE
+    // (bucket counts + the final join) and without the barrier each
+    // branch would re-run c15's bigram-frequency join and aggregation
     c80CcnetBucketsFrom(
-      scores.join(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      scores
+        .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .localCheckpoint()
     )
   }
 

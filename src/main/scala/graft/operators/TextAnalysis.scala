@@ -1081,6 +1081,21 @@ object TextAnalysis {
       .withColumn("admit", (col("qc_score") > 0.0).cast("int"))
   }
 
+  /** C84: language-ID CONFUSION MATRIX — the classifier-eval report
+    * for c8's marker heuristic against the labeled corpus: one row per
+    * (labeled lang, predicted lang) with the doc count; the diagonal
+    * is per-language recall, off-diagonal cells name exactly which
+    * languages bleed into which — the routing-quality table a cascade
+    * owner reads next to c75's confidence margins before trusting the
+    * cheap classifier at 100 TB (where the expensive one only sees
+    * low-margin traffic). One scan, row-local scoring, a ≤ #langs²-row
+    * map-side-combined aggregate.
+    */
+  def c84LangConfusion(spark: SparkSession, sfDir: String): DataFrame =
+    langPredicted(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("text")))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** C81: tokenizer FERTILITY report — per language: documents, words
     * (whitespace tokens), subword tokens (c10's BPE-ish segmentation)
     * and characters, with fertility = subtokens/word and

@@ -1338,6 +1338,42 @@ object VectorOps {
       )
   }
 
+  /** c82's screen as a df→df transform with the eval matrix baked in
+    * as literals (the eval set is a bounded fixed artifact — the same
+    * contract that lets c21 broadcast its shingle set): per row, one
+    * codegen'd dot per eval vector and an `array_max` over (cos, −id)
+    * structs — ties to the LOWER eval id, exactly c82's ordering — so
+    * the whole screen is row-local column math with ZERO state, which
+    * makes it a stateless streaming admission screen (decontaminate at
+    * ingest time, before a leaked doc ever lands in the corpus).
+    * Expects a `vn` column (L2-normalized double vector).
+    */
+  def semanticDecontamScreen(evalVecs: Seq[(Long, Seq[Double])])(vecsDf: DataFrame): DataFrame = {
+    require(evalVecs.nonEmpty, "semanticDecontamScreen needs at least one eval vector")
+    val arr = array(evalVecs.sortBy(_._1).map { case (id, v) =>
+      struct(arrayDot(col("vn"), typedLit(v)).as("cos"), lit(-id).as("nid"))
+    }: _*)
+    vecsDf
+      .withColumn("best", array_max(arr))
+      .select(
+        col("vec_id"),
+        (-col("best.nid")).as("nearest_eval"),
+        col("best.cos").as("max_cos"),
+        (col("best.cos") >= SemanticLeakThreshold).cast("int").as("leaked")
+      )
+  }
+
+  /** The eval-side artifact for [[semanticDecontamScreen]]: the
+    * normalized eval vectors, collected once (≤ [[NumQueryVecs]] rows
+    * — a bounded index artifact like the IVF centroids).
+    */
+  def collectEvalVecs(spark: SparkSession, sfDir: String): Seq[(Long, Seq[Double])] =
+    vecs(spark, sfDir)
+      .filter(col("vec_id") < NumQueryVecs)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq
+
   /** c78 constants — the side split (labels 0..4 = source language,
     * 5..9 = target), the neighborhood size k of the margin denominator,
     * and the alignment threshold. Interpolated into the oracle too.

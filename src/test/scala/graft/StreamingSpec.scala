@@ -1063,6 +1063,75 @@ class StreamingSpec extends SparkSpec {
       "gate data must exercise both admit branches")
   }
 
+  test("streaming as-of: late older views never regress state; redelivered clicks re-emit identically") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.AsofIn]
+    val q = StreamingOps
+      .streamingAsofEnrich(input.toDS(), toleranceMs = 600000L)
+      .writeStream
+      .format("memory")
+      .queryName("asof_sem_out")
+      .outputMode("append")
+      .start()
+    def in(id: Long, sec: Long, tpe: String) = StreamingOps.AsofIn(id, ts(sec), 7L, tpe)
+    // two views then a click: the click binds to the NEWEST view by event time
+    input.addData(in(1, 100, "view"), in(2, 300, "view"))
+    q.processAllAvailable()
+    input.addData(in(10, 400, "click"))
+    q.processAllAvailable()
+    // a LATE view with an OLDER event time arrives: state must not regress
+    input.addData(in(3, 200, "view"))
+    q.processAllAvailable()
+    input.addData(in(11, 500, "click"))
+    q.processAllAvailable()
+    // at-least-once: the first click is redelivered — same enrichment again
+    input.addData(in(10, 400, "click"))
+    q.processAllAvailable()
+    val out = spark.table("asof_sem_out").as[StreamingOps.AsofOut].collect().sortBy(_.ts.getTime)
+    q.stop()
+    assert(out.map(o => (o.click_id, o.view_id)).toSeq == Seq((10L, Some(2L)), (10L, Some(2L)), (11L, Some(2L))).sortBy(_._1))
+    assert(out.forall(_.view_ts.contains(ts(300))), "late older view must never displace the newer one")
+  }
+
+  test("streaming semantic decontam matches batch c82 row-for-row (stateless screen parity)") {
+    import org.apache.spark.sql.functions.{col, transform => atransform}
+    import graft.plans.ArrayNormalize.arrayNormalize
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evals = graft.operators.VectorOps.collectEvalVecs(spark, sf0001)
+    val corpus = graft.sources.Tables
+      .embeddings(spark, sf0001)
+      .filter(col("vec_id") >= graft.operators.VectorOps.NumQueryVecs)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.operators.VectorOps
+      .semanticDecontamScreen(evals)(
+        input
+          .toDS()
+          .select(
+            col("_1").as("vec_id"),
+            arrayNormalize(atransform(col("_2"), _.cast("double"))).as("vn")
+          )
+      )
+      .writeStream
+      .format("memory")
+      .queryName("semdecontam_out")
+      .outputMode("append")
+      .start()
+    corpus.grouped(100).foreach { chunk =>
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val streamed = spark.table("semdecontam_out").collect().map(_.toSeq).toSet
+    q.stop()
+    val batch = graft.operators.VectorOps.c82SemanticDecontam(spark, sf0001).collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming epoch mix matches batch c42 row-for-row (stateless upsampling parity)") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
