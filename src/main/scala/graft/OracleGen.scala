@@ -119,6 +119,22 @@ object OracleGen {
   /** C34 = c3's verified pairs with each member's source attached,
     * cross-source only.
     */
+  /** c85: the c3 pair set swept over the candidate cutoffs; spine
+    * left-joined so empty cutoffs keep their zero rows.
+    */
+  val c85DedupSweep: String = {
+    import graft.operators.TextDedup.SweepThresholds
+    val values = SweepThresholds.map(t => s"($t)").mkString(", ")
+    s"""WITH pairs AS ($c3MinHashLsh),
+       |t(threshold) AS (VALUES $values),
+       |f AS (SELECT t.threshold, p.doc_a, p.doc_b FROM t JOIN pairs p ON p.jaccard >= t.threshold),
+       |pc AS (SELECT threshold, COUNT(*) AS np FROM f GROUP BY threshold),
+       |dc AS (SELECT threshold, COUNT(DISTINCT d) AS nd FROM (
+       |  SELECT threshold, doc_a AS d FROM f UNION ALL SELECT threshold, doc_b FROM f) u GROUP BY threshold)
+       |SELECT t.threshold, COALESCE(pc.np, 0) AS n_pairs, COALESCE(dc.nd, 0) AS n_docs
+       |FROM t LEFT JOIN pc ON t.threshold = pc.threshold LEFT JOIN dc ON t.threshold = dc.threshold""".stripMargin
+  }
+
   val c34CrossSourceNearDups: String =
     s"""WITH $c3Ctes,
        |res AS ($c3Select)
@@ -958,6 +974,53 @@ object OracleGen {
        |SELECT vec_id, eval_id AS nearest_eval, cos AS max_cos,
        |  CAST(cos >= $SemanticLeakThreshold AS INT) AS leaked
        |FROM r WHERE rn = 1""".stripMargin
+  }
+
+  /** c86: the same JVM-generated ±1 sign literals, the same
+    * strict-sequential dot (list_dot_product ≡ ArrayDotProduct), the
+    * same single scale multiply — bit-identical sketches.
+    */
+  val c86JlProjection: String = {
+    import graft.operators.VectorOps.{jlSigns, JlDim}
+    val scale = 1.0 / math.sqrt(JlDim.toDouble)
+    val projs = jlSigns.zipWithIndex
+      .map { case (row, j) =>
+        s"list_dot_product(v, [${row.mkString(", ")}]) * $scale AS p$j"
+      }
+      .mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+       |SELECT vec_id,
+       |  $projs
+       |FROM e""".stripMargin
+  }
+
+  /** c87: the full sketch-then-rerank composition mirrored stage by
+    * stage — same sign literals, same 16-dim sketch dot, same
+    * 50-deep shortlist cut, same exact re-rank — so the oracle gates
+    * the algorithm, shortlist included.
+    */
+  val c87AnnJl: String = {
+    import graft.operators.VectorOps.{jlSigns, JlDim, JlShortlist, NumQueryVecs, TopK}
+    val scale = 1.0 / math.sqrt(JlDim.toDouble)
+    val projList = jlSigns
+      .map(row => s"list_dot_product(vn, [${row.mkString(", ")}]) * $scale")
+      .mkString("[", ",\n    ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |nm AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),
+       |pr AS (SELECT vec_id, vn,
+       |  $projList AS p
+       |FROM nm),
+       |q AS (SELECT vec_id AS query_id, vn AS qv, p AS qp FROM pr WHERE vec_id < $NumQueryVecs),
+       |c AS (SELECT vec_id AS neighbor_id, vn AS cv, p AS cp FROM pr WHERE vec_id >= $NumQueryVecs),
+       |s AS (SELECT query_id, neighbor_id, qv, cv, list_dot_product(qp, cp) AS sketch_cos FROM c, q),
+       |sl AS (SELECT query_id, neighbor_id, qv, cv,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sketch_cos DESC, neighbor_id) AS srn FROM s),
+       |x AS (SELECT query_id, neighbor_id, list_dot_product(qv, cv) AS cos FROM sl WHERE srn <= $JlShortlist)
+       |SELECT query_id, neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+       |  cos
+       |FROM x
+       |QUALIFY rank <= $TopK""".stripMargin
   }
 
   /** c78 mirrors the Spark side slot-for-slot: top-k neighborhood

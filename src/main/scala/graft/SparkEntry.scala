@@ -151,6 +151,7 @@ object SparkEntry {
     "s17_manifest_append" -> (graft.sources.Formats.s17ManifestAppend _),
     "s22_delta_log" -> (graft.sources.Formats.s22DeltaLog _),
     "s23_partition_evolution" -> (graft.sources.Formats.s23PartitionEvolution _),
+    "s24_orphan_files" -> (graft.sources.Formats.s24OrphanFiles _),
     "c81_token_fertility" -> (TextAnalysis.c81TokenFertility _),
     "c63_kanon_report" -> (Sampling.c63KanonReport _),
     "c64_quality_topfrac" -> (Sampling.c64QualityTopFrac _),
@@ -185,7 +186,10 @@ object SparkEntry {
     "c80_ccnet_buckets" -> (Sampling.c80CcnetBuckets _),
     "c82_semantic_decontam" -> (VectorOps.c82SemanticDecontam _),
     "c83_normalized_dedup" -> (TextDedup.c83NormalizedDedup _),
-    "c84_lang_confusion" -> (TextAnalysis.c84LangConfusion _)
+    "c84_lang_confusion" -> (TextAnalysis.c84LangConfusion _),
+    "c85_dedup_sweep" -> (TextDedup.c85DedupSweep _),
+    "c86_jl_projection" -> (VectorOps.c86JlProjection _),
+    "c87_ann_jl" -> ((s, d) => VectorOps.c87AnnJl(s, d))
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -548,6 +552,9 @@ object SparkEntry {
     "c68_prefix_dedup" -> OracleGen.c68PrefixDedup,
     "c2_dedup_ngram_jaccard" -> OracleGen.c2NgramJaccard,
     "c3_dedup_minhash_lsh" -> OracleGen.c3MinHashLsh,
+    "c85_dedup_sweep" -> OracleGen.c85DedupSweep,
+    "c86_jl_projection" -> OracleGen.c86JlProjection,
+    "c87_ann_jl" -> OracleGen.c87AnnJl,
     "c4_dedup_simhash" -> OracleGen.c4SimHash,
     "c5_dedup_embedding" -> OracleGen.c5EmbeddingDedup,
     // the LSH path produces the SAME pair set (zero bucket misses at
@@ -756,6 +763,12 @@ object SparkEntry {
         |  PERCENT_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS pct_rank,
         |  CUME_DIST() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS cume_dist
         |FROM orders""".stripMargin,
+    // committed two-commit union only — the planted orphan keys
+    // (+70000000) must be absent after the sweep
+    "s24_orphan_files" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 1""".stripMargin,
     "s23_partition_evolution" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price

@@ -342,6 +342,47 @@ object TextDedup {
     jaccardVerified(sh, Some(lshCandidatePairs(bandKeyFrame(sh))))
   }
 
+  /** c85: the swept Jaccard cutoffs (≥ the verification floor 0.8 —
+    * the banding is calibrated for 0.8, so sweeping BELOW it would
+    * need a different index; above it the verified pair set contains
+    * every candidate by monotonicity).
+    */
+  val SweepThresholds: Seq[Double] = Seq(0.80, 0.85, 0.90, 0.95)
+
+  /** C85: dedup THRESHOLD SURVIVAL CURVE — what a curation owner reads
+    * before fixing "the" near-dup threshold: for each candidate cutoff,
+    * how many verified pairs and how many distinct member documents
+    * survive. Monotone by construction (every row uses the one paid
+    * LSH pass — the amortized c3 pair set — so the whole sweep costs
+    * two aggregates of the tiny pair frame; thresholds at or above the
+    * banding's calibration floor are exact by pair-set completeness).
+    * Threshold spine left-joined so a cutoff that kills every pair
+    * still reports its zero row. Cutoff comparisons are double-literal
+    * vs the bit-identical jaccard column — engine-identical.
+    */
+  def c85DedupSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = c3MinHashLsh(spark, sfDir)
+    val spine = pairs.sparkSession
+      .range(1)
+      .select(explode(array(SweepThresholds.map(lit): _*)).as("threshold"))
+    val f = pairs
+      .select(explode(array(SweepThresholds.map(lit): _*)).as("threshold"), col("doc_a"), col("doc_b"), col("jaccard"))
+      .filter(col("jaccard") >= col("threshold"))
+    val pc = f.groupBy(col("threshold")).agg(count(lit(1)).as("np"))
+    val dc = f
+      .select(col("threshold"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy(col("threshold"))
+      .agg(countDistinct(col("d")).as("nd"))
+    spine
+      .join(pc, Seq("threshold"), "left")
+      .join(dc, Seq("threshold"), "left")
+      .select(
+        col("threshold"),
+        coalesce(col("np"), lit(0L)).as("n_pairs"),
+        coalesce(col("nd"), lit(0L)).as("n_docs")
+      )
+  }
+
   /** C34: cross-source near-duplicates — the syndication signal. The
     * amortized c3 pair set joined back to each member's source; pairs
     * whose members share a source are dropped (intra-site boilerplate),

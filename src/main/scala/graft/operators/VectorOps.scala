@@ -1374,6 +1374,114 @@ object VectorOps {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .toSeq
 
+  /** c86: JL target dimensionality (64 → 16). */
+  val JlDim = 16
+
+  /** The c86 ±1 sign matrix ([[JlDim]] × [[Dim]]), md5-derived so the
+    * oracle regenerates the identical literals — computed ONCE in the
+    * JVM and inlined as plan constants (a per-row hash of all 1024
+    * cells would put 1024 md5 calls in the hot loop for values that
+    * never change).
+    */
+  lazy val jlSigns: Seq[Seq[Double]] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until JlDim).map { j =>
+      (0 until Dim).map { i =>
+        val d = md.digest(s"rp#$j#$i".getBytes("UTF-8"))
+        if ((d(0) & 1) == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** C86: Johnson-Lindenstrauss RANDOM PROJECTION — the 64→16 ±1
+    * sketch (Achlioptas 2003's database-friendly JL: random signs,
+    * scaled 1/√k) that preserves pairwise distances within (1±ε) with
+    * high probability, the cheap pre-filter a vector pipeline runs
+    * before exact scoring when even PQ is too much machinery (4×
+    * fewer floats, no training, no codebooks). Entirely row-local: 16
+    * codegen'd strict-sequential dots against literal sign rows, so
+    * projecting a 100 TB corpus is a pure map and the sketch is
+    * bit-identical in DuckDB (list_dot_product against the same
+    * literals — the c5/c6 exactness contract). The spec re-derives
+    * the projection in the JVM and measures the sketch's actual
+    * distance distortion on the corpus.
+    */
+  def c86JlProjection(spark: SparkSession, sfDir: String): DataFrame = {
+    val scale = 1.0 / math.sqrt(JlDim.toDouble)
+    val cols = jlSigns.zipWithIndex.map { case (row, j) =>
+      (arrayDot(col("v"), typedLit(row)) * scale).as(s"p$j")
+    }
+    Tables
+      .embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .select(col("vec_id") +: cols: _*)
+  }
+
+  /** c87: sketch-space shortlist size (overfetch before exact re-rank). */
+  val JlShortlist = 50
+
+  /** C87: ANN THROUGH THE JL SKETCH — c86's projection as a serving
+    * path (the composition PQ runs with codebooks, here with zero
+    * training): score queries against candidates in 16-dim sketch
+    * space (JL preserves inner products of unit vectors, so the
+    * sketch dot approximates cosine at a quarter of the floats), keep
+    * a [[JlShortlist]]-deep shortlist per query on the native heap,
+    * re-rank ONLY the shortlist exactly, emit top-[[TopK]]. Both
+    * ranking stages are deterministic (ties to the lower id) and the
+    * sketch dots are bit-exact cross-engine, so the DuckDB oracle
+    * mirrors the ALGORITHM — shortlist included — and gates the whole
+    * composition hash-exact; the spec separately measures recall vs
+    * the exact c6 baseline. At 100 TB the sketch column is what sits
+    * hot (4× smaller scan than raw vectors), and the exact re-rank
+    * touches candidates·(shortlist/corpus) of the raw bytes.
+    */
+  def c87AnnJl(spark: SparkSession, sfDir: String): DataFrame =
+    c87AnnJlFrom(vecs(spark, sfDir))
+
+  /** The sketch-then-rerank pipeline over any (vec_id, vn) frame of
+    * unit vectors — split out so the recall spec can drive it with a
+    * clustered corpus (the gate tables are isotropic by construction,
+    * the adversarial case for any fixed-width sketch: all cosines
+    * bunch together and the 2/k distortion swamps the ranking gap, so
+    * the isotropic floor is a tripwire while the clustered leg proves
+    * the serving claim).
+    */
+  def c87AnnJlFrom(e0: DataFrame): DataFrame = {
+    val scale = 1.0 / math.sqrt(JlDim.toDouble)
+    val projCols = jlSigns.zipWithIndex.map { case (row, j) =>
+      (arrayDot(col("vn"), typedLit(row)) * scale).as(s"p$j")
+    }
+    val e = e0
+      .select(col("vec_id") +: col("vn") +: projCols: _*)
+      .withColumn("p", array((0 until JlDim).map(j => col(s"p$j")): _*))
+      .select(col("vec_id"), col("vn"), col("p"))
+    val queries = e
+      .filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("vn").as("qv"), col("p").as("qp"))
+    val cands = e
+      .filter(col("vec_id") >= NumQueryVecs)
+      .select(col("vec_id").as("neighbor_id"), col("vn").as("cv"), col("p").as("cp"))
+    val sketchScored = cands
+      .crossJoin(broadcast(queries))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        col("cv"),
+        col("qv"),
+        arrayDot(col("qp"), col("cp")).as("sketch_cos")
+      )
+    val shortlist = graft.plans.TopKPerKey.topKPerKey(
+      sketchScored,
+      keyCols = Seq("query_id"),
+      orderBy = Seq(("sketch_cos", false), ("neighbor_id", true)),
+      k = JlShortlist
+    )
+    rankTopK(
+      shortlist.withColumn("cos", arrayDot(col("qv"), col("cv"))),
+      TopK
+    )
+  }
+
   /** c78 constants — the side split (labels 0..4 = source language,
     * 5..9 = target), the neighborhood size k of the margin denominator,
     * and the alignment threshold. Interpolated into the oracle too.

@@ -1255,6 +1255,90 @@ object Formats {
     readDeltaVersion(spark, dir, v)
   }
 
+  /** ORPHAN-FILE SWEEP over a manifest table: delete every data file
+    * under the table dir that no manifest (any version) references —
+    * the debris of failed or abandoned writes, invisible to readers
+    * (manifests are the only source of truth) but carrying real
+    * storage cost at 100 TB. Iceberg's `remove_orphan_files`
+    * maintenance job, complementing s13's version-retention vacuum
+    * (that deletes EXPIRED history; this deletes files that were never
+    * history at all). Committed files are untouchable by construction:
+    * the referenced set is the union of every manifest's lines, so a
+    * sweep can never lose a byte a reader could see — and a second
+    * sweep is a no-op (idempotent). Returns (scanned, referenced,
+    * removed) counts for the maintenance log. Real deployments add an
+    * age threshold so in-flight writers aren't swept mid-commit; the
+    * gate's orphans are abandoned by construction.
+    */
+  def manifestOrphanSweep(spark: SparkSession, dir: String): (Long, Long, Long) = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val referenced = fs
+      .listStatus(new Path(dir))
+      .filter(s => s.getPath.getName.startsWith("m=") && s.getPath.getName.endsWith(".txt"))
+      .flatMap { m =>
+        val in = fs.open(m.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.filter(_.nonEmpty)
+        finally in.close()
+      }
+      .toSet
+    val it = fs.listFiles(new Path(dir), true)
+    var scanned = 0L
+    var removed = 0L
+    val root = new Path(dir).toUri.getPath
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) {
+        scanned += 1
+        val rel = f.toUri.getPath.stripPrefix(root).stripPrefix("/")
+        if (!referenced.contains(rel)) {
+          fs.delete(f, false)
+          removed += 1
+        }
+      }
+    }
+    (scanned, referenced.size.toLong, removed)
+  }
+
+  /** S24: the orphan sweep through the gate — build a two-commit
+    * manifest table, PLANT two abandoned writes (a failed append's
+    * data dir and a stray export — real rows, never committed), sweep,
+    * and read the table back: the committed union must be intact
+    * row-for-row (the oracle recomputes it from the source table) and
+    * the planted keys must not appear — a sweep that deletes a
+    * committed file breaks rows, one that misses an orphan leaves the
+    * planted rows invisible anyway (manifests gate the read), so the
+    * physical deletion itself is spec-asserted (files gone, committed
+    * files byte-stable, re-sweep removes zero).
+    */
+  def s24OrphanFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables
+      .orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val dir = s24OrphanDir(spark, sfDir)
+    val marker = new Path(s"${scratch(spark, "orphan", sfDir)}/done")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
+      manifestAppend(spark, dir, base.filter(col("o_orderkey") % 3 === 0), 1L)
+      manifestAppend(spark, dir, base.filter(col("o_orderkey") % 3 === 1), 2L)
+      // two abandoned writes: a crashed append (its data dir exists,
+      // no manifest names it) and a stray export under the table dir
+      base
+        .filter(col("o_orderkey") % 3 === 2)
+        .withColumn("o_orderkey", col("o_orderkey") + 70000000L)
+        .write
+        .mode("overwrite")
+        .parquet(s"$dir/data_v=99")
+      base.limit(5).write.mode("overwrite").parquet(s"$dir/stray_export")
+      manifestOrphanSweep(spark, dir)
+      fs.create(marker, true).close()
+    }
+    readManifestTable(spark, dir)
+  }
+
+  /** The s24 table dir (valid after the gate query ran in-app). */
+  def s24OrphanDir(spark: SparkSession, sfDir: String): String =
+    s"${scratch(spark, "orphan", sfDir)}/t"
+
   /** The delta-log table dir for [[s22DeltaLog]]'s spec assertions
     * (valid after the query has run in the same application).
     */

@@ -1228,6 +1228,63 @@ class OperatorsSpec extends SparkSpec {
     assert(nNorm <= nRaw && nNorm > 0)
   }
 
+  test("c86 JL projection: sketches re-derived bit-exactly; corpus distance distortion bounded") {
+    import graft.operators.VectorOps.{jlSigns, JlDim}
+    val scale = 1.0 / math.sqrt(JlDim.toDouble)
+    val vecs = graft.sources.Tables
+      .embeddings(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("vec_id")), r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val expected = vecs.map { case (id, v) => id -> jlSigns.map(row => dot(v, row) * scale).toArray }.toMap
+    val got = VectorOps
+      .c86JlProjection(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to JlDim).map(j => r.getDouble(j)).toArray)
+      .toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, p) => assert(p.sameElements(expected(id)), s"vec $id sketch diverged") }
+    // JL contract on the actual corpus: squared distances survive the
+    // 64→16 sketch with bounded typical distortion (fixed data ⇒ the
+    // measured bound is deterministic; 2/k variance ⇒ sd ~0.35)
+    def d2(a: Array[Double], b: Array[Double]) = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val sample = vecs.take(40)
+    val ratios = for {
+      (ia, va) <- sample; (ib, vb) <- sample if ia < ib
+    } yield d2(expected(ia), expected(ib)) / d2(va, vb)
+    val medAbs = ratios.map(r => math.abs(r - 1.0)).sorted.apply(ratios.length / 2)
+    assert(medAbs < 0.4, s"median distortion $medAbs — sketch is not distance-preserving")
+    assert(ratios.forall(_ > 0.0))
+  }
+
+  test("c85 dedup sweep: survival counts re-derived from the pair set; monotone; floor = full set") {
+    import graft.operators.TextDedup.SweepThresholds
+    val pairs = TextDedup
+      .c3MinHashLsh(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val expected = SweepThresholds.map { t =>
+      val surv = pairs.filter(_._3 >= t)
+      t -> ((surv.length.toLong, surv.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong))
+    }.toMap
+    val got = TextDedup
+      .c85DedupSweep(spark, sf0001)
+      .collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == expected)
+    // monotone: raising the cutoff can only shrink both counts
+    val sorted = SweepThresholds.sorted.map(got)
+    assert(sorted.sliding(2).forall { case Seq(a, b) => b._1 <= a._1 && b._2 <= a._2; case _ => true })
+    // the floor threshold IS the verification floor: nothing is cut
+    assert(got(SweepThresholds.min) == ((pairs.length.toLong, pairs.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)))
+    assert(pairs.nonEmpty)
+  }
+
   test("c82 semantic decontamination: max/argmax over the eval set re-derived bit-exactly") {
     import graft.operators.VectorOps.{NumQueryVecs, SemanticLeakThreshold}
     val vecs = graft.sources.Tables

@@ -1033,6 +1033,48 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("s24: orphan sweep — orphans physically deleted, committed files byte-stable, idempotent") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_orphan_spec").toString + "/t"
+    try {
+      val F = graft.sources.Formats
+      val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      def files(sub: String) = fs
+        .listStatus(new Path(s"$dir/$sub"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+        .toSet
+      F.manifestAppend(spark, dir, Seq((1L, 10.0), (2L, 20.0)).toDF("k", "bal"), 1L)
+      F.manifestAppend(spark, dir, Seq((3L, 30.0)).toDF("k", "bal"), 2L)
+      val committed = files("data_v=1") ++ files("data_v=2")
+      // plant an abandoned write (no manifest names it)
+      Seq((99L, 99.0)).toDF("k", "bal").write.parquet(s"$dir/data_orphan")
+      val planted = files("data_orphan")
+      assert(planted.nonEmpty)
+      val (scanned, referenced, removed) = F.manifestOrphanSweep(spark, dir)
+      assert(removed == planted.size.toLong, s"removed $removed of ${planted.size} orphans")
+      assert(scanned == committed.size + planted.size && referenced == committed.size)
+      // orphans physically gone, committed files byte-stable
+      assert(!fs.listFiles(new Path(dir), true).hasNext || files("data_v=1") ++ files("data_v=2") == committed)
+      val remaining = {
+        val it = fs.listFiles(new Path(dir), true)
+        var n = 0
+        while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        n
+      }
+      assert(remaining == committed.size, "a committed file was swept or an orphan survived")
+      // reader unaffected; a second sweep removes nothing
+      assert(
+        F.readManifestTable(spark, dir).as[(Long, Double)].collect().toSet ==
+          Set((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      )
+      assert(F.manifestOrphanSweep(spark, dir)._3 == 0L, "sweep is not idempotent")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir).getParentFile): Unit
+    }
+  }
+
   test("s22: gate table — create/append/rewrite/checkpoint/append re-derived row-for-row") {
     import org.apache.spark.sql.functions.col
     val got = graft.sources.Formats
@@ -2428,7 +2470,8 @@ class PlanSpec extends SparkSpec {
       "c76_dedup_card" -> "five single-row summary frames crossed (the c14 idiom, not a data join)",
       "c77_source_drift" -> "pairwise join over the #sources-row centroid frame (tiny by definition)",
       "c78_bitext_margin" -> "exact-baseline cross of the two sides (documented; 100 TB path = IVF candidates)",
-      "c82_semantic_decontam" -> "broadcast eval-vector set vs corpus; eval sets are small by contract (c21's posture)"
+      "c82_semantic_decontam" -> "broadcast eval-vector set vs corpus; eval sets are small by contract (c21's posture)",
+      "c87_ann_jl" -> "broadcast ≤10-query frame; the corpus streams its 4x-smaller sketch column (c6's posture)"
     )
     // Unpartitioned windows are allowed only over an AGGREGATED frame
     // (bucket/band offsets — rows ∝ buckets, not corpus); a global

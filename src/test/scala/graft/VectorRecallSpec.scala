@@ -136,6 +136,77 @@ class VectorRecallSpec extends SparkSpec {
     assert(recall >= 0.9, f"recall@5 = $recall%.3f < 0.9")
   }
 
+  test("c87 JL-sketch ANN: isotropic tripwire floor; recall@5 >= 0.9 on clustered embeddings") {
+    // the gate corpus is ISOTROPIC — the adversarial case for a fixed
+    // 16-dim sketch (all cosines bunch; 2/k distortion swamps the
+    // ranking gap), so this leg is a measured-floor tripwire like
+    // c35's, not the serving claim (measured 0.36 at freeze)
+    val exactTop5 = VectorOps
+      .c6AnnBruteforce(spark, sf001)
+      .filter("rank <= 5")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val jlTop5 = VectorOps
+      .c87AnnJl(spark, sf001)
+      .filter("rank <= 5")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val isoRecall = (exactTop5 & jlTop5).size.toDouble / exactTop5.size
+    assert(isoRecall >= 0.30, f"isotropic recall@5 = $isoRecall%.3f fell below the 0.30 tripwire")
+
+    // the serving claim: on data WITH neighborhood structure (what a
+    // real embedding corpus has), the 16-dim sketch separates clusters
+    // and the 50-deep shortlist recovers the exact top-5. Cluster size
+    // (30) < shortlist (50) is the operating contract: the sketch's
+    // job is finding the NEIGHBORHOOD, the exact re-rank's job is
+    // ordering within it — a shortlist smaller than the neighborhood
+    // would push fine-ranking onto the sketch, which no fixed-width
+    // projection can do among near-ties
+    import spark.implicits._
+    val (nClusters, perCluster, dim) = (20, 30, 64)
+    val members = for {
+      c <- 0 until nClusters
+      i <- 0 until perCluster
+    } yield {
+      val center = hashUnit(s"center_$c", dim)
+      val noise = hashUnit(s"noise_${c}_$i", dim)
+      val v = center.zip(noise).map { case (a, b) => a + 0.35 * b }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (10L + c.toLong * perCluster + i, v.map(_ / n).toSeq)
+    }
+    // queries 0..9 are fresh members of the even clusters — ids < 10,
+    // exactly the split c87's pipeline cuts on
+    val queries = (0 until 10).map { q =>
+      val center = hashUnit(s"center_${2 * q}", dim)
+      val noise = hashUnit(s"qnoise_$q", dim)
+      val v = center.zip(noise).map { case (a, b) => a + 0.35 * b }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (q.toLong, v.map(_ / n).toSeq)
+    }
+    val all = (queries ++ members).toDF("vec_id", "vn").repartition(8).cache()
+    val exact = VectorOps
+      .annBruteforce(
+        all.filter($"vec_id" >= 10).select($"vec_id".as("neighbor_id"), $"vn"),
+        all.filter($"vec_id" < 10).select($"vec_id".as("query_id"), $"vn".as("qv")),
+        5
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val jl = VectorOps
+      .c87AnnJlFrom(all)
+      .filter("rank <= 5")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    all.unpersist()
+    assert(exact.size == 50)
+    val recall = (exact & jl).size.toDouble / exact.size
+    assert(recall >= 0.9, f"clustered JL recall@5 = $recall%.3f < 0.9")
+  }
+
   // --- trained IVF: the quantizer must PRUNE (nprobe = k/5), which is
   // only provable on data with cluster structure — the sf tables are
   // isotropic by construction, so the corpus here is synthetic: 20
