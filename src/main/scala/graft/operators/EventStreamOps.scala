@@ -117,12 +117,12 @@ object EventStreamOps {
     val left = clicks
       .join(views, joinCond, "left")
       .select(col("user_id"), col("click_id"), col("click_ts"), col("view_id"), col("view_ts"))
+    // a view is unmatched iff NO click satisfies the pair condition —
+    // anti-join the SAME keyed condition directly instead of re-joining
+    // against the pair output (which would compute the big left join
+    // twice and pay a distinct() on matched ids on top)
     val unmatchedViews = views
-      .join(
-        left.filter(col("view_id").isNotNull).select(col("view_id").as("m_view")).distinct(),
-        col("view_id") === col("m_view"),
-        "left_anti"
-      )
+      .join(clicks, joinCond, "left_anti")
       .select(
         col("v_user").as("user_id"),
         lit(null).cast("long").as("click_id"),

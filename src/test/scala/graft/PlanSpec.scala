@@ -2960,6 +2960,15 @@ class PlanSpec extends SparkSpec {
     assert(planted == Map(1L -> ((1L, Some(10.0))), 2L -> ((0L, None))))
   }
 
+  test("c86/c79: the map-only scans plan with ZERO exchanges") {
+    // THE property of both: sketching / classifying 100 TB is a pure
+    // map — no shuffle anywhere in the plan
+    val pJl = plan(VectorOps.c86JlProjection(spark, sf0001))
+    assert(!pJl.contains("Exchange"), s"JL projection must be exchange-free:\n$pJl")
+    val pQc = plan(TextAnalysis.c79LinearQuality(spark, sf0001))
+    assert(!pQc.contains("Exchange"), s"linear-quality inference must be exchange-free:\n$pQc")
+  }
+
   test("c65: doc embedding — whole pass row-local (zero exchanges), pooled dims re-derived exactly") {
     import org.apache.spark.sql.functions.col
     val df = VectorOps.c65DocEmbedding(spark, sf0001)
