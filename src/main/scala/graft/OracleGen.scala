@@ -923,6 +923,34 @@ object OracleGen {
        |SELECT doc_id, min(h) AS fp_min, CAST(SUM(h) % ${MinHashParams.P} AS BIGINT) AS fp_sum
        |FROM shh GROUP BY doc_id""".stripMargin
 
+  /** c88: ORDERED rolling hashes (no DISTINCT — winnowing needs the
+    * positional sequence), per-window list_min, distinct fold —
+    * integer-exact mirror of the row-local Spark pipeline.
+    */
+  val c88Winnowing: String = {
+    import graft.functions.TextFunctions.{rollCoeffs, RollP}
+    import graft.operators.TextAnalysis.WinnowW
+    val n = ShingleSize
+    val terms = rollCoeffs(n).zipWithIndex
+      .map { case (k, j) => s"ht[i + $j] * $k" }
+      .mkString(" + ")
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+       |toks AS (SELECT doc_id, list_transform(w, t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)) AS ht FROM docs),
+       |hs AS (SELECT doc_id, list_transform(
+       |  generate_series(1, greatest(len(ht) - ${n - 1}, 0)),
+       |  i -> ($terms) % $RollP) AS hs FROM toks),
+       |win AS (SELECT doc_id, greatest(len(hs) - $WinnowW + 1, 0) AS nw,
+       |  CASE WHEN len(hs) >= $WinnowW THEN list_distinct(list_transform(
+       |    generate_series(1, len(hs) - $WinnowW + 1),
+       |    i -> list_min(list_slice(hs, i, i + ${WinnowW - 1}))))
+       |  ELSE [] END AS sel FROM hs)
+       |SELECT doc_id, CAST(nw AS BIGINT) AS n_windows,
+       |  CAST(len(sel) AS BIGINT) AS n_fingerprints,
+       |  list_min(sel) AS fp_min,
+       |  CASE WHEN len(sel) > 0 THEN CAST(list_sum(sel) % ${MinHashParams.P} AS BIGINT) END AS fp_sum
+       |FROM win""".stripMargin
+  }
+
   /** c80 recomputes the c15 score, then the declarative NTILE(3) the
     * two-phase Spark plan is provably equal to (b43's equivalence,
     * same tie-break ORDER BY lm_score, doc_id).

@@ -152,6 +152,7 @@ object SparkEntry {
     "s22_delta_log" -> (graft.sources.Formats.s22DeltaLog _),
     "s23_partition_evolution" -> (graft.sources.Formats.s23PartitionEvolution _),
     "s24_orphan_files" -> (graft.sources.Formats.s24OrphanFiles _),
+    "s25_manifest_stats" -> (graft.sources.Formats.s25ManifestStats _),
     "c81_token_fertility" -> (TextAnalysis.c81TokenFertility _),
     "c63_kanon_report" -> (Sampling.c63KanonReport _),
     "c64_quality_topfrac" -> (Sampling.c64QualityTopFrac _),
@@ -189,7 +190,8 @@ object SparkEntry {
     "c84_lang_confusion" -> (TextAnalysis.c84LangConfusion _),
     "c85_dedup_sweep" -> (TextDedup.c85DedupSweep _),
     "c86_jl_projection" -> (VectorOps.c86JlProjection _),
-    "c87_ann_jl" -> ((s, d) => VectorOps.c87AnnJl(s, d))
+    "c87_ann_jl" -> ((s, d) => VectorOps.c87AnnJl(s, d)),
+    "c88_winnowing" -> (TextAnalysis.c88Winnowing _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -555,6 +557,7 @@ object SparkEntry {
     "c85_dedup_sweep" -> OracleGen.c85DedupSweep,
     "c86_jl_projection" -> OracleGen.c86JlProjection,
     "c87_ann_jl" -> OracleGen.c87AnnJl,
+    "c88_winnowing" -> OracleGen.c88Winnowing,
     "c4_dedup_simhash" -> OracleGen.c4SimHash,
     "c5_dedup_embedding" -> OracleGen.c5EmbeddingDedup,
     // the LSH path produces the SAME pair set (zero bucket misses at
@@ -763,6 +766,9 @@ object SparkEntry {
         |  PERCENT_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS pct_rank,
         |  CUME_DIST() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS cume_dist
         |FROM orders""".stripMargin,
+    "s25_manifest_stats" ->
+      s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         |WHERE o_custkey >= ${graft.sources.Formats.StatsQueryLo} AND o_custkey <= ${graft.sources.Formats.StatsQueryHi}""".stripMargin,
     // committed two-commit union only — the planted orphan keys
     // (+70000000) must be absent after the sweep
     "s24_orphan_files" ->

@@ -382,6 +382,73 @@ object TextAnalysis {
         (sum(col("h")) % MinHashParams.P).as("fp_sum")
       )
 
+  /** c88: winnowing window — consecutive shingle hashes per selection
+    * window; guarantees any shared run of ≥ WinnowW + ShingleSize − 1
+    * tokens shares a fingerprint.
+    */
+  val WinnowW = 4
+
+  /** C88: WINNOWING fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS algorithm): slide a [[WinnowW]]-window over the ordered
+    * shingle-hash sequence and keep each window's MINIMUM, giving the
+    * guarantee c11's single global min cannot: every shared token run
+    * of length ≥ W+k−1 contributes at least one common fingerprint,
+    * while the selected set stays a ~2/(W+1) fraction of all shingles
+    * — the document-overlap detector plagiarism/citation pipelines
+    * run where MinHash's set-resemblance is the wrong question
+    * (localized copying, not whole-doc similarity). Entirely
+    * ROW-LOCAL array math (window minima inside the hash array, then
+    * a distinct fold) — fingerprinting 100 TB is a pure map; the
+    * per-doc summary (count, min, modular sum of the distinct
+    * selected set) is integer-exact, bit-identical in DuckDB.
+    */
+  def c88Winnowing(spark: SparkSession, sfDir: String): DataFrame =
+    c88WinnowingFrom(Tables.documents(spark, sfDir))
+
+  /** The winnowing pipeline over any (doc_id, text) frame — split out
+    * so the spec can plant documents sharing a guaranteed-length run.
+    */
+  def c88WinnowingFrom(docs: DataFrame): DataFrame = {
+    val W = WinnowW
+    val P = MinHashParams.P
+    docs
+      .select(col("doc_id"), transform(tokens(col("text")), t => hash32(t)).as("ht"))
+      // TWO materialization barriers, one per array-consuming stage:
+      // an array-valued child expression is RE-EVALUATED on every
+      // element access of its consumer (interpreted higher-order
+      // functions do no subexpression caching), so rolling hashes over
+      // an inline md5-transform cost O(n²) md5 calls per doc (measured
+      // 78 s at sf0.1 for a 0.3 s pipeline), and the window pass over
+      // an inline rolling-hash expression would repeat the same
+      // blowup. Checkpointed frames are hash-sized, never text-sized.
+      .localCheckpoint()
+      .select(col("doc_id"), rollingShingleHashes(col("ht"), ShingleSize).as("hs"))
+      .localCheckpoint()
+      .withColumn("nw", greatest(size(col("hs")) - W + 1, lit(0)))
+      .withColumn(
+        "sel",
+        when(
+          col("nw") > 0,
+          array_distinct(
+            // window min as least(element_at...) — O(1) lookups, no
+            // per-window array allocation (slice+array_min measured
+            // ~300µs/window interpreted; this form is ~1000x cheaper)
+            transform(
+              sequence(lit(0), col("nw") - 1),
+              i => least((0 until W).map(j => element_at(col("hs"), (i + j + 1).cast("int"))): _*)
+            )
+          )
+        ).otherwise(array().cast("array<long>"))
+      )
+      .select(
+        col("doc_id"),
+        col("nw").cast("long").as("n_windows"),
+        size(col("sel")).cast("long").as("n_fingerprints"),
+        array_min(col("sel")).as("fp_min"),
+        when(size(col("sel")) > 0, aggregate(col("sel"), lit(0L), (acc, x) => acc + x) % P).as("fp_sum")
+      )
+  }
+
   /** c47 span width in tokens (rolling-hash window; ≤ 7 per
     * [[graft.functions.TextFunctions.rollCoeffs]]'s overflow bound).
     */

@@ -1339,6 +1339,120 @@ object Formats {
   def s24OrphanDir(spark: SparkSession, sfDir: String): String =
     s"${scratch(spark, "orphan", sfDir)}/t"
 
+  // ————————————————————————————————————————————————————————————————————
+  // s25: manifest-level column statistics (file skipping before open)
+  // ————————————————————————————————————————————————————————————————————
+
+  /** APPEND-commit `batch` as version `version` with PER-FILE column
+    * statistics in the manifest: the batch is range-partitioned on
+    * `statCol` (so files carry narrow, mostly-disjoint ranges — the
+    * layout that makes stats useful), and each manifest line records
+    * `path min max`. This is Iceberg/Delta's manifest-stats contract:
+    * a reader with a predicate prunes files from the MANIFEST, before
+    * any footer or data byte of a skipped file is touched — at 100 TB
+    * the difference between planning over metadata and opening a
+    * million footers. Build computes min/max by scanning the fresh
+    * batch once (a production writer collects them from the parquet
+    * footers it just wrote — same numbers, zero extra read).
+    */
+  def statsAppend(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      version: Long,
+      statCol: String,
+      files: Int
+  ): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val dataDir = s"data_v=$version"
+    batch
+      .repartitionByRange(files, col(statCol))
+      .sortWithinPartitions(statCol)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/$dataDir")
+    val names = fs
+      .listStatus(new Path(s"$dir/$dataDir"))
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+      .sorted
+    val statLines = names.map { n =>
+      val r = spark.read.parquet(s"$dir/$dataDir/$n").agg(min(col(statCol)), max(col(statCol))).head()
+      s"$dataDir/$n ${r.getLong(0)} ${r.getLong(1)}"
+    }
+    val prev =
+      if (!fs.exists(new Path(s"$dir/sm=${version - 1}.txt"))) Nil
+      else {
+        val in = fs.open(new Path(s"$dir/sm=${version - 1}.txt"))
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+    val out = fs.create(new Path(s"$dir/sm=$version.txt"), true)
+    try out.write((prev ++ statLines).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val ptr = fs.create(new Path(dir, "_GRAFT_STATS"), true)
+    try ptr.write(version.toString.getBytes("UTF-8"))
+    finally ptr.close()
+  }
+
+  /** Read the stats table under a [lo, hi] predicate on the stat
+    * column: files whose recorded [min, max] misses the interval are
+    * pruned FROM THE MANIFEST — never opened. Returns the frame (the
+    * residual row-level filter still applies; stats prune files, not
+    * rows) and the kept file list for the spec's skipping proof.
+    */
+  def readStatsTable(spark: SparkSession, dir: String, lo: Long, hi: Long): (DataFrame, Seq[String]) = {
+    val p = new Path(dir, "_GRAFT_STATS")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val v =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    val mIn = fs.open(new Path(s"$dir/sm=$v.txt"))
+    val lines =
+      try scala.io.Source.fromInputStream(mIn, "UTF-8").getLines().toList.filter(_.nonEmpty)
+      finally mIn.close()
+    val kept = lines.flatMap { l =>
+      val Array(path, mn, mx) = l.split(" ", 3)
+      if (mx.toLong >= lo && mn.toLong <= hi) Some(path) else None
+    }
+    val df =
+      if (kept.isEmpty) spark.emptyDataFrame
+      else spark.read.parquet(kept.map(f => s"$dir/$f"): _*)
+    (df, kept)
+  }
+
+  /** The s25 table dir (valid after the gate query ran in-app). */
+  def s25StatsDir(spark: SparkSession, sfDir: String): String =
+    s"${scratch(spark, "stats", sfDir)}/t"
+
+  /** S25: MANIFEST STATS + file skipping through the gate — two
+    * ranged commits, then a custkey-interval query that must read only
+    * the files whose recorded range intersects the interval (spec
+    * counts them) and still return exactly the predicate's rows (the
+    * oracle recomputes from the source table, so over-pruning loses
+    * rows and under-filtering leaks them).
+    */
+  def s25ManifestStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables
+      .orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val dir = s25StatsDir(spark, sfDir)
+    val marker = new Path(s"${scratch(spark, "stats", sfDir)}/done")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
+      statsAppend(spark, dir, base.filter(col("o_orderkey") % 2 === 0), 1L, "o_custkey", 8)
+      statsAppend(spark, dir, base.filter(col("o_orderkey") % 2 === 1), 2L, "o_custkey", 8)
+      fs.create(marker, true).close()
+    }
+    val (df, _) = readStatsTable(spark, dir, StatsQueryLo, StatsQueryHi)
+    df.filter(col("o_custkey") >= StatsQueryLo && col("o_custkey") <= StatsQueryHi)
+  }
+
+  /** s25's gate interval (shared with the oracle SQL). */
+  val StatsQueryLo = 100L
+  val StatsQueryHi = 300L
+
   /** The delta-log table dir for [[s22DeltaLog]]'s spec assertions
     * (valid after the query has run in the same application).
     */

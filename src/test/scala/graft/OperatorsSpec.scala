@@ -1261,6 +1261,62 @@ class OperatorsSpec extends SparkSpec {
     assert(ratios.forall(_ > 0.0))
   }
 
+  test("c88 winnowing: summaries re-derived exactly; shared-run guarantee on planted docs") {
+    import graft.operators.TextAnalysis.WinnowW
+    import graft.operators.TextDedup.ShingleSize
+    import spark.implicits._
+    def md5h32(s: String) = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 8), 16)
+    def rollingHashes(text: String): Seq[Long] = {
+      val ht = text.split(" ", -1).map(md5h32(_)).toSeq
+      val ks = graft.functions.TextFunctions.rollCoeffs(ShingleSize)
+      val p = graft.functions.TextFunctions.RollP
+      (0 to ht.length - ShingleSize).map { i =>
+        ks.zipWithIndex.map { case (k, j) => ht(i + j) * k }.sum % p
+      }
+    }
+    def winnow(text: String): Set[Long] = {
+      val hs = rollingHashes(text)
+      (0 to hs.length - WinnowW).map(i => hs.slice(i, i + WinnowW).min).toSet
+    }
+    // per-doc summaries on the gate corpus re-derived exactly
+    val expected = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map { r =>
+        val sel = winnow(r.getString(1))
+        r.getLong(0) -> ((sel.size.toLong,
+          if (sel.isEmpty) None else Some(sel.min),
+          if (sel.isEmpty) None else Some(sel.sum % graft.operators.TextDedup.MinHashParams.P)))
+      }
+      .toMap
+    val got = TextAnalysis
+      .c88Winnowing(spark, sf0001)
+      .collect()
+      .map { r =>
+        r.getLong(0) -> ((r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      }
+      .toMap
+    assert(got == expected && got.nonEmpty)
+    // THE winnowing guarantee: two docs sharing a run of
+    // W + ShingleSize - 1 tokens share at least one fingerprint —
+    // planted with disjoint surroundings
+    val run = (1 to WinnowW + ShingleSize - 1).map(i => s"shared$i").mkString(" ")
+    val docA = s"alpha beta gamma delta epsilon $run zeta eta theta iota kappa"
+    val docB = s"one two three four five $run six seven eight nine ten"
+    assert((winnow(docA) & winnow(docB)).nonEmpty, "planted shared run produced no common fingerprint")
+    // and the operator's summaries on the planted docs match the mirror
+    val gotPlanted = TextAnalysis
+      .c88WinnowingFrom(Seq((1L, docA), (2L, docB)).toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .toMap
+    assert(gotPlanted == Map(1L -> winnow(docA).size.toLong, 2L -> winnow(docB).size.toLong))
+  }
+
   test("c85 dedup sweep: survival counts re-derived from the pair set; monotone; floor = full set") {
     import graft.operators.TextDedup.SweepThresholds
     val pairs = TextDedup
