@@ -927,28 +927,51 @@ object OracleGen {
     * positional sequence), per-window list_min, distinct fold —
     * integer-exact mirror of the row-local Spark pipeline.
     */
-  val c88Winnowing: String = {
+  /** Shared winnowing CTEs (docs → ordered rolling hashes →
+    * per-window-min distinct selection) for c88's summary and c89's
+    * match detection.
+    */
+  private val winnowCtes: String = {
     import graft.functions.TextFunctions.{rollCoeffs, RollP}
     import graft.operators.TextAnalysis.WinnowW
     val n = ShingleSize
     val terms = rollCoeffs(n).zipWithIndex
       .map { case (k, j) => s"ht[i + $j] * $k" }
       .mkString(" + ")
-    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    s"""docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
        |toks AS (SELECT doc_id, list_transform(w, t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)) AS ht FROM docs),
-       |hs AS (SELECT doc_id, list_transform(
+       |whs AS (SELECT doc_id, list_transform(
        |  generate_series(1, greatest(len(ht) - ${n - 1}, 0)),
        |  i -> ($terms) % $RollP) AS hs FROM toks),
        |win AS (SELECT doc_id, greatest(len(hs) - $WinnowW + 1, 0) AS nw,
        |  CASE WHEN len(hs) >= $WinnowW THEN list_distinct(list_transform(
        |    generate_series(1, len(hs) - $WinnowW + 1),
        |    i -> list_min(list_slice(hs, i, i + ${WinnowW - 1}))))
-       |  ELSE [] END AS sel FROM hs)
+       |  ELSE [] END AS sel FROM whs)""".stripMargin
+  }
+
+  val c88Winnowing: String =
+    s"""WITH $winnowCtes
        |SELECT doc_id, CAST(nw AS BIGINT) AS n_windows,
        |  CAST(len(sel) AS BIGINT) AS n_fingerprints,
        |  list_min(sel) AS fp_min,
        |  CASE WHEN len(sel) > 0 THEN CAST(list_sum(sel) % ${MinHashParams.P} AS BIGINT) END AS fp_sum
        |FROM win""".stripMargin
+
+  /** c89 = the c88 selection exploded into a df-capped inverted index,
+    * pairs kept at the MOSS match floor — all integer counts.
+    */
+  val c89MossPairs: String = {
+    import graft.operators.TextAnalysis.MossMinShared
+    import graft.operators.TextDedup.MaxShingleDf
+    s"""WITH $winnowCtes,
+       |fps AS (SELECT doc_id, unnest(sel) AS h FROM win WHERE len(sel) > 0),
+       |hot AS (SELECT h FROM fps GROUP BY h HAVING count(*) > $MaxShingleDf),
+       |kept AS (SELECT doc_id, h FROM fps WHERE h NOT IN (SELECT h FROM hot))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING COUNT(*) >= $MossMinShared""".stripMargin
   }
 
   /** c80 recomputes the c15 score, then the declarative NTILE(3) the

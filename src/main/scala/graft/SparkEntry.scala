@@ -191,7 +191,8 @@ object SparkEntry {
     "c85_dedup_sweep" -> (TextDedup.c85DedupSweep _),
     "c86_jl_projection" -> (VectorOps.c86JlProjection _),
     "c87_ann_jl" -> ((s, d) => VectorOps.c87AnnJl(s, d)),
-    "c88_winnowing" -> (TextAnalysis.c88Winnowing _)
+    "c88_winnowing" -> (TextAnalysis.c88Winnowing _),
+    "c89_moss_pairs" -> (TextAnalysis.c89MossPairs _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -558,6 +559,7 @@ object SparkEntry {
     "c86_jl_projection" -> OracleGen.c86JlProjection,
     "c87_ann_jl" -> OracleGen.c87AnnJl,
     "c88_winnowing" -> OracleGen.c88Winnowing,
+    "c89_moss_pairs" -> OracleGen.c89MossPairs,
     "c4_dedup_simhash" -> OracleGen.c4SimHash,
     "c5_dedup_embedding" -> OracleGen.c5EmbeddingDedup,
     // the LSH path produces the SAME pair set (zero bucket misses at

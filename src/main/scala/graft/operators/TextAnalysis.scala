@@ -409,8 +409,23 @@ object TextAnalysis {
     * so the spec can plant documents sharing a guaranteed-length run.
     */
   def c88WinnowingFrom(docs: DataFrame): DataFrame = {
-    val W = WinnowW
     val P = MinHashParams.P
+    winnowSelected(docs)
+      .select(
+        col("doc_id"),
+        col("nw").cast("long").as("n_windows"),
+        size(col("sel")).cast("long").as("n_fingerprints"),
+        array_min(col("sel")).as("fp_min"),
+        when(size(col("sel")) > 0, aggregate(col("sel"), lit(0L), (acc, x) => acc + x) % P).as("fp_sum")
+      )
+  }
+
+  /** The shared winnowing selection: (doc_id, nw, sel) where `sel` is
+    * the distinct per-window-minimum fingerprint set — consumed by
+    * c88's summary and c89's inverted index.
+    */
+  private def winnowSelected(docs: DataFrame): DataFrame = {
+    val W = WinnowW
     docs
       .select(col("doc_id"), transform(tokens(col("text")), t => hash32(t)).as("ht"))
       // TWO materialization barriers, one per array-consuming stage:
@@ -440,13 +455,45 @@ object TextAnalysis {
           )
         ).otherwise(array().cast("array<long>"))
       )
-      .select(
-        col("doc_id"),
-        col("nw").cast("long").as("n_windows"),
-        size(col("sel")).cast("long").as("n_fingerprints"),
-        array_min(col("sel")).as("fp_min"),
-        when(size(col("sel")) > 0, aggregate(col("sel"), lit(0L), (acc, x) => acc + x) % P).as("fp_sum")
-      )
+      .select(col("doc_id"), col("nw"), col("sel"))
+  }
+
+  /** c89: minimum shared winnowing fingerprints for a reported pair
+    * (MOSS reports matches above a match-count floor).
+    */
+  val MossMinShared = 2
+
+  /** C89: MOSS match detection — the consumer c88's fingerprints exist
+    * for: an inverted index over the WINNOWED set (a ~2/(W+1) fraction
+    * of all shingles — the compression is why MOSS scales) pairs
+    * documents sharing ≥ [[MossMinShared]] fingerprints, surfacing
+    * LOCALIZED copying (a lifted paragraph in an otherwise-different
+    * doc) that whole-document Jaccard scores near zero. Hot
+    * fingerprints (boilerplate phrases) are df-capped before the
+    * self-join exactly like c2's shingle index — the same hot-key
+    * bound, ≤ cap² pairs per fingerprint on any corpus. Counts are
+    * integers; the oracle composes the c88 selection verbatim.
+    */
+  def c89MossPairs(spark: SparkSession, sfDir: String): DataFrame =
+    c89MossPairsFrom(Tables.documents(spark, sfDir))
+
+  /** The MOSS detection over any (doc_id, text) frame — split out so
+    * the spec can plant a lifted-paragraph pair.
+    */
+  def c89MossPairsFrom(docs: DataFrame): DataFrame = {
+    import graft.operators.TextDedup.MaxShingleDf
+    val fps = winnowSelected(docs)
+      .select(col("doc_id"), explode(col("sel")).as("h"))
+      .localCheckpoint()
+    val hot = fps.groupBy(col("h")).agg(count(lit(1)).as("df")).filter(col("df") > MaxShingleDf).select(col("h"))
+    val kept = fps.join(hot, Seq("h"), "left_anti")
+    kept
+      .select(col("doc_id").as("doc_a"), col("h"))
+      .join(kept.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= MossMinShared)
   }
 
   /** c47 span width in tokens (rolling-hash window; ≤ 7 per

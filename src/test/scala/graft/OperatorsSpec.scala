@@ -1317,6 +1317,58 @@ class OperatorsSpec extends SparkSpec {
     assert(gotPlanted == Map(1L -> winnow(docA).size.toLong, 2L -> winnow(docB).size.toLong))
   }
 
+  test("c89 MOSS pairs: a lifted paragraph fires at near-zero Jaccard; pairs re-derived on the corpus") {
+    import graft.operators.TextAnalysis.{MossMinShared, WinnowW}
+    import graft.operators.TextDedup.ShingleSize
+    import spark.implicits._
+    // a 20-token "paragraph" lifted into two long, otherwise-disjoint docs
+    val para = (1 to 20).map(i => s"lifted$i").mkString(" ")
+    val docA = (1 to 80).map(i => s"alpha$i").mkString(" ") + " " + para + " " + (1 to 80).map(i => s"omega$i").mkString(" ")
+    val docB = (1 to 80).map(i => s"beta$i").mkString(" ") + " " + para + " " + (1 to 80).map(i => s"psi$i").mkString(" ")
+    val planted = Seq((1L, docA), (2L, docB), (3L, "an unrelated third document entirely")).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .c89MossPairsFrom(planted)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got.keySet == Set((1L, 2L)), s"expected exactly the lifted pair, got ${got.keySet}")
+    assert(got((1L, 2L)) >= MossMinShared)
+    // whole-doc Jaccard on the same pair is tiny — the cell this
+    // operator exists for (shared 5-gram shingles ≈ 16 of ~356)
+    val sh = (t: String) => t.split(" ").sliding(ShingleSize).map(_.mkString(" ")).toSet
+    val (sa, sb) = (sh(docA), sh(docB))
+    val jac = (sa & sb).size.toDouble / (sa | sb).size
+    assert(jac < 0.1, f"planted pair unexpectedly similar whole-doc (jaccard $jac%.3f)")
+    // corpus pairs re-derived from the winnowing mirror
+    def md5h32x(s: String) = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 8), 16)
+    def winnowSet(text: String): Set[Long] = {
+      val ht = text.split(" ", -1).map(md5h32x(_)).toSeq
+      val ks = graft.functions.TextFunctions.rollCoeffs(ShingleSize)
+      val p = graft.functions.TextFunctions.RollP
+      val hs = (0 to ht.length - ShingleSize).map(i => ks.zipWithIndex.map { case (k, j) => ht(i + j) * k }.sum % p)
+      (0 to hs.length - WinnowW).map(i => hs.slice(i, i + WinnowW).min).toSet
+    }
+    val corpus = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> winnowSet(r.getString(1)))
+    val dfCount = corpus.flatMap(_._2).groupBy(identity).view.mapValues(_.length).toMap
+    val cap = graft.operators.TextDedup.MaxShingleDf
+    val expected = (for {
+      (ia, fa) <- corpus; (ib, fb) <- corpus if ia < ib
+      common = (fa & fb).count(h => dfCount(h) <= cap)
+      if common >= MossMinShared
+    } yield (ia, ib) -> common.toLong).toMap
+    val gotCorpus = TextAnalysis
+      .c89MossPairs(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(gotCorpus == expected)
+  }
+
   test("c85 dedup sweep: survival counts re-derived from the pair set; monotone; floor = full set") {
     import graft.operators.TextDedup.SweepThresholds
     val pairs = TextDedup
