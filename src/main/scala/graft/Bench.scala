@@ -35,6 +35,12 @@ object Bench {
     // optional first arg: comma-separated query subset (dev iteration /
     // baselining a new query solo — the driver always runs everything)
     val only = args.headOption.map(_.split(",").toSet)
+    // a typo'd subset name must fail loudly — a silent intersection runs
+    // zero queries and reads as an instant pass
+    only.foreach { set =>
+      val unknown = (set -- SparkEntry.queries.keySet).toSeq.sorted
+      require(unknown.isEmpty, s"unknown queries (not in SparkEntry.queries): ${unknown.mkString(",")}")
+    }
     val names = SparkEntry.queries.toSeq.filter(kv => only.forall(_.contains(kv._1))).sortBy(_._1)
     // n≥3 full passes, report the per-query MEDIAN — a single run can't
     // distinguish a real regression from JIT/ordering noise
@@ -106,13 +112,13 @@ object Bench {
     val spreadJson = spreads.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val okSpreads = spreads.map(_._2).filter(_ >= 0.0)
     val medianSpread = if (okSpreads.isEmpty) -1.0 else okSpreads.sorted.apply(okSpreads.size / 2)
-    // these timings exclude the LSH pair computation: verifiedPairs is
-    // amortized per (app, sfDir), paid once in pass 1 (which the median
-    // drops as structural) by whichever consumer runs first — annotate
-    // every consumer so a ~0.02x ratio reads as amortization, not a
-    // speedup
+    // these timings exclude the LSH pair computation AND the c16
+    // cluster frame (both amortized per (app, sfDir), paid once in
+    // pass 1 — which the median drops as structural — by whichever
+    // consumer runs first); annotate every consumer so a ~0.02x ratio
+    // reads as amortization, not a speedup
     val amortized =
-      """["c3_dedup_minhash_lsh","c16_dedup_clusters","c33_canonical_corpus","c34_cross_source_neardups","c45_quality_canonical","c55_neardup_incremental","c76_dedup_card","c85_dedup_sweep"]"""
+      """["c3_dedup_minhash_lsh","c16_dedup_clusters","c33_canonical_corpus","c34_cross_source_neardups","c45_quality_canonical","c51_cluster_sizes","c55_neardup_incremental","c76_dedup_card","c85_dedup_sweep"]"""
     // detail line FIRST, compact headline LAST: the driver's tail capture
     // keeps the END of the output, so the last printed line is the one
     // guaranteed to survive. Round 6 printed only the long line (headline

@@ -1082,14 +1082,60 @@ object OracleGen {
     */
   val c78BitextMargin: String = {
     import graft.operators.VectorOps.{BitextSrcLabels, BitextMarginK, BitextMarginThreshold}
+    // slots coalesced to 0.0 and divided by the ACTUAL neighborhood size
+    // (COUNT(*) of the ≤ k survivors) — mirrors the Spark side exactly,
+    // so a side with < k counterparts still yields a finite denominator
     def slots(alias: String) =
-      (1 to BitextMarginK).map(j => s"max(CASE WHEN r = $j THEN cos END)").reduceLeft((a, b) => s"($a + $b)") +
-        s" / ${BitextMarginK.toDouble} AS $alias"
+      (1 to BitextMarginK)
+        .map(j => s"coalesce(max(CASE WHEN r = $j THEN cos END), 0.0)")
+        .reduceLeft((a, b) => s"($a + $b)") +
+        s" / CAST(COUNT(*) AS DOUBLE) AS $alias"
     s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
        |nm AS (SELECT vec_id, label, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),
        |s AS (SELECT vec_id AS src_id, vn AS sv FROM nm WHERE label < $BitextSrcLabels),
        |t AS (SELECT vec_id AS tgt_id, vn AS tv FROM nm WHERE label >= $BitextSrcLabels),
        |p AS (SELECT src_id, tgt_id, list_dot_product(sv, tv) AS cos FROM s, t),
+       |sr AS (SELECT src_id, cos, ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS r FROM p),
+       |sd AS (SELECT src_id, ${slots("denom_src")} FROM sr WHERE r <= $BitextMarginK GROUP BY src_id),
+       |tr AS (SELECT tgt_id, cos, ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS r FROM p),
+       |td AS (SELECT tgt_id, ${slots("denom_tgt")} FROM tr WHERE r <= $BitextMarginK GROUP BY tgt_id),
+       |m AS (SELECT p.src_id, p.tgt_id, p.cos,
+       |  p.cos / ((sd.denom_src + td.denom_tgt) / 2.0) AS margin
+       |  FROM p JOIN sd ON p.src_id = sd.src_id JOIN td ON p.tgt_id = td.tgt_id),
+       |b AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rr FROM m)
+       |SELECT src_id, tgt_id, cos, margin, CAST(margin >= $BitextMarginThreshold AS INT) AS aligned
+       |FROM b WHERE rr = 1""".stripMargin
+  }
+
+  /** c90 = the IVF-candidate bitext miner recomputed exactly: one
+    * centroid ranking per vector serves both the assignment (rn = 1)
+    * and the probe lists (rn ≤ nprobe), candidates are the forward ∪
+    * backward list meets deduped on the pair, and the margin tail is
+    * c78's slot-for-slot (coalesced slots over COUNT(*) — candidate
+    * neighborhoods can run short of k by construction).
+    */
+  val c90BitextMarginIvf: String = {
+    import graft.operators.VectorOps.{BitextIvfLists, BitextIvfProbes, BitextMarginK, BitextMarginThreshold, BitextSrcLabels}
+    def slots(alias: String) =
+      (1 to BitextMarginK)
+        .map(j => s"coalesce(max(CASE WHEN r = $j THEN cos END), 0.0)")
+        .reduceLeft((a, b) => s"($a + $b)") +
+        s" / CAST(COUNT(*) AS DOUBLE) AS $alias"
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |nm AS (SELECT vec_id, label, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),
+       |cent AS (SELECT vec_id AS cid, vn AS cv FROM nm WHERE vec_id < $BitextIvfLists),
+       |asgr AS (SELECT n.vec_id, n.label, c.cid,
+       |  ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.vn, c.cv) DESC, c.cid) rn
+       |  FROM nm n CROSS JOIN cent c),
+       |asg AS (SELECT vec_id, label, cid AS list_id FROM asgr WHERE rn = 1),
+       |pr AS (SELECT vec_id, label, cid AS list_id FROM asgr WHERE rn <= $BitextIvfProbes),
+       |fwd AS (SELECT pp.vec_id AS src_id, a.vec_id AS tgt_id FROM pr pp JOIN asg a ON a.list_id = pp.list_id
+       |  WHERE pp.label < $BitextSrcLabels AND a.label >= $BitextSrcLabels),
+       |bwd AS (SELECT a.vec_id AS src_id, pp.vec_id AS tgt_id FROM pr pp JOIN asg a ON a.list_id = pp.list_id
+       |  WHERE pp.label >= $BitextSrcLabels AND a.label < $BitextSrcLabels),
+       |pd AS (SELECT DISTINCT src_id, tgt_id FROM (SELECT * FROM fwd UNION ALL SELECT * FROM bwd)),
+       |p AS (SELECT pd.src_id, pd.tgt_id, list_dot_product(s.vn, t.vn) AS cos
+       |  FROM pd JOIN nm s ON s.vec_id = pd.src_id JOIN nm t ON t.vec_id = pd.tgt_id),
        |sr AS (SELECT src_id, cos, ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS r FROM p),
        |sd AS (SELECT src_id, ${slots("denom_src")} FROM sr WHERE r <= $BitextMarginK GROUP BY src_id),
        |tr AS (SELECT tgt_id, cos, ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS r FROM p),

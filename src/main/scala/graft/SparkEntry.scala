@@ -55,6 +55,7 @@ object SparkEntry {
     "b15_running_sum" -> (Relational.b15RunningSum _),
     "b20_rolling_window" -> (Relational.b20RollingWindow _),
     "b21_rank_ties" -> (Relational.b21RankTies _),
+    "b51_dense_topk" -> (Relational.b51DenseTopk _),
     "b22_order_gaps" -> (Relational.b22OrderGaps _),
     "b23_sql_q21" -> (GraftSql.b23SqlQ21 _),
     "b24_sql_q22" -> (GraftSql.b24SqlQ22 _),
@@ -192,7 +193,8 @@ object SparkEntry {
     "c86_jl_projection" -> (VectorOps.c86JlProjection _),
     "c87_ann_jl" -> ((s, d) => VectorOps.c87AnnJl(s, d)),
     "c88_winnowing" -> (TextAnalysis.c88Winnowing _),
-    "c89_moss_pairs" -> (TextAnalysis.c89MossPairs _)
+    "c89_moss_pairs" -> (TextAnalysis.c89MossPairs _),
+    "c90_bitext_margin_ivf" -> ((s, d) => VectorOps.c90BitextMarginIvf(s, d))
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -390,6 +392,13 @@ object SparkEntry {
         |                     ORDER BY l_quantity DESC) AS rk
         |      FROM lineitem)
         |WHERE rk <= 3""".stripMargin,
+    "b51_dense_topk" ->
+      """SELECT l_linestatus, drk, l_orderkey, l_linenumber, l_quantity
+        |FROM (SELECT l_linestatus, l_orderkey, l_linenumber, l_quantity,
+        |        DENSE_RANK() OVER (PARTITION BY l_linestatus
+        |                           ORDER BY l_quantity DESC) AS drk
+        |      FROM lineitem)
+        |WHERE drk <= 3""".stripMargin,
     // same ANSI text both engines (GraftSql.Q21Sql) — counts only, no
     // float anywhere
     "b23_sql_q21" -> GraftSql.Q21Sql,
@@ -560,6 +569,7 @@ object SparkEntry {
     "c87_ann_jl" -> OracleGen.c87AnnJl,
     "c88_winnowing" -> OracleGen.c88Winnowing,
     "c89_moss_pairs" -> OracleGen.c89MossPairs,
+    "c90_bitext_margin_ivf" -> OracleGen.c90BitextMarginIvf,
     "c4_dedup_simhash" -> OracleGen.c4SimHash,
     "c5_dedup_embedding" -> OracleGen.c5EmbeddingDedup,
     // the LSH path produces the SAME pair set (zero bucket misses at

@@ -13,6 +13,12 @@ object Verify {
     // optional third arg: comma-separated query names (dev iteration —
     // the driver always runs the full inventory)
     val only = args.lift(2).map(_.split(",").toSet)
+    // a typo'd subset name must fail loudly — a silent intersection dumps
+    // nothing and reads as a clean run
+    only.foreach { set =>
+      val unknown = (set -- SparkEntry.queries.keySet).toSeq.sorted
+      require(unknown.isEmpty, s"unknown queries (not in SparkEntry.queries): ${unknown.mkString(",")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = graft.core.GraftSession
       .builder(master = s"local[$cpus]", shufflePartitions = cpus)

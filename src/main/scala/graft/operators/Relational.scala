@@ -417,6 +417,29 @@ object Relational {
       .select(col("l_returnflag"), col("rk"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
   }
 
+  /** B51: DENSE_RANK ≤ k under heavy ties — the third rank-family
+    * top-k semantics (b5 row_number keeps exactly k, b21 rank keeps
+    * every row fewer than k rows precede, dense_rank keeps EVERY row
+    * in the first k distinct order values — the "top 3 price points
+    * per segment, all takers" question). Coarse integer quantities
+    * over ~2 linestatus partitions are the hostile case for the
+    * declarative window (each partition = one whole-table sort task);
+    * the RowNumberLimitToTopK rewrite plants the native bounded
+    * GROUP-heap (a TreeMap of at most k distinct order values per key,
+    * each bucket holding its ties) map-side, so no task ever sorts a
+    * partition — the same prune b21 gets, with group- instead of
+    * row-counting. Deterministic without a tiebreak: dense_rank keeps
+    * all ties by definition.
+    */
+  def b51DenseTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_linestatus")).orderBy(col("l_quantity").desc)
+    Tables
+      .lineitem(spark, sfDir)
+      .withColumn("drk", dense_rank().over(w))
+      .filter(col("drk") <= 3)
+      .select(col("l_linestatus"), col("drk"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+  }
+
   /** B22: order-gap analysis — LAG over each customer's order history:
     * previous order timestamp and the gap in seconds (epoch difference,
     * exact integer — day-granularity datediff semantics differ between

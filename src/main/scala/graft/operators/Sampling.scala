@@ -84,13 +84,24 @@ object Sampling {
     */
   def c36TemperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
-    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-    val thr = counts
-      .crossJoin(broadcast(counts.agg(min(col("n")).as("n_min"))))
-      .select(
-        col("lang"),
-        floor(sqrt(col("n_min").cast("double") / col("n")) * MixBucketSpace).as("thr")
-      )
+    // the language histogram is bounded by the #langs contract, so the
+    // whole threshold table computes DRIVER-SIDE from one collected
+    // aggregate and inlines as a broadcast local relation (c86's
+    // bounded-artifact posture) — the naive declarative form
+    // re-evaluated the counts subtree inside the n_min broadcast AND as
+    // the threshold frame's left side: three corpus scans and two
+    // broadcast-materialization jobs of fixed-overhead tax on a tiny
+    // plan; this is the 2-job floor (histogram scan + filtered scan).
+    // Float math unchanged and engine-exact: JVM sqrt/division/multiply
+    // are the same correctly-rounded IEEE ops the Column expressions
+    // (and the DuckDB oracle) run, floor exact.
+    val countRows = docs.groupBy(col("lang")).agg(count(lit(1)).as("n")).collect()
+    val nMin = countRows.map(_.getLong(1)).min
+    val spark2 = docs.sparkSession
+    import spark2.implicits._
+    val thr = countRows.toSeq
+      .map(r => (r.getString(0), math.floor(math.sqrt(nMin.toDouble / r.getLong(1)) * MixBucketSpace).toLong))
+      .toDF("lang", "thr")
     docs
       .join(broadcast(thr), Seq("lang"))
       .withColumn("bucket", mixBucket(col("doc_id")))

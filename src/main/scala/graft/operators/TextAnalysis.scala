@@ -178,14 +178,38 @@ object TextAnalysis {
     * component diameter (tiny for dedup graphs), each round one keyed
     * join — no driver-side data beyond the convergence counter.
     */
-  def c16DedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+  /** The cluster frame, localCheckpointed and amortized per
+    * (application, sfDir) like c3's pair set: the connected-components
+    * loop is a chain of many SMALL jobs (join + agg + checkpoint +
+    * count per round over the tiny edge frame), so its cost is almost
+    * pure fixed job overhead — and FIVE gate queries consume the
+    * cluster frame (c16, c33, c45, c51, c76). Re-running the loop per
+    * consumer multiplied that overhead; the output is deterministic
+    * (min-label CC over a deterministic pair set), so every consumer
+    * sees identical rows.
+    */
+  private val clusterCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  def c16DedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     // pairs come from the LSH scale path (c3), not the inverted-index
     // baseline (c2) — identical verified output contract (both emit
     // exactly the Jaccard ≥ 0.8 pairs; zero-miss banding is the c3
     // invariant), but candidates stay bucket-bounded at corpus scale.
     // c3MinHashLsh is amortized per (application, sfDir), so a session
     // running both c3 and c16 computes the LSH pass once.
-    c16DedupClustersFrom(TextDedup.c3MinHashLsh(spark, sfDir))
+    val key = (spark.sparkContext.applicationId, sfDir)
+    clusterCache.get(key).getOrElse(clusterCache.synchronized {
+      clusterCache.getOrElseUpdate(key, {
+        val sc = spark.sparkContext
+        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            clusterCache.filterInPlace { case ((app, _), _) => app != sc.applicationId }
+        })
+        c16DedupClustersFrom(TextDedup.c3MinHashLsh(spark, sfDir)).localCheckpoint()
+      })
+    })
+  }
 
   /** Connected-components clustering over any near-dup pair frame with
     * (doc_a, doc_b) columns — callers with pairs from another detector

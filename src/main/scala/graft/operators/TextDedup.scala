@@ -551,15 +551,22 @@ object TextDedup {
     */
   def c76DedupCard(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val ex = docs.agg(
+    // the exact-dup counters and the prefix families share ONE text
+    // pass: both read whole-text md5s, so the per-doc prefixBase frame
+    // (3 narrow columns, text left behind at the scan) materializes
+    // once and feeds both members — the card's five corpus reads fold
+    // to two (this one + c38's chunk pipeline; the near-dup members
+    // ride the amortized c3 pair set)
+    val base = prefixBase(docs.select(col("doc_id"), col("text"))).localCheckpoint()
+    val ex = base.agg(
       count(lit(1)).as("n_docs"),
-      count_distinct(md5(col("text"))).as("n_distinct_texts")
+      count_distinct(col("full_md5")).as("n_distinct_texts")
     )
     val pr = c3MinHashLsh(spark, sfDir).agg(count(lit(1)).as("n_neardup_pairs"))
     val cl = graft.operators.TextAnalysis
       .c16DedupClusters(spark, sfDir)
       .agg(count(lit(1)).as("n_clustered_docs"), count_distinct(col("cluster_id")).as("n_clusters"))
-    val pf = c68PrefixDedup(spark, sfDir).agg(count(lit(1)).as("n_prefix_families"))
+    val pf = prefixFamilies(base).agg(count(lit(1)).as("n_prefix_families"))
     val ch = graft.operators.TextAnalysis
       .c38ChunkDedup(spark, sfDir)
       .agg(sum(col("n_chunks")).as("n_chunks_total"), sum(col("n_dup_chunks")).as("n_dup_chunks"))
@@ -711,13 +718,24 @@ object TextDedup {
       .withColumn("edit_confirmed", col("edit_sim") >= EditSimThreshold)
   }
 
+  /** c68's per-doc projection — the ONE pass over text the detector
+    * needs: (head_md5, full_md5, doc_id). Split out so consumers that
+    * also need whole-text hashes (c76's exact-dup counters) share the
+    * scan instead of re-hashing the corpus.
+    */
+  def prefixBase(docs: DataFrame): DataFrame =
+    docs.select(
+      md5(array_join(slice(tokens(col("text")), 1, HeadTokens), " ")).as("head_md5"),
+      md5(col("text")).as("full_md5"),
+      col("doc_id")
+    )
+
   def c68PrefixDedupFrom(docs: DataFrame): DataFrame =
-    docs
-      .select(
-        md5(array_join(slice(tokens(col("text")), 1, HeadTokens), " ")).as("head_md5"),
-        md5(col("text")).as("full_md5"),
-        col("doc_id")
-      )
+    prefixFamilies(prefixBase(docs))
+
+  /** The family aggregate over a [[prefixBase]] frame. */
+  def prefixFamilies(base: DataFrame): DataFrame =
+    base
       .groupBy(col("head_md5"))
       .agg(
         count(lit(1)).as("n_docs"),

@@ -1518,20 +1518,29 @@ object VectorOps {
     * top-k, which the index serves directly — so nothing here is
     * structurally n².
     */
-  def c78BitextMargin(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables
+  /** The labeled, normalized embedding frame both bitext variants
+    * start from: (vec_id, label, vn).
+    */
+  private def bitextVecs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
       .embeddings(spark, sfDir)
       .select(
         col("vec_id"),
         col("label"),
         arrayNormalize(transform(col("embedding"), _.cast("double"))).as("vn")
       )
-    val src = e.filter(col("label") < BitextSrcLabels).select(col("vec_id").as("src_id"), col("vn").as("sv"))
-    val tgt = e.filter(col("label") >= BitextSrcLabels).select(col("vec_id").as("tgt_id"), col("vn").as("tv"))
-    val pairs = tgt
-      .crossJoin(broadcast(src))
-      .select(col("src_id"), col("tgt_id"), arrayDot(col("sv"), col("tv")).as("cos"))
-      .localCheckpoint()
+
+  /** The margin-scoring core both bitext variants share: given a
+    * candidate pair frame (src_id, tgt_id, cos) — all-pairs for c78's
+    * exact baseline, IVF-restricted for c90's scale path — compute both
+    * top-k neighborhood denominators WITHIN the pair frame and score
+    * every pair's ratio margin. Returns the full scored frame (the
+    * parity spec compares it pair-for-pair across variants);
+    * [[bitextBest]] reduces it to the gate output. Identical float
+    * discipline in both variants (and both oracles): rank-slot fold
+    * with explicit association, one division.
+    */
+  private[graft] def bitextMargins(pairs: DataFrame): DataFrame = {
     // mean of the top-k cosines toward the other side, folded in rank
     // order: heap-prune to k rows per key, rank the survivors (bounded
     // input), then an explicit left-associated sum of the rank slots
@@ -1545,20 +1554,34 @@ object VectorOps {
       val w = Window.partitionBy(col(key)).orderBy(col("cos").desc, col(other))
       val ranked = top.withColumn("r", row_number().over(w))
       val slots = (1 to BitextMarginK).map(j => max(when(col("r") === j, col("cos"))).as(s"c$j"))
+      // a side with < k counterparts leaves rank slots NULL — coalesce
+      // each to 0.0 and divide by the ACTUAL neighborhood size, so the
+      // denominator is the true mean (never NULL) on any split; the
+      // oracle mirrors the identical coalesce/COUNT(*) formula, and at
+      // |side| ≥ k every coalesce is a no-op so full-split results are
+      // bit-unchanged
       ranked
         .groupBy(col(key))
-        .agg(slots.head, slots.tail: _*)
+        .agg(slots.head, (slots.tail :+ count(lit(1)).as("nk")): _*)
         .select(
           col(key),
-          ((1 to BitextMarginK).map(j => col(s"c$j")).reduceLeft(_ + _) / BitextMarginK.toDouble).as(out)
+          ((1 to BitextMarginK)
+            .map(j => coalesce(col(s"c$j"), lit(0.0)))
+            .reduceLeft(_ + _) / col("nk").cast("double")).as(out)
         )
     }
     val ds = knnDenom("src_id", "tgt_id", "denom_src")
     val dt = knnDenom("tgt_id", "src_id", "denom_tgt")
-    val scored = pairs
+    pairs
       .join(ds, Seq("src_id"))
       .join(dt, Seq("tgt_id"))
       .withColumn("margin", col("cos") / ((col("denom_src") + col("denom_tgt")) / lit(2.0)))
+  }
+
+  /** Best-margin target per source anchor with the aligned verdict —
+    * the output shape both gate queries share.
+    */
+  private[graft] def bitextBest(scored: DataFrame): DataFrame = {
     val best = graft.plans.TopKPerKey.topKPerKey(
       scored.select(col("src_id"), col("tgt_id"), col("cos"), col("margin")),
       keyCols = Seq("src_id"),
@@ -1572,5 +1595,113 @@ object VectorOps {
       col("margin"),
       (col("margin") >= BitextMarginThreshold).cast("int").as("aligned")
     )
+  }
+
+  def c78BitextMargin(spark: SparkSession, sfDir: String): DataFrame =
+    bitextBest(bitextMargins(bitextAllPairs(spark, sfDir).localCheckpoint()))
+
+  /** c78's candidate generator, spec-visible: the unrestricted
+    * (src_id, tgt_id, cos) cross of the two sides.
+    */
+  private[graft] def bitextAllPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = bitextVecs(spark, sfDir)
+    val src = e.filter(col("label") < BitextSrcLabels).select(col("vec_id").as("src_id"), col("vn").as("sv"))
+    val tgt = e.filter(col("label") >= BitextSrcLabels).select(col("vec_id").as("tgt_id"), col("vn").as("tv"))
+    tgt
+      .crossJoin(broadcast(src))
+      .select(col("src_id"), col("tgt_id"), arrayDot(col("sv"), col("tv")).as("cos"))
+  }
+
+  /** c90's quantizer shape: centroid seeds (first `lists` vectors by
+    * id, both sides — the quantizer is geometry, not language) and the
+    * probe fan-out per vector.
+    */
+  val BitextIvfLists = 10
+  val BitextIvfProbes = 4
+
+  /** C90: bitext mining over IVF candidate lists — c78's margin
+    * contract at corpus scale. The exact form's all-pairs cross is the
+    * one structurally-n² plan in the ANN family; this variant restricts
+    * BOTH the scored pairs and the two top-k neighborhood denominators
+    * to an IVF candidate set, because the ratio margin only needs each
+    * vector's top-k toward the other side — exactly what the index
+    * serves. Shape: (1) every vector assigns to its argmax-cosine list
+    * (broadcast bounded-centroid frame, row-local argmax — c18's
+    * posture); (2) every vector picks its top-`probes` lists through
+    * the native bounded-heap [[graft.plans.TopKPerKey]]; (3) candidates
+    * are the FORWARD ∪ BACKWARD meets — src probers × tgt members plus
+    * tgt probers × src members, each ONE keyed join on list_id
+    * (Σ |list|·|probers(list)| work, never |src|·|tgt|) — deduped on
+    * the pair (a member sits in exactly one list, so a pair repeats
+    * only across the two directions); (4) [[bitextMargins]] + [[bitextBest]] run
+    * unchanged on the candidate frame. The union closure guarantees
+    * every scored pair's BOTH endpoints have a defined (≤ k-sized,
+    * coalesce-handled) neighborhood inside the frame — no NULL margins
+    * by construction. Contract: exact margins WITHIN the candidate set
+    * (the oracle recomputes the identical candidate generation);
+    * agreement with c78's unrestricted margins for every anchor whose
+    * true neighborhoods are covered is VectorRecallSpec's parity leg.
+    * At 100 TB: lists shard across executors, probe fan-out is the
+    * recall knob, and the only corpus-sized exchanges are the list_id
+    * joins and the pair dedup.
+    */
+  def c90BitextMarginIvf(
+      spark: SparkSession,
+      sfDir: String,
+      lists: Int = BitextIvfLists,
+      probes: Int = BitextIvfProbes
+  ): DataFrame =
+    bitextBest(bitextMargins(bitextIvfCandidates(spark, sfDir, lists, probes).localCheckpoint()))
+
+  /** c90's candidate generator, spec-visible: the IVF-restricted
+    * (src_id, tgt_id, cos) pair frame — forward ∪ backward list meets,
+    * deduped on the pair.
+    */
+  private[graft] def bitextIvfCandidates(
+      spark: SparkSession,
+      sfDir: String,
+      lists: Int,
+      probes: Int
+  ): DataFrame = {
+    val e = bitextVecs(spark, sfDir)
+    val cent = e
+      .filter(col("vec_id") < lists)
+      .select(col("vec_id").as("cid"), col("vn").as("cv"))
+    val scoredAll = e
+      .crossJoin(broadcast(cent))
+      .withColumn("cos_c", arrayDot(col("vn"), col("cv")))
+    // (1) assignment: argmax cos, ties to the lowest centroid id
+    val asg = scoredAll
+      .groupBy(col("vec_id"))
+      .agg(
+        max(struct(col("cos_c"), (-col("cid")).as("ncid"))).as("best"),
+        first(col("label")).as("label"),
+        first(col("vn")).as("vn")
+      )
+      .select(col("vec_id"), col("label"), (-col("best.ncid")).as("list_id"), col("vn"))
+    // (2) per-vector probe lists: bounded heaps, no rank window
+    val probeLists = graft.plans.TopKPerKey
+      .topKPerKey(
+        scoredAll.select(col("vec_id"), col("label"), col("cid"), col("cos_c"), col("vn")),
+        keyCols = Seq("vec_id"),
+        orderBy = Seq(("cos_c", false), ("cid", true)),
+        k = probes
+      )
+      .select(col("vec_id"), col("label"), col("cid").as("list_id"), col("vn"))
+    def side(df: DataFrame, isSrc: Boolean, id: String, v: String) = {
+      val kept = if (isSrc) df.filter(col("label") < BitextSrcLabels) else df.filter(col("label") >= BitextSrcLabels)
+      kept.select(col("vec_id").as(id), col("list_id"), col("vn").as(v))
+    }
+    // (3) forward ∪ backward meets on the list key, deduped on the pair;
+    // cos is a pure function of the pair (same arrayDot argument order
+    // in both directions), so carrying it through the distinct is safe
+    val fwd = side(probeLists, isSrc = true, "src_id", "sv")
+      .join(side(asg, isSrc = false, "tgt_id", "tv"), "list_id")
+    val bwd = side(probeLists, isSrc = false, "tgt_id", "tv")
+      .join(side(asg, isSrc = true, "src_id", "sv"), "list_id")
+    fwd
+      .select(col("src_id"), col("tgt_id"), arrayDot(col("sv"), col("tv")).as("cos"))
+      .unionByName(bwd.select(col("src_id"), col("tgt_id"), arrayDot(col("sv"), col("tv")).as("cos")))
+      .distinct()
   }
 }

@@ -1376,9 +1376,15 @@ object Formats {
       .map(_.getPath.getName)
       .filter(_.endsWith(".parquet"))
       .sorted
-    val statLines = names.map { n =>
+    val statLines = names.flatMap { n =>
       val r = spark.read.parquet(s"$dir/$dataDir/$n").agg(min(col(statCol)), max(col(statCol))).head()
-      s"$dataDir/$n ${r.getLong(0)} ${r.getLong(1)}"
+      // a zero-row part file (range partitioning can emit one on skewed
+      // batches) or an all-null stat column yields NULL aggregates — no
+      // stats line, so the file is never listed for the ranged reader
+      // (whose residual [lo, hi] filter drops stat-NULL rows anyway);
+      // an unguarded getLong would NPE the commit mid-write
+      if (r.isNullAt(0) || r.isNullAt(1)) None
+      else Some(s"$dataDir/$n ${r.getLong(0)} ${r.getLong(1)}")
     }
     val prev =
       if (!fs.exists(new Path(s"$dir/sm=${version - 1}.txt"))) Nil
@@ -1416,9 +1422,19 @@ object Formats {
       val Array(path, mn, mx) = l.split(" ", 3)
       if (mx.toLong >= lo && mn.toLong <= hi) Some(path) else None
     }
+    // all-files-pruned must still return a frame WITH the table's schema
+    // (derived from one manifest-listed file's footer — metadata-only) so
+    // downstream column references resolve; a schema-less emptyDataFrame
+    // would turn an empty-interval query into an AnalysisException
     val df =
-      if (kept.isEmpty) spark.emptyDataFrame
-      else spark.read.parquet(kept.map(f => s"$dir/$f"): _*)
+      if (kept.nonEmpty) spark.read.parquet(kept.map(f => s"$dir/$f"): _*)
+      else
+        lines.headOption match {
+          case Some(l) =>
+            val schema = spark.read.parquet(s"$dir/${l.split(" ", 3)(0)}").schema
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          case None => spark.emptyDataFrame
+        }
     (df, kept)
   }
 

@@ -270,6 +270,29 @@ class PlanSpec extends SparkSpec {
     assert(rows.forall(_.getInt(1) <= 3))
   }
 
+  test("b51: the declarative DENSE_RANK query plans the native group-heap TopK prune") {
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.TopKPerKey.RowNumberLimitToTopK)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.TopKPerKey.RowNumberLimitToTopK
+    }
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerKey.TopKPerKeyStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerKey.TopKPerKeyStrategy
+    }
+    val df = Relational.b51DenseTopk(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("TopKPerKey "),
+      s"dense-rank-limit rewrite missed — the final window would sort whole partitions:\n$p")
+    val rows = df.collect()
+    // dense_rank keeps EVERY row in the first 3 distinct quantity values
+    // per linestatus — far more than 3 rows per partition, drk in 1..3,
+    // and per partition exactly 3 distinct quantities survive
+    assert(rows.length > 9, s"expected whole tied groups, got ${rows.length} rows")
+    assert(rows.forall(_.getInt(1) <= 3))
+    val perPartition = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(4)).distinct.size)
+    assert(perPartition.values.forall(_ == 3), s"distinct quantities per partition: ${perPartition.toMap}")
+  }
+
   test("TopKPerKey rank/dense_rank modes equal the window formulations on randomized data (10 seeded trials)") {
     import org.apache.spark.sql.expressions.{Window => W}
     import org.apache.spark.sql.functions._
@@ -1069,6 +1092,42 @@ class PlanSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
       .toSet
     assert(full == got, "file pruning changed the result")
+    // an all-pruned interval must still RESOLVE: the empty frame carries
+    // the table schema (from a manifest-listed footer), so the gate's
+    // residual column filter is an empty result, not an AnalysisException
+    val (emptyDf, _) = F.readStatsTable(spark, dir, Long.MaxValue - 1, Long.MaxValue)
+    assert(emptyDf.columns.toSet == Set("o_orderkey", "o_custkey", "o_totalprice"))
+    assert(emptyDf.filter(col("o_custkey") >= F.StatsQueryLo).count() == 0L)
+  }
+
+  test("s25: stats commit survives NULL-stat batches — no line listed, ranged read unaffected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val F = graft.sources.Formats
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats_null_spec").toString + "/t"
+    try {
+      // v1: real stats; v2: the stat column is ALL NULL — min/max aggregate
+      // to NULL and an unguarded commit would NPE mid-write
+      F.statsAppend(spark, dir, Seq((1L, 10L), (2L, 20L)).toDF("id", "k"), 1L, "k", 2)
+      F.statsAppend(
+        spark,
+        dir,
+        Seq((3L, Option.empty[Long]), (4L, Option.empty[Long])).toDF("id", "k"),
+        2L,
+        "k",
+        2
+      )
+      val (df, kept) = F.readStatsTable(spark, dir, 0L, 100L)
+      // the null batch contributed no manifest line (its rows are
+      // stat-NULL — the residual [lo, hi] filter would drop them anyway),
+      // and the ranged read still serves v1 exactly
+      assert(kept.forall(_.startsWith("data_v=1/")), s"null-stat file listed: $kept")
+      assert(
+        df.filter(col("k") >= 0L && col("k") <= 100L).collect().map(_.getLong(0)).toSet == Set(1L, 2L)
+      )
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir).getParentFile): Unit
+    }
   }
 
   test("s24: orphan sweep — orphans physically deleted, committed files byte-stable, idempotent") {
@@ -2507,7 +2566,8 @@ class PlanSpec extends SparkSpec {
       "c74_ann_recall" -> "composes c6/c7/c18 — inherits c6's broadcast ≤10-query baseline",
       "c76_dedup_card" -> "five single-row summary frames crossed (the c14 idiom, not a data join)",
       "c77_source_drift" -> "pairwise join over the #sources-row centroid frame (tiny by definition)",
-      "c78_bitext_margin" -> "exact-baseline cross of the two sides (documented; 100 TB path = IVF candidates)",
+      "c78_bitext_margin" -> "exact-baseline cross of the two sides (documented; c90 is the served IVF scale path)",
+      "c90_bitext_margin_ivf" -> "broadcast bounded seeded-centroid frame; the corpus-sized meets are keyed list_id joins",
       "c82_semantic_decontam" -> "broadcast eval-vector set vs corpus; eval sets are small by contract (c21's posture)",
       "c87_ann_jl" -> "broadcast ≤10-query frame; the corpus streams its 4x-smaller sketch column (c6's posture)"
     )

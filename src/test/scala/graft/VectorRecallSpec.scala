@@ -434,4 +434,62 @@ class VectorRecallSpec extends SparkSpec {
     val recall = (exactTop5 & lshTop5).size.toDouble / exactTop5.size
     assert(recall >= 0.9, f"recall@5 = $recall%.3f < 0.9 (missed ${(exactTop5 -- lshTop5).size} of ${exactTop5.size})")
   }
+
+  // ——————————————————————————————————————————————————————————————————
+  // c90 — the bitext-margin IVF scale path's parity contract vs c78.
+  // The margin is a function of the candidate set, so "IVF ≡ exact"
+  // holds exactly where the candidate set covers the pair's true
+  // neighborhoods — checked bit-for-bit, not approximately.
+  // ——————————————————————————————————————————————————————————————————
+
+  test("c90 IVF bitext: probing every list degenerates to the exact c78 result bit-for-bit") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4))).toSet
+    val exact = rows(VectorOps.c78BitextMargin(spark, sf001))
+    // nprobe = nlists ⇒ every src probes every list and every tgt sits in
+    // one of them ⇒ the candidate set IS the all-pairs cross, so the two
+    // plans must agree on every row, every float bit — this pins the
+    // whole shared scoring tail (denominators, margins, best, aligned)
+    val full = rows(
+      VectorOps.c90BitextMarginIvf(spark, sf001, lists = VectorOps.BitextIvfLists, probes = VectorOps.BitextIvfLists)
+    )
+    assert(exact.nonEmpty && full == exact, s"degenerate-IVF divergence: ${(full -- exact).take(3)} vs ${(exact -- full).take(3)}")
+  }
+
+  test("c90 IVF bitext: doubly-covered pair margins match c78 bit-for-bit at default probes; real candidate reduction") {
+    import VectorOps.{BitextIvfLists, BitextIvfProbes, BitextMarginK}
+    val allPairs = VectorOps.bitextAllPairs(spark, sf001).localCheckpoint()
+    val cands = VectorOps.bitextIvfCandidates(spark, sf001, BitextIvfLists, BitextIvfProbes).localCheckpoint()
+    def margins(df: org.apache.spark.sql.DataFrame) =
+      VectorOps
+        .bitextMargins(df)
+        .collect()
+        .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("tgt_id")) -> r.getAs[Double]("margin"))
+        .toMap
+    val exactM = margins(allPairs)
+    val ivfM = margins(cands)
+    val cos = allPairs.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val candSet = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(candSet.size < cos.size, s"no reduction: ${candSet.size} candidates vs ${cos.size} pairs")
+    // a side's denominator is exact iff its true top-k toward the other
+    // side survived into the candidate set
+    def covered(byAnchor: Map[Long, Seq[(Long, Double)]], inCand: (Long, Long) => Boolean): Set[Long] =
+      byAnchor.collect {
+        case (a, others)
+            if others
+              .sortBy { case (o, c) => (-c, o) }
+              .take(BitextMarginK)
+              .forall { case (o, _) => inCand(a, o) } =>
+          a
+      }.toSet
+    val bySrc = cos.toSeq.groupBy(_._1._1).map { case (s, xs) => s -> xs.map { case ((_, t), c) => (t, c) } }
+    val byTgt = cos.toSeq.groupBy(_._1._2).map { case (t, xs) => t -> xs.map { case ((s, _), c) => (s, c) } }
+    val srcCov = covered(bySrc, (s, t) => candSet((s, t)))
+    val tgtCov = covered(byTgt, (t, s) => candSet((s, t)))
+    val doubly = candSet.filter { case (s, t) => srcCov(s) && tgtCov(t) }
+    assert(doubly.nonEmpty, "no doubly-covered pairs — the parity leg checked nothing")
+    val bad = doubly.filter(p => ivfM(p) != exactM(p))
+    assert(bad.isEmpty, s"covered-pair margin divergence on ${bad.size} pairs, e.g. ${bad.take(3)}")
+    info(s"doubly-covered pairs: ${doubly.size} of ${candSet.size} candidates (${cos.size} exact pairs)")
+  }
 }
