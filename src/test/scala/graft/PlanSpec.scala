@@ -3232,4 +3232,106 @@ class PlanSpec extends SparkSpec {
     // different-label candidate's cosine (sanity on the re-derivation)
     assert(rows.count(_.getLong(2) == 1L) == queries.length)
   }
+
+  test("planted skew: one user = 30% of events — AQE splits a2's hot partition, s4's salt spreads it, results identical") {
+    import org.apache.spark.sql.functions._
+    val sparkS = spark
+    import sparkS.implicits._
+    // hostile corpus: user 7 holds 30% of all events; the rest spread
+    // over ~400 users. hash(user_id) lands nearly a third of BOTH join
+    // sides of the user-keyed a2 join in one reducer — the shape that
+    // serializes a 1000-executor cluster behind one straggler task.
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew_spec").toString
+    val hot = 7L
+    val n = 8000
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val ev = (0 until n).map { i =>
+      val uid = if (i % 10 < 3) hot else 100L + (i % 397)
+      val et = if (i % 2 == 0) "view" else "click"
+      (i.toLong, java.sql.Timestamp.from(t0.plusSeconds(i * 20L)), uid, et, (i % 600).toDouble, s"""{"k": ${i % 100}}""")
+    }
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(4)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    (0 until 600)
+      .map(i => (i.toLong, f"Customer#$i%09d", i % 25, 100.0, Seq("BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE")(i % 5)))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/customer.parquet")
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    )
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    def restore(): Unit = saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+    try {
+      // thresholds scaled to the test corpus (production defaults are
+      // 256 MB / 5x); force=on so a required child distribution can't
+      // veto the split; no broadcast (the dim must SHUFFLE to exhibit
+      // skew) and no re-coalescing of the split partitions
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.1")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      def rows(df: org.apache.spark.sql.DataFrame): Set[String] = df.collect().map(_.toString).toSet
+      // a2: the user-keyed windowed join — AQE must split the hot
+      // reducer (skew=true in the FINAL adaptive plan, only readable
+      // after execution)
+      val a2 = EventStreamOps.a2ClickstreamJoin(spark, dir)
+      val a2Skew = rows(a2)
+      val a2Plan = a2.queryExecution.executedPlan.toString
+      assert(a2Plan.contains("skew=true"), s"AQE skew split did not fire on a2's hot join:\n$a2Plan")
+      // a11: the composite (user_id, pv_id) join key self-balances —
+      // the hot user's rows hash across reducers by pv_id, so no split
+      // is needed; the windowed attribution still sorts the hot user in
+      // one task (bounded by that user's history, the documented cost)
+      val a11Skew = rows(EventStreamOps.a11PvEquiJoin(spark, dir))
+      // s4: the salted join spreads the hot key over SaltBuckets
+      // reducer groups STRUCTURALLY (no AQE needed): every salt value
+      // appears for the hot user's fact rows
+      val s4 = ScaleJoins.s4SaltedJoin(spark, dir)
+      val s4Skew = rows(s4)
+      val hotSalts = graft.sources.Tables
+        .events(spark, dir)
+        .filter(col("user_id") === hot)
+        .select(pmod(col("event_id"), lit(ScaleJoins.SaltBuckets)).cast("int"))
+        .distinct()
+        .count()
+      assert(hotSalts == ScaleJoins.SaltBuckets, s"hot key spread over $hotSalts of ${ScaleJoins.SaltBuckets} salt groups")
+      assert(s4.queryExecution.executedPlan.toString.contains("salt"), "salt key absent from s4's executed join")
+      // results must be IDENTICAL with the whole adaptive machinery off
+      // (skew handling changes partitioning, never semantics)
+      conf.set("spark.sql.adaptive.enabled", "false")
+      assert(rows(EventStreamOps.a2ClickstreamJoin(spark, dir)) == a2Skew, "a2: AQE skew split changed the result")
+      assert(rows(EventStreamOps.a11PvEquiJoin(spark, dir)) == a11Skew, "a11: AQE changed the result")
+      assert(rows(ScaleJoins.s4SaltedJoin(spark, dir)) == s4Skew, "s4: AQE changed the result")
+      // and the salted join must agree with the plain unsalted join
+      val plain = graft.sources.Tables
+        .events(spark, dir)
+        .join(
+          graft.sources.Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+          col("user_id") === col("c_custkey")
+        )
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"), graft.functions.ExactAgg.moneySum(col("value")).as("sum_value"))
+      assert(rows(plain) == s4Skew, "s4: salting changed the join semantics")
+    } finally {
+      restore()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)): Unit
+    }
+  }
 }

@@ -1209,4 +1209,60 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exists(_._2._1.isDefined), "gate data must contain matched clicks")
     assert(batch.exists(_._2._1.isEmpty), "gate data must contain unmatched clicks")
   }
+
+  test("interval-join state is bounded by window x rate, not stream length (retention contract, metrics level)") {
+    // the reference's retention contract
+    // (DeduplicationExample.scala:126-142: store retention = window
+    // span, not topic length) proven at the METRICS level for both
+    // stream-stream joins: replay hours of event time at constant rate
+    // and assert the state operator's row count PLATEAUS at
+    // ~(watermark + join window) x rate while total ingest keeps
+    // growing — the difference between state ∝ stream length (leaks,
+    // dies at 100 TB replay) and state ∝ retention horizon.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def run(outer: Boolean): (Seq[Long], Long) = {
+      val clicks = MemoryStream[(Long, Long, Timestamp)]
+      val views = MemoryStream[(Long, Long, Timestamp)]
+      val cDf = clicks.toDF().toDF("click_id", "user_id", "click_ts")
+      val vDf = views.toDF().toDF("v_id", "v_user", "v_ts")
+      val join =
+        if (outer) StreamingOps.clickstreamOuterJoin(cDf, vDf, joinWindowSec = 60)
+        else StreamingOps.clickstreamLeftJoin(cDf, vDf, joinWindowSec = 60)
+      val name = if (outer) "state_bound_outer" else "state_bound_left"
+      val q = join.writeStream.format("memory").queryName(name).outputMode("append").start()
+      // 40 steps of 60 s event time, 10 clicks + 10 views per step —
+      // 40 min of stream against a 10 min watermark + 60 s window
+      val stateByStep = (0 until 40).map { step =>
+        val base = step * 60L
+        views.addData((0 until 10).map(i => (step * 100L + i, i.toLong, ts(base + i * 3))): _*)
+        clicks.addData((0 until 10).map(i => (step * 100L + 50 + i, i.toLong, ts(base + 30 + i * 3))): _*)
+        q.processAllAvailable()
+        Option(q.lastProgress).toSeq.flatMap(_.stateOperators.map(_.numRowsTotal)).sum
+      }
+      q.stop()
+      (stateByStep, 40L * 20L)
+    }
+
+    for (outer <- Seq(false, true)) {
+      val (state, ingested) = run(outer)
+      val label = if (outer) "outer" else "left"
+      // warm-up: state grows until the watermark horizon fills
+      // (~11 min = 11 steps); after that it must plateau
+      val warm = state.drop(15)
+      val peak = warm.max
+      // retention bound: (10 min watermark + 60 s window + watermark
+      // lag of one step) x 20 rows/step ≈ 260 rows; 2x slop for
+      // eviction granularity — NOT a function of the 800 ingested
+      val bound = 2L * 13L * 20L
+      assert(peak <= bound, s"$label join state peak $peak exceeds retention bound $bound (ingested $ingested)")
+      // anti-leak: doubling the replayed stream must not grow state —
+      // the last quarter's max is no higher than the plateau's start
+      val plateau = warm.take(5).max
+      assert(warm.takeRight(5).max <= plateau * 3 / 2,
+        s"$label join state still growing at end of replay: ${warm.mkString(",")}")
+      assert(peak < ingested / 2, s"$label join state ∝ stream length ($peak of $ingested rows)")
+    }
+  }
 }
