@@ -1147,4 +1147,41 @@ object OracleGen {
        |SELECT src_id, tgt_id, cos, margin, CAST(margin >= $BitextMarginThreshold AS INT) AS aligned
        |FROM b WHERE rr = 1""".stripMargin
   }
+
+  /** c91 = BM25 recomputed with the IDENTICAL parse tree: rational idf
+    * (N − df + 0.5)/(df + 0.5) on exact BIGINT corpus stats, the same
+    * (1.2 + 1.0) / (1.0 − 0.75) constant arithmetic the JVM ran, tf as
+    * a list_filter length, per-query term sums folded left-to-right in
+    * the same fixed term order. Every op is a single correctly-rounded
+    * double op on identical inputs, so scores gate hash-exact.
+    */
+  val c91Bm25: String = {
+    import graft.operators.TextAnalysis.{Bm25K1, Bm25B, Bm25TopK, Bm25Queries}
+    val terms = Bm25Queries.flatMap(_._2.split(" ")).distinct
+    val dfCols = terms
+      .map(t => s"CAST(count(*) FILTER (WHERE list_contains(w, '$t')) AS BIGINT) AS df_$t")
+      .mkString(",\n       |  ")
+    val norm = s"($Bm25K1 * ((1.0 - $Bm25B) + ($Bm25B * (CAST(dl AS DOUBLE) / avgdl))))"
+    def tf(t: String) = s"CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE)"
+    def termScore(t: String) =
+      s"(((n - df_$t + 0.5) / (df_$t + 0.5)) * ((${tf(t)} * ($Bm25K1 + 1.0)) / (${tf(t)} + $norm)))"
+    val qSelects = Bm25Queries
+      .map { case (qid, text) =>
+        val score = text.split(" ").map(termScore).reduceLeft((a, b) => s"($a + $b)")
+        s"SELECT CAST($qid AS BIGINT) AS query_id, doc_id, $score AS score FROM dd, st"
+      }
+      .mkString("\n       |  UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |dd AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM d),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(CAST(SUM(CAST(len(w) AS BIGINT)) AS BIGINT) AS DOUBLE) / CAST(count(*) AS BIGINT) AS avgdl,
+       |  $dfCols
+       |  FROM d),
+       |sc AS (
+       |  $qSelects),
+       |b AS (SELECT query_id, doc_id, score,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+       |  FROM sc WHERE score > 0.0)
+       |SELECT query_id, doc_id, CAST(rk AS BIGINT) AS rank, score FROM b WHERE rk <= $Bm25TopK""".stripMargin
+  }
 }

@@ -194,7 +194,8 @@ object SparkEntry {
     "c87_ann_jl" -> ((s, d) => VectorOps.c87AnnJl(s, d)),
     "c88_winnowing" -> (TextAnalysis.c88Winnowing _),
     "c89_moss_pairs" -> (TextAnalysis.c89MossPairs _),
-    "c90_bitext_margin_ivf" -> ((s, d) => VectorOps.c90BitextMarginIvf(s, d))
+    "c90_bitext_margin_ivf" -> ((s, d) => VectorOps.c90BitextMarginIvf(s, d)),
+    "c91_bm25" -> (TextAnalysis.c91Bm25 _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -570,6 +571,7 @@ object SparkEntry {
     "c88_winnowing" -> OracleGen.c88Winnowing,
     "c89_moss_pairs" -> OracleGen.c89MossPairs,
     "c90_bitext_margin_ivf" -> OracleGen.c90BitextMarginIvf,
+    "c91_bm25" -> OracleGen.c91Bm25,
     "c4_dedup_simhash" -> OracleGen.c4SimHash,
     "c5_dedup_embedding" -> OracleGen.c5EmbeddingDedup,
     // the LSH path produces the SAME pair set (zero bucket misses at

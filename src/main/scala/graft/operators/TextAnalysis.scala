@@ -1264,4 +1264,88 @@ object TextAnalysis {
       )
       .withColumn("fertility", col("total_subtokens").cast("double") / col("total_words"))
       .withColumn("chars_per_subtoken", col("total_chars").cast("double") / col("total_subtokens"))
+
+  /** c91 constants: classic BM25 k1/b, the fixed query battery (c57's
+    * two RAG texts plus two lexical ones — dense and sparse retrieval
+    * share a query surface), and the served depth.
+    */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 10
+  val Bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "spark join query",
+    1L -> "vector similarity search",
+    2L -> "stream window agg",
+    3L -> "slow scan filter table"
+  )
+
+  /** C91: BM25 lexical retrieval — the sparse sibling of c57's dense
+    * RAG pass (Robertson & Zaragoza 2009, the Okapi scoring every
+    * hybrid-retrieval training pipeline runs next to its embedding
+    * index). Scored with the RATIONAL idf variant — idf_r(t) =
+    * (N − df + 0.5)/(df + 0.5), the argument of classic BM25's log —
+    * because libm `ln` is not guaranteed bit-identical across engines
+    * while +,·,/ are correctly rounded everywhere: per-term ranking is
+    * unchanged (log is monotone) and every float op reproduces in
+    * DuckDB bit-for-bit.
+    *
+    * Scale: pass 1 collapses the corpus to ONE bounded aggregate row
+    * (N, Σdl, one df counter per distinct query term — map-side
+    * combinable, driver traffic = a few longs, the c37 bounded-artifact
+    * posture); idf/avgdl inline as plan literals, so pass 2 scores
+    * every document ROW-LOCALLY (tf = a filter over the token array —
+    * no explode, no join, no corpus shuffle) and only the ≤ k×|queries|
+    * heap survivors reach the exchange via the native
+    * [[graft.plans.TopKPerKey]]. Σ over query terms folds in fixed
+    * term order with explicit association; the oracle mirrors the
+    * identical parse tree.
+    */
+  def c91Bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .withColumn("dl", size(col("w")).cast("long"))
+    val terms = Bm25Queries.flatMap(_._2.split(" ")).distinct
+    // pass 1: the whole statistics artifact in one aggregate row
+    val dfCols = terms.map(t => count(when(array_contains(col("w"), t), 1)).as(s"df_$t"))
+    val statsRow = docs
+      .agg(count(lit(1)).as("n"), (sum(col("dl")).as("sumdl") +: dfCols): _*)
+      .head()
+    val nDocs = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / nDocs
+    val idf = terms.zipWithIndex.map { case (t, i) =>
+      val df = statsRow.getLong(2 + i)
+      t -> ((nDocs - df + 0.5) / (df + 0.5))
+    }.toMap
+    // pass 2: row-local scoring; norm shared per row, one score column
+    // per query folded left-to-right in fixed term order
+    val norm = lit(Bm25K1) * (lit(1.0) - lit(Bm25B) + lit(Bm25B) * (col("dl").cast("double") / lit(avgdl)))
+    def qScore(text: String): Column =
+      text
+        .split(" ")
+        .toSeq
+        .map { t =>
+          val tf = size(filter(col("w"), x => x === lit(t))).cast("double")
+          lit(idf(t)) * ((tf * lit(Bm25K1 + 1.0)) / (tf + norm))
+        }
+        .reduceLeft(_ + _)
+    val perQuery = Bm25Queries.map { case (qid, text) =>
+      struct(lit(qid).as("query_id"), qScore(text).as("score"))
+    }
+    val scored = docs
+      .select(col("doc_id"), explode(array(perQuery: _*)).as("qs"))
+      .select(col("qs.query_id"), col("doc_id"), col("qs.score"))
+      .filter(col("score") > 0.0)
+    val top = graft.plans.TopKPerKey.topKPerKey(
+      scored,
+      keyCols = Seq("query_id"),
+      orderBy = Seq(("score", false), ("doc_id", true)),
+      k = Bm25TopK
+    )
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
+  }
 }

@@ -1173,6 +1173,58 @@ class OperatorsSpec extends SparkSpec {
     assert(expected.nonEmpty)
   }
 
+  test("c91 BM25: rational-idf scores re-derived bit-for-bit in the JVM; top-k selection exact") {
+    import graft.operators.TextAnalysis.{Bm25K1, Bm25B, Bm25TopK, Bm25Queries}
+    val docs = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val terms = Bm25Queries.flatMap(_._2.split(" ")).distinct
+    val n = docs.length.toLong
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n
+    val df = terms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    val idf = terms.map(t => t -> ((n - df(t) + 0.5) / (df(t) + 0.5))).toMap
+    // the EXACT operation order of the operator (and the oracle): norm
+    // once per doc, per-term rational products, left fold over terms
+    val expected: Map[(Long, Long), Double] = (for {
+      (qid, text) <- Bm25Queries
+      (id, w) <- docs
+      score = {
+        val norm = Bm25K1 * ((1.0 - Bm25B) + (Bm25B * (w.length.toLong.toDouble / avgdl)))
+        text
+          .split(" ")
+          .toSeq
+          .map { t =>
+            val tf = w.count(_ == t).toLong.toDouble
+            idf(t) * ((tf * (Bm25K1 + 1.0)) / (tf + norm))
+          }
+          .reduceLeft(_ + _)
+      }
+      if score > 0.0
+    } yield (qid, id) -> score).toMap
+    val expectedTop = expected.keys
+      .groupBy(_._1)
+      .flatMap { case (qid, ks) =>
+        ks.toSeq
+          .map(k => (k, expected(k)))
+          .sortBy { case ((_, id), s) => (-s, id) }
+          .take(Bm25TopK)
+          .zipWithIndex
+          .map { case ((k, s), i) => k -> ((i + 1L, s)) }
+      }
+    val q = TextAnalysis.c91Bm25(spark, sf0001)
+    val got = q
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == expectedTop, s"missing=${(expectedTop.keySet -- got.keySet).take(3)} extra=${(got.keySet -- expectedTop.keySet).take(3)}")
+    assert(got.nonEmpty && Bm25Queries.forall { case (qid, _) => got.keys.exists(_._1 == qid) })
+    // the scale contract: only heap survivors reach an exchange
+    assert(q.queryExecution.executedPlan.toString.contains("TopKPerKey "),
+      "BM25 top-k must plan the native bounded heap")
+  }
+
   test("b50 distribution windows: two-phase equals declarative percent_rank/cume_dist; edge partitions") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
