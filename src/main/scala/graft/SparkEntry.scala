@@ -258,13 +258,13 @@ object SparkEntry {
         |clicks AS (SELECT user_id, pv_id, ts, value FROM attr WHERE event_type = 'click' AND pv_id IS NOT NULL AND ts <= pv_ts + INTERVAL ${EventStreamOps.PvAttributionHours} HOUR),
         |views AS (SELECT user_id, event_id AS pv_id, value AS pv_value FROM ev WHERE event_type = 'view')
         |SELECT c.user_id, c.pv_id, v.pv_value, COUNT(*) AS n_clicks, MIN(c.ts) AS first_click_ts, MAX(c.ts) AS last_click_ts,
-        |  CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_click_value
+        |  CAST(CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_click_value
         |FROM clicks c JOIN views v ON c.user_id = v.user_id AND c.pv_id = v.pv_id
         |GROUP BY 1, 2, 3""".stripMargin,
     "a3_selectkey_repartition" ->
       """SELECT event_type || '#' || CAST(user_id % 7 AS VARCHAR) AS part_key,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
     "a4_windowed_reduce" ->
       """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
@@ -278,7 +278,7 @@ object SparkEntry {
         |hop AS (SELECT ev.*, k FROM ev CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k))
         |SELECT epoch_ms(CAST((floor(CAST(floor(epoch(ts)) AS BIGINT) / 900) - k) * 900 * 1000 AS BIGINT)) AS window_start,
         |  event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM hop GROUP BY 1, 2""".stripMargin,
     "a6_session_window" ->
       """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
@@ -297,7 +297,7 @@ object SparkEntry {
     "a7_stream_enrich_dim" ->
       """SELECT COALESCE(c_mktsegment, 'unknown') AS segment, event_type,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events LEFT JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2""".stripMargin,
     "a8_event_time_stats" ->
@@ -306,7 +306,7 @@ object SparkEntry {
         |w AS (SELECT *, floor(CAST(floor(epoch(ts)) AS BIGINT) / 900) * 900 AS ws_sec FROM ev)
         |SELECT epoch_ms(CAST(ws_sec * 1000 AS BIGINT)) AS window_start, COUNT(*) AS n,
         |  COUNT(DISTINCT user_id) AS n_users,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM w, wm WHERE ws_sec + 900 <= wm_sec
         |GROUP BY 1""".stripMargin,
     "a9_funnel" ->
@@ -339,17 +339,17 @@ object SparkEntry {
         |SELECT doc_id, rank, term, tf, df, score FROM ranked WHERE rank <= 3""".stripMargin,
     "b1_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "b2_join_topn" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -361,7 +361,7 @@ object SparkEntry {
         |LIMIT 10""".stripMargin,
     "b3_multi_join" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -467,12 +467,12 @@ object SparkEntry {
         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey)
         |SELECT n_name, COUNT(*) AS n_top,
         |  string_agg(s_name, ',' ORDER BY s_acctbal DESC, s_suppkey) AS top_names,
-        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_top_bal
+        |  CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_top_bal
         |FROM top WHERE rn <= 5
         |GROUP BY n_name""".stripMargin,
     "b6_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
@@ -513,7 +513,7 @@ object SparkEntry {
     "b11_scalar_subquery" ->
       """WITH class_avg AS (
         |  SELECT o_orderpriority AS prio,
-        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price
         |  FROM orders GROUP BY o_orderpriority)
         |SELECT o_orderpriority, COUNT(*) AS n_above
         |FROM orders JOIN class_avg ON o_orderpriority = prio
@@ -601,7 +601,7 @@ object SparkEntry {
         |FROM g""".stripMargin,
     "s18_codec_roundtrip" ->
       s"""WITH a AS (SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
         |  FROM events WHERE event_id < 1000)
         |SELECT c.codec, a.n, a.sum_id, a.sum_value
         |FROM a CROSS JOIN (SELECT unnest([${graft.sources.Formats.RoundtripCodecs.map(c => s"'$c'").mkString(", ")}]) AS codec) c""".stripMargin,
@@ -703,7 +703,7 @@ object SparkEntry {
         |WHERE rn <= ${Sampling.DomainQuota}""".stripMargin,
     "s7_orc_roundtrip" ->
       """SELECT 'orc' AS fmt, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events WHERE event_id < 1000""".stripMargin,
     "s8_text_roundtrip" ->
       """SELECT COUNT(*) AS n,
@@ -791,7 +791,7 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 1""".stripMargin,
     "s23_partition_evolution" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_price
         |FROM orders
         |WHERE month(o_orderdate) = 3 AND o_orderstatus = 'F'
         |GROUP BY o_orderpriority""".stripMargin,
@@ -1025,9 +1025,9 @@ object SparkEntry {
     // computes the same shares from the broadcast totals decomposition
     "b48_ratio_to_report" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS prio_total,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_orderpriority) AS VARCHAR) AS DOUBLE) AS prio_total,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
-        |    / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS price_share
+        |    / CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_orderpriority) AS VARCHAR) AS DOUBLE) AS price_share
         |FROM orders""".stripMargin,
     "c59_containment" -> OracleGen.c59Containment,
     "c60_hard_negatives" -> OracleGen.c60HardNegatives,
@@ -1092,20 +1092,20 @@ object SparkEntry {
         |QUALIFY rank <= ${TextAnalysis.BpeTopPairs}""".stripMargin,
     "b14_cube" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS n
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "b15_running_sum" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_total
         |FROM orders
         |WHERE o_custkey < 100""".stripMargin,
     "b20_rolling_window" ->
       s"""SELECT o_custkey, o_orderkey, o_orderdate,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rolling_90d,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE) AS rolling_90d,
         |  COUNT(*) OVER w AS n_orders_90d
         |FROM orders
         |WHERE o_custkey < 100
@@ -1125,8 +1125,8 @@ object SparkEntry {
     "b16_promo_revenue" ->
       """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
         |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) ELSE 0 END) AS DOUBLE)
-        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS promo_revenue,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS total_revenue,
+        |  / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE) AS promo_revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE) AS total_revenue,
         |  COUNT(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
@@ -1149,14 +1149,14 @@ object SparkEntry {
     "s1_format_roundtrip" ->
       """WITH src AS (SELECT event_id, user_id, event_type, value FROM events WHERE event_id < 1000),
         |agg AS (SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id,
-        |               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |               CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
         |        FROM src)
         |SELECT 'parquet' AS fmt, n, sum_id, sum_value FROM agg
         |UNION ALL SELECT 'csv', n, sum_id, sum_value FROM agg
         |UNION ALL SELECT 'json', n, sum_id, sum_value FROM agg""".stripMargin,
     "s2_partitioned_write" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year, COUNT(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM orders
         |WHERE year(o_orderdate) IN (1996, 1997)
         |GROUP BY 1""".stripMargin,
@@ -1165,14 +1165,14 @@ object SparkEntry {
     // the hash (layout effects asserted separately in PlanSpec)
     "s5_compaction" ->
       """SELECT CAST(year(l_shipdate) AS INT) AS ship_year, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM lineitem
         |GROUP BY 1""".stripMargin,
     // rewrite fidelity: the z-ordered table must aggregate identically
     // to the source (the z-value is layout only, never content)
     "s14_zorder" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY o_orderpriority""".stripMargin,
     // reconstructs the schema-merged union: even keys predate the
@@ -1186,7 +1186,7 @@ object SparkEntry {
         |  SELECT o_totalprice, o_orderkey % 1000, o_orderpriority FROM orders WHERE o_orderkey % 3 = 2)
         |SELECT COALESCE(o_orderpriority, 'PRE_SCHEMA') AS prio, COUNT(*) AS n,
         |  CAST(SUM(o_units) AS BIGINT) AS sum_units,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM m GROUP BY 1""".stripMargin,
     // non-1996 partitions untouched; 1996 replaced by the corrected
     // batch (even keys only, repriced) — append or truncate both break
@@ -1197,7 +1197,7 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT o_totalprice + 50.0, o_year FROM t WHERE o_year = 1996 AND o_orderkey % 2 = 0)
         |SELECT o_year, COUNT(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM m GROUP BY 1""".stripMargin,
     // v1 = base snapshot (still readable after the v2 commit), v2 = the
     // merged state behind the pointer — a mutated v1, stale pointer, or
@@ -1304,12 +1304,12 @@ object SparkEntry {
         |SELECT 'update_postimage' AS change_type, c_custkey, qn AS c_nationkey, qb AS c_acctbal FROM pairs""".stripMargin,
     "s3_bucketed_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
     "s4_salted_join" ->
       """SELECT c_mktsegment AS segment, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1""".stripMargin
   )
