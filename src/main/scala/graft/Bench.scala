@@ -4,7 +4,7 @@ object Bench {
   val Passes = 3
 
   /** Per-query baseline seconds from BASELINE.md's `| query | sec |`
-    * table (frozen round-3 sf0.1 medians) — the denominator of the
+    * table (v2: round-9 quiet-run re-freeze, sf0.1 medians) — the denominator of the
     * vs-baseline ratios. Empty when the file is absent (ratios omitted)
     * so Bench still runs outside the repo root.
     */
@@ -126,7 +126,7 @@ object Bench {
     // (the long line pushed it out of the tail window → parsed:null
     // again). The headline alone is enough to grade the round.
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","baseline_queries":${common.size},"vs_baseline":${f"$vsBaseline%.3f"},"ratios":$ratios,"regressed":$regressed,"pass_spread":$spreadJson,"median_spread":${f"$medianSpread%.3f"},"amortized":$amortized,"method":"noop-write; per-query median of $Passes passes; ratios vs BASELINE.md (r3 medians); pass_spread=(max-min)/median over ok warm passes (2..n) per query - high values indicate machine contention, not code change; amortized lists queries whose per-(app,sfDir) cached work is charged to pass 1"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","baseline_queries":${common.size},"vs_baseline":${f"$vsBaseline%.3f"},"ratios":$ratios,"regressed":$regressed,"pass_spread":$spreadJson,"median_spread":${f"$medianSpread%.3f"},"amortized":$amortized,"method":"noop-write; per-query median of $Passes passes; ratios vs BASELINE.md (v2: round-9 quiet-run re-freeze); pass_spread=(max-min)/median over ok warm passes (2..n) per query - high values indicate machine contention, not code change; amortized lists queries whose per-(app,sfDir) cached work is charged to pass 1"}"""
     )
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":{"all":$total},"n_queries":${medians.size},"vs_baseline":${f"$vsBaseline%.3f"},"regressed":$regressed,"failed":$failed,"median_spread":${f"$medianSpread%.3f"},"detail":"previous line has per-query medians"}"""
