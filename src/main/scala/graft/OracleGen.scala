@@ -181,6 +181,34 @@ object OracleGen {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax""".stripMargin
   }
 
+  /** c92 = c4's SUM(CASE) vote formulation run over BOTH hash families
+    * (the second = md5 of the salted token), pairs filtered on the
+    * summed 120-bit hamming — the exact contract of the widened
+    * pigeonhole join, recomputed from first principles.
+    */
+  val c92DedupSimhashWide: String = {
+    import graft.operators.TextDedup.WideSalt
+    def votes(src: String, pfx: String) = (0 until SimHashBits)
+      .map(i => s"SUM(CASE WHEN ($src >> $i) & 1 = 1 THEN cnt ELSE -cnt END) AS $pfx$i")
+      .mkString(", ")
+    def shiftSum(pfx: String) = (0 until SimHashBits)
+      .map(i => s"(CASE WHEN $pfx$i > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+       |tok AS (SELECT doc_id, unnest(w) AS t FROM docs),
+       |tc AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
+       |h AS (SELECT doc_id, cnt,
+       |  CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h1,
+       |  CAST(concat('0x', substr(md5(concat('$WideSalt', t)), 1, 15)) AS BIGINT) AS h2 FROM tc),
+       |votes AS (SELECT doc_id, ${votes("h1", "v")}, ${votes("h2", "u")} FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST(${shiftSum("v")} AS BIGINT) AS s1,
+       |  CAST(${shiftSum("u")} AS BIGINT) AS s2 FROM votes)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) <= $HammingMax""".stripMargin
+  }
+
   /** C27 mirrors the Spark side's non-deduped rolling shingle hashes:
     * dup_ratio = 1 − distinct/total over the SAME hash math.
     */

@@ -654,6 +654,89 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** c92 geometry: a 120-bit signature as TWO independent 60-bit
+    * simhash halves (second hash family = salted md5 — the standard
+    * multi-hash widening), blocked for the pigeonhole join as 5 blocks
+    * of 12 bits PER HALF (10 blocks ⇒ any pair within hamming ≤ 9
+    * shares an intact block; the served threshold stays
+    * [[HammingMax]] = 8).
+    */
+  val WideBlocksPerHalf = 5
+  val WideBlockBits = 12
+  val WideSalt = "w2#"
+
+  /** Per-doc 120-bit signature: ([[simHashSignatures]]'s 60-bit half,
+    * plus a second half over the salted hash family) — both computed
+    * row-locally in the one scan.
+    */
+  def simHashSignaturesWide(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        transform(tokens(col("text")), t => hash60(t)).as("h1"),
+        transform(tokens(col("text")), t => hash60(concat(lit(WideSalt), t))).as("h2")
+      )
+      .select(
+        col("doc_id"),
+        graft.plans.SimHashOfTokens.simHashOfTokens(col("h1"), SimHashBits).as("s1"),
+        graft.plans.SimHashOfTokens.simHashOfTokens(col("h2"), SimHashBits).as("s2")
+      )
+
+  /** C92: SimHash near-dup pairs at CORPUS scale — c4's contract
+    * (exact hamming ≤ [[HammingMax]] pairs from an exhaustive
+    * pigeonhole candidate join) re-geometried for growth. c4's fixed
+    * 60-bit/9-block layout leaves only 6-7-bit block values, so its
+    * per-(block, value) buckets — and the candidate join — grow as
+    * n²/2^7: measured exponent 2.34 at the sf1 scale run, the
+    * Manku/Jain/Sarma 2007 table-width trade surfacing exactly as
+    * published. This variant widens the signature instead of capping
+    * buckets (caps would break candidate exhaustiveness): 120 bits
+    * from two independent hash families, 10 blocks of 12 bits ⇒
+    * buckets shrink by 2^5-2^6, candidates by the same factor, and
+    * the pigeonhole guarantee STRENGTHENS (any pair within hamming 9
+    * shares a block; served threshold 8). The same first-matching-block
+    * bit-math dedup runs inside the join — no distinct(), nothing
+    * downstream but the projection. Semantics: hamming ≤ 8 over 120
+    * bits is a (deliberately) stricter near-dup bar than c4's 8-of-60 —
+    * both calibrations stay served, the oracle gates this one exactly.
+    */
+  def c92DedupSimhashWide(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = simHashSignaturesWide(spark, sfDir).localCheckpoint()
+    val halves = Seq(("s1", "x1"), ("s2", "x2"))
+    val blockCols = for {
+      (h, hi) <- halves.zipWithIndex
+      i <- 0 until WideBlocksPerHalf
+    } yield struct(
+      lit(hi * WideBlocksPerHalf + i).as("block_idx"),
+      shiftright(col(h._1), i * WideBlockBits).bitwiseAND((1L << WideBlockBits) - 1).as("bval")
+    )
+    val blocks = sig
+      .select(col("doc_id"), col("s1"), col("s2"), explode(array(blockCols: _*)).as("b"))
+      .select(col("doc_id"), col("s1"), col("s2"), col("b.block_idx").as("bi"), col("b.bval").as("bv"))
+    val x1 = col("s1a").bitwiseXOR(col("s1b"))
+    val x2 = col("s2a").bitwiseXOR(col("s2b"))
+    val firstBlock = (for {
+      ((_, x), hi) <- halves.zip(Seq(x1, x2)).zipWithIndex
+      i <- 0 until WideBlocksPerHalf
+    } yield (hi * WideBlocksPerHalf + i, x, i)).reverse
+      .foldLeft(lit(-1): Column) { case (tail, (idx, x, i)) =>
+        when(shiftright(x, i * WideBlockBits).bitwiseAND((1L << WideBlockBits) - 1) === 0, lit(idx))
+          .otherwise(tail)
+      }
+    blocks
+      .select(col("bi"), col("bv"), col("doc_id").as("doc_a"), col("s1").as("s1a"), col("s2").as("s2a"))
+      .join(
+        blocks
+          .select(col("bi"), col("bv"), col("doc_id").as("doc_b"), col("s1").as("s1b"), col("s2").as("s2b")),
+        Seq("bi", "bv")
+      )
+      .filter(col("doc_a") < col("doc_b") && col("bi") === firstBlock)
+      .withColumn("hamming", (bit_count(x1) + bit_count(x2)).cast("long"))
+      .filter(col("hamming") <= HammingMax)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Head fingerprint width for c68 — long enough that coincidental
     * prefix collisions are ~impossible in natural text, short enough
     * that a truncated mirror still shares it.

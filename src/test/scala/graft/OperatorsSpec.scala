@@ -378,6 +378,34 @@ class OperatorsSpec extends SparkSpec {
     assert(df.filter(col("doc_a") >= col("doc_b")).count() == 0)
   }
 
+  test("c92 wide simhash: pigeonhole candidates are EXHAUSTIVE — output equals the brute-force pair set") {
+    // the whole point of the widened geometry is that it changes the
+    // JOIN VOLUME and nothing else: every pair within the summed
+    // 120-bit hamming bound must survive the 10-block candidate path
+    val sigs = TextDedup
+      .simHashSignaturesWide(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = (for {
+      (a, a1, a2) <- sigs
+      (b, b1, b2) <- sigs
+      if a < b
+      h = java.lang.Long.bitCount(a1 ^ b1) + java.lang.Long.bitCount(a2 ^ b2)
+      if h <= TextDedup.HammingMax
+    } yield (a, b, h.toLong)).toSet
+    val got = TextDedup
+      .c92DedupSimhashWide(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == expected, s"missed=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    assert(expected.nonEmpty, "gate corpus must contain wide-threshold near-dups")
+    // and the bar really is stricter than c4's: the wide pair set is a
+    // (doc_a, doc_b)-subset of the 60-bit one
+    val narrow = TextDedup.c4SimHash(spark, sf0001).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.forall { case (a, b, _) => narrow((a, b)) })
+  }
+
   test("c6 ANN: exactly top-k ranks per query, cosine non-increasing in rank") {
     val rows = VectorOps.c6AnnBruteforce(spark, sf0001).collect()
     val byQuery = rows.groupBy(_.getLong(0))
