@@ -196,7 +196,8 @@ object SparkEntry {
     "c89_moss_pairs" -> (TextAnalysis.c89MossPairs _),
     "c90_bitext_margin_ivf" -> ((s, d) => VectorOps.c90BitextMarginIvf(s, d)),
     "c91_bm25" -> (TextAnalysis.c91Bm25 _),
-    "c92_dedup_simhash_wide" -> (TextDedup.c92DedupSimhashWide _)
+    "c92_dedup_simhash_wide" -> (TextDedup.c92DedupSimhashWide _),
+    "c93_dedup_simhash_refined" -> (TextDedup.c93DedupSimhashRefined _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -574,6 +575,10 @@ object SparkEntry {
     "c90_bitext_margin_ivf" -> OracleGen.c90BitextMarginIvf,
     "c91_bm25" -> OracleGen.c91Bm25,
     "c92_dedup_simhash_wide" -> OracleGen.c92DedupSimhashWide,
+    // c93 serves the SAME exact pair set as c92 (recursive hot-bucket
+    // refinement changes candidate generation, not the contract), so
+    // it gates on the identical oracle
+    "c93_dedup_simhash_refined" -> OracleGen.c92DedupSimhashWide,
     "c4_dedup_simhash" -> OracleGen.c4SimHash,
     "c5_dedup_embedding" -> OracleGen.c5EmbeddingDedup,
     // the LSH path produces the SAME pair set (zero bucket misses at

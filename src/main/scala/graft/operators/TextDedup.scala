@@ -737,6 +737,95 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Hot-bucket threshold for c93's recursive refinement: a
+    * per-(block, value) bucket larger than this is re-pigeonholed on a
+    * second block instead of self-joined directly. 32 keeps the cold
+    * path's worst pair fan-out at 32²/2 while engaging the refinement
+    * on every corpus the gate actually runs (the synthetic geometry's
+    * hot 12-bit values hold ~12% of docs at every SF ≥ 0.01).
+    */
+  val HotBucketT = 32
+
+  /** C93: c92's pair-set contract served through Manku/Jain/Sarma
+    * 2007's RECURSIVE refinement — the exactness-preserving answer to
+    * hot buckets (a per-bucket cap would silently drop candidates).
+    * The observation: at threshold [[HammingMax]] = 8 over 10 blocks,
+    * ≤ 8 differing bits touch ≤ 8 blocks, so every qualifying pair has
+    * at least TWO intact blocks. A bucket whose size exceeds
+    * [[HotBucketT]] therefore doesn't need its members self-joined:
+    * re-keying them on each of their 9 OTHER blocks (the "remaining
+    * bits") still meets every qualifying pair — at the second intact
+    * block — and turns the bucket's n² fan-out into Σ sub-bucket².
+    * Hot and cold bucket slices partition the (block, value) key
+    * space, so the once-only emit stays pure row-local bit math (no
+    * distinct()): a pair appears in the cold path iff its FIRST intact
+    * block's bucket is cold (emit at bi = first), else in the hot path
+    * (emit at bi = first, sub-block = second intact). Ceiling note:
+    * refinement caps the servable threshold at #blocks − 2 differing
+    * bits (= 8 here) — exactly the served bar, documented, and the
+    * reason the layout keeps 10 blocks rather than fewer wider ones.
+    */
+  def c93DedupSimhashRefined(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = simHashSignaturesWide(spark, sfDir).localCheckpoint()
+    val nBlocks = 2 * WideBlocksPerHalf
+    def blockVal(half: Column, i: Int): Column =
+      shiftright(half, i * WideBlockBits).bitwiseAND((1L << WideBlockBits) - 1)
+    val blockCols = (0 until nBlocks).map { idx =>
+      val half = if (idx < WideBlocksPerHalf) col("s1") else col("s2")
+      struct(lit(idx).as("block_idx"), blockVal(half, idx % WideBlocksPerHalf).as("bval"))
+    }
+    val blocks = sig
+      .select(col("doc_id"), col("s1"), col("s2"), explode(array(blockCols: _*)).as("b"))
+      .select(col("doc_id"), col("s1"), col("s2"), col("b.block_idx").as("bi"), col("b.bval").as("bv"))
+    // one count per (block, value) bucket; the window's hash
+    // partitioning on (bi, bv) is the same clustering the joins below
+    // need, so the split costs one shuffle total
+    val sized = blocks.withColumn("n", count(lit(1)).over(Window.partitionBy("bi", "bv")))
+    val cold = sized.filter(col("n") <= HotBucketT).drop("n")
+    // hot members re-keyed on every OTHER block — 9 sub-rows per hot
+    // block row, each landing in a sub-bucket ~2^12 smaller
+    val hot = sized
+      .filter(col("n") > HotBucketT)
+      .drop("n")
+      .select(col("doc_id"), col("s1"), col("s2"), col("bi"), col("bv"), explode(array(blockCols: _*)).as("sb"))
+      .select(
+        col("doc_id"), col("s1"), col("s2"), col("bi"), col("bv"),
+        col("sb.block_idx").as("sbi"), col("sb.bval").as("sbv")
+      )
+      .filter(col("sbi") =!= col("bi"))
+
+    def xorAt(i: Int): Column = {
+      val x = if (i < WideBlocksPerHalf) col("s1a").bitwiseXOR(col("s1b")) else col("s2a").bitwiseXOR(col("s2b"))
+      blockVal(x, i % WideBlocksPerHalf)
+    }
+    val firstIntact = (0 until nBlocks).reverse
+      .foldLeft(lit(-1): Column)((tail, i) => when(xorAt(i) === 0, lit(i)).otherwise(tail))
+    val secondIntact = (0 until nBlocks).reverse
+      .foldLeft(lit(-1): Column)((tail, i) => when(xorAt(i) === 0 && lit(i) > firstIntact, lit(i)).otherwise(tail))
+    val hamming = (bit_count(col("s1a").bitwiseXOR(col("s1b"))) +
+      bit_count(col("s2a").bitwiseXOR(col("s2b")))).cast("long")
+
+    def sides(df: DataFrame, keys: Seq[String]): (DataFrame, DataFrame) = (
+      df.select((keys.map(col) :+ col("doc_id").as("doc_a") :+ col("s1").as("s1a") :+ col("s2").as("s2a")): _*),
+      df.select((keys.map(col) :+ col("doc_id").as("doc_b") :+ col("s1").as("s1b") :+ col("s2").as("s2b")): _*)
+    )
+    val (ca, cb) = sides(cold, Seq("bi", "bv"))
+    val coldPairs = ca
+      .join(cb, Seq("bi", "bv"))
+      .filter(col("doc_a") < col("doc_b") && col("bi") === firstIntact)
+    val (ha, hb) = sides(hot, Seq("bi", "bv", "sbi", "sbv"))
+    val hotPairs = ha
+      .join(hb, Seq("bi", "bv", "sbi", "sbv"))
+      .filter(col("doc_a") < col("doc_b") && col("bi") === firstIntact && col("sbi") === secondIntact)
+    coldPairs
+      .select(col("doc_a"), col("doc_b"), col("s1a"), col("s1b"), col("s2a"), col("s2b"))
+      .unionByName(hotPairs.select(col("doc_a"), col("doc_b"), col("s1a"), col("s1b"), col("s2a"), col("s2b")))
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= HammingMax)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Head fingerprint width for c68 — long enough that coincidental
     * prefix collisions are ~impossible in natural text, short enough
     * that a truncated mirror still shares it.

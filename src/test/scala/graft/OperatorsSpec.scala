@@ -406,6 +406,36 @@ class OperatorsSpec extends SparkSpec {
     assert(got.forall { case (a, b, _) => narrow((a, b)) })
   }
 
+  test("c93 refined simhash: hot-bucket refinement is exact, once-only, and actually engages") {
+    // identical contract to c92 — the refinement may only change the
+    // candidate join volume, never the pair set or its multiplicity
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (sf <- Seq(sf0001, sf001)) {
+      val got = pairs(TextDedup.c93DedupSimhashRefined(spark, sf))
+      assert(got.length == got.toSet.size, s"duplicate emits at $sf") // once-only, no distinct() to hide behind
+      assert(got.toSet == pairs(TextDedup.c92DedupSimhashWide(spark, sf)).toSet, s"pair set diverges at $sf")
+    }
+    // the refinement must ENGAGE at the gate SF — otherwise this spec
+    // only ever exercises the cold path
+    val hotBuckets = TextDedup
+      .simHashSignaturesWide(spark, sf001)
+      .select(explode(array((0 until 2 * TextDedup.WideBlocksPerHalf).map { idx =>
+        val half = if (idx < TextDedup.WideBlocksPerHalf) col("s1") else col("s2")
+        struct(
+          lit(idx).as("bi"),
+          shiftright(half, (idx % TextDedup.WideBlocksPerHalf) * TextDedup.WideBlockBits)
+            .bitwiseAND((1L << TextDedup.WideBlockBits) - 1)
+            .as("bv")
+        )
+      }: _*)).as("b"))
+      .groupBy(col("b.bi"), col("b.bv"))
+      .count()
+      .filter(col("count") > TextDedup.HotBucketT)
+      .count()
+    assert(hotBuckets > 0, s"no bucket exceeds HotBucketT=${TextDedup.HotBucketT} at sf0.01 — refinement untested")
+  }
+
   test("c6 ANN: exactly top-k ranks per query, cosine non-increasing in rank") {
     val rows = VectorOps.c6AnnBruteforce(spark, sf0001).collect()
     val byQuery = rows.groupBy(_.getLong(0))
