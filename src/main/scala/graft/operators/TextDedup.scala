@@ -766,7 +766,6 @@ object TextDedup {
     * reason the layout keeps 10 blocks rather than fewer wider ones.
     */
   def c93DedupSimhashRefined(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sig = simHashSignaturesWide(spark, sfDir).localCheckpoint()
     val nBlocks = 2 * WideBlocksPerHalf
     def blockVal(half: Column, i: Int): Column =
@@ -778,16 +777,23 @@ object TextDedup {
     val blocks = sig
       .select(col("doc_id"), col("s1"), col("s2"), explode(array(blockCols: _*)).as("b"))
       .select(col("doc_id"), col("s1"), col("s2"), col("b.block_idx").as("bi"), col("b.bval").as("bv"))
-    // one count per (block, value) bucket; the window's hash
-    // partitioning on (bi, bv) is the same clustering the joins below
-    // need, so the split costs one shuffle total
-    val sized = blocks.withColumn("n", count(lit(1)).over(Window.partitionBy("bi", "bv")))
-    val cold = sized.filter(col("n") <= HotBucketT).drop("n")
+    // the hot/cold split key set is CORPUS-SIZE-INDEPENDENT: at most
+    // nBlocks * 2^WideBlockBits (= 40 960) buckets exist, so the
+    // over-threshold subset always broadcasts — the block frame is
+    // classified by a map-side hash probe instead of a full-frame
+    // window (which would sort all 10n rows inside each bucket)
+    val hotKeys = blocks
+      .groupBy(col("bi"), col("bv"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > HotBucketT)
+      .select(col("bi"), col("bv"), lit(true).as("is_hot"))
+    val sized = blocks.join(broadcast(hotKeys), Seq("bi", "bv"), "left")
+    val cold = sized.filter(col("is_hot").isNull).drop("is_hot")
     // hot members re-keyed on every OTHER block — 9 sub-rows per hot
     // block row, each landing in a sub-bucket ~2^12 smaller
     val hot = sized
-      .filter(col("n") > HotBucketT)
-      .drop("n")
+      .filter(col("is_hot").isNotNull)
+      .drop("is_hot")
       .select(col("doc_id"), col("s1"), col("s2"), col("bi"), col("bv"), explode(array(blockCols: _*)).as("sb"))
       .select(
         col("doc_id"), col("s1"), col("s2"), col("bi"), col("bv"),
