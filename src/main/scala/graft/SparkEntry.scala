@@ -197,7 +197,9 @@ object SparkEntry {
     "c90_bitext_margin_ivf" -> ((s, d) => VectorOps.c90BitextMarginIvf(s, d)),
     "c91_bm25" -> (TextAnalysis.c91Bm25 _),
     "c92_dedup_simhash_wide" -> (TextDedup.c92DedupSimhashWide _),
-    "c93_dedup_simhash_refined" -> (TextDedup.c93DedupSimhashRefined _)
+    "c93_dedup_simhash_refined" -> (TextDedup.c93DedupSimhashRefined _),
+    "c94_json_extract" -> (Relational.c94JsonExtract _),
+    "c95_variant_extract" -> (Relational.c95VariantExtract _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -512,6 +514,24 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
+    "c94_json_extract" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_parsed,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
+        |FROM events
+        |GROUP BY event_type""".stripMargin,
+    "c95_variant_extract" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  COUNT(CASE WHEN json_valid(props) THEN 1 END) AS n_valid,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MAX(json_extract_string(props, '$.k')) AS max_k_str
+        |FROM events
+        |GROUP BY event_type""".stripMargin,
     "b11_scalar_subquery" ->
       """WITH class_avg AS (
         |  SELECT o_orderpriority AS prio,

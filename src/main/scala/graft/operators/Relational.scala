@@ -318,6 +318,79 @@ object Relational {
       .groupBy(col("month"), col("etype"))
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
 
+  /** C94: typed semi-structured extraction — `from_json` over the
+    * events payload, the schema-on-read path b10's regex only
+    * approximates. The parse is declared once with a DDL schema
+    * (`k BIGINT`) and Catalyst projects the single field; malformed
+    * payloads yield NULL (PERMISSIVE mode), so `n_parsed`/`sum_k`
+    * count only valid rows while `n_events` counts all — the
+    * bad-record accounting a scraped-corpus ingest needs. Scale: the
+    * parse is row-local (JsonToStructs — interpreted-eval fallback,
+    * but a single scalar expression inside the scan projection, not a
+    * shuffle shape), all six aggregates partial-aggregate map-side,
+    * and the only exchange carries one row per event_type. The exact
+    * distinct count rides the same hash aggregate (Expand), bounded
+    * by |k| ≤ 100 distinct values per group.
+    */
+  def c94JsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    c94JsonExtractFrom(Tables.events(spark, sfDir))
+
+  /** The extraction over any (event_type, props) frame — split out so
+    * the spec can plant malformed / missing-key payloads and prove the
+    * PERMISSIVE null accounting (the gate corpus is all well-formed).
+    */
+  def c94JsonExtractFrom(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_type"),
+        from_json(col("props"), "k BIGINT", Map.empty[String, String]).getField("k").as("k")
+      )
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("k")).as("n_parsed"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k")
+      )
+
+  /** C95: VARIANT ingestion — the schema-FLEXIBLE sibling of c94's
+    * fixed-schema `from_json`: `try_parse_json` decodes the payload
+    * once into Spark 4's binary VARIANT encoding (no declared schema,
+    * malformed → NULL), and each consumer binds its own path + type at
+    * read time (`try_variant_get`), the late-binding contract a
+    * long-lived ingest needs when payload schemas drift. The bigint
+    * and string bindings of the SAME field demonstrate per-consumer
+    * typing; a type-mismatched value NULLs only the binding that asked
+    * for it. Scale: parse and both gets are row-local scan-projection
+    * expressions; the aggregate exchange carries one row per
+    * event_type.
+    */
+  def c95VariantExtract(spark: SparkSession, sfDir: String): DataFrame =
+    c95VariantExtractFrom(Tables.events(spark, sfDir))
+
+  /** The variant pass over any (event_type, props) frame — split out
+    * so the spec can plant malformed JSON (NULL variant) and
+    * type-mismatched values (NULL binding, variant still valid).
+    */
+  def c95VariantExtractFrom(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), try_parse_json(col("props")).as("v"))
+      .select(
+        col("event_type"),
+        col("v"),
+        try_variant_get(col("v"), "$.k", "bigint").as("k"),
+        try_variant_get(col("v"), "$.k", "string").as("k_str")
+      )
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("v")).as("n_valid"),
+        sum(col("k")).as("sum_k"),
+        max(col("k_str")).as("max_k_str")
+      )
+
   /** B11: scalar + correlated-style subquery — orders above their
     * priority class's average price. Declared as a join against the
     * per-class aggregate (what Catalyst de-correlates subqueries into).

@@ -436,6 +436,92 @@ class OperatorsSpec extends SparkSpec {
     assert(hotBuckets > 0, s"no bucket exceeds HotBucketT=${TextDedup.HotBucketT} at sf0.01 — refinement untested")
   }
 
+  test("c94 json extract: JVM re-derivation exact; PERMISSIVE null accounting on planted bad payloads") {
+    // gate-shape re-derivation: parse the payloads in plain JVM code
+    // and recompute all six aggregates bit-exactly
+    val raw = sources.Tables
+      .events(spark, sf0001)
+      .select(col("event_type"), col("props"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val kRe = """\{\s*"k"\s*:\s*(-?\d+)\s*\}""".r
+    val expected = raw
+      .groupBy(_._1)
+      .map { case (et, rows) =>
+        val ks = rows.flatMap(r => kRe.findFirstMatchIn(r._2).map(_.group(1).toLong))
+        et -> (rows.length.toLong, ks.length.toLong, ks.sum, ks.min, ks.max, ks.distinct.length.toLong)
+      }
+    val got = Relational
+      .c94JsonExtract(spark, sf0001)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got == expected)
+    // the gate corpus is all well-formed — plant the failure modes the
+    // PERMISSIVE accounting exists for: broken JSON, a missing key,
+    // a non-integer value, and a NULL payload
+    import spark.implicits._
+    val planted = Seq(
+      ("click", """{"k": 7}"""),
+      ("click", """{"k": 7}"""),
+      ("click", """{"k": 9}"""),
+      ("click", """not json at all"""),
+      ("click", """{"other": 3}"""),
+      ("click", null),
+      ("view", """{"k": "str"}""")
+    ).toDF("event_type", "props")
+    val rows = Relational
+      .c94JsonExtractFrom(planted)
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    val click = rows("click")
+    assert(click.getLong(1) == 6L, "n_events counts every row, parseable or not")
+    assert(click.getLong(2) == 3L, "n_parsed counts only payloads that yield k")
+    assert(click.getLong(3) == 23L && click.getLong(4) == 7L && click.getLong(5) == 9L)
+    assert(click.getLong(6) == 2L, "distinct over valid k only")
+    val view = rows("view")
+    assert(view.getLong(1) == 1L && view.getLong(2) == 0L, "non-integer k parses to NULL")
+    assert(view.isNullAt(3) && view.isNullAt(4) && view.isNullAt(5) && view.getLong(6) == 0L)
+  }
+
+  test("c95 variant: gate parity with the fixed-schema path; per-binding NULL typing on planted payloads") {
+    // the schema-flexible decode must agree with c94's fixed-schema
+    // parse wherever both bind the same field
+    val fixed = Relational
+      .c94JsonExtract(spark, sf0001)
+      .select(col("event_type"), col("n_events"), col("sum_k"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val variant = Relational
+      .c95VariantExtract(spark, sf0001)
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    assert(variant.keySet == fixed.keySet)
+    variant.foreach { case (et, r) =>
+      assert((r.getLong(1), r.getLong(3)) == fixed(et), s"variant path diverges from from_json at $et")
+      assert(r.getLong(2) == r.getLong(1), "gate corpus is all-valid JSON")
+    }
+    // planted decode/typing failure modes: a malformed payload NULLs
+    // the VARIANT itself; a type-mismatched value NULLs only the
+    // binding that asked for the wrong type
+    import spark.implicits._
+    val planted = Seq(
+      ("click", """{"k": 7}"""),
+      ("click", """{"k": 9}"""),
+      ("click", """{broken"""),
+      ("click", """{"other": 3}"""),
+      ("click", """{"k": "zz"}""")
+    ).toDF("event_type", "props")
+    val row = Relational.c95VariantExtractFrom(planted).collect().head
+    assert(row.getLong(1) == 5L, "n_events counts every row")
+    assert(row.getLong(2) == 4L, "only the malformed payload fails the variant decode")
+    assert(row.getLong(3) == 16L, "bigint binding sums only type-valid k")
+    assert(row.getString(4) == "zz", "string binding of the same field sees the mismatched value")
+  }
+
   test("c6 ANN: exactly top-k ranks per query, cosine non-increasing in rank") {
     val rows = VectorOps.c6AnnBruteforce(spark, sf0001).collect()
     val byQuery = rows.groupBy(_.getLong(0))

@@ -9,6 +9,9 @@ import pandas as pd
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+# optional third arg: comma-separated query subset (mirrors Verify's
+# subset arg — compare only the queries that were dumped)
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -34,6 +37,8 @@ def cell_eq(a, b):
 
 fails = 0
 for name, sql in sorted(oracle.items()):
+    if only is not None and name not in only:
+        continue
     try:
         spark_df = pd.read_parquet(f"{out_dir}/{name}")
         duck_df = con.execute(sql).fetchdf()
@@ -93,7 +98,7 @@ for name, sql in sorted(oracle.items()):
 import os
 for name in sorted(os.listdir(out_dir)):
     p = os.path.join(out_dir, name)
-    if os.path.isdir(p) and name not in oracle:
+    if os.path.isdir(p) and name not in oracle and (only is None or name in only):
         n = len(pd.read_parquet(p))
         print(f"{'OK  ' if n > 0 else 'FAIL'} {name}: rows-only check, {n} rows")
         if n == 0:
