@@ -431,6 +431,28 @@ object OracleGen {
        |WHERE list_dot_product(a.vn, b.vn) >= $NearDupThreshold""".stripMargin
   }
 
+  /** c96 = the IVF co-residence near-dup pass recomputed exactly:
+    * seeded centroids, top-2 assignment per vector (ties to lowest
+    * cid, matching the heap's order), DISTINCT shared-list pairs (the
+    * relational mirror of the Spark side's min-shared-list emit-once
+    * rule), exact cosine at the shared threshold.
+    */
+  val c96DedupEmbeddingIvf: String = {
+    import graft.operators.VectorOps.{C96Lists, NearDupThreshold}
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |nm AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),
+       |cent AS (SELECT vec_id AS cid, vn AS cv FROM nm WHERE vec_id < $C96Lists),
+       |asgr AS (SELECT n.vec_id, c.cid,
+       |  ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.vn, c.cv) DESC, c.cid) rn
+       |  FROM nm n CROSS JOIN cent c),
+       |asg AS (SELECT vec_id, cid FROM asgr WHERE rn <= 2),
+       |p AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+       |s AS (SELECT vec_a, vec_b, list_dot_product(na.vn, nb.vn) AS cos
+       |  FROM p JOIN nm na ON na.vec_id = p.vec_a JOIN nm nb ON nb.vec_id = p.vec_b)
+       |SELECT vec_a, vec_b, cos FROM s WHERE cos >= $NearDupThreshold""".stripMargin
+  }
+
   val c6AnnBruteforce: String = {
     import graft.operators.VectorOps.{NumQueryVecs, TopK}
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),

@@ -199,7 +199,8 @@ object SparkEntry {
     "c92_dedup_simhash_wide" -> (TextDedup.c92DedupSimhashWide _),
     "c93_dedup_simhash_refined" -> (TextDedup.c93DedupSimhashRefined _),
     "c94_json_extract" -> (Relational.c94JsonExtract _),
-    "c95_variant_extract" -> (Relational.c95VariantExtract _)
+    "c95_variant_extract" -> (Relational.c95VariantExtract _),
+    "c96_dedup_embedding_ivf" -> ((s, d) => VectorOps.c96DedupEmbeddingIvf(s, d))
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -604,6 +605,7 @@ object SparkEntry {
     // the LSH path produces the SAME pair set (zero bucket misses at
     // the test SFs — deterministic planes, verified in VectorRecallSpec)
     "c17_dedup_embedding_lsh" -> OracleGen.c5EmbeddingDedup,
+    "c96_dedup_embedding_ivf" -> OracleGen.c96DedupEmbeddingIvf,
     "c6_ann_bruteforce" -> OracleGen.c6AnnBruteforce,
     "c18_ann_ivf" -> OracleGen.c18AnnIvf,
     "c35_semdedup" -> OracleGen.c35SemDedup,

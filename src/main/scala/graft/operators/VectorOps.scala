@@ -461,6 +461,74 @@ object VectorOps {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
+  /** c96 coarse-quantizer width (gate setting). Production sizes this
+    * ≈ √n like every IVF deployment — it is THE scale knob: candidate
+    * volume is R²·Σ|list|² ≈ R²·n²/lists, so lists ∝ √n turns the
+    * pair pass into O(n^1.5) where c17's fixed banding stays ∝ n².
+    */
+  val C96Lists = 25
+
+  /** C96: embedding near-dup pairs through IVF co-residence — the
+    * cluster-then-pair scale path for c5's contract (the design
+    * SemDeDup runs in production: quantize once, pair only within
+    * cells), the embedding analog of what c90 does for c78. Each
+    * vector joins its top-2 coarse lists (multi-assignment R = 2
+    * catches boundary pairs a single cell would split); candidates
+    * are vectors sharing an assigned list, met by a KEYED join on
+    * list_id — never an all-pairs stage; exact cosine verifies.
+    * Emit-once without distinct(): a pair sharing up to 4 (list,
+    * assignment) meetings is kept only where the join's list equals
+    * the NUMERICALLY SMALLEST shared list — pure arithmetic on the
+    * (l1, l2) assignment sets both sides carry. Contract caveat,
+    * honest and measured: unlike c17 (verified-exhaustive at the gate
+    * geometry), IVF candidates are a RECALL TRADE — the oracle mirrors
+    * the quantizer structurally (c18/c61's posture), and the spec
+    * measures coverage against c5's exact pair set; on the isotropic
+    * synthetic corpus coarse cells split near-threshold pairs that
+    * clustered real embeddings co-locate (the same degeneracy note as
+    * c18's nprobe).
+    */
+  def c96DedupEmbeddingIvf(spark: SparkSession, sfDir: String, lists: Int = C96Lists): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val cent = e
+      .filter(col("vec_id") < lists)
+      .select(col("vec_id").as("cid"), col("vn").as("cv"))
+    val scoredAll = e
+      .crossJoin(broadcast(cent))
+      .withColumn("cos_c", arrayDot(col("vn"), col("cv")))
+    // top-2 lists per vector via bounded heaps, collapsed to the
+    // assignment SET as (min cid, max cid) so the emit-once rule is
+    // order-free arithmetic
+    val asgSets = graft.plans.TopKPerKey
+      .topKPerKey(
+        scoredAll.select(col("vec_id"), col("cid"), col("cos_c")),
+        keyCols = Seq("vec_id"),
+        orderBy = Seq(("cos_c", false), ("cid", true)),
+        k = 2
+      )
+      .groupBy(col("vec_id"))
+      .agg(min(col("cid")).as("l1"), max(col("cid")).as("l2"))
+    val asg = asgSets
+      .select(col("vec_id"), col("l1"), col("l2"), explode(array(col("l1"), col("l2"))).as("list_id"))
+    val a = asg.select(col("list_id"), col("vec_id").as("vec_a"), col("l1").as("l1a"), col("l2").as("l2a"))
+    val b = asg.select(col("list_id"), col("vec_id").as("vec_b"), col("l1").as("l1b"), col("l2").as("l2b"))
+    // least() skips NULL branches, so this is min over the shared set
+    val minShared = least(
+      when(col("l1a") === col("l1b") || col("l1a") === col("l2b"), col("l1a")),
+      when(col("l2a") === col("l1b") || col("l2a") === col("l2b"), col("l2a"))
+    )
+    val cand = a
+      .join(b, Seq("list_id"))
+      .filter(col("vec_a") < col("vec_b") && col("list_id") === minShared)
+      .select(col("vec_a"), col("vec_b"))
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("vn").as("va")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("vn").as("vb")), "vec_b")
+      .withColumn("cos", arrayDot(col("va"), col("vb")))
+      .filter(col("cos") >= NearDupThreshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
   /** c18 IVF geometry: k = 25 lists (≈√n at sf0.01, the standard IVF
     * sizing), centroid seeds = the k candidate vectors with the lowest
     * ids (deterministic, training-free — Lloyd iterations would make
