@@ -200,7 +200,8 @@ object SparkEntry {
     "c93_dedup_simhash_refined" -> (TextDedup.c93DedupSimhashRefined _),
     "c94_json_extract" -> (Relational.c94JsonExtract _),
     "c95_variant_extract" -> (Relational.c95VariantExtract _),
-    "c96_dedup_embedding_ivf" -> ((s, d) => VectorOps.c96DedupEmbeddingIvf(s, d))
+    "c96_dedup_embedding_ivf" -> ((s, d) => VectorOps.c96DedupEmbeddingIvf(s, d)),
+    "s26_position_deletes" -> (graft.sources.Formats.s26PositionDeletes _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -804,6 +805,17 @@ object SparkEntry {
         |SELECT * FROM upd
         |UNION ALL
         |SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)""".stripMargin,
+    // positions reconstructed relationally: rank by key within bucket
+    // must equal the parquet row index of the sorted single-file write
+    "s26_position_deletes" ->
+      s"""WITH b AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+         |  o_orderkey % ${graft.sources.Formats.PosDeleteBuckets} AS bucket FROM orders),
+         |p AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY o_orderkey) - 1 AS pos FROM b),
+         |dv AS (SELECT bucket, pos FROM p
+         |  WHERE o_custkey % ${graft.sources.Formats.PosDeleteMod} = ${graft.sources.Formats.PosDeleteRem})
+         |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+         |FROM p WHERE NOT EXISTS (
+         |  SELECT 1 FROM dv WHERE dv.bucket = p.bucket AND dv.pos = p.pos)""".stripMargin,
     "b50_dist_windows" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         |  PERCENT_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS pct_rank,

@@ -1589,4 +1589,74 @@ object Formats {
     }
     readDeltaTable(spark, dir)
   }
+
+  /** s26 delete predicate — crosses every bucket, deletes ≈ 1/7 of
+    * the table, and is key-independent of the bucket function so a
+    * positional mixup cannot cancel out.
+    */
+  val PosDeleteMod = 7L
+  val PosDeleteRem = 3L
+  val PosDeleteBuckets = 4
+
+  /** S26: merge-on-read POSITION DELETES — the deletion-vector read
+    * path every modern lakehouse serves (Delta DVs, Iceberg v2
+    * position delete files): a delete commits only a tiny (file, row
+    * position) sidecar, and readers subtract it at scan time instead
+    * of rewriting data files. The table is laid out as one sorted
+    * file per bucket so positions are deterministic; the DV is BUILT
+    * the way production engines build it — read the table back with
+    * the hidden parquet `_metadata.row_index` column and record the
+    * positions of rows matching the delete predicate; the GATE then
+    * re-reads base + DV and anti-joins on (bucket, row_index),
+    * emitting the surviving rows row-for-row. The oracle reconstructs
+    * positions relationally (rank by key within bucket), so the
+    * parquet row index diverging from the written sort order, a
+    * dropped survivor, or an undeleted row all break the hash. Scale:
+    * the DV is ∝ deletes and broadcasts against the base scan — the
+    * whole point of merge-on-read is that the 100 TB base is never
+    * rewritten; the anti-join is the only added cost.
+    */
+  def s26PositionDeletes(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = scratch(spark, "posdel", sfDir)
+    val tbl = s"$base/t"
+    val dvDir = s"$base/dv"
+    val marker = new Path(s"$base/done")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
+      val src = Tables
+        .orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      (0 until PosDeleteBuckets).foreach { b =>
+        src
+          .filter(col("o_orderkey") % PosDeleteBuckets === b)
+          .repartition(1)
+          .sortWithinPartitions("o_orderkey")
+          .write
+          .mode("overwrite")
+          .parquet(s"$tbl/bucket=$b")
+      }
+      spark.read
+        .parquet(tbl)
+        .select(col("o_custkey"), col("bucket"), col("_metadata").getField("row_index").as("pos"))
+        .filter(col("o_custkey") % PosDeleteMod === PosDeleteRem)
+        .select(col("bucket"), col("pos"))
+        .write
+        .mode("overwrite")
+        .parquet(dvDir)
+      fs.create(marker, true).close()
+    }
+    val dv = spark.read.parquet(dvDir)
+    spark.read
+      .parquet(tbl)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        col("o_totalprice"),
+        col("o_orderstatus"),
+        col("bucket"),
+        col("_metadata").getField("row_index").as("pos")
+      )
+      .join(broadcast(dv), Seq("bucket", "pos"), "left_anti")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+  }
 }

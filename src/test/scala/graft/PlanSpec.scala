@@ -138,6 +138,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("s26: position deletes — DV broadcasts into a LEFT ANTI probe; survivors are exactly the non-deleted rows") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.sources.Formats.s26PositionDeletes(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("LeftAnti"), s"merge-on-read subtract missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the deletes-sized DV must broadcast against the base scan:\n$p")
+    // the DV was built through _metadata.row_index — survivors must be
+    // row-for-row the predicate complement, so a positional mixup
+    // (row_index diverging from the written sort order) deletes the
+    // WRONG rows and fails here even when counts agree
+    val survivors = df.collect().map(_.getLong(0)).toSet
+    val expected = graft.sources.Tables
+      .orders(spark, sf0001)
+      .filter(!(col("o_custkey") % graft.sources.Formats.PosDeleteMod === graft.sources.Formats.PosDeleteRem))
+      .select(col("o_orderkey"))
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(survivors == expected, s"missed=${(expected -- survivors).take(3)} extra=${(survivors -- expected).take(3)}")
+  }
+
   test("a14: full-outer windowed join decomposes into keyed joins — no nested loop") {
     val df = EventStreamOps.a14OuterJoin(spark, sf0001)
     df.collect()
