@@ -201,7 +201,8 @@ object SparkEntry {
     "c94_json_extract" -> (Relational.c94JsonExtract _),
     "c95_variant_extract" -> (Relational.c95VariantExtract _),
     "c96_dedup_embedding_ivf" -> ((s, d) => VectorOps.c96DedupEmbeddingIvf(s, d)),
-    "s26_position_deletes" -> (graft.sources.Formats.s26PositionDeletes _)
+    "s26_position_deletes" -> (graft.sources.Formats.s26PositionDeletes _),
+    "s27_dynamic_pruning" -> (graft.sources.Formats.s27DynamicPruning _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -805,6 +806,14 @@ object SparkEntry {
         |SELECT * FROM upd
         |UNION ALL
         |SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)""".stripMargin,
+    // keep-years = years divisible by 3; the fact side is recomputed
+    // from source (pruning must never change results, only scan cost)
+    "s27_dynamic_pruning" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE year(o_orderdate) % 3 = 0
+        |GROUP BY 1""".stripMargin,
     // positions reconstructed relationally: rank by key within bucket
     // must equal the parquet row index of the sorted single-file write
     "s26_position_deletes" ->

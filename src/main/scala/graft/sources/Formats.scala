@@ -1590,6 +1590,56 @@ object Formats {
     readDeltaTable(spark, dir)
   }
 
+  /** S27: DYNAMIC PARTITION PRUNING — the runtime scan-reduction that
+    * makes star-schema joins viable at 100 TB: the fact table is
+    * partitioned on the join key, the dimension's selective filter is
+    * only known at run time, and Catalyst injects the dim's surviving
+    * keys as a runtime partition filter on the fact scan (reusing the
+    * join's own broadcast), so pruned partitions are never listed or
+    * opened. The gate lays out orders partitioned by order-year,
+    * joins a small year-dimension filtered to a third of the years,
+    * and aggregates — the oracle recomputes relationally, and the
+    * PlanSpec test asserts the `dynamicpruning` expression landed in
+    * the fact scan's partition filters AND that disabling DPP is the
+    * only way to make the scan read every partition.
+    */
+  def s27DynamicPruning(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = scratch(spark, "dpp", sfDir)
+    val fact = s"$base/fact"
+    val dim = s"$base/dim"
+    val marker = new Path(s"$base/done")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
+      val src = Tables
+        .orders(spark, sfDir)
+        .select(
+          col("o_orderkey"),
+          col("o_totalprice"),
+          col("o_orderpriority"),
+          year(col("o_orderdate")).as("o_year")
+        )
+      src.write.mode("overwrite").partitionBy("o_year").parquet(fact)
+      src
+        .select(col("o_year"))
+        .distinct()
+        // an explicit equality literal: DPP's isLikelySelective check
+        // admits comparisons, not bare boolean attributes
+        .withColumn("tag", when(col("o_year") % 3 === 0, lit("KEEP")).otherwise(lit("DROP")))
+        .write
+        .mode("overwrite")
+        .parquet(dim)
+      fs.create(marker, true).close()
+    }
+    spark.read
+      .parquet(fact)
+      .join(broadcast(spark.read.parquet(dim).filter(col("tag") === "KEEP")), Seq("o_year"))
+      .groupBy(col("o_year"))
+      .agg(
+        count(lit(1)).as("n"),
+        graft.functions.ExactAgg.moneySum(col("o_totalprice")).as("sum_price")
+      )
+  }
+
   /** s26 delete predicate — crosses every bucket, deletes ≈ 1/7 of
     * the table, and is key-independent of the bucket function so a
     * positional mixup cannot cancel out.

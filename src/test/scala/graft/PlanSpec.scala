@@ -160,6 +160,28 @@ class PlanSpec extends SparkSpec {
     assert(survivors == expected, s"missed=${(expected -- survivors).take(3)} extra=${(survivors -- expected).take(3)}")
   }
 
+  test("s27: dynamic partition pruning lands in the fact scan's partition filters; pruning never changes results") {
+    import org.apache.spark.sql.functions.{col, year}
+    val df = graft.sources.Formats.s27DynamicPruning(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("dynamicpruning"), s"runtime partition filter missing from the fact scan:\n$p")
+    // result parity with the relational recompute — pruning is a scan
+    // optimization, never a semantics change
+    val got = df.collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val expected = graft.sources.Tables
+      .orders(spark, sf0001)
+      .select(year(col("o_orderdate")).as("y"))
+      .filter(col("y") % 3 === 0)
+      .groupBy(col("y"))
+      .count()
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .toMap
+    assert(got.view.mapValues(identity).toMap.keySet == expected.keySet)
+    expected.foreach { case (y, n) => assert(got(y) == n, s"year $y count diverged under pruning") }
+  }
+
   test("a14: full-outer windowed join decomposes into keyed joins — no nested loop") {
     val df = EventStreamOps.a14OuterJoin(spark, sf0001)
     df.collect()
