@@ -202,7 +202,8 @@ object SparkEntry {
     "c95_variant_extract" -> (Relational.c95VariantExtract _),
     "c96_dedup_embedding_ivf" -> ((s, d) => VectorOps.c96DedupEmbeddingIvf(s, d)),
     "s26_position_deletes" -> (graft.sources.Formats.s26PositionDeletes _),
-    "s27_dynamic_pruning" -> (graft.sources.Formats.s27DynamicPruning _)
+    "s27_dynamic_pruning" -> (graft.sources.Formats.s27DynamicPruning _),
+    "s28_equality_deletes" -> (graft.sources.Formats.s28EqualityDeletes _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -806,6 +807,15 @@ object SparkEntry {
         |SELECT * FROM upd
         |UNION ALL
         |SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)""".stripMargin,
+    // equality delete applies only to sequence-1 rows; the sequence-3
+    // re-insert of every 22nd key survives with its new status
+    "s28_equality_deletes" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM base WHERE o_orderkey % 11 <> 5
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, 'R' AS o_orderstatus
+        |FROM base WHERE o_orderkey % 22 = 5""".stripMargin,
     // keep-years = years divisible by 3; the fact side is recomputed
     // from source (pruning must never change results, only scan cost)
     "s27_dynamic_pruning" ->

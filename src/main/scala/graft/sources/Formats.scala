@@ -1640,6 +1640,56 @@ object Formats {
       )
   }
 
+  /** S28: EQUALITY DELETES with sequence semantics — the other
+    * Iceberg v2 delete flavor (s26 carries the positional one): the
+    * sidecar stores KEY VALUES, so it applies to any data file
+    * written BEFORE the delete (sequence < delete sequence) without
+    * knowing row positions — and, critically, NOT to later appends:
+    * a key re-inserted after the delete must survive. The gate
+    * commits base data at sequence 1, an equality-delete file at
+    * sequence 2, and a re-insert append at sequence 3 that writes a
+    * subset of the deleted keys back with a new status; the read path
+    * is one broadcast LEFT ANTI join on (key equal AND delete-seq >
+    * data-seq). An engine that ignores sequencing kills the
+    * re-inserted rows; one that ignores the delete resurrects old
+    * rows — both break the row-exact oracle.
+    */
+  def s28EqualityDeletes(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = scratch(spark, "eqdel", sfDir)
+    val tbl = s"$base/t"
+    val edDir = s"$base/ed"
+    val marker = new Path(s"$base/done")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
+      val src = Tables
+        .orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      src.write.mode("overwrite").parquet(s"$tbl/seq=1")
+      src
+        .filter(col("o_orderkey") % 11 === 5)
+        .select(col("o_orderkey").as("del_key"), lit(2L).as("dseq"))
+        .write
+        .mode("overwrite")
+        .parquet(edDir)
+      src
+        .filter(col("o_orderkey") % 22 === 5)
+        .withColumn("o_orderstatus", lit("R"))
+        .write
+        .mode("overwrite")
+        .parquet(s"$tbl/seq=3")
+      fs.create(marker, true).close()
+    }
+    val data = spark.read.parquet(tbl)
+    val dels = spark.read.parquet(edDir)
+    data
+      .join(
+        broadcast(dels),
+        data("o_orderkey") === dels("del_key") && dels("dseq") > data("seq"),
+        "left_anti"
+      )
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+  }
+
   /** s26 delete predicate — crosses every bucket, deletes ≈ 1/7 of
     * the table, and is key-independent of the bucket function so a
     * positional mixup cannot cancel out.

@@ -182,6 +182,26 @@ class PlanSpec extends SparkSpec {
     expected.foreach { case (y, n) => assert(got(y) == n, s"year $y count diverged under pruning") }
   }
 
+  test("s28: equality deletes — broadcast anti with the sequence guard; re-inserts survive, stale rows die") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.sources.Formats.s28EqualityDeletes(spark, sf0001)
+    val p = { df.collect(); plan(df) }
+    assert(p.contains("LeftAnti"), s"equality-delete subtract missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the deletes-sized sidecar must broadcast:\n$p")
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(3)))
+    val byKey = rows.groupBy(_._1)
+    val keys = graft.sources.Tables.orders(spark, sf0001).select(col("o_orderkey")).collect().map(_.getLong(0))
+    keys.foreach { k =>
+      if (k % 22 == 5)
+        // deleted at seq 2, re-inserted at seq 3: exactly one survivor, the new row
+        assert(byKey(k).map(_._2).toSeq == Seq("R"), s"re-inserted key $k lost or duplicated: ${byKey.get(k)}")
+      else if (k % 11 == 5)
+        assert(!byKey.contains(k), s"deleted key $k resurrected")
+      else
+        assert(byKey(k).length == 1 && byKey(k).head._2 != "R", s"untouched key $k mutated: ${byKey.get(k)}")
+    }
+  }
+
   test("a14: full-outer windowed join decomposes into keyed joins — no nested loop") {
     val df = EventStreamOps.a14OuterJoin(spark, sf0001)
     df.collect()
