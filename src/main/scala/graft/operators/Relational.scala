@@ -370,23 +370,34 @@ object Relational {
   def c95VariantExtract(spark: SparkSession, sfDir: String): DataFrame =
     c95VariantExtractFrom(Tables.events(spark, sfDir))
 
+  /** The row-local VARIANT decode screen c95 aggregates over — split
+    * out because it is also the STREAMING ingest unit: a Kafka JSON
+    * payload decodes and binds per record with no state, no
+    * watermark, no shuffle (StreamingSpec drives it through a
+    * MemoryStream and pins row-for-row batch parity, malformed rows
+    * included). The VARIANT value itself never leaves the projection
+    * — only the validity bit and the typed bindings emit.
+    */
+  def variantScreen(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), try_parse_json(col("props")).as("v"))
+      .select(
+        col("event_type"),
+        col("v").isNotNull.as("valid"),
+        try_variant_get(col("v"), "$.k", "bigint").as("k"),
+        try_variant_get(col("v"), "$.k", "string").as("k_str")
+      )
+
   /** The variant pass over any (event_type, props) frame — split out
     * so the spec can plant malformed JSON (NULL variant) and
     * type-mismatched values (NULL binding, variant still valid).
     */
   def c95VariantExtractFrom(events: DataFrame): DataFrame =
-    events
-      .select(col("event_type"), try_parse_json(col("props")).as("v"))
-      .select(
-        col("event_type"),
-        col("v"),
-        try_variant_get(col("v"), "$.k", "bigint").as("k"),
-        try_variant_get(col("v"), "$.k", "string").as("k_str")
-      )
+    variantScreen(events)
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        count(col("v")).as("n_valid"),
+        count(when(col("valid"), lit(1))).as("n_valid"),
         sum(col("k")).as("sum_k"),
         max(col("k_str")).as("max_k_str")
       )

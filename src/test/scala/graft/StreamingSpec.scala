@@ -1028,6 +1028,45 @@ class StreamingSpec extends SparkSpec {
       "planted docs must fire both detectors")
   }
 
+  test("streaming variant decode screen matches batch row-for-row, malformed payloads included") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // gate events + planted decode/typing failures — the streaming
+    // ingest must classify them identically to the batch screen
+    val rows = graft.sources.Tables
+      .events(spark, sf0001)
+      .select(col("event_type"), col("props"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1))) ++ Array(
+      ("click", """{broken"""),
+      ("click", """{"other": 3}"""),
+      ("view", """{"k": "zz"}""")
+    )
+    val input = MemoryStream[(String, String)]
+    val q = graft.operators.Relational
+      .variantScreen(input.toDS().toDF("event_type", "props"))
+      .writeStream
+      .format("memory")
+      .queryName("variant_screen_out")
+      .outputMode("append")
+      .start()
+    rows.grouped(500).foreach { c =>
+      input.addData(c.toSeq)
+      q.processAllAvailable()
+    }
+    val streamed = spark.table("variant_screen_out").collect().map(_.toSeq)
+    q.stop()
+    val batch = graft.operators.Relational
+      .variantScreen(rows.toSeq.toDF("event_type", "props"))
+      .collect()
+      .map(_.toSeq)
+    // multiset parity (duplicate payloads are legitimate rows)
+    def bag(xs: Array[Seq[Any]]) = xs.groupBy(identity).view.mapValues(_.length).toMap
+    assert(bag(streamed) == bag(batch))
+    assert(batch.exists(r => r(1) == false), "planted malformed row must stream through the invalid branch")
+  }
+
   test("streaming gopher signals match batch c66 row-for-row (stateless screen parity)") {
     import org.apache.spark.sql.functions.col
     val docs = graft.sources.Tables
