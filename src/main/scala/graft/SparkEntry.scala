@@ -203,7 +203,8 @@ object SparkEntry {
     "c96_dedup_embedding_ivf" -> ((s, d) => VectorOps.c96DedupEmbeddingIvf(s, d)),
     "s26_position_deletes" -> (graft.sources.Formats.s26PositionDeletes _),
     "s27_dynamic_pruning" -> (graft.sources.Formats.s27DynamicPruning _),
-    "s28_equality_deletes" -> (graft.sources.Formats.s28EqualityDeletes _)
+    "s28_equality_deletes" -> (graft.sources.Formats.s28EqualityDeletes _),
+    "c97_cross_rerank" -> (VectorOps.c97CrossRerank _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -1136,6 +1137,38 @@ object SparkEntry {
         |  cos
         |FROM sc
         |QUALIFY rank <= ${VectorOps.RagTopK}""".stripMargin
+    },
+    // c57's shortlist with the hashes carried + the md5 pair scorer:
+    // first 8 hex digits over 2^32 — an exact double in both engines
+    "c97_cross_rerank" -> {
+      val cs = TextAnalysis.ChunkSize
+      val st = TextAnalysis.ChunkStride
+      val embed =
+        s"""list_transform(generate_series(0, ${VectorOps.RagDims - 1}),
+           |  j -> CAST(CAST(concat('0x', substr(h, CAST(j * 4 + 1 AS INT), 4)) AS BIGINT) AS DOUBLE) - 32768.0)""".stripMargin
+      val values = VectorOps.RagQueryTexts.zipWithIndex
+        .map { case (t, i) => s"($i, '$t')" }
+        .mkString(", ")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |n AS (SELECT doc_id, w, greatest(CAST(ceil(CAST(len(w) - $cs AS DOUBLE) / $st) AS INT), 0) + 1 AS nc FROM d),
+        |c AS (SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS ci FROM n),
+        |s AS (SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+        |  md5(array_to_string(list_slice(w, ci * $st + 1, ci * $st + $cs), ' ')) AS h FROM c),
+        |ce AS (SELECT doc_id, chunk_idx, h, $embed AS v FROM s),
+        |cn AS (SELECT doc_id, chunk_idx, h, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv FROM ce),
+        |q AS (SELECT CAST(query_id AS BIGINT) AS query_id, md5(qtext) AS h FROM (VALUES $values) AS t(query_id, qtext)),
+        |qe AS (SELECT query_id, h AS qh, $embed AS v FROM q),
+        |qn AS (SELECT query_id, qh, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS qv FROM qe),
+        |sc AS (SELECT query_id, qh, doc_id, chunk_idx, h, list_dot_product(qv, cv) AS cos FROM qn, cn),
+        |top AS (SELECT query_id, qh, doc_id, chunk_idx, h,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id, chunk_idx) AS BIGINT) AS first_rank
+        |  FROM sc QUALIFY first_rank <= ${VectorOps.RagTopK}),
+        |scored AS (SELECT query_id, doc_id, chunk_idx, first_rank,
+        |  CAST(concat('0x', substr(md5(concat(qh, '|', h)), 1, 8)) AS BIGINT) / 4294967296.0 AS ce_score
+        |  FROM top)
+        |SELECT query_id, doc_id, chunk_idx, first_rank, ce_score,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ce_score DESC, doc_id, chunk_idx) AS BIGINT) AS rank
+        |FROM scored""".stripMargin
     },
     // vocabulary-weighted adjacent-char pairs; the window mirrors the
     // Spark rank exactly (n DESC, pair) so ties cut identically

@@ -341,20 +341,31 @@ object VectorOps {
     * exact form — c6's posture on a derived index instead of a stored
     * table.
     */
-  def c57RagRetrieval(spark: SparkSession, sfDir: String): DataFrame = {
+  def c57RagRetrieval(spark: SparkSession, sfDir: String): DataFrame =
+    ragShortlist(spark, sfDir)
+      .select(col("query_id"), col("doc_id"), col("chunk_idx"), col("rank"), col("cos"))
+
+  /** The first-stage shortlist shared by c57 (which drops the hash
+    * payloads) and c97 (whose pair scorer needs them): top-k chunks
+    * per query with the chunk and query md5s riding the bounded heap —
+    * carrying them costs nothing and saves the rerank stage a second
+    * pass over the corpus-sized chunk stream.
+    */
+  def ragShortlist(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val chunks = graft.operators.TextAnalysis
       .chunked(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
-      .select(col("doc_id"), col("chunk_idx"), md5Embed(col("chunk_md5")).as("cv"))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_md5"), md5Embed(col("chunk_md5")).as("cv"))
     val queries = RagQueryTexts.zipWithIndex
       .map { case (t, i) => (i.toLong, t) }
       .toDF("query_id", "qtext")
-      .select(col("query_id"), md5Embed(md5(col("qtext"))).as("qv"))
+      .select(col("query_id"), md5(col("qtext")).as("qh"))
+      .select(col("query_id"), col("qh"), md5Embed(col("qh")).as("qv"))
     val scored = chunks
       .crossJoin(broadcast(queries))
       .withColumn("cos", arrayDot(col("qv"), col("cv")))
     val top = graft.plans.TopKPerKey.topKPerKey(
-      scored.select(col("query_id"), col("doc_id"), col("chunk_idx"), col("cos")),
+      scored.select(col("query_id"), col("qh"), col("doc_id"), col("chunk_idx"), col("chunk_md5"), col("cos")),
       keyCols = Seq("query_id"),
       orderBy = Seq(("cos", false), ("doc_id", true), ("chunk_idx", true)),
       k = RagTopK
@@ -362,9 +373,41 @@ object VectorOps {
     val w = Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("doc_id"), col("chunk_idx"))
-    top
+    top.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** c97's score normalizer — 2³², a power of two, so the division is
+    * exact and both engines produce the identical double.
+    */
+  val CeNorm = 4294967296.0d
+
+  /** C97: CROSS-ENCODER RERANK — the second stage of every production
+    * retrieval stack: the cheap first stage (bi-encoder cosine, c57)
+    * shortlists k candidates per query, then an expensive PAIRWISE
+    * scorer re-orders only the shortlist. The stub scorer is
+    * deterministic md5 over the (query, chunk) pair (c12's posture —
+    * a real cross-encoder swaps in at the same boundary), so the
+    * oracle recomputes it; its first 8 hex digits over 2³² give an
+    * exact double in both engines. Scale: the pair scorer evaluates
+    * on |queries|·k rows ONLY — the corpus-sized chunk stream is
+    * touched once, in the first stage, and the rerank window sorts
+    * ≤ k rows per query.
+    */
+  def c97CrossRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val sl = ragShortlist(spark, sfDir)
+    val ce = sl
+      .withColumn(
+        "ce_score",
+        conv(substring(md5(concat_ws("|", col("qh"), col("chunk_md5"))), 1, 8), 16, 10)
+          .cast("double") / lit(CeNorm)
+      )
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("ce_score").desc, col("doc_id"), col("chunk_idx"))
+    ce
+      .withColumn("first_rank", col("rank"))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .select(col("query_id"), col("doc_id"), col("chunk_idx"), col("rank"), col("cos"))
+      .select(col("query_id"), col("doc_id"), col("chunk_idx"), col("first_rank"), col("ce_score"), col("rank"))
   }
 
   /** Deterministic ±1 random hyperplanes derived from MD5 — public,

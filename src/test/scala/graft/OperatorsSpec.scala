@@ -586,6 +586,50 @@ class OperatorsSpec extends SparkSpec {
       .count()
   }
 
+  test("c97 rerank: permutes c57's shortlist per query; pair scores re-derived bit-exactly in JVM") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+    val shortlist = VectorOps
+      .c57RagRetrieval(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val reranked = VectorOps.c97CrossRerank(spark, sf0001).collect()
+    // same membership per query, ranks 1..k, ordered by ce_score desc
+    assert(
+      reranked.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == shortlist.toSet,
+      "rerank changed the candidate set — the expensive stage may only re-order"
+    )
+    reranked.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(5))
+      assert(sorted.map(_.getLong(5)).toSeq == (1L to sorted.length))
+      assert(sorted.sliding(2).forall {
+        case Array(x, y) => x.getDouble(4) >= y.getDouble(4)
+        case _ => true
+      })
+    }
+    // re-derive every pair score outside Spark: re-chunk the doc text
+    // with the same grid, md5 the (query md5 | chunk md5) pair, first
+    // 8 hex digits over 2^32
+    val texts = graft.sources.Tables
+      .documents(spark, sf0001)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    reranked.foreach { r =>
+      val (q, doc, ci) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val w = texts(doc).split(" ", -1) // exact string_split semantics, empties kept
+      val cw = w.slice((ci * TextAnalysis.ChunkStride).toInt, (ci * TextAnalysis.ChunkStride).toInt + TextAnalysis.ChunkSize)
+      val h = md5hex(cw.mkString(" "))
+      val qh = md5hex(VectorOps.RagQueryTexts(q.toInt))
+      val expected = java.lang.Long.parseLong(md5hex(s"$qh|$h").take(8), 16).toDouble / VectorOps.CeNorm
+      assert(r.getDouble(4) == expected, s"ce_score diverged for query $q doc $doc chunk $ci")
+    }
+  }
+
   test("c6 ANN: exactly top-k ranks per query, cosine non-increasing in rank") {
     val rows = VectorOps.c6AnnBruteforce(spark, sf0001).collect()
     val byQuery = rows.groupBy(_.getLong(0))

@@ -2634,7 +2634,8 @@ class PlanSpec extends SparkSpec {
       "c90_bitext_margin_ivf" -> "broadcast bounded seeded-centroid frame; the corpus-sized meets are keyed list_id joins",
       "c82_semantic_decontam" -> "broadcast eval-vector set vs corpus; eval sets are small by contract (c21's posture)",
       "c87_ann_jl" -> "broadcast ≤10-query frame; the corpus streams its 4x-smaller sketch column (c6's posture)",
-      "c96_dedup_embedding_ivf" -> "broadcast bounded seeded-centroid frame; the corpus-sized pair meet is a keyed list_id join (c61's posture)"
+      "c96_dedup_embedding_ivf" -> "broadcast bounded seeded-centroid frame; the corpus-sized pair meet is a keyed list_id join (c61's posture)",
+      "c97_cross_rerank" -> "inherits c57's broadcast 2-query × chunk-stream first stage; the pair scorer touches only the k-per-query shortlist"
     )
     // Unpartitioned windows are allowed only over an AGGREGATED frame
     // (bucket/band offsets — rows ∝ buckets, not corpus); a global
