@@ -204,7 +204,8 @@ object SparkEntry {
     "s26_position_deletes" -> (graft.sources.Formats.s26PositionDeletes _),
     "s27_dynamic_pruning" -> (graft.sources.Formats.s27DynamicPruning _),
     "s28_equality_deletes" -> (graft.sources.Formats.s28EqualityDeletes _),
-    "c97_cross_rerank" -> (VectorOps.c97CrossRerank _)
+    "c97_cross_rerank" -> (VectorOps.c97CrossRerank _),
+    "b52_null_semantics" -> (Relational.b52NullSemantics _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names as the
@@ -519,6 +520,17 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
+    // NULLS FIRST is explicit: Spark's ascending default, DuckDB's is
+    // NULLS LAST — relying on either engine's default is the bug
+    "b52_null_semantics" ->
+      """WITH t AS (SELECT nullif(o_orderkey % 5, 0) AS k, o_totalprice FROM orders),
+        |g AS (SELECT k, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |  FROM t GROUP BY k),
+        |d AS (SELECT * FROM (VALUES (CAST(NULL AS BIGINT)), (CAST(1 AS BIGINT)), (CAST(3 AS BIGINT))) AS v(dk))
+        |SELECT k, n, sum_price,
+        |  CAST(RANK() OVER (ORDER BY k ASC NULLS FIRST) AS BIGINT) AS rk
+        |FROM g JOIN d ON g.k IS NOT DISTINCT FROM d.dk""".stripMargin,
     "c94_json_extract" ->
       """SELECT event_type,
         |  COUNT(*) AS n_events,

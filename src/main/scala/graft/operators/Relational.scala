@@ -402,6 +402,34 @@ object Relational {
         max(col("k_str")).as("max_k_str")
       )
 
+  /** B52: NULL-semantics battery — the three corners of SQL null
+    * handling every engine must agree on and none of the other gates
+    * isolates: (1) NULL as a GROUP key (grouping treats NULLs as one
+    * group — unlike equality, which never matches them); (2)
+    * null-safe equality `<=>` as a JOIN key (NULL must meet NULL —
+    * Catalyst plans it as a hash join on coalesced keys, not a
+    * nested loop); (3) explicit NULLS FIRST ordering (Spark's
+    * ascending default — DuckDB defaults NULLS LAST, so the oracle
+    * must spell it out; silent engine defaults are exactly the bug
+    * this gate pins). NULLs are derived deterministically with
+    * `nullif`, since the source tables ship none. The window runs
+    * over the ≤5-row aggregated frame — bounded, not a corpus sort.
+    */
+  def b52NullSemantics(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val grouped = Tables
+      .orders(spark, sfDir)
+      .select(nullif(col("o_orderkey") % 5, lit(0)).as("k"), col("o_totalprice"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+    val dim = Seq(Option.empty[Long], Some(1L), Some(3L)).toDF("dk")
+    val w = Window.orderBy(col("k").asc_nulls_first)
+    grouped
+      .join(broadcast(dim), col("k") <=> col("dk"))
+      .withColumn("rk", rank().over(w).cast("long"))
+      .select(col("k"), col("n"), col("sum_price"), col("rk"))
+  }
+
   /** B11: scalar + correlated-style subquery — orders above their
     * priority class's average price. Declared as a join against the
     * per-class aggregate (what Catalyst de-correlates subqueries into).

@@ -436,6 +436,23 @@ class OperatorsSpec extends SparkSpec {
     assert(hotBuckets > 0, s"no bucket exceeds HotBucketT=${TextDedup.HotBucketT} at sf0.01 — refinement untested")
   }
 
+  test("b52 null semantics: NULL groups once, meets NULL through <=>, and sorts first — JVM re-derived") {
+    val keys = graft.sources.Tables
+      .orders(spark, sf0001)
+      .select(col("o_orderkey"))
+      .collect()
+      .map(_.getLong(0) % 5)
+    val expected = keys.groupBy(k => if (k == 0) None else Some(k)).map { case (k, xs) => k -> xs.length.toLong }
+    val rows = Relational.b52NullSemantics(spark, sf0001).collect()
+    val got = rows.map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> ((r.getLong(1), r.getLong(3)))).toMap
+    // the null-safe dim keeps exactly {NULL, 1, 3}: NULL survived the
+    // join (ordinary equality would have dropped it) as ONE group
+    assert(got.keySet == Set(None, Some(1L), Some(3L)))
+    got.foreach { case (k, (n, _)) => assert(n == expected(k), s"group $k count diverged") }
+    // NULLS FIRST: the null group ranks 1, then 1, then 3
+    assert(got(None)._2 == 1L && got(Some(1L))._2 == 2L && got(Some(3L))._2 == 3L)
+  }
+
   test("c94 json extract: JVM re-derivation exact; PERMISSIVE null accounting on planted bad payloads") {
     // gate-shape re-derivation: parse the payloads in plain JVM code
     // and recompute all six aggregates bit-exactly
