@@ -534,18 +534,18 @@ object SparkEntry {
     "c94_json_extract" ->
       """SELECT event_type,
         |  COUNT(*) AS n_events,
-        |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_parsed,
-        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-        |  COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
+        |  COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_parsed,
+        |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  COUNT(DISTINCT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
         |FROM events
         |GROUP BY event_type""".stripMargin,
     "c95_variant_extract" ->
       """SELECT event_type,
         |  COUNT(*) AS n_events,
         |  COUNT(CASE WHEN json_valid(props) THEN 1 END) AS n_valid,
-        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MAX(json_extract_string(props, '$.k')) AS max_k_str
         |FROM events
         |GROUP BY event_type""".stripMargin,

@@ -190,6 +190,10 @@ object TextAnalysis {
     */
   private val clusterCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  // apps that already carry the cleanup listener — one listener per
+  // SparkContext, not one per (app, sfDir) cache entry
+  private val cleanupRegistered =
+    scala.collection.mutable.Set.empty[String]
 
   def c16DedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     // pairs come from the LSH scale path (c3), not the inverted-index
@@ -202,10 +206,15 @@ object TextAnalysis {
     clusterCache.get(key).getOrElse(clusterCache.synchronized {
       clusterCache.getOrElseUpdate(key, {
         val sc = spark.sparkContext
-        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-            clusterCache.filterInPlace { case ((app, _), _) => app != sc.applicationId }
-        })
+        if (cleanupRegistered.add(sc.applicationId)) {
+          sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              clusterCache.synchronized {
+                clusterCache.filterInPlace { case ((app, _), _) => app != sc.applicationId }
+                cleanupRegistered.remove(sc.applicationId)
+              }
+          })
+        }
         c16DedupClustersFrom(TextDedup.c3MinHashLsh(spark, sfDir)).localCheckpoint()
       })
     })
@@ -1285,9 +1294,13 @@ object TextAnalysis {
     * index). Scored with the RATIONAL idf variant — idf_r(t) =
     * (N − df + 0.5)/(df + 0.5), the argument of classic BM25's log —
     * because libm `ln` is not guaranteed bit-identical across engines
-    * while +,·,/ are correctly rounded everywhere: per-term ranking is
-    * unchanged (log is monotone) and every float op reproduces in
-    * DuckDB bit-for-bit.
+    * while +,·,/ are correctly rounded everywhere. Honest contract: this
+    * is a rational-idf BM25 VARIANT chosen for cross-engine float
+    * exactness (oracle-consistent by construction). It ranks identically
+    * to classic log-idf BM25 only for single-term queries — the score is
+    * a SUM over query terms, and a sum of per-term monotone transforms
+    * is not a monotone transform of the sum, so multi-term rankings can
+    * diverge from classic BM25.
     *
     * Scale: pass 1 collapses the corpus to ONE bounded aggregate row
     * (N, Σdl, one df counter per distinct query term — map-side

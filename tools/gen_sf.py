@@ -28,6 +28,7 @@ Never writes into /root/testdata (read-only) — pass an output root like
 Deterministic: every column derives from numpy PCG64 seeded per-table;
 re-running reproduces byte-identical values (row order included).
 """
+import hashlib
 import os
 import sys
 
@@ -53,7 +54,11 @@ N_EMB = int(20_000 * SF)
 
 
 def rng(name):
-    return np.random.Generator(np.random.PCG64(hash(("graft_sf", name, sfs)) & 0x7FFFFFFF))
+    # hashlib, not built-in hash(): str hashing is SipHash-salted per process
+    # (PYTHONHASHSEED), which would make "re-running reproduces byte-identical
+    # values" false across interpreter invocations.
+    digest = hashlib.md5(f"graft_sf|{name}|{sfs}".encode()).digest()
+    return np.random.Generator(np.random.PCG64(int.from_bytes(digest[:4], "big")))
 
 
 def write(name, cols, schema=None):
