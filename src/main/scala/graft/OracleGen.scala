@@ -568,6 +568,74 @@ object OracleGen {
        |QUALIFY rank <= 5""".stripMargin
   }
 
+  /** c24 = the TRAINED-quantizer IVF pipeline recomputed end to end:
+    * md5-threshold training sample, init = first k sample vectors in
+    * md5-of-id order, the Lloyd iterations UNROLLED (one CTE chain per
+    * round: argmax assignment → per-(list, dim) strict sequential fold
+    * over members in ascending neighbor_id order via
+    * `list_reduce(list(val ORDER BY neighbor_id))` → normalized means,
+    * empty lists keep the previous centroid), then the c18-shaped
+    * assignment / probe / top-k plus the recall@5 instrumentation
+    * column vs the exact brute-force top-5. Bit-exact against the Spark
+    * side because trainCentroids folds the identical adds in the
+    * identical order (see its scaladoc); every other float op is the
+    * established list_dot_product / division idiom.
+    */
+  val c24AnnIvfTrained: String = {
+    import graft.operators.VectorOps.{C24Iters, C24Lists, C24Probes, NumQueryVecs, SampleHashMod, TrainSampleN}
+    val iterCtes = (1 to C24Iters)
+      .map { i =>
+        val prev = s"cent${i - 1}"
+        s"""asg$i AS (SELECT s.neighbor_id, s.vn, c.cid,
+           |  ROW_NUMBER() OVER (PARTITION BY s.neighbor_id ORDER BY list_dot_product(s.vn, c.cv) DESC, c.cid) rn
+           |  FROM samp s CROSS JOIN $prev c),
+           |dim$i AS (SELECT cid, neighbor_id, unnest(generate_series(1, len(vn))) AS pos, unnest(vn) AS val
+           |  FROM asg$i WHERE rn = 1),
+           |sum$i AS (SELECT cid, pos, list_reduce(list(val ORDER BY neighbor_id), (a, b) -> a + b) AS s, COUNT(*) AS n
+           |  FROM dim$i GROUP BY cid, pos),
+           |vec$i AS (SELECT cid, list(s / n ORDER BY pos) AS mv FROM sum$i GROUP BY cid),
+           |cent$i AS (SELECT p.cid,
+           |  CASE WHEN v.mv IS NULL OR sqrt(list_dot_product(v.mv, v.mv)) = 0 THEN p.cv
+           |       ELSE list_transform(v.mv, x -> x / sqrt(list_dot_product(v.mv, v.mv))) END AS cv
+           |  FROM $prev p LEFT JOIN vec$i v ON v.cid = p.cid)""".stripMargin
+      }
+      .mkString(",\n")
+    val centF = s"cent$C24Iters"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |nm AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),
+       |q AS (SELECT vec_id AS query_id, vn AS qv FROM nm WHERE vec_id < $NumQueryVecs),
+       |cand AS (SELECT vec_id AS neighbor_id, vn FROM nm WHERE vec_id >= $NumQueryVecs),
+       |samp AS (SELECT neighbor_id, vn FROM cand, (SELECT COUNT(*) AS n FROM cand)
+       |  WHERE CAST(concat('0x', substr(md5(CAST(neighbor_id AS VARCHAR)), 1, 8)) AS BIGINT) % $SampleHashMod
+       |        < GREATEST(1, CAST(CEIL($SampleHashMod.0 * $TrainSampleN / n) AS BIGINT))),
+       |cent0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(neighbor_id AS VARCHAR))) AS INT) - 1 AS cid, vn AS cv
+       |  FROM samp QUALIFY cid < $C24Lists),
+       |$iterCtes,
+       |asgF AS (SELECT cand.neighbor_id, cand.vn, c.cid AS list_id,
+       |  ROW_NUMBER() OVER (PARTITION BY cand.neighbor_id ORDER BY list_dot_product(cand.vn, c.cv) DESC, c.cid) rn
+       |  FROM cand CROSS JOIN $centF c),
+       |corpus AS (SELECT neighbor_id, vn, list_id FROM asgF WHERE rn = 1),
+       |probe AS (SELECT query_id, qv, cid AS list_id FROM (
+       |  SELECT q.query_id, q.qv, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cid) pn
+       |  FROM q CROSS JOIN $centF c) WHERE pn <= $C24Probes),
+       |s AS (SELECT p.query_id, corpus.neighbor_id, list_dot_product(p.qv, corpus.vn) AS cos
+       |  FROM probe p JOIN corpus ON corpus.list_id = p.list_id),
+       |ivf AS (SELECT query_id, neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank, cos
+       |  FROM s QUALIFY rank <= 5),
+       |ex AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.query_id, cand.neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY list_dot_product(q.qv, cand.vn) DESC, cand.neighbor_id) rn
+       |  FROM q CROSS JOIN cand) WHERE rn <= 5),
+       |hits AS (SELECT i.query_id, COUNT(*) AS n_hits
+       |  FROM ivf i JOIN ex ON ex.query_id = i.query_id AND ex.neighbor_id = i.neighbor_id
+       |  GROUP BY i.query_id)
+       |SELECT i.query_id, i.neighbor_id, i.rank, i.cos,
+       |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall_at_5
+       |FROM ivf i LEFT JOIN hits h ON h.query_id = i.query_id""".stripMargin
+  }
+
   /** c61 = the IVF-bucketed kNN graph recomputed exactly: seeded
     * centroid assignment over ALL vectors, top-P probe lists per
     * vector, exact cosine rank within the probed lists, self excluded.

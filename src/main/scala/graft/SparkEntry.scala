@@ -624,6 +624,7 @@ object SparkEntry {
     "c96_dedup_embedding_ivf" -> OracleGen.c96DedupEmbeddingIvf,
     "c6_ann_bruteforce" -> OracleGen.c6AnnBruteforce,
     "c18_ann_ivf" -> OracleGen.c18AnnIvf,
+    "c24_ann_ivf_trained" -> OracleGen.c24AnnIvfTrained,
     "c35_semdedup" -> OracleGen.c35SemDedup,
     "c39_embedding_outliers" -> OracleGen.c39EmbeddingOutliers,
     "c69_cluster_purity" -> OracleGen.c69ClusterPurity,

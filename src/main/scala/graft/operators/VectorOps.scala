@@ -673,15 +673,34 @@ object VectorOps {
     */
   val SampleHashMod = 1000000L
 
+  /** Default quantizer training-sample size (FAISS-style ~hundreds of
+    * points per centroid at the gate's k) — a named constant because
+    * the c24 oracle must interpolate the same value.
+    */
+  val TrainSampleN = 6400
+
+  /** 32-bit md5-derived id hash — the oracle-expressible sibling of
+    * xxhash64 (DuckDB: `CAST(concat('0x', substr(md5(CAST(id AS
+    * VARCHAR)), 1, 8)) AS BIGINT)`), per the md5-only house rule for
+    * anything a DuckDB oracle must reproduce bit-for-bit. Training
+    * became oracle-visible in round 10 (c24 gates hash-exact), so the
+    * sample/init hashes switched from xxhash64 to this.
+    */
+  private def idHash32(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
   /** Deterministic hash-threshold training sample — c19's idiom applied
     * to quantizer training: keep a row iff
-    * `pmod(xxhash64(neighbor_id), M) < t`, with `t` sized from one
+    * `pmod(idHash32(neighbor_id), M) < t`, with `t` sized from one
     * distributed count so ~`sampleN` rows survive in expectation
     * (±√sampleN — Lloyd training is insensitive to ±2% sample size).
     * A narrow scan + filter: no global sort, no TakeOrdered, nothing
-    * merged driver-ward (the old `orderBy(xxhash64).limit(n)` was a
+    * merged driver-ward (the old `orderBy(hash).limit(n)` was a
     * global TakeOrdered — k×partitions rows sorted onto the driver,
     * the one driver-side bottleneck in the ANN family at corpus scale).
+    * The `n <= sampleN` early-exit is plan-only: it equals the filter
+    * with its computed threshold `t >= M` (everything passes), which is
+    * exactly how the c24 oracle mirrors it with no branch.
     * PlanSpec asserts the plan shape stays Sort-free.
     */
   def trainingSample(cands: DataFrame, sampleN: Int): DataFrame = {
@@ -690,24 +709,36 @@ object VectorOps {
     if (n <= sampleN) sel
     else {
       val t = math.max(1L, math.ceil(SampleHashMod.toDouble * sampleN / n).toLong)
-      sel.filter(pmod(xxhash64(col("neighbor_id")), lit(SampleHashMod)) < t)
+      sel.filter(pmod(idHash32(col("neighbor_id")), lit(SampleHashMod)) < t)
     }
   }
 
   /** Lloyd-iterated spherical k-means on a deterministic hash-threshold
     * sample of `cands` (`neighbor_id`, `vn` L2-normalized). Init = first
-    * k sample vectors in hash order (a TakeOrdered over the ≤ ~sampleN
-    * CHECKPOINTED rows — bounded by the sample size, never the corpus);
-    * each round assigns the sample map-side and recomputes centroids as
-    * the L2-normalized list means (k×dim sums collected — the only
-    * driver traffic). A list that loses all members keeps its previous
-    * centroid.
+    * k sample vectors in md5-of-id order (a TakeOrdered over the
+    * ≤ ~sampleN CHECKPOINTED rows — bounded by the sample size, never
+    * the corpus); each round assigns the sample map-side and recomputes
+    * centroids as the L2-normalized list means (k×dim sums collected —
+    * the only driver traffic). A list that loses all members keeps its
+    * previous centroid.
+    *
+    * BIT-STABLE BY CONSTRUCTION (round 10): each per-(list, dim) sum is
+    * a strict sequential left fold over members in ascending
+    * neighbor_id order (`sort_array(collect_list(struct(id, vn)))` then
+    * an `aggregate` fold), NOT a commutative `sum()` whose float order
+    * follows partitioning. Two runs — or two engines folding in the
+    * same id order — produce bit-identical centroids, which is what
+    * lets the c24 gate hash-exact against a DuckDB oracle that unrolls
+    * these same iterations (OracleGen.c24AnnIvfTrained). The fold costs
+    * the same adds as the old sum, minus map-side partial aggregation —
+    * irrelevant here because the SAMPLE (≤ ~6400 rows) is what's folded,
+    * never the corpus.
     */
-  def trainCentroids(cands: DataFrame, k: Int, iters: Int, sampleN: Int = 6400): Array[Array[Double]] = {
+  def trainCentroids(cands: DataFrame, k: Int, iters: Int, sampleN: Int = TrainSampleN): Array[Array[Double]] = {
     val train = trainingSample(cands, math.max(sampleN, k))
       .localCheckpoint() // reused iters+1 times; one corpus scan total
     var cents: Array[Array[Double]] = train
-      .orderBy(xxhash64(col("neighbor_id")))
+      .orderBy(md5(col("neighbor_id").cast("string")))
       .limit(k)
       .collect()
       .map(_.getSeq[Double](1).toArray)
@@ -715,16 +746,23 @@ object VectorOps {
     (1 to iters).foreach { _ =>
       val sums = train
         .withColumn("list_id", assignList(cents, col("vn")))
-        .select(col("list_id"), posexplode(col("vn")))
-        .groupBy(col("list_id"), col("pos"))
-        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("list_id"))
+        .agg(sort_array(collect_list(struct(col("neighbor_id"), col("vn")))).as("ms"))
+        .select(
+          col("list_id"),
+          size(col("ms")).as("n"),
+          expr(
+            s"aggregate(ms, array_repeat(cast(0.0 as double), $dim)," +
+              " (acc, m) -> zip_with(acc, m.vn, (a, b) -> a + b))"
+          ).as("s")
+        )
         .collect()
       val acc = Array.fill(k)(new Array[Double](dim))
       val cnt = new Array[Long](k)
       sums.foreach { r =>
-        val (l, p) = (r.getInt(0), r.getInt(1))
-        acc(l)(p) = r.getDouble(2)
-        cnt(l) = r.getLong(3)
+        val l = r.getInt(0)
+        cnt(l) = r.getInt(1).toLong
+        acc(l) = r.getSeq[Double](2).toArray
       }
       cents = cents.zipWithIndex.map { case (old, l) =>
         if (cnt(l) == 0) old
@@ -818,13 +856,18 @@ object VectorOps {
 
   val C24Lists = 25
   val C24Probes = 5 // k/5 — the index must PRUNE, not enumerate
+  val C24Iters = 3 // Lloyd rounds — the oracle unrolls exactly this many
 
-  /** C24: trained-quantizer IVF ANN over the embeddings table —
-    * rows-only gate (Lloyd means are order-of-summation floats, not
-    * oracle-reproducible); the recall bar lives in VectorRecallSpec on
-    * clustered data, where nprobe = k/5 must still hold recall@5 ≥ 0.9.
-    * On the isotropic test embeddings this probes 20% of the index —
-    * the honest speed/recall trade c18's near-exhaustive nprobe avoids.
+  /** C24: trained-quantizer IVF ANN over the embeddings table — gated
+    * HASH-EXACT since round 10: [[trainCentroids]] folds member sums in
+    * fixed neighbor_id order and hashes with the md5 idiom, so the
+    * DuckDB oracle (OracleGen.c24AnnIvfTrained) unrolls the identical
+    * sample → init → 3 Lloyd iterations → assignment → probe → top-k
+    * pipeline and reproduces every float bit-for-bit. The recall bar
+    * lives in VectorRecallSpec on clustered data, where nprobe = k/5
+    * must still hold recall@5 ≥ 0.9. On the isotropic test embeddings
+    * this probes 20% of the index — the honest speed/recall trade c18's
+    * near-exhaustive nprobe avoids.
     */
   /** Trained quantizers amortize per (application, sfDir, k, iters) —
     * production trains an IVF index once and serves many queries, so
@@ -838,7 +881,7 @@ object VectorOps {
       sfDir: String,
       k: Int = C24Lists,
       nprobe: Int = C24Probes,
-      iters: Int = 3
+      iters: Int = C24Iters
   ): DataFrame = {
     val e = vecs(spark, sfDir)
     val queries = e

@@ -21,14 +21,16 @@ class BaselineSpec extends org.scalatest.funsuite.AnyFunSuite {
   */
 class GraftSqlSpec extends SparkSpec {
 
-  test("every oracle key matches a queries entry; rows-only gates are exactly the two documented ones") {
+  test("every oracle key matches a queries entry; the only rows-only gate is the documented one") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     // a typo'd oracle key would silently downgrade its gate to the
     // weaker rows-only check — fail loudly instead
     assert((o -- q).isEmpty, s"oracle entries with no matching query: ${(o -- q).toSeq.sorted}")
     assert(
-      (q -- o) == Set("b12_approx_sketch", "c24_ann_ivf_trained"),
+      // b12's HLL sketch registers are genuinely not SQL-expressible;
+      // c24 joined the hash-exact set in round 10 (ordered-fold Lloyd)
+      (q -- o) == Set("b12_approx_sketch"),
       s"unexpected rows-only gates: ${(q -- o).toSeq.sorted} — every new operator needs BOTH entries"
     )
   }
