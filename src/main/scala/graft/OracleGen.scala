@@ -441,7 +441,8 @@ object OracleGen {
     import graft.operators.VectorOps.{C96Lists, NearDupThreshold}
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
        |nm AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),
-       |cent AS (SELECT vec_id AS cid, vn AS cv FROM nm WHERE vec_id < $C96Lists),
+       |cent AS (SELECT vec_id AS cid, vn AS cv FROM nm
+       |  WHERE vec_id < (SELECT GREATEST($C96Lists, CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings)),
        |asgr AS (SELECT n.vec_id, c.cid,
        |  ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.vn, c.cv) DESC, c.cid) rn
        |  FROM nm n CROSS JOIN cent c),
@@ -644,7 +645,8 @@ object OracleGen {
     import graft.operators.VectorOps.{KnnGraphLists, KnnGraphProbes, KnnGraphK}
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
        |nm AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),
-       |cent AS (SELECT vec_id AS cid, vn AS cv FROM nm WHERE vec_id < $KnnGraphLists),
+       |cent AS (SELECT vec_id AS cid, vn AS cv FROM nm
+       |  WHERE vec_id < (SELECT GREATEST($KnnGraphLists, CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings)),
        |asgr AS (SELECT n.vec_id, c.cid,
        |  ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.vn, c.cv) DESC, c.cid) rn
        |  FROM nm n CROSS JOIN cent c),
@@ -1301,5 +1303,75 @@ object OracleGen {
        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
        |  FROM sc WHERE score > 0.0)
        |SELECT query_id, doc_id, CAST(rk AS BIGINT) AS rank, score FROM b WHERE rk <= $Bm25TopK""".stripMargin
+  }
+
+  /** c98 = both retrieval stages recomputed (c57's chunk/md5-embed
+    * pipeline collapsed to best-chunk doc ranks; c91's BM25 parse tree
+    * restricted to the shared battery) then fused: each RRF term is one
+    * correctly-rounded 1.0/(60 + rank) division, summed dense-first —
+    * the identical two float ops the Spark side runs.
+    */
+  val c98HybridRrf: String = {
+    import graft.operators.TextAnalysis.{Bm25K1, Bm25B, Bm25TopK, Bm25Queries, ChunkSize, ChunkStride}
+    import graft.operators.VectorOps.{RagDims, RagTopK, RagQueryTexts, RrfK}
+    val nq = RagQueryTexts.size
+    val embed =
+      s"""list_transform(generate_series(0, ${RagDims - 1}),
+         |  j -> CAST(CAST(concat('0x', substr(h, CAST(j * 4 + 1 AS INT), 4)) AS BIGINT) AS DOUBLE) - 32768.0)""".stripMargin
+    val values = RagQueryTexts.zipWithIndex
+      .map { case (t, i) => s"($i, '$t')" }
+      .mkString(", ")
+    // BM25 leg (c91's CTE chain, b-prefixed to avoid name clashes)
+    val terms = Bm25Queries.flatMap(_._2.split(" ")).distinct
+    val dfCols = terms
+      .map(t => s"CAST(count(*) FILTER (WHERE list_contains(w, '$t')) AS BIGINT) AS df_$t")
+      .mkString(",\n       |  ")
+    val norm = s"($Bm25K1 * ((1.0 - $Bm25B) + ($Bm25B * (CAST(dl AS DOUBLE) / avgdl))))"
+    def tf(t: String) = s"CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE)"
+    def termScore(t: String) =
+      s"(((n - df_$t + 0.5) / (df_$t + 0.5)) * ((${tf(t)} * ($Bm25K1 + 1.0)) / (${tf(t)} + $norm)))"
+    val qSelects = Bm25Queries
+      .map { case (qid, text) =>
+        val score = text.split(" ").map(termScore).reduceLeft((a, b) => s"($a + $b)")
+        s"SELECT CAST($qid AS BIGINT) AS query_id, doc_id, $score AS score FROM bdd, bst"
+      }
+      .mkString("\n       |  UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+       |n AS (SELECT doc_id, w, greatest(CAST(ceil(CAST(len(w) - $ChunkSize AS DOUBLE) / $ChunkStride) AS INT), 0) + 1 AS nc FROM d),
+       |c AS (SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS ci FROM n),
+       |s AS (SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+       |  md5(array_to_string(list_slice(w, ci * $ChunkStride + 1, ci * $ChunkStride + $ChunkSize), ' ')) AS h FROM c),
+       |ce AS (SELECT doc_id, chunk_idx, $embed AS v FROM s),
+       |cn AS (SELECT doc_id, chunk_idx, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv FROM ce),
+       |q AS (SELECT CAST(query_id AS BIGINT) AS query_id, md5(qtext) AS h FROM (VALUES $values) AS t(query_id, qtext)),
+       |qe AS (SELECT query_id, $embed AS v FROM q),
+       |qn AS (SELECT query_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS qv FROM qe),
+       |sc AS (SELECT query_id, doc_id, chunk_idx, list_dot_product(qv, cv) AS cos FROM qn, cn),
+       |dtop AS (SELECT query_id, doc_id, chunk_idx,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id, chunk_idx) AS BIGINT) AS rank
+       |  FROM sc QUALIFY rank <= $RagTopK),
+       |ddoc AS (SELECT query_id, doc_id, min(rank) AS mr FROM dtop GROUP BY query_id, doc_id),
+       |dr AS (SELECT query_id, doc_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mr, doc_id) AS BIGINT) AS dense_rank FROM ddoc),
+       |bd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |bdd AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM bd),
+       |bst AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(CAST(SUM(CAST(len(w) AS BIGINT)) AS BIGINT) AS DOUBLE) / CAST(count(*) AS BIGINT) AS avgdl,
+       |  $dfCols
+       |  FROM bd),
+       |bsc AS (
+       |  $qSelects),
+       |bb AS (SELECT query_id, doc_id, score,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+       |  FROM bsc WHERE score > 0.0),
+       |sp AS (SELECT query_id, doc_id, CAST(rk AS BIGINT) AS bm25_rank FROM bb
+       |  WHERE rk <= $Bm25TopK AND query_id < $nq),
+       |f AS (SELECT COALESCE(dr.query_id, sp.query_id) AS query_id,
+       |  COALESCE(dr.doc_id, sp.doc_id) AS doc_id, dr.dense_rank, sp.bm25_rank,
+       |  (COALESCE(1.0 / ($RrfK + dr.dense_rank), 0.0) + COALESCE(1.0 / ($RrfK + sp.bm25_rank), 0.0)) AS rrf_score
+       |  FROM dr FULL JOIN sp ON sp.query_id = dr.query_id AND sp.doc_id = dr.doc_id)
+       |SELECT query_id, doc_id, dense_rank, bm25_rank, rrf_score,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS fused_rank
+       |FROM f""".stripMargin
   }
 }

@@ -149,6 +149,7 @@ object SparkEntry {
     "s14_zorder" -> (graft.sources.Formats.s14Zorder _),
     "s15_write_audit_publish" -> (graft.sources.Formats.s15WriteAuditPublish _),
     "s16_bad_records" -> (graft.sources.Formats.s16BadRecords _),
+    "s29_vector_quarantine" -> (graft.sources.Formats.s29VectorQuarantine _),
     "s17_manifest_append" -> (graft.sources.Formats.s17ManifestAppend _),
     "s22_delta_log" -> (graft.sources.Formats.s22DeltaLog _),
     "s23_partition_evolution" -> (graft.sources.Formats.s23PartitionEvolution _),
@@ -205,6 +206,7 @@ object SparkEntry {
     "s27_dynamic_pruning" -> (graft.sources.Formats.s27DynamicPruning _),
     "s28_equality_deletes" -> (graft.sources.Formats.s28EqualityDeletes _),
     "c97_cross_rerank" -> (VectorOps.c97CrossRerank _),
+    "c98_hybrid_rrf" -> (VectorOps.c98HybridRrf _),
     "b52_null_semantics" -> (Relational.b52NullSemantics _)
   )
 
@@ -611,6 +613,7 @@ object SparkEntry {
     "c89_moss_pairs" -> OracleGen.c89MossPairs,
     "c90_bitext_margin_ivf" -> OracleGen.c90BitextMarginIvf,
     "c91_bm25" -> OracleGen.c91Bm25,
+    "c98_hybrid_rrf" -> OracleGen.c98HybridRrf,
     "c92_dedup_simhash_wide" -> OracleGen.c92DedupSimhashWide,
     // c93 serves the SAME exact pair set as c92 (recursive hot-bucket
     // refinement changes candidate generation, not the contract), so
@@ -1366,6 +1369,22 @@ object SparkEntry {
          |UNION ALL
          |SELECT '_corrupt' AS lang, COUNT(*) AS n_docs, 0 AS sum_chars
          |FROM documents WHERE doc_id % $e = 0""".stripMargin
+    },
+    // the quarantine classes replayed from the planting rule against
+    // the clean source (the classes are disjoint residues, so rule
+    // order is irrelevant)
+    "s29_vector_quarantine" -> {
+      val e = graft.sources.Formats.BadVecEvery
+      s"""SELECT CASE WHEN vec_id % $e = 7 THEN 'null_vec'
+         |  WHEN vec_id % $e = 0 THEN 'bad_dim'
+         |  WHEN vec_id % $e = 5 THEN 'nan_component'
+         |  ELSE 'ok' END AS status,
+         |  COUNT(*) AS n_vecs,
+         |  CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels,
+         |  MIN(vec_id) AS min_vec_id,
+         |  MAX(vec_id) AS max_vec_id
+         |FROM embeddings
+         |GROUP BY 1""".stripMargin
     },
     // the post-vacuum pointer state = the v3 merge chain reconstructed
     // relationally — a vacuum that deletes a live version, resurrects

@@ -268,28 +268,12 @@ object TextDedup {
     * LSH + exact-verify cost once. Deterministic, so every consumer
     * sees identical rows.
     */
-  private val verifiedPairsCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private val verifiedPairsCache = new graft.core.AppScopedCache[DataFrame]
 
-  def c3MinHashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val key = (spark.sparkContext.applicationId, sfDir)
-    // synchronized compute-and-insert: TrieMap.getOrElseUpdate may run
-    // the thunk twice under a concurrent first call, orphaning an
-    // eagerly-computed checkpoint's blocks. The lock is only contended
-    // on the first call per (app, sfDir).
-    verifiedPairsCache.get(key).getOrElse(verifiedPairsCache.synchronized {
-      verifiedPairsCache.getOrElseUpdate(key, {
-        val sc = spark.sparkContext
-        // evict this app's entries when it ends — a JVM hosting many
-        // sequential sessions must not accumulate dead-session frames
-        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-            verifiedPairsCache.filterInPlace { case ((app, _), _) => app != sc.applicationId }
-        })
-        c3MinHashLshCompute(spark, sfDir).localCheckpoint()
-      })
-    })
-  }
+  def c3MinHashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    verifiedPairsCache.getOrElseUpdate(spark.sparkContext, sfDir) {
+      c3MinHashLshCompute(spark, sfDir).localCheckpoint()
+    }
 
   /** Per-doc LSH band-key array from an exploded (doc_id, h) shingle
     * frame — the minhash-signature → banding pipeline, shared by the
@@ -482,10 +466,18 @@ object TextDedup {
     * query directly; the spec asserts the serve plan reads the index
     * parquet and computes NO history signatures.
     */
+  /** Where s20's persisted band index lands for this (application,
+    * sfDir) — the same dir the streaming admission leg loads as its
+    * static side.
+    */
+  def s20IndexDir(spark: SparkSession, sfDir: String): String = {
+    val app = spark.sparkContext.applicationId
+    s"${System.getProperty("java.io.tmpdir")}/graft_bandindex_${app}_${Integer.toHexString(sfDir.hashCode)}"
+  }
+
   def s20NearDupIndex(spark: SparkSession, sfDir: String): DataFrame = {
     val every = graft.operators.Sampling.IncrEvery
-    val app = spark.sparkContext.applicationId
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bandindex_${app}_${Integer.toHexString(sfDir.hashCode)}"
+    val dir = s20IndexDir(spark, sfDir)
     bandIndexBuilt.synchronized {
       if (!bandIndexBuilt.contains(dir)) {
         shingleHashes(spark, sfDir)
@@ -500,6 +492,33 @@ object TextDedup {
     serveNearDupIndex(spark, sfDir, dir, every)
   }
 
+  /** Probe (doc_id, bkeys) rows into a persisted band index: keyed join
+    * on (band_idx, bkey), each (probe doc, history doc) pair kept only
+    * in its FIRST matching band (row-local zip_with dedup — no
+    * distinct() over (pair × band) duplicates). Emits raw
+    * (doc_id, doc_h) suspect pairs.
+    *
+    * ONE function, two deployments: [[serveNearDupIndex]] applies it to
+    * a batch frame; applied to a STREAMING frame it is the stream-static
+    * admission leg against history
+    * ([[graft.streaming.StreamingOps.streamingIndexedAdmission]]) — the
+    * identical plan incrementalized, so stream verdicts match the batch
+    * serve row-for-row by construction (StreamingSpec asserts it
+    * anyway).
+    */
+  def indexCrossPairs(probeKeys: DataFrame, index: DataFrame): DataFrame = {
+    val probe = probeKeys
+      .select(col("doc_id"), col("bkeys"), posexplode(col("bkeys")).as(Seq("band_idx", "bkey")))
+    val indexed = index
+      .select(col("doc_id").as("doc_h"), col("bkeys").as("bkeys_h"), posexplode(col("bkeys")).as(Seq("band_idx", "bkey")))
+    probe
+      .join(indexed, Seq("band_idx", "bkey"))
+      .filter(
+        array_position(zip_with(col("bkeys"), col("bkeys_h"), _ === _), lit(true)) === col("band_idx") + 1
+      )
+      .select(col("doc_id"), col("doc_h"))
+  }
+
   /** The serve half of s20, split out so the spec can drive it in
     * isolation (fresh read of a prebuilt index) and audit its plan.
     */
@@ -509,18 +528,7 @@ object TextDedup {
     // keys AND the verification side
     val batchSh = shingleHashes(spark, sfDir).filter(col("doc_id") % every === 0).localCheckpoint()
     val batchKeys = bandKeyFrame(batchSh).localCheckpoint()
-    val probe = batchKeys
-      .select(col("doc_id"), col("bkeys"), posexplode(col("bkeys")).as(Seq("band_idx", "bkey")))
-    val indexed = index
-      .select(col("doc_id").as("doc_h"), col("bkeys").as("bkeys_h"), posexplode(col("bkeys")).as(Seq("band_idx", "bkey")))
-    // batch × history: keyed probe into the persisted index, pair kept
-    // only in its first matching band (same row-local dedup as the
-    // batch detector — no distinct() over (pair × band) duplicates)
-    val crossPairs = probe
-      .join(indexed, Seq("band_idx", "bkey"))
-      .filter(
-        array_position(zip_with(col("bkeys"), col("bkeys_h"), _ === _), lit(true)) === col("band_idx") + 1
-      )
+    val crossPairs = indexCrossPairs(batchKeys, index)
       .select(
         least(col("doc_id"), col("doc_h")).as("doc_a"),
         greatest(col("doc_id"), col("doc_h")).as("doc_b")

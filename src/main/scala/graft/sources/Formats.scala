@@ -853,6 +853,82 @@ object Formats {
       )
   }
 
+  /** s29: every Nth embedding row ships corrupted — the three failure
+    * classes a real vector ingest sees (truncated/wrong-dim payloads,
+    * NaN components from upstream float bugs, null vectors from failed
+    * encodes), planted deterministically by vec_id so the oracle can
+    * replay the rule against the clean source.
+    */
+  val BadVecEvery = 10
+  val BadVecDim = 32 // the truncated "wrong dimension" payload length
+
+  /** S29: tolerant vector ingestion with counted quarantine — s16's
+    * PERMISSIVE contract for the embeddings path, which until round 10
+    * assumed clean fixed-dim vectors (strict validation rejects at
+    * ingestion). One malformed vector in a billion must neither kill
+    * the index build nor silently enter it (a NaN component poisons
+    * every dot product it touches; a wrong-dim vector throws mid-scan
+    * at zip time — far worse than a crash at ingest). The gate builds a
+    * deliberately dirtied embedding file (per [[BadVecEvery]]: id%10==0
+    * truncated to [[BadVecDim]] dims, id%10==5 NaN at component 0,
+    * id%10==7 null vector), reads it back, and classifies ROW-LOCALLY
+    * from the DATA (null / size≠64 / isnan scan — schema-on-read, no
+    * trust in the writer): per-class counts, label spread and id range.
+    * The oracle reconstructs the identical classes from the clean
+    * source table by replaying the planting rule, so a screen that
+    * drops a clean vector, admits a poisoned one, or miscounts the
+    * quarantine breaks rows+hash. Downstream composition is the point:
+    * `status = 'ok'` is exactly the predicate an index build prepends —
+    * the OperatorsSpec planted-corruption test asserts the salvaged set
+    * feeds the ANN path unchanged.
+    */
+  def s29VectorQuarantine(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = graft.operators.VectorOps.Dim
+    val dir = s"${scratch(spark, "badvec", sfDir)}/dirty_emb"
+    if (!exists(spark, s"$dir/_SUCCESS")) {
+      Tables
+        .embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .withColumn(
+          "embedding",
+          when(col("vec_id") % BadVecEvery === 7, lit(null).cast("array<float>"))
+            .when(col("vec_id") % BadVecEvery === 0, expr(s"slice(embedding, 1, $BadVecDim)"))
+            .when(
+              col("vec_id") % BadVecEvery === 5,
+              expr("transform(embedding, (x, i) -> IF(i = 0, cast('NaN' as float), x))")
+            )
+            .otherwise(col("embedding"))
+        )
+        .write
+        .mode("overwrite")
+        .parquet(dir)
+    }
+    spark.read
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+      .parquet(dir)
+      .withColumn(
+        "status",
+        when(col("embedding").isNull, lit("null_vec"))
+          .when(size(col("embedding")) =!= dim, lit("bad_dim"))
+          .when(expr("exists(embedding, x -> isnan(x))"), lit("nan_component"))
+          .otherwise(lit("ok"))
+      )
+      .groupBy(col("status"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        count_distinct(col("label")).as("n_labels"),
+        min(col("vec_id")).as("min_vec_id"),
+        max(col("vec_id")).as("max_vec_id")
+      )
+  }
+
+  /** The dirtied embedding file s29 ingests — for the spec's
+    * composition leg (valid after the query has run in this
+    * application).
+    */
+  def s29DirtyDir(spark: SparkSession, sfDir: String): String =
+    s"${scratch(spark, "badvec", sfDir)}/dirty_emb"
+
   /** The compacted directory for [[s5Compaction]]'s physical-layout
     * assertions (FormatsSpec) — valid after the query has run in the
     * same application.

@@ -468,6 +468,33 @@ object StreamingOps {
       }
   }
 
+  /** A document's full band-key array — the probe row for
+    * [[streamingIndexedAdmission]] (the per-band [[BandRow]] explosion
+    * happens inside, where the static join needs it).
+    */
+  case class DocBands(doc_id: Long, bkeys: Seq[Long])
+
+  /** Streaming near-dup admission AGAINST THE PERSISTED HISTORY INDEX —
+    * the missing half of the steady-state deployment story:
+    * [[streamingLshAdmission]] catches intra-stream collisions from
+    * per-bucket state built from scratch, while THIS leg probes each
+    * arriving document into the band index s20 persisted on disk
+    * (`TextDedup.s20IndexDir`), as a stream-static join — stateless,
+    * because history is the static side; a nightly batch job re-runs
+    * s20 to fold the day's admissions into the index. The plan is
+    * LITERALLY the batch serve's probe: the same
+    * [[graft.operators.TextDedup.indexCrossPairs]] call on a streaming
+    * frame, so stream suspect pairs equal the batch serve's
+    * cross-pairs row-for-row on the same documents (StreamingSpec
+    * asserts set equality). Emits raw (doc_id, doc_h) suspect pairs;
+    * exact Jaccard verification happens downstream exactly like the
+    * batch pass.
+    */
+  def streamingIndexedAdmission(docs: Dataset[DocBands], indexDir: String): DataFrame = {
+    val index = docs.sparkSession.read.parquet(s"$indexDir/bands")
+    graft.operators.TextDedup.indexCrossPairs(docs.toDF(), index)
+  }
+
   /** A weighted document for the streaming reservoir — the batch c46
     * priority columns ([[graft.operators.Sampling.weightedPriorities]])
     * computed upstream, so the stream never recomputes a priority.

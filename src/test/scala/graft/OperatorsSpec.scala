@@ -647,6 +647,114 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("s29 quarantine: planted classes detected exactly; salvaged set feeds the ANN path unchanged") {
+    val e = graft.sources.Formats.BadVecEvery
+    val out = graft.sources.Formats
+      .s29VectorQuarantine(spark, sf0001)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val src = graft.sources.Tables
+      .embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    def cls(id: Long): String =
+      if (id % e == 7) "null_vec"
+      else if (id % e == 0) "bad_dim"
+      else if (id % e == 5) "nan_component"
+      else "ok"
+    val want = src.groupBy { case (id, _) => cls(id) }.map { case (k, xs) =>
+      k -> ((xs.length.toLong, xs.map(_._2).distinct.length.toLong, xs.map(_._1).min, xs.map(_._1).max))
+    }
+    assert(out == want, s"class accounting diverged: got=$out want=$want")
+    assert(out.keySet == Set("ok", "bad_dim", "nan_component", "null_vec"), "all four classes must be planted at gate SF")
+
+    // composition: the status='ok' predicate IS the index-build screen —
+    // the ANN baseline over the salvaged rows of the DIRTY file must
+    // equal the baseline over the clean subset of the source
+    import graft.plans.ArrayNormalize.arrayNormalize
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), arrayNormalize(expr("transform(embedding, x -> cast(x as double))")).as("vn"))
+    val salvaged = prep(
+      spark.read
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+        .parquet(graft.sources.Formats.s29DirtyDir(spark, sf0001))
+        .filter(
+          col("embedding").isNotNull &&
+            size(col("embedding")) === VectorOps.Dim &&
+            !expr("exists(embedding, x -> isnan(x))")
+        )
+    )
+    val clean = prep(
+      graft.sources.Tables
+        .embeddings(spark, sf0001)
+        .filter(!(col("vec_id") % e).isin(0, 5, 7))
+    )
+    def ann(base: org.apache.spark.sql.DataFrame) =
+      VectorOps
+        .annBruteforce(
+          base.filter(col("vec_id") >= VectorOps.NumQueryVecs).select(col("vec_id").as("neighbor_id"), col("vn")),
+          base.filter(col("vec_id") < VectorOps.NumQueryVecs).select(col("vec_id").as("query_id"), col("vn").as("qv")),
+          5
+        )
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    assert(ann(salvaged) == ann(clean), "salvaged ANN output diverged from the clean-subset baseline")
+  }
+
+  test("c98 RRF: fused ranks re-derived bit-exactly from the two input lists") {
+    val dense = VectorOps
+      .c57RagRetrieval(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))) // (query, doc, chunk rank)
+    // doc-level dense ranks: order docs by best chunk rank, then doc_id
+    val denseDoc: Map[(Long, Long), Long] = dense
+      .groupBy(_._1)
+      .flatMap { case (q, rs) =>
+        rs.groupBy(_._2)
+          .map { case (doc, cs) => (doc, cs.map(_._3).min) }
+          .toSeq
+          .sortBy { case (doc, mr) => (mr, doc) }
+          .zipWithIndex
+          .map { case ((doc, _), i) => (q, doc) -> (i + 1).toLong }
+      }
+    val sparseDoc: Map[(Long, Long), Long] = TextAnalysis
+      .c91Bm25(spark, sf0001)
+      .filter(col("query_id") < VectorOps.RagQueryTexts.size)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // the exact float contract: one correctly-rounded division per
+    // term, dense term + sparse term in that order
+    def term(r: Option[Long]): Double = r.fold(0.0)(rk => 1.0 / (VectorOps.RrfK + rk))
+    val expected = (denseDoc.keySet ++ sparseDoc.keySet).toSeq
+      .map { case k @ (q, doc) =>
+        (q, doc, denseDoc.get(k), sparseDoc.get(k), term(denseDoc.get(k)) + term(sparseDoc.get(k)))
+      }
+      .groupBy(_._1)
+      .flatMap { case (_, rows) =>
+        rows
+          .sortBy { case (_, doc, _, _, s) => (-s, doc) }
+          .zipWithIndex
+          .map { case ((q, doc, dr, br, s), i) => (q, doc) -> ((dr, br, s, (i + 1).toLong)) }
+      }
+    val fused = VectorOps.c98HybridRrf(spark, sf0001).collect()
+    assert(fused.length == expected.size, "fused candidate set size diverged")
+    fused.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      val (dr, br, s, fr) = expected(k)
+      assert((if (r.isNullAt(2)) None else Some(r.getLong(2))) == dr, s"dense_rank diverged at $k")
+      assert((if (r.isNullAt(3)) None else Some(r.getLong(3))) == br, s"bm25_rank diverged at $k")
+      assert(r.getDouble(4) == s, s"rrf_score diverged at $k") // bit-exact
+      assert(r.getLong(5) == fr, s"fused_rank diverged at $k")
+    }
+    // fusion must actually mix: at least one doc per battery present in
+    // only one of the two lists (otherwise the gate degenerates)
+    assert(fused.exists(_.isNullAt(2)) && fused.exists(_.isNullAt(3)), "both lists identical — fusion untested")
+  }
+
   test("c6 ANN: exactly top-k ranks per query, cosine non-increasing in rank") {
     val rows = VectorOps.c6AnnBruteforce(spark, sf0001).collect()
     val byQuery = rows.groupBy(_.getLong(0))

@@ -2635,7 +2635,8 @@ class PlanSpec extends SparkSpec {
       "c82_semantic_decontam" -> "broadcast eval-vector set vs corpus; eval sets are small by contract (c21's posture)",
       "c87_ann_jl" -> "broadcast ≤10-query frame; the corpus streams its 4x-smaller sketch column (c6's posture)",
       "c96_dedup_embedding_ivf" -> "broadcast bounded seeded-centroid frame; the corpus-sized pair meet is a keyed list_id join (c61's posture)",
-      "c97_cross_rerank" -> "inherits c57's broadcast 2-query × chunk-stream first stage; the pair scorer touches only the k-per-query shortlist"
+      "c97_cross_rerank" -> "inherits c57's broadcast 2-query × chunk-stream first stage; the pair scorer touches only the k-per-query shortlist",
+      "c98_hybrid_rrf" -> "inherits c57's broadcast 2-query × chunk-stream first stage; the fusion itself joins two bounded top-k lists"
     )
     // Unpartitioned windows are allowed only over an AGGREGATED frame
     // (bucket/band offsets — rows ∝ buckets, not corpus); a global
@@ -2720,7 +2721,11 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     val df = VectorOps.c57RagRetrieval(spark, sf0001)
     val rows = df.collect()
-    val p = plan(df)
+    // the served query reads the amortized localCheckpoint (Scan
+    // ExistingRDD — the shortlist is computed once per (app, sfDir)
+    // for c57/c97/c98), so the plan contract is audited on the
+    // COMPUTE path that built it
+    val p = plan(VectorOps.ragShortlistCompute(spark, sf0001))
     // chunking and embedding are row-local; the only exchange is the
     // bounded top-k partial/final pair and the tiny rank window
     assert(p.contains("TopKPerKey ["), s"retrieval must rank on the native top-k:\n$p")

@@ -511,6 +511,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming indexed admission: stream suspects equal s20's batch serve cross-pairs on the same batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val every = graft.operators.Sampling.IncrEvery
+    // build the persisted index (idempotent per (app, sfDir)); the serve
+    // result itself is oracle-gated as s20 — here we need the on-disk
+    // artifact the stream loads as its static side
+    graft.operators.TextDedup.s20NearDupIndex(spark, sf001).collect()
+    val dir = graft.operators.TextDedup.s20IndexDir(spark, sf001)
+    val batchKeys = graft.operators.TextDedup
+      .bandKeyFrame(
+        graft.operators.TextDedup.shingleHashes(spark, sf001).filter(col("doc_id") % every === 0)
+      )
+    val want = graft.operators.TextDedup
+      .indexCrossPairs(batchKeys, spark.read.parquet(s"$dir/bands"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(want.nonEmpty, "gate data must actually exercise the history-collision path")
+
+    val docs = batchKeys.as[StreamingOps.DocBands].collect().sortBy(_.doc_id)
+    val input = MemoryStream[StreamingOps.DocBands]
+    val q = StreamingOps
+      .streamingIndexedAdmission(input.toDS(), dir)
+      .writeStream
+      .format("memory")
+      .queryName("idx_adm_out")
+      .outputMode("append")
+      .start()
+    docs.grouped(10).foreach { chunk =>
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    // stateless leg: redelivery re-emits the same pairs, never new ones
+    input.addData(docs.take(5).toSeq)
+    q.processAllAvailable()
+    val got = spark.table("idx_adm_out").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(
+      got == want,
+      s"stream/batch divergence: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}"
+    )
+  }
+
   test("streaming LSH admission: single owner per bucket under shuffled replay (2 seeds)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

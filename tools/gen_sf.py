@@ -38,6 +38,11 @@ import pyarrow.parquet as pq
 
 SF = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
 ROOT = sys.argv[2] if len(sys.argv) > 2 else "/root/sfgen"
+# optional 4th arg: comma-separated table subset (e.g. "documents,embeddings"
+# for the dedup/ANN decade runs — generating 6M*SF lineitem rows to measure a
+# documents-only query wastes minutes and gigabytes). Values must be table
+# names; anything else still generates (cheap) dimension tables it depends on.
+ONLY = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 sfs = ("%g" % SF)
 OUT = f"{ROOT}/sf{sfs}"
 os.makedirs(OUT, exist_ok=True)
@@ -61,7 +66,13 @@ def rng(name):
     return np.random.Generator(np.random.PCG64(int.from_bytes(digest[:4], "big")))
 
 
+def want(name):
+    return ONLY is None or name in ONLY
+
+
 def write(name, cols, schema=None):
+    if not want(name):
+        return
     t = pa.table(cols, schema=schema)
     pq.write_table(t, f"{OUT}/{name}.parquet")
     print(f"{name}: {t.num_rows} rows")
@@ -107,54 +118,58 @@ write("part", {
     "p_retailprice": np.round(900.0 + (np.arange(N_PART) % 1000) / 10.0, 2),
 })
 
-g = rng("orders")
 DAY_US = 86_400_000_000
 base_date = np.datetime64("1995-01-01", "us").astype("int64")
-odate = base_date + g.integers(0, 2404, N_ORD) * DAY_US  # ~1995-01..2001-08
-write("orders", {
-    "o_orderkey": pa.array(range(N_ORD), pa.int64()),
-    "o_custkey": pa.array(g.integers(0, N_CUST, N_ORD), pa.int64()),
-    "o_orderstatus": pa.array(np.array(["O", "P", "F"])[g.integers(0, 3, N_ORD)]),
-    "o_totalprice": np.round(g.uniform(1000, 500000, N_ORD), 2),
-    "o_orderdate": pa.array(odate, pa.timestamp("us")),
-    "o_orderpriority": pa.array(np.array(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])[g.integers(0, 5, N_ORD)]),
-})
 
-g = rng("lineitem")
-lok = np.sort(g.integers(0, N_ORD, N_LINE))  # ~4 lines per order
-# linenumber = 1..n within each orderkey run
-ln = np.ones(N_LINE, dtype=np.int32)
-same = np.concatenate(([False], lok[1:] == lok[:-1]))
-run = np.ones(N_LINE, dtype=np.int32)
-idx = np.arange(N_LINE)
-starts = np.where(~same, idx, 0)
-np.maximum.accumulate(starts, out=starts)
-ln = (idx - starts + 1).astype(np.int32)
-ship = base_date + DAY_US + g.integers(0, 2500, N_LINE) * DAY_US
-write("lineitem", {
-    "l_orderkey": pa.array(lok, pa.int64()),
-    "l_partkey": pa.array(g.integers(0, N_PART, N_LINE), pa.int64()),
-    "l_suppkey": pa.array(g.integers(0, N_SUPP, N_LINE), pa.int64()),
-    "l_linenumber": pa.array(np.minimum(ln, 7), pa.int32()),
-    "l_quantity": g.integers(1, 51, N_LINE).astype(np.float64),
-    "l_extendedprice": np.round(g.uniform(900, 105000, N_LINE), 2),
-    "l_discount": np.round(g.integers(0, 11, N_LINE) / 100.0, 2),
-    "l_tax": np.round(g.integers(0, 9, N_LINE) / 100.0, 2),
-    "l_returnflag": pa.array(np.array(["A", "N", "R"])[g.integers(0, 3, N_LINE)]),
-    "l_linestatus": pa.array(np.array(["F", "O"])[g.integers(0, 2, N_LINE)]),
-    "l_shipdate": pa.array(ship, pa.timestamp("us")),
-})
+if want("orders"):
+    g = rng("orders")
+    odate = base_date + g.integers(0, 2404, N_ORD) * DAY_US  # ~1995-01..2001-08
+    write("orders", {
+        "o_orderkey": pa.array(range(N_ORD), pa.int64()),
+        "o_custkey": pa.array(g.integers(0, N_CUST, N_ORD), pa.int64()),
+        "o_orderstatus": pa.array(np.array(["O", "P", "F"])[g.integers(0, 3, N_ORD)]),
+        "o_totalprice": np.round(g.uniform(1000, 500000, N_ORD), 2),
+        "o_orderdate": pa.array(odate, pa.timestamp("us")),
+        "o_orderpriority": pa.array(np.array(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])[g.integers(0, 5, N_ORD)]),
+    })
 
-g = rng("events")
-ets = np.sort(np.datetime64("2024-01-01", "us").astype("int64") + g.integers(0, 30 * DAY_US, N_EVT))
-write("events", {
-    "event_id": pa.array(range(N_EVT), pa.int64()),
-    "ts": pa.array(ets, pa.timestamp("us")),
-    "user_id": pa.array(g.integers(0, max(1, N_CUST // 10), N_EVT), pa.int64()),
-    "event_type": pa.array(np.array(["view", "click", "purchase", "signup", "error"])[g.integers(0, 5, N_EVT)]),
-    "value": np.round(g.uniform(0, 600, N_EVT), 2),
-    "props": [f'{{"k": {k}}}' for k in g.integers(0, 100, N_EVT)],
-})
+if want("lineitem"):
+    g = rng("lineitem")
+    lok = np.sort(g.integers(0, N_ORD, N_LINE))  # ~4 lines per order
+    # linenumber = 1..n within each orderkey run
+    ln = np.ones(N_LINE, dtype=np.int32)
+    same = np.concatenate(([False], lok[1:] == lok[:-1]))
+    run = np.ones(N_LINE, dtype=np.int32)
+    idx = np.arange(N_LINE)
+    starts = np.where(~same, idx, 0)
+    np.maximum.accumulate(starts, out=starts)
+    ln = (idx - starts + 1).astype(np.int32)
+    ship = base_date + DAY_US + g.integers(0, 2500, N_LINE) * DAY_US
+    write("lineitem", {
+        "l_orderkey": pa.array(lok, pa.int64()),
+        "l_partkey": pa.array(g.integers(0, N_PART, N_LINE), pa.int64()),
+        "l_suppkey": pa.array(g.integers(0, N_SUPP, N_LINE), pa.int64()),
+        "l_linenumber": pa.array(np.minimum(ln, 7), pa.int32()),
+        "l_quantity": g.integers(1, 51, N_LINE).astype(np.float64),
+        "l_extendedprice": np.round(g.uniform(900, 105000, N_LINE), 2),
+        "l_discount": np.round(g.integers(0, 11, N_LINE) / 100.0, 2),
+        "l_tax": np.round(g.integers(0, 9, N_LINE) / 100.0, 2),
+        "l_returnflag": pa.array(np.array(["A", "N", "R"])[g.integers(0, 3, N_LINE)]),
+        "l_linestatus": pa.array(np.array(["F", "O"])[g.integers(0, 2, N_LINE)]),
+        "l_shipdate": pa.array(ship, pa.timestamp("us")),
+    })
+
+if want("events"):
+    g = rng("events")
+    ets = np.sort(np.datetime64("2024-01-01", "us").astype("int64") + g.integers(0, 30 * DAY_US, N_EVT))
+    write("events", {
+        "event_id": pa.array(range(N_EVT), pa.int64()),
+        "ts": pa.array(ets, pa.timestamp("us")),
+        "user_id": pa.array(g.integers(0, max(1, N_CUST // 10), N_EVT), pa.int64()),
+        "event_type": pa.array(np.array(["view", "click", "purchase", "signup", "error"])[g.integers(0, 5, N_EVT)]),
+        "value": np.round(g.uniform(0, 600, N_EVT), 2),
+        "props": [f'{{"k": {k}}}' for k in g.integers(0, 100, N_EVT)],
+    })
 
 g = rng("documents")
 VOCAB = np.array([
