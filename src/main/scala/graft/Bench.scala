@@ -34,7 +34,12 @@ object Bench {
     // JVM/codegen warmup outside the timed region (a cluster amortizes
     // JIT across the job; a cold local JVM would charge it to the first
     // query)
-    spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count().collect()
+    // subset scale dirs (gen_sf.py table-subset runs) may lack lineitem;
+    // warm up on whichever table is present
+    Seq("lineitem", "documents", "events")
+      .map(t => new java.io.File(s"$sfDir/$t.parquet"))
+      .find(_.exists())
+      .foreach(f => spark.read.parquet(f.getPath).groupBy(org.apache.spark.sql.functions.spark_partition_id()).count().collect())
     // optional first arg: comma-separated query subset (dev iteration /
     // baselining a new query solo — the driver always runs everything)
     val only = args.headOption.map(_.split(",").toSet)
