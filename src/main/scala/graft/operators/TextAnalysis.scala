@@ -609,14 +609,19 @@ object TextAnalysis {
       .limit(VocabV)
       .collect()
       .map(_.getString(0))
-    val vlit = array(vocab.map(lit): _*)
+    // membership as a constant-folded map literal: O(1) hash probe per
+    // token (vs an O(V) array scan) so a real 32k+ vocab costs the same
+    // per token as the 16-term gate vocab; the map folds to one literal
+    // MapData and the probes stay inside whole-stage codegen
+    val vmap = map(vocab.flatMap(t => Seq(lit(t), lit(true))): _*)
+    def inVocab(t: Column): Column = map_contains_key(vmap, t)
     docs
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(
         col("doc_id"),
         size(col("w")).cast("long").as("n_tokens"),
-        size(filter(col("w"), t => array_contains(vlit, t))).cast("long").as("n_in_vocab"),
-        size(array_distinct(filter(col("w"), t => !array_contains(vlit, t))))
+        size(filter(col("w"), t => inVocab(t))).cast("long").as("n_in_vocab"),
+        size(array_distinct(filter(col("w"), t => !inVocab(t))))
           .cast("long")
           .as("n_oov_types")
       )
