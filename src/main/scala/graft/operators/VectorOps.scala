@@ -1878,9 +1878,11 @@ object VectorOps {
     * to an IVF candidate set, because the ratio margin only needs each
     * vector's top-k toward the other side — exactly what the index
     * serves. Shape: (1) every vector assigns to its argmax-cosine list
-    * (broadcast bounded-centroid frame, row-local argmax — c18's
-    * posture); (2) every vector picks its top-`probes` lists through
-    * the native bounded-heap [[graft.plans.TopKPerKey]]; (3) candidates
+    * (driver-held centroid literals, row-local argmax — c24's
+    * posture); (2) every vector picks its top-`probes` lists from the
+    * SAME row-local scored-centroid sort (assignment ≡ top-1 probe, so
+    * one sort serves both and nothing but the final candidate ids ever
+    * rides an exchange); (3) candidates
     * are the FORWARD ∪ BACKWARD meets — src probers × tgt members plus
     * tgt probers × src members, each ONE keyed join on list_id
     * (Σ |list|·|probers(list)| work, never |src|·|tgt|) — deduped on
@@ -1923,30 +1925,47 @@ object VectorOps {
       probes: Int
   ): DataFrame = {
     val e = bitextVecs(spark, sfDir)
-    val cent = e
+    // Centroids are collected DRIVER-SIDE: `lists` ≤ √n rows of dim
+    // doubles — the bounded driver-held index artifact (c24's posture;
+    // at 1e9 vectors and 64 dims that is 31623 × 512 B ≈ 16 MB).
+    // Scoring, assignment AND probe selection then run as ONE row-local
+    // projection. The previous crossJoin + groupBy/TopKPerKey form
+    // shipped n×lists copies of each 512-byte vector through two
+    // exchanges — ~45 GB of shuffle at sf10's 447 lists, which filled
+    // the scratch disk; the row-local form ships nothing at all and
+    // the assignment stage scales as pure map work (n·lists dots).
+    val cents: Array[(Int, Seq[Double])] = e
       .filter(col("vec_id") < lists)
-      .select(col("vec_id").as("cid"), col("vn").as("cv"))
-    val scoredAll = e
-      .crossJoin(broadcast(cent))
-      .withColumn("cos_c", arrayDot(col("vn"), col("cv")))
+      .select(col("vec_id").cast("int"), col("vn"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    // Per-row scored-centroid array sorted by (cos desc, cid asc) via
+    // struct(-cos, cid) ascending: IEEE negation is exact, ±0.0 ranks
+    // identically under Spark's total order in both formulations, and
+    // exact ties fall to the cid field — bit-identical to the old
+    // max(struct(cos, -cid)) assignment rule and the old
+    // TopKPerKey(cos desc, cid asc) probe rule. Element 1 IS the
+    // assignment (argmax ≡ top-1 probe), so one sort serves both.
+    val scoredCents = sort_array(
+      array(cents.map { case (cid, cv) =>
+        struct((-arrayDot(col("vn"), typedlit(cv))).as("ncos"), lit(cid).as("cid"))
+      }.toIndexedSeq: _*)
+    )
+    val ranked = e
+      .withColumn("plists", slice(scoredCents, 1, probes))
+      .localCheckpoint()
     // (1) assignment: argmax cos, ties to the lowest centroid id
-    val asg = scoredAll
-      .groupBy(col("vec_id"))
-      .agg(
-        max(struct(col("cos_c"), (-col("cid")).as("ncid"))).as("best"),
-        first(col("label")).as("label"),
-        first(col("vn")).as("vn")
-      )
-      .select(col("vec_id"), col("label"), (-col("best.ncid")).as("list_id"), col("vn"))
-    // (2) per-vector probe lists: bounded heaps, no rank window
-    val probeLists = graft.plans.TopKPerKey
-      .topKPerKey(
-        scoredAll.select(col("vec_id"), col("label"), col("cid"), col("cos_c"), col("vn")),
-        keyCols = Seq("vec_id"),
-        orderBy = Seq(("cos_c", false), ("cid", true)),
-        k = probes
-      )
-      .select(col("vec_id"), col("label"), col("cid").as("list_id"), col("vn"))
+    val asg = ranked.select(
+      col("vec_id"),
+      col("label"),
+      element_at(col("plists"), 1).getField("cid").as("list_id"),
+      col("vn")
+    )
+    // (2) per-vector probe lists: top-`probes` of the same row-local sort
+    val probeLists = ranked
+      .select(col("vec_id"), col("label"), col("vn"), explode(col("plists")).as("p"))
+      .select(col("vec_id"), col("label"), col("p.cid").as("list_id"), col("vn"))
     def side(df: DataFrame, isSrc: Boolean, id: String, v: String) = {
       val kept = if (isSrc) df.filter(col("label") < BitextSrcLabels) else df.filter(col("label") >= BitextSrcLabels)
       kept.select(col("vec_id").as(id), col("list_id"), col("vn").as(v))

@@ -2631,7 +2631,7 @@ class PlanSpec extends SparkSpec {
       "c76_dedup_card" -> "five single-row summary frames crossed (the c14 idiom, not a data join)",
       "c77_source_drift" -> "pairwise join over the #sources-row centroid frame (tiny by definition)",
       "c78_bitext_margin" -> "exact-baseline cross of the two sides (documented; c90 is the served IVF scale path)",
-      "c90_bitext_margin_ivf" -> "broadcast bounded seeded-centroid frame; the corpus-sized meets are keyed list_id joins",
+      "c90_bitext_margin_ivf" -> "driver-held centroid literals since round 10 (entry kept for provenance); the corpus-sized meets are keyed list_id joins",
       "c82_semantic_decontam" -> "broadcast eval-vector set vs corpus; eval sets are small by contract (c21's posture)",
       "c87_ann_jl" -> "broadcast ≤10-query frame; the corpus streams its 4x-smaller sketch column (c6's posture)",
       "c96_dedup_embedding_ivf" -> "broadcast bounded seeded-centroid frame; the corpus-sized pair meet is a keyed list_id join (c61's posture)",
