@@ -1243,7 +1243,8 @@ object OracleGen {
         s" / CAST(COUNT(*) AS DOUBLE) AS $alias"
     s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
        |nm AS (SELECT vec_id, label, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),
-       |cent AS (SELECT vec_id AS cid, vn AS cv FROM nm WHERE vec_id < $BitextIvfLists),
+       |cent AS (SELECT vec_id AS cid, vn AS cv FROM nm
+       |  WHERE vec_id < (SELECT GREATEST($BitextIvfLists, CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings)),
        |asgr AS (SELECT n.vec_id, n.label, c.cid,
        |  ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.vn, c.cv) DESC, c.cid) rn
        |  FROM nm n CROSS JOIN cent c),

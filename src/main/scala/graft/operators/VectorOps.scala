@@ -180,29 +180,32 @@ object VectorOps {
     // lists ∝ √n (floored at the gate geometry) — see C96Lists
     val nLists = scaledLists(embCount(spark, sfDir), KnnGraphLists)
     val e = vecs(spark, sfDir)
-    val cent = e
+    // driver-held centroids + the native CentroidTopK kernel: the old
+    // crossJoin + groupBy/TopKPerKey form shipped n×lists rows (each
+    // carrying the 512-byte vector) through two exchanges; assignment
+    // and probe selection are now ONE codegen'd projection per side
+    // (bit-identical (cos desc, cid asc) order), so nothing reaches an
+    // exchange before the keyed list_id meet
+    val cents: Seq[(Int, Array[Double])] = e
       .filter(col("vec_id") < nLists)
-      .select(col("vec_id").as("cid"), col("vn").as("cv"))
-    val scoredAll = e
-      .crossJoin(broadcast(cent))
-      .withColumn("cos_c", arrayDot(col("vn"), col("cv")))
-    // (1) assignment: argmax cos, ties to the lowest centroid id
-    val asg = scoredAll
-      .groupBy(col("vec_id"))
-      .agg(
-        max(struct(col("cos_c"), (-col("cid")).as("ncid"))).as("best"),
-        first(col("vn")).as("vn")
-      )
-      .select(col("vec_id").as("neighbor_id"), (-col("best.ncid")).as("list_id"), col("vn").as("cv_n"))
-    // (2) per-vector probe lists: bounded heaps, no rank window
-    val probes = graft.plans.TopKPerKey
-      .topKPerKey(
-        scoredAll.select(col("vec_id").as("query_id"), col("cid"), col("cos_c"), col("vn").as("qv")),
-        keyCols = Seq("query_id"),
-        orderBy = Seq(("cos_c", false), ("cid", true)),
-        k = KnnGraphProbes
-      )
-      .select(col("query_id"), col("cid").as("list_id"), col("qv"))
+      .select(col("vec_id").cast("int"), col("vn"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+      .toSeq
+    val ranked = e.withColumn(
+      "plists",
+      graft.plans.CentroidTopK.centroidTopK(col("vn"), cents, KnnGraphProbes)
+    )
+    // (1) assignment: argmax cos, ties to the lowest centroid id (= top-1)
+    val asg = ranked.select(
+      col("vec_id").as("neighbor_id"),
+      element_at(col("plists"), 1).as("list_id"),
+      col("vn").as("cv_n")
+    )
+    // (2) per-vector probe lists: top-`KnnGraphProbes` of the same rank
+    val probes = ranked
+      .select(col("vec_id").as("query_id"), explode(col("plists")).as("list_id"), col("vn").as("qv"))
     // (3) probers meet members on the list key; (4) bounded survivors
     rankTopK(
       probes
@@ -633,24 +636,26 @@ object VectorOps {
   def c96DedupEmbeddingIvf(spark: SparkSession, sfDir: String, lists: Int = AutoLists): DataFrame = {
     val nLists = if (lists == AutoLists) scaledLists(embCount(spark, sfDir), C96Lists) else lists
     val e = vecs(spark, sfDir)
-    val cent = e
+    // driver-held centroids + the native CentroidTopK kernel (c90/c61's
+    // posture): the old crossJoin + bounded-heap form shuffled n×lists
+    // (vec_id, cid, cos) rows; the top-2 assignment SET is now a
+    // row-local projection — (min cid, max cid) of the kernel's
+    // (cos desc, cid asc) top-2, the same order-free emit-once key
+    val cents: Seq[(Int, Array[Double])] = e
       .filter(col("vec_id") < nLists)
-      .select(col("vec_id").as("cid"), col("vn").as("cv"))
-    val scoredAll = e
-      .crossJoin(broadcast(cent))
-      .withColumn("cos_c", arrayDot(col("vn"), col("cv")))
-    // top-2 lists per vector via bounded heaps, collapsed to the
-    // assignment SET as (min cid, max cid) so the emit-once rule is
-    // order-free arithmetic
-    val asgSets = graft.plans.TopKPerKey
-      .topKPerKey(
-        scoredAll.select(col("vec_id"), col("cid"), col("cos_c")),
-        keyCols = Seq("vec_id"),
-        orderBy = Seq(("cos_c", false), ("cid", true)),
-        k = 2
+      .select(col("vec_id").cast("int"), col("vn"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+      .toSeq
+    val top2 = graft.plans.CentroidTopK.centroidTopK(col("vn"), cents, 2)
+    val asgSets = e
+      .select(col("vec_id"), top2.as("p2"))
+      .select(
+        col("vec_id"),
+        least(element_at(col("p2"), 1), element_at(col("p2"), 2)).as("l1"),
+        greatest(element_at(col("p2"), 1), element_at(col("p2"), 2)).as("l2")
       )
-      .groupBy(col("vec_id"))
-      .agg(min(col("cid")).as("l1"), max(col("cid")).as("l2"))
     val asg = asgSets
       .select(col("vec_id"), col("l1"), col("l2"), explode(array(col("l1"), col("l2"))).as("list_id"))
     val a = asg.select(col("list_id"), col("vec_id").as("vec_a"), col("l1").as("l1a"), col("l2").as("l2a"))
@@ -1902,14 +1907,15 @@ object VectorOps {
   def c90BitextMarginIvf(
       spark: SparkSession,
       sfDir: String,
-      lists: Int = BitextIvfLists,
+      lists: Int = AutoLists,
       probes: Int = BitextIvfProbes
   ): DataFrame = {
-    // the gate keeps its spec'd 10-list geometry (√n at sf0.01 would be
-    // 22 — COARSER cells than the recall contract was measured at);
-    // scale runs pass lists = scaledLists(n, BitextIvfLists) explicitly
-    // (AutoLists resolves that way), and BASELINE.md's sf-decade table
-    // records both fixed and scaled exponents
+    // lists ∝ √n (floored at the spec'd 10-list geometry) IN THE GATE,
+    // mirrored by the oracle's GREATEST(floor, ROUND(SQRT(COUNT(*))))
+    // — c96's posture. Round 10 found the fixed-10 gate default was
+    // the decade exercise's one real cliff (candidates ∝ n²/10 made
+    // sf1 take 96 s and sf10 fill the scratch disk); scaled lists
+    // measure 11 s at sf1 on identical output.
     val nLists = if (lists == AutoLists) scaledLists(embCount(spark, sfDir), BitextIvfLists) else lists
     bitextBest(bitextMargins(bitextIvfCandidates(spark, sfDir, nLists, probes).localCheckpoint()))
   }
@@ -1934,38 +1940,35 @@ object VectorOps {
     // exchanges — ~45 GB of shuffle at sf10's 447 lists, which filled
     // the scratch disk; the row-local form ships nothing at all and
     // the assignment stage scales as pure map work (n·lists dots).
-    val cents: Array[(Int, Seq[Double])] = e
+    val cents: Seq[(Int, Array[Double])] = e
       .filter(col("vec_id") < lists)
       .select(col("vec_id").cast("int"), col("vn"))
       .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    // Per-row scored-centroid array sorted by (cos desc, cid asc) via
-    // struct(-cos, cid) ascending: IEEE negation is exact, ±0.0 ranks
-    // identically under Spark's total order in both formulations, and
-    // exact ties fall to the cid field — bit-identical to the old
-    // max(struct(cos, -cid)) assignment rule and the old
-    // TopKPerKey(cos desc, cid asc) probe rule. Element 1 IS the
-    // assignment (argmax ≡ top-1 probe), so one sort serves both.
-    val scoredCents = sort_array(
-      array(cents.map { case (cid, cv) =>
-        struct((-arrayDot(col("vn"), typedlit(cv))).as("ncos"), lit(cid).as("cid"))
-      }.toIndexedSeq: _*)
+      .toSeq
+    // One native codegen'd kernel ([[graft.plans.CentroidTopK]]) ranks
+    // the centroids per row and returns the top-`probes` ids — the
+    // (cos desc, cid asc) rule bit-identical to the old
+    // max(struct(cos, -cid)) assignment and TopKPerKey probe order.
+    // Element 1 IS the assignment (argmax ≡ top-1 probe), so one call
+    // serves both frames, each a plain projection over the scan — no
+    // checkpoint, no exchange, recompute is two primitive map passes.
+    val ranked = e.withColumn(
+      "plists",
+      graft.plans.CentroidTopK.centroidTopK(col("vn"), cents, probes)
     )
-    val ranked = e
-      .withColumn("plists", slice(scoredCents, 1, probes))
-      .localCheckpoint()
     // (1) assignment: argmax cos, ties to the lowest centroid id
     val asg = ranked.select(
       col("vec_id"),
       col("label"),
-      element_at(col("plists"), 1).getField("cid").as("list_id"),
+      element_at(col("plists"), 1).as("list_id"),
       col("vn")
     )
-    // (2) per-vector probe lists: top-`probes` of the same row-local sort
+    // (2) per-vector probe lists: top-`probes` of the same row-local rank
     val probeLists = ranked
-      .select(col("vec_id"), col("label"), col("vn"), explode(col("plists")).as("p"))
-      .select(col("vec_id"), col("label"), col("p.cid").as("list_id"), col("vn"))
+      .select(col("vec_id"), col("label"), col("vn"), explode(col("plists")).as("list_id"))
+      .select(col("vec_id"), col("label"), col("list_id"), col("vn"))
     def side(df: DataFrame, isSrc: Boolean, id: String, v: String) = {
       val kept = if (isSrc) df.filter(col("label") < BitextSrcLabels) else df.filter(col("label") >= BitextSrcLabels)
       kept.select(col("vec_id").as(id), col("list_id"), col("vn").as(v))

@@ -2625,7 +2625,7 @@ class PlanSpec extends SparkSpec {
       "c35_semdedup" -> "broadcast seeded-centroid frame for the cluster assignment",
       "c57_rag_retrieval" -> "broadcast 2-query frame × chunk stream (c6's posture on the chunk index)",
       "c60_hard_negatives" -> "broadcast ≤10-anchor frame; label DISequality can't be a key, evaluated in-stream",
-      "c61_knn_graph" -> "broadcast bounded seeded-centroid frame; the corpus-sized meet is a keyed list_id join",
+      "c61_knn_graph" -> "driver-held centroid literals since round 10 (entry kept for provenance); the corpus-sized meet is a keyed list_id join",
       "c69_cluster_purity" -> "broadcast seeded-centroid frame for the cluster assignment (c35's shape)",
       "c74_ann_recall" -> "composes c6/c7/c18 — inherits c6's broadcast ≤10-query baseline",
       "c76_dedup_card" -> "five single-row summary frames crossed (the c14 idiom, not a data join)",
@@ -2634,7 +2634,7 @@ class PlanSpec extends SparkSpec {
       "c90_bitext_margin_ivf" -> "driver-held centroid literals since round 10 (entry kept for provenance); the corpus-sized meets are keyed list_id joins",
       "c82_semantic_decontam" -> "broadcast eval-vector set vs corpus; eval sets are small by contract (c21's posture)",
       "c87_ann_jl" -> "broadcast ≤10-query frame; the corpus streams its 4x-smaller sketch column (c6's posture)",
-      "c96_dedup_embedding_ivf" -> "broadcast bounded seeded-centroid frame; the corpus-sized pair meet is a keyed list_id join (c61's posture)",
+      "c96_dedup_embedding_ivf" -> "driver-held centroid literals since round 10 (entry kept for provenance); the corpus-sized pair meet is a keyed list_id join (c61's posture)",
       "c97_cross_rerank" -> "inherits c57's broadcast 2-query × chunk-stream first stage; the pair scorer touches only the k-per-query shortlist",
       "c98_hybrid_rrf" -> "inherits c57's broadcast 2-query × chunk-stream first stage; the fusion itself joins two bounded top-k lists"
     )
