@@ -745,14 +745,41 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** Hot-bucket threshold for c93's recursive refinement: a
-    * per-(block, value) bucket larger than this is re-pigeonholed on a
-    * second block instead of self-joined directly. 32 keeps the cold
-    * path's worst pair fan-out at 32²/2 while engaging the refinement
-    * on every corpus the gate actually runs (the synthetic geometry's
-    * hot 12-bit values hold ~12% of docs at every SF ≥ 0.01).
+  /** Hot-bucket threshold FLOOR for c93's recursive refinement: a
+    * per-(block, value) bucket larger than the adaptive threshold is
+    * re-pigeonholed on a second block instead of self-joined directly.
+    * 32 keeps the cold path's worst pair fan-out at 32²/2 at the gate
+    * SFs while engaging the refinement on every corpus the gate
+    * actually runs (the synthetic geometry's hot 12-bit values hold
+    * ~12% of docs at every SF ≥ 0.01).
     */
-  val HotBucketT = 32
+  val HotBucketFloor = 32
+
+  /** Multiple of the MEAN bucket size above which a bucket counts as
+    * hot. Round 10's sf3 run showed why the threshold cannot be a
+    * constant: at 150 k docs the mean (block, value) bucket is ~37 >
+    * 32, so EVERY bucket went hot and the ×(blocks−1) re-key explode
+    * applied to the whole corpus — refinement cost more than the n²
+    * it saved (1 091 s vs c92's 876 s). Hotness must mean OUTLIER:
+    * refinement wins when a bucket's s² fan dwarfs its 9s re-key +
+    * Σ sub², i.e. when s is a large multiple of the typical sub-bucket
+    * size — 8× the mean is that boundary with slack. The pair OUTPUT
+    * is invariant to the threshold (the emit-once proof never uses T),
+    * so this is pure cost tuning; at the gate SFs the adaptive value
+    * IS the floor (mean ≈ 1–2), keeping gate plans and baselines
+    * unchanged.
+    */
+  val HotBucketMeanMultiple = 8
+
+  /** The adaptive hot-bucket threshold for a corpus of `nDocs`
+    * signatures: mean bucket size is nDocs×blocks / (blocks×2^bits) =
+    * ceil(nDocs / 4096) — corpus-size-dependent, bucket-count-free.
+    */
+  def hotBucketT(nDocs: Long): Long =
+    math.max(
+      HotBucketFloor.toLong,
+      HotBucketMeanMultiple * ((nDocs + (1L << WideBlockBits) - 1) / (1L << WideBlockBits))
+    )
 
   /** C93: c92's pair-set contract served through Manku/Jain/Sarma
     * 2007's RECURSIVE refinement — the exactness-preserving answer to
@@ -760,7 +787,8 @@ object TextDedup {
     * The observation: at threshold [[HammingMax]] = 8 over 10 blocks,
     * ≤ 8 differing bits touch ≤ 8 blocks, so every qualifying pair has
     * at least TWO intact blocks. A bucket whose size exceeds
-    * [[HotBucketT]] therefore doesn't need its members self-joined:
+    * the adaptive [[hotBucketT]] therefore doesn't need its members
+    * self-joined:
     * re-keying them on each of their 9 OTHER blocks (the "remaining
     * bits") still meets every qualifying pair — at the second intact
     * block — and turns the bucket's n² fan-out into Σ sub-bucket².
@@ -790,10 +818,11 @@ object TextDedup {
     // over-threshold subset always broadcasts — the block frame is
     // classified by a map-side hash probe instead of a full-frame
     // window (which would sort all 10n rows inside each bucket)
+    val hotT = hotBucketT(sig.count()) // sig is checkpointed — cheap count
     val hotKeys = blocks
       .groupBy(col("bi"), col("bv"))
       .agg(count(lit(1)).as("n"))
-      .filter(col("n") > HotBucketT)
+      .filter(col("n") > hotT)
       .select(col("bi"), col("bv"), lit(true).as("is_hot"))
     val sized = blocks.join(broadcast(hotKeys), Seq("bi", "bv"), "left")
     val cold = sized.filter(col("is_hot").isNull).drop("is_hot")

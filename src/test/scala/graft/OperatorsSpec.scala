@@ -417,9 +417,11 @@ class OperatorsSpec extends SparkSpec {
       assert(got.toSet == pairs(TextDedup.c92DedupSimhashWide(spark, sf)).toSet, s"pair set diverges at $sf")
     }
     // the refinement must ENGAGE at the gate SF — otherwise this spec
-    // only ever exercises the cold path
-    val hotBuckets = TextDedup
-      .simHashSignaturesWide(spark, sf001)
+    // only ever exercises the cold path; the threshold is the same
+    // adaptive hotBucketT(n) the operator computes
+    val sigs = TextDedup.simHashSignaturesWide(spark, sf001)
+    val hotT = TextDedup.hotBucketT(sigs.count())
+    val hotBuckets = sigs
       .select(explode(array((0 until 2 * TextDedup.WideBlocksPerHalf).map { idx =>
         val half = if (idx < TextDedup.WideBlocksPerHalf) col("s1") else col("s2")
         struct(
@@ -431,9 +433,9 @@ class OperatorsSpec extends SparkSpec {
       }: _*)).as("b"))
       .groupBy(col("b.bi"), col("b.bv"))
       .count()
-      .filter(col("count") > TextDedup.HotBucketT)
+      .filter(col("count") > hotT)
       .count()
-    assert(hotBuckets > 0, s"no bucket exceeds HotBucketT=${TextDedup.HotBucketT} at sf0.01 — refinement untested")
+    assert(hotBuckets > 0, s"no bucket exceeds hotBucketT=$hotT at sf0.01 — refinement untested")
   }
 
   test("b52 null semantics: NULL groups once, meets NULL through <=>, and sorts first — JVM re-derived") {
