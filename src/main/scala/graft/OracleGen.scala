@@ -1375,4 +1375,47 @@ object OracleGen {
        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS fused_rank
        |FROM f""".stripMargin
   }
+
+  /** c99 = the BPE merge loop UNROLLED, one CTE triple per round
+    * (c24's iterative-training idiom): y{i} re-splits the padded
+    * segmentation on the double-space separator, t{i} takes the argmax
+    * adjacent pair (count DESC, lhs, rhs — the Spark tie order), and
+    * seg{i} applies the merge with the same left-to-right
+    * non-overlapping `replace` the Spark side uses, so every round is
+    * bit-exact string algebra over integer counts. seg{i} and t{i} are
+    * each referenced twice (by the next round and by the final union),
+    * so they carry an explicit MATERIALIZED hint — inlined, the chain
+    * re-evaluates the whole prefix per reference (2^rounds blowup:
+    * minutes; materialized: <1 s at sf0.01).
+    */
+  val c99BpeTrain: String = {
+    import graft.operators.TextAnalysis.{BpeEndOfWord, BpeTrainRounds}
+    val rounds = (1 to BpeTrainRounds)
+      .map { i =>
+        val prev = s"seg${i - 1}"
+        s"""y$i AS (SELECT cnt, s, string_split(trim(s), '  ') AS syms FROM $prev),
+           |p$i AS (SELECT unnest(list_transform(
+           |    generate_series(1, greatest(len(syms) - 1, 0)),
+           |    j -> struct_pack(l := syms[j], r := syms[j + 1]))) AS pr, cnt FROM y$i),
+           |t$i AS MATERIALIZED (SELECT pr.l AS lhs, pr.r AS rhs, CAST(SUM(cnt) AS BIGINT) AS n
+           |  FROM p$i GROUP BY pr.l, pr.r
+           |  QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, lhs, rhs) = 1),
+           |seg$i AS MATERIALIZED (SELECT cnt,
+           |  replace(s, ' ' || t.lhs || '  ' || t.rhs || ' ', ' ' || t.lhs || t.rhs || ' ') AS s
+           |  FROM $prev, t$i t)""".stripMargin
+      }
+      .mkString(",\n")
+    val out = (1 to BpeTrainRounds)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS round, lhs, rhs, lhs || rhs AS merged, n FROM t$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |wc AS (SELECT w, COUNT(*) AS cnt FROM words WHERE length(w) >= 1 GROUP BY w),
+       |seg0 AS (SELECT cnt,
+       |  ' ' || array_to_string(list_append(list_transform(
+       |    generate_series(1, length(w)), i -> substr(w, CAST(i AS INT), 1)), '$BpeEndOfWord'), '  ') || ' ' AS s
+       |  FROM wc),
+       |$rounds
+       |$out
+       |ORDER BY round""".stripMargin
+  }
 }

@@ -207,6 +207,7 @@ object SparkEntry {
     "s28_equality_deletes" -> (graft.sources.Formats.s28EqualityDeletes _),
     "c97_cross_rerank" -> (VectorOps.c97CrossRerank _),
     "c98_hybrid_rrf" -> (VectorOps.c98HybridRrf _),
+    "c99_bpe_train" -> (TextAnalysis.c99BpeTrain _),
     "b52_null_semantics" -> (Relational.b52NullSemantics _)
   )
 
@@ -614,6 +615,7 @@ object SparkEntry {
     "c90_bitext_margin_ivf" -> OracleGen.c90BitextMarginIvf,
     "c91_bm25" -> OracleGen.c91Bm25,
     "c98_hybrid_rrf" -> OracleGen.c98HybridRrf,
+    "c99_bpe_train" -> OracleGen.c99BpeTrain,
     "c92_dedup_simhash_wide" -> OracleGen.c92DedupSimhashWide,
     // c93 serves the SAME exact pair set as c92 (recursive hot-bucket
     // refinement changes candidate generation, not the contract), so

@@ -881,6 +881,108 @@ object TextAnalysis {
       .filter(col("rank") <= BpeTopPairs)
   }
 
+  /** Merge rounds c99 trains. Deep enough that merged symbols (3+
+    * chars and the word-end marker) participate in later rounds at
+    * every gate SF; small enough that the unrolled DuckDB oracle CTE
+    * chain stays tractable.
+    */
+  val BpeTrainRounds = 12
+
+  /** End-of-word marker appended as a standalone symbol, so merges
+    * can distinguish word-final from word-internal contexts (Sennrich
+    * et al. 2016's `</w>`). Space-free by construction, like every
+    * symbol — the segmentation encoding below depends on that.
+    */
+  val BpeEndOfWord = "</w>"
+
+  /** C99: the full iterative BPE tokenizer TRAINER — c56 is one round
+    * of pair counting; this runs [[BpeTrainRounds]] complete merge
+    * rounds (count adjacent symbol pairs weighted by word frequency →
+    * adopt the argmax pair → re-segment the vocabulary) and emits the
+    * learned merge table, i.e. the tokenizer itself (Sennrich et al.
+    * 2016; the loop SentencePiece/HF tokenizers run).
+    *
+    * Scale shape — the reason BPE training is feasible at 100 TB: the
+    * corpus is touched exactly ONCE, collapsing to the word-frequency
+    * vocabulary (map-side-combined count; corpus→vocab is a massive
+    * compression — every production trainer starts here). Every merge
+    * round then runs over VOCAB rows only: a row-local re-segmentation
+    * projection plus one bounded pair aggregate (≤ symbols² keys).
+    * The per-round argmax is a 1-row driver collect (the merge table
+    * is a ≤[[BpeTrainRounds]]-row driver-held index artifact, c24's
+    * trained-quantizer posture); the result frame is that table.
+    *
+    * Segmentation encoding: a word's symbols are joined with TWO
+    * spaces and padded with one space each side, so the merge of pair
+    * (l, r) is a plain `replace(s, " l  r ", " lr ")` — the pattern's
+    * single-space boundaries align with the pad or with one space of a
+    * separator, never inside a symbol (symbols are space-free), and
+    * left-to-right non-overlapping `replace` IS standard BPE's greedy
+    * merge order ("b b b" merges to (bb, b)). replace() has identical
+    * semantics in Spark and DuckDB, so the oracle (an unrolled CTE
+    * chain per round, OracleGen.c99BpeTrain) is hash-exact: counts are
+    * integers, everything else is string algebra.
+    */
+  def c99BpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = Tables
+      .documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    var seg = vocab.select(
+      col("cnt"),
+      concat(
+        lit(" "),
+        array_join(
+          concat(
+            transform(sequence(lit(1), length(col("w"))), i => col("w").substr(i, lit(1))),
+            array(lit(BpeEndOfWord))
+          ),
+          "  "
+        ),
+        lit(" ")
+      ).as("s")
+    )
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= BpeTrainRounds && !exhausted) {
+      val syms = split(trim(col("s")), "  ")
+      val top = seg
+        .select(
+          explode(
+            when(
+              size(syms) >= 2,
+              transform(
+                sequence(lit(1), size(syms) - 1),
+                j => struct(element_at(syms, j).as("l"), element_at(syms, j + 1).as("r"))
+              )
+            ).otherwise(array().cast("array<struct<l:string,r:string>>"))
+          ).as("p"),
+          col("cnt")
+        )
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round.toLong, l, r, n))
+        seg = seg.withColumn("s", replace(col("s"), lit(s" $l  $r "), lit(s" $l$r ")))
+        round += 1
+      }
+    }
+    vocab.unpersist(false)
+    import spark.implicits._
+    merges.toSeq
+      .toDF("round", "lhs", "rhs", "n")
+      .select(col("round"), col("lhs"), col("rhs"), concat(col("lhs"), col("rhs")).as("merged"), col("n"))
+  }
+
   /** c53: a 5-gram is boilerplate when at least this many DISTINCT docs
     * of the same source contain it (CCNet drops any line seen more than
     * once in a shard — threshold 2 is that rule at shingle granularity;

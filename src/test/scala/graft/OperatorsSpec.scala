@@ -1952,4 +1952,63 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(sizes.nonEmpty)
   }
+
+  test("c99 bpe train: the full merge sequence re-derived in plain JVM, greedy left-to-right") {
+    val got = TextAnalysis
+      .c99BpeTrain(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    // reference trainer: word counts -> symbol lists -> argmax pair ->
+    // greedy left-to-right merge (the semantics the double-space
+    // replace encoding implements)
+    val wc = graft.sources.Tables
+      .documents(spark, sf001)
+      .select(col("text"))
+      .collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .filter(_.nonEmpty)
+      .groupBy(identity)
+      .map { case (w, ws) => w -> ws.length.toLong }
+    var seg: Seq[(Vector[String], Long)] = wc.toSeq.map { case (w, c) =>
+      (w.map(_.toString).toVector :+ TextAnalysis.BpeEndOfWord, c)
+    }
+    def mergeLR(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { out += (l + r); i += 2 }
+        else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val want = Seq.newBuilder[(Long, String, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= TextAnalysis.BpeTrainRounds && !done) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      seg.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) { // ALL adjacent occurrences count, overlap included
+          val k = (syms(i), syms(i + 1))
+          pairCounts(k) = pairCounts.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        val ((l, r), n) = pairCounts.minBy { case ((l, r), n) => (-n, l, r) }
+        want += ((round.toLong, l, r, l + r, n))
+        seg = seg.map { case (syms, c) => (mergeLR(syms, l, r), c) }
+        round += 1
+      }
+    }
+    assert(got == want.result(), s"merge table diverges\ngot:  $got")
+    assert(got.length == TextAnalysis.BpeTrainRounds, "gate corpus must fill every round")
+    // the trainer must get past char-char merges: later rounds must
+    // consume previously-merged symbols, or the loop isn't really
+    // iterating
+    assert(got.exists { case (_, l, r, _, _) => l.length > 1 || r.replace(TextAnalysis.BpeEndOfWord, "").length > 1 },
+      "no merge consumed a merged symbol — the iteration is untested")
+  }
 }
