@@ -1388,7 +1388,11 @@ object OracleGen {
     * re-evaluates the whole prefix per reference (2^rounds blowup:
     * minutes; materialized: <1 s at sf0.01).
     */
-  val c99BpeTrain: String = {
+  /** The shared BPE CTE chain (words → word counts → seg0 → one
+    * y/p/t/seg quadruple per merge round), composed by both c99 (merge
+    * table) and c100 (segmentation aggregate).
+    */
+  private def bpeCtes: String = {
     import graft.operators.TextAnalysis.{BpeEndOfWord, BpeTrainRounds}
     val rounds = (1 to BpeTrainRounds)
       .map { i =>
@@ -1405,17 +1409,35 @@ object OracleGen {
            |  FROM $prev, t$i t)""".stripMargin
       }
       .mkString(",\n")
-    val out = (1 to BpeTrainRounds)
-      .map(i => s"SELECT CAST($i AS BIGINT) AS round, lhs, rhs, lhs || rhs AS merged, n FROM t$i")
-      .mkString("\nUNION ALL\n")
-    s"""WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    s"""words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
        |wc AS (SELECT w, COUNT(*) AS cnt FROM words WHERE length(w) >= 1 GROUP BY w),
        |seg0 AS (SELECT cnt,
        |  ' ' || array_to_string(list_append(list_transform(
        |    generate_series(1, length(w)), i -> substr(w, CAST(i AS INT), 1)), '$BpeEndOfWord'), '  ') || ' ' AS s
        |  FROM wc),
-       |$rounds
-       |$out
-       |ORDER BY round""".stripMargin
+       |$rounds""".stripMargin
+  }
+
+  val c99BpeTrain: String = {
+    import graft.operators.TextAnalysis.BpeTrainRounds
+    val out = (1 to BpeTrainRounds)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS round, lhs, rhs, lhs || rhs AS merged, n FROM t$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $bpeCtes,
+       |f AS ($out)
+       |SELECT round, lhs, rhs, merged, n FROM f ORDER BY round""".stripMargin
+  }
+
+  /** c100 = c99's chain plus the apply stage: re-split the final
+    * segmentation and aggregate per-symbol corpus token counts.
+    */
+  val c100BpeSegment: String = {
+    import graft.operators.TextAnalysis.BpeTrainRounds
+    s"""WITH $bpeCtes,
+       |fin AS (SELECT cnt, string_split(trim(s), '  ') AS syms FROM seg$BpeTrainRounds),
+       |tok AS (SELECT unnest(syms) AS symbol, cnt FROM fin)
+       |SELECT symbol, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(*) AS BIGINT) AS n_vocab_occurrences
+       |FROM tok GROUP BY symbol""".stripMargin
   }
 }

@@ -208,6 +208,7 @@ object SparkEntry {
     "c97_cross_rerank" -> (VectorOps.c97CrossRerank _),
     "c98_hybrid_rrf" -> (VectorOps.c98HybridRrf _),
     "c99_bpe_train" -> (TextAnalysis.c99BpeTrain _),
+    "c100_bpe_segment" -> (TextAnalysis.c100BpeSegment _),
     "b52_null_semantics" -> (Relational.b52NullSemantics _)
   )
 
@@ -616,6 +617,7 @@ object SparkEntry {
     "c91_bm25" -> OracleGen.c91Bm25,
     "c98_hybrid_rrf" -> OracleGen.c98HybridRrf,
     "c99_bpe_train" -> OracleGen.c99BpeTrain,
+    "c100_bpe_segment" -> OracleGen.c100BpeSegment,
     "c92_dedup_simhash_wide" -> OracleGen.c92DedupSimhashWide,
     // c93 serves the SAME exact pair set as c92 (recursive hot-bucket
     // refinement changes candidate generation, not the contract), so

@@ -924,6 +924,40 @@ object TextAnalysis {
     * integers, everything else is string algebra.
     */
   def c99BpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val (merges, _) = bpeTrain(spark, sfDir)
+    import spark.implicits._
+    merges
+      .toDF("round", "lhs", "rhs", "n")
+      .select(col("round"), col("lhs"), col("rhs"), concat(col("lhs"), col("rhs")).as("merged"), col("n"))
+  }
+
+  /** C100: APPLY the learned tokenizer — segment the vocabulary with
+    * c99's merge sequence and report per-symbol corpus token counts
+    * (n_tokens = corpus-weighted occurrences, n_vocab_occurrences =
+    * occurrences across vocabulary entries). This is the tokenize-the-
+    * corpus half of the tokenizer story (train = c99, apply = c100):
+    * the output is what a token-budget or fertility analysis consumes.
+    * Same scale shape as c99 — the apply pass is one more row-local
+    * projection + bounded aggregate over VOCAB rows; the corpus never
+    * re-enters. Oracle = c99's unrolled chain plus the segmentation
+    * aggregate; integer counts, hash-exact.
+    */
+  def c100BpeSegment(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, seg) = bpeTrain(spark, sfDir)
+    val syms = split(trim(col("s")), "  ")
+    seg
+      .select(explode(syms).as("symbol"), col("cnt"))
+      .groupBy(col("symbol"))
+      .agg(
+        sum(col("cnt")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_vocab_occurrences")
+      )
+  }
+
+  /** Shared trainer core for c99/c100: runs the merge loop and returns
+    * the adopted merges plus the final segmentation frame (cnt, s).
+    */
+  private def bpeTrain(spark: SparkSession, sfDir: String): (Seq[(Long, String, String, Long)], DataFrame) = {
     val vocab = Tables
       .documents(spark, sfDir)
       .select(explode(tokens(col("text"))).as("w"))
@@ -977,10 +1011,7 @@ object TextAnalysis {
       }
     }
     vocab.unpersist(false)
-    import spark.implicits._
-    merges.toSeq
-      .toDF("round", "lhs", "rhs", "n")
-      .select(col("round"), col("lhs"), col("rhs"), concat(col("lhs"), col("rhs")).as("merged"), col("n"))
+    (merges.toSeq, seg)
   }
 
   /** c53: a 5-gram is boilerplate when at least this many DISTINCT docs

@@ -2010,5 +2010,25 @@ class OperatorsSpec extends SparkSpec {
     // iterating
     assert(got.exists { case (_, l, r, _, _) => l.length > 1 || r.replace(TextAnalysis.BpeEndOfWord, "").length > 1 },
       "no merge consumed a merged symbol — the iteration is untested")
+    // c100 = applying the trained merges: per-symbol corpus token
+    // counts over the SAME final segmentation
+    val gotSeg = TextAnalysis
+      .c100BpeSegment(spark, sf001)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val wantSeg = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    seg.foreach { case (syms, c) =>
+      syms.foreach { sym =>
+        val (t, o) = wantSeg.getOrElse(sym, (0L, 0L))
+        wantSeg(sym) = (t + c, o + 1)
+      }
+    }
+    assert(gotSeg == wantSeg.toMap, "segmentation counts diverge")
+    // the segmentation must actually use merged symbols, and token
+    // count must undercut the char count (merges compress)
+    assert(gotSeg.keys.exists(s => s.replace(TextAnalysis.BpeEndOfWord, "").length > 1))
+    val nChars = wc.map { case (w, c) => (w.length + 1).toLong * c }.sum
+    assert(gotSeg.values.map(_._1).sum < nChars, "BPE apply must compress vs char-level")
   }
 }
