@@ -131,13 +131,14 @@ object Bench {
     val okSpreads = spreads.map(_._2).filter(_ >= 0.0)
     val medianSpread = if (okSpreads.isEmpty) -1.0 else okSpreads.sorted.apply(okSpreads.size / 2)
     // these timings exclude the LSH pair computation, the c16 cluster
-    // frame, and (since round 10) the RAG first-stage shortlist — each
+    // frame, the RAG first-stage shortlist, and (since round 11) the
+    // trained BPE merge table + segmentation — each
     // amortized per (app, sfDir), paid once in pass 1 — which the
     // median drops as structural — by whichever consumer runs first);
     // annotate every consumer so a ~0.02x ratio reads as amortization,
     // not a speedup
     val amortized =
-      """["c3_dedup_minhash_lsh","c16_dedup_clusters","c33_canonical_corpus","c34_cross_source_neardups","c45_quality_canonical","c51_cluster_sizes","c55_neardup_incremental","c76_dedup_card","c85_dedup_sweep","c57_rag_retrieval","c97_cross_rerank","c98_hybrid_rrf"]"""
+      """["c3_dedup_minhash_lsh","c16_dedup_clusters","c33_canonical_corpus","c34_cross_source_neardups","c45_quality_canonical","c51_cluster_sizes","c55_neardup_incremental","c76_dedup_card","c85_dedup_sweep","c57_rag_retrieval","c97_cross_rerank","c98_hybrid_rrf","c99_bpe_train","c100_bpe_segment"]"""
     // detail line FIRST, compact headline LAST: the driver's tail capture
     // keeps the END of the output, so the last printed line is the one
     // guaranteed to survive. Round 6 printed only the long line (headline

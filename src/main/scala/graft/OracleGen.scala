@@ -1228,14 +1228,17 @@ object OracleGen {
   }
 
   /** c90 = the IVF-candidate bitext miner recomputed exactly: one
-    * centroid ranking per vector serves both the assignment (rn = 1)
-    * and the probe lists (rn ≤ nprobe), candidates are the forward ∪
+    * centroid ranking per vector serves both the residency lists
+    * (rn ≤ memberR — the round-11 multi-assignment geometry) and the
+    * probe lists (rn ≤ nprobe, itself GREATEST(floor, ROUND(floor ·
+    * SQRT(lists/L0))) — the probe fan scales with the √n list count,
+    * mirroring VectorOps.scaledProbes), candidates are the forward ∪
     * backward list meets deduped on the pair, and the margin tail is
     * c78's slot-for-slot (coalesced slots over COUNT(*) — candidate
     * neighborhoods can run short of k by construction).
     */
   val c90BitextMarginIvf: String = {
-    import graft.operators.VectorOps.{BitextIvfLists, BitextIvfProbes, BitextMarginK, BitextMarginThreshold, BitextSrcLabels}
+    import graft.operators.VectorOps.{BitextIvfLists, BitextIvfProbes, BitextIvfMemberR, BitextMarginK, BitextMarginThreshold, BitextSrcLabels}
     def slots(alias: String) =
       (1 to BitextMarginK)
         .map(j => s"coalesce(max(CASE WHEN r = $j THEN cos END), 0.0)")
@@ -1248,8 +1251,11 @@ object OracleGen {
        |asgr AS (SELECT n.vec_id, n.label, c.cid,
        |  ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.vn, c.cv) DESC, c.cid) rn
        |  FROM nm n CROSS JOIN cent c),
-       |asg AS (SELECT vec_id, label, cid AS list_id FROM asgr WHERE rn = 1),
-       |pr AS (SELECT vec_id, label, cid AS list_id FROM asgr WHERE rn <= $BitextIvfProbes),
+       |nl AS (SELECT GREATEST($BitextIvfLists, CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS lists FROM embeddings),
+       |np AS (SELECT GREATEST($BitextIvfProbes,
+       |  CAST(ROUND($BitextIvfProbes * SQRT(lists / ${BitextIvfLists}.0)) AS BIGINT)) AS probes FROM nl),
+       |asg AS (SELECT vec_id, label, cid AS list_id FROM asgr WHERE rn <= $BitextIvfMemberR),
+       |pr AS (SELECT vec_id, label, cid AS list_id FROM asgr WHERE rn <= (SELECT probes FROM np)),
        |fwd AS (SELECT pp.vec_id AS src_id, a.vec_id AS tgt_id FROM pr pp JOIN asg a ON a.list_id = pp.list_id
        |  WHERE pp.label < $BitextSrcLabels AND a.label >= $BitextSrcLabels),
        |bwd AS (SELECT a.vec_id AS src_id, pp.vec_id AS tgt_id FROM pr pp JOIN asg a ON a.list_id = pp.list_id
@@ -1386,7 +1392,14 @@ object OracleGen {
     * each referenced twice (by the next round and by the final union),
     * so they carry an explicit MATERIALIZED hint — inlined, the chain
     * re-evaluates the whole prefix per reference (2^rounds blowup:
-    * minutes; materialized: <1 s at sf0.01).
+    * minutes; materialized: <1 s at sf0.01). seg{i} joins t{i} with
+    * LEFT JOIN ON TRUE + COALESCE, not a plain cross join: if pair
+    * counts exhaust before BpeTrainRounds (a degenerate corpus of
+    * single-char words), t{i} is empty and a cross join would collapse
+    * the segmentation to ZERO rows while the Spark loop (guarded by
+    * `exhausted`) keeps the last one — the left join leaves an empty
+    * round's segmentation unchanged, matching the Spark semantics on
+    * every corpus, not just the gate's.
     */
   /** The shared BPE CTE chain (words → word counts → seg0 → one
     * y/p/t/seg quadruple per merge round), composed by both c99 (merge
@@ -1405,8 +1418,8 @@ object OracleGen {
            |  FROM p$i GROUP BY pr.l, pr.r
            |  QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, lhs, rhs) = 1),
            |seg$i AS MATERIALIZED (SELECT cnt,
-           |  replace(s, ' ' || t.lhs || '  ' || t.rhs || ' ', ' ' || t.lhs || t.rhs || ' ') AS s
-           |  FROM $prev, t$i t)""".stripMargin
+           |  COALESCE(replace(s, ' ' || t.lhs || '  ' || t.rhs || ' ', ' ' || t.lhs || t.rhs || ' '), s) AS s
+           |  FROM $prev LEFT JOIN t$i t ON TRUE)""".stripMargin
       }
       .mkString(",\n")
     s"""words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),

@@ -954,10 +954,41 @@ object TextAnalysis {
       )
   }
 
+  /** Merge-loop lineage bound: the segmentation frame gains one
+    * `replace` projection per adopted merge, and with no checkpoint
+    * each round re-derives every prior replace from the persisted
+    * vocab — O(R²·vocab) work and an R-deep Catalyst plan (invisible
+    * at the gate's R = 12, fatal at a production R = 32k: analysis
+    * alone would dominate). Checkpointing every [[BpeCheckpointEvery]]
+    * rounds caps lineage depth at the interval, making the loop
+    * O(R·vocab) with a vocab-sized materialization per interval —
+    * the c78 checkpoint posture. Measured (round 11, sf0.1, R = 100):
+    * per-round wall time stays flat across the run — see BASELINE.md.
+    */
+  val BpeCheckpointEvery = 8
+
+  private val bpeCache =
+    new graft.core.AppScopedCache[(Seq[(Long, String, String, Long)], DataFrame)]
+
   /** Shared trainer core for c99/c100: runs the merge loop and returns
     * the adopted merges plus the final segmentation frame (cnt, s).
+    * Cached per (application, sfDir) — a trained tokenizer is a
+    * session artifact like c3's pair set or c24's centroids; c99 and
+    * c100 (and repeated bench passes) must train ONCE, not per query.
+    * The returned segmentation is localCheckpointed, so consumers
+    * replay no lineage (the round-10 advisor found c100 silently
+    * re-running the full corpus scan + 12 re-segmentations because
+    * the final frame still carried the whole training lineage).
     */
-  private def bpeTrain(spark: SparkSession, sfDir: String): (Seq[(Long, String, String, Long)], DataFrame) = {
+  private def bpeTrain(spark: SparkSession, sfDir: String): (Seq[(Long, String, String, Long)], DataFrame) =
+    bpeCache.getOrElseUpdate(spark.sparkContext, sfDir)(bpeTrainUncached(spark, sfDir, BpeTrainRounds))
+
+  private[graft] def bpeTrainUncached(
+      spark: SparkSession,
+      sfDir: String,
+      trainRounds: Int,
+      roundTimes: scala.collection.mutable.ArrayBuffer[Double] = null
+  ): (Seq[(Long, String, String, Long)], DataFrame) = {
     val vocab = Tables
       .documents(spark, sfDir)
       .select(explode(tokens(col("text"))).as("w"))
@@ -982,7 +1013,8 @@ object TextAnalysis {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var round = 1
     var exhausted = false
-    while (round <= BpeTrainRounds && !exhausted) {
+    while (round <= trainRounds && !exhausted) {
+      val t0 = System.nanoTime()
       val syms = split(trim(col("s")), "  ")
       val top = seg
         .select(
@@ -1007,11 +1039,17 @@ object TextAnalysis {
         val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((round.toLong, l, r, n))
         seg = seg.withColumn("s", replace(col("s"), lit(s" $l  $r "), lit(s" $l$r ")))
+        // bound the replace-chain lineage (see BpeCheckpointEvery)
+        if (round % BpeCheckpointEvery == 0) seg = seg.localCheckpoint()
+        if (roundTimes != null) roundTimes += (System.nanoTime() - t0) / 1e9
         round += 1
       }
     }
+    // materialize the final segmentation BEFORE dropping the vocab it
+    // lazily depends on: the cached artifact must replay zero lineage
+    val out = seg.localCheckpoint()
     vocab.unpersist(false)
-    (merges.toSeq, seg)
+    (merges.toSeq, out)
   }
 
   /** c53: a 5-gram is boilerplate when at least this many DISTINCT docs

@@ -1876,6 +1876,44 @@ object VectorOps {
   val BitextIvfLists = 10
   val BitextIvfProbes = 4
 
+  /** Member multi-assignment fan for c90: every vector RESIDES in its
+    * top-R lists (c96's boundary-pair posture). Round 11's recall
+    * sweep (VectorRecallSpec / BASELINE.md) measured R = 2 as the
+    * better per-candidate recall knob than more probes on the gate
+    * geometry: at 22 lists, probes=6/R=2 recalls 0.850 of c78's best
+    * alignments on 41 k candidates vs probes=8/R=1's 0.811 on 36 k —
+    * rank correlation between similar vectors means a neighbor's
+    * SECOND list is exactly the list a prober ranks next. R is a
+    * constant, so the candidate mass stays Θ(n²·probes/lists).
+    */
+  val BitextIvfMemberR = 2
+
+  /** Sentinel: derive probes from the list count (see [[scaledProbes]]). */
+  val AutoProbes = 0
+
+  /** probes = max(floor, round(floor·√(lists/L0))) — the probe fan
+    * grows with the √n-scaled list count so candidate COVERAGE
+    * (probes·R/lists) decays only as n^-0.25 instead of n^-0.5.
+    * Round 11's sweep showed why fixed probes cannot survive scaled
+    * lists on unstructured embeddings: recall@1 of c78's best
+    * alignments fell 0.70 → 0.55 → 0.43 across 10/22/45 lists at
+    * probes=4, while this rule holds 0.90 → 0.85 → ~0.78 (the gate
+    * embeddings are near-random by construction — the adversarial
+    * floor; clustered production embeddings hold recall at FIXED
+    * probes because neighbors co-reside). Candidate cost under the
+    * rule is Θ(n^1.75) vs exact's n² and fixed-probe IVF's n^1.5 —
+    * the measured middle path, recorded in BASELINE.md. Mirrored in
+    * SQL as GREATEST(floor, ROUND(floor * SQRT(lists / L0))); the
+    * half-up vs half-away ROUND difference cannot bite (floor·√(L/L0)
+    * landing on exact .5 requires L = L0·(2k+1)²/64, never an integer
+    * for L0 = 10).
+    */
+  def scaledProbes(nLists: Int): Int =
+    math.max(
+      BitextIvfProbes,
+      math.round(BitextIvfProbes * math.sqrt(nLists / BitextIvfLists.toDouble)).toInt
+    )
+
   /** C90: bitext mining over IVF candidate lists — c78's margin
     * contract at corpus scale. The exact form's all-pairs cross is the
     * one structurally-n² plan in the ANN family; this variant restricts
@@ -1891,8 +1929,9 @@ object VectorOps {
     * are the FORWARD ∪ BACKWARD meets — src probers × tgt members plus
     * tgt probers × src members, each ONE keyed join on list_id
     * (Σ |list|·|probers(list)| work, never |src|·|tgt|) — deduped on
-    * the pair (a member sits in exactly one list, so a pair repeats
-    * only across the two directions); (4) [[bitextMargins]] + [[bitextBest]] run
+    * the pair (a member resides in [[BitextIvfMemberR]] lists, so a
+    * pair can meet at up to R lists per direction plus the two
+    * directions); (4) [[bitextMargins]] + [[bitextBest]] run
     * unchanged on the candidate frame. The union closure guarantees
     * every scored pair's BOTH endpoints have a defined (≤ k-sized,
     * coalesce-handled) neighborhood inside the frame — no NULL margins
@@ -1908,16 +1947,25 @@ object VectorOps {
       spark: SparkSession,
       sfDir: String,
       lists: Int = AutoLists,
-      probes: Int = BitextIvfProbes
+      probes: Int = AutoProbes
   ): DataFrame = {
     // lists ∝ √n (floored at the spec'd 10-list geometry) IN THE GATE,
     // mirrored by the oracle's GREATEST(floor, ROUND(SQRT(COUNT(*))))
     // — c96's posture. Round 10 found the fixed-10 gate default was
     // the decade exercise's one real cliff (candidates ∝ n²/10 made
     // sf1 take 96 s and sf10 fill the scratch disk); scaled lists
-    // measure 11 s at sf1 on identical output.
+    // measure 11 s at sf1 on identical output. Round 11 then measured
+    // the recall cost of scaled lists at FIXED probes (0.70 → 0.43
+    // across a decade of lists) and moved the served geometry to
+    // probes ∝ √lists + member multi-assignment R = 2 — see
+    // [[scaledProbes]] / [[BitextIvfMemberR]] for the sweep numbers.
     val nLists = if (lists == AutoLists) scaledLists(embCount(spark, sfDir), BitextIvfLists) else lists
-    bitextBest(bitextMargins(bitextIvfCandidates(spark, sfDir, nLists, probes).localCheckpoint()))
+    val nProbes = if (probes == AutoProbes) scaledProbes(nLists) else probes
+    bitextBest(
+      bitextMargins(
+        bitextIvfCandidates(spark, sfDir, nLists, nProbes, BitextIvfMemberR).localCheckpoint()
+      )
+    )
   }
 
   /** c90's candidate generator, spec-visible: the IVF-restricted
@@ -1928,7 +1976,8 @@ object VectorOps {
       spark: SparkSession,
       sfDir: String,
       lists: Int,
-      probes: Int
+      probes: Int,
+      memberR: Int = 1
   ): DataFrame = {
     val e = bitextVecs(spark, sfDir)
     // Centroids are collected DRIVER-SIDE: `lists` ≤ √n rows of dim
@@ -1956,18 +2005,20 @@ object VectorOps {
     // checkpoint, no exchange, recompute is two primitive map passes.
     val ranked = e.withColumn(
       "plists",
-      graft.plans.CentroidTopK.centroidTopK(col("vn"), cents, probes)
+      graft.plans.CentroidTopK.centroidTopK(col("vn"), cents, math.max(probes, memberR))
     )
-    // (1) assignment: argmax cos, ties to the lowest centroid id
-    val asg = ranked.select(
-      col("vec_id"),
-      col("label"),
-      element_at(col("plists"), 1).as("list_id"),
-      col("vn")
-    )
+    // (1) assignment: each vector RESIDES in its top-`memberR` lists
+    // (memberR = 1 is classic IVF argmax; ties to the lowest centroid id)
+    val asg = ranked
+      .select(
+        col("vec_id"),
+        col("label"),
+        explode(slice(col("plists"), 1, memberR)).as("list_id"),
+        col("vn")
+      )
     // (2) per-vector probe lists: top-`probes` of the same row-local rank
     val probeLists = ranked
-      .select(col("vec_id"), col("label"), col("vn"), explode(col("plists")).as("list_id"))
+      .select(col("vec_id"), col("label"), col("vn"), explode(slice(col("plists"), 1, probes)).as("list_id"))
       .select(col("vec_id"), col("label"), col("list_id"), col("vn"))
     def side(df: DataFrame, isSrc: Boolean, id: String, v: String) = {
       val kept = if (isSrc) df.filter(col("label") < BitextSrcLabels) else df.filter(col("label") >= BitextSrcLabels)

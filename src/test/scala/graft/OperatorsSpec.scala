@@ -1997,7 +1997,19 @@ class OperatorsSpec extends SparkSpec {
       }
       if (pairCounts.isEmpty) done = true
       else {
-        val ((l, r), n) = pairCounts.minBy { case ((l, r), n) => (-n, l, r) }
+        // tie-break by UTF-8 BYTE order, not Scala's UTF-16 compareTo:
+        // Spark and DuckDB both collate strings by UTF-8 binary, and
+        // for symbols mixing U+E000..U+FFFF with supplementary-plane
+        // characters the two orders diverge (harmless on the ASCII
+        // gate corpus, a latent trap on any non-ASCII corpus)
+        val utf8: Ordering[String] = (a: String, b: String) => {
+          val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          java.util.Arrays.compareUnsigned(x, y)
+        }
+        val ((l, r), n) = pairCounts.minBy { case ((l, r), n) => (-n, l, r) }(
+          Ordering.Tuple3(implicitly[Ordering[Long]], utf8, utf8)
+        )
         want += ((round.toLong, l, r, l + r, n))
         seg = seg.map { case (syms, c) => (mergeLR(syms, l, r), c) }
         round += 1

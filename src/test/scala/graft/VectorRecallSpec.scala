@@ -457,9 +457,11 @@ class VectorRecallSpec extends SparkSpec {
   }
 
   test("c90 IVF bitext: doubly-covered pair margins match c78 bit-for-bit at default probes; real candidate reduction") {
-    import VectorOps.{BitextIvfLists, BitextIvfProbes, BitextMarginK}
+    import VectorOps.{BitextIvfLists, BitextIvfProbes, BitextIvfMemberR, BitextMarginK}
     val allPairs = VectorOps.bitextAllPairs(spark, sf001).localCheckpoint()
-    val cands = VectorOps.bitextIvfCandidates(spark, sf001, BitextIvfLists, BitextIvfProbes).localCheckpoint()
+    val cands = VectorOps
+      .bitextIvfCandidates(spark, sf001, BitextIvfLists, BitextIvfProbes, BitextIvfMemberR)
+      .localCheckpoint()
     def margins(df: org.apache.spark.sql.DataFrame) =
       VectorOps
         .bitextMargins(df)
@@ -491,5 +493,36 @@ class VectorRecallSpec extends SparkSpec {
     val bad = doubly.filter(p => ivfM(p) != exactM(p))
     assert(bad.isEmpty, s"covered-pair margin divergence on ${bad.size} pairs, e.g. ${bad.take(3)}")
     info(s"doubly-covered pairs: ${doubly.size} of ${candSet.size} candidates (${cos.size} exact pairs)")
+  }
+
+  test("c90 IVF bitext: the SERVED AutoLists geometry recalls c78's best alignments (recall@1 >= 0.8)") {
+    // The gate default moved from the pinned 10-list geometry to
+    // lists ∝ √n (round 10's scale fix); the parity specs above still
+    // pin BitextIvfLists, so without this test the geometry the gate
+    // actually serves would only be covered by oracle hash-equality —
+    // which mirrors the same scaling by construction and therefore
+    // can't detect a recall collapse. It DID collapse: fixed probes=4
+    // at 22 lists measured recall 0.551 (round 11's sweep), which is
+    // what moved the served geometry to probes ∝ √lists + memberR=2
+    // (measured 0.850 here). This runs the true default end to end;
+    // the floor is the measured value minus slack, and the geometry
+    // is deterministic so the measurement cannot flake.
+    val n = graft.sources.Tables.embeddings(spark, sf001).count()
+    val servedLists = VectorOps.scaledLists(n, VectorOps.BitextIvfLists)
+    assert(servedLists > VectorOps.BitextIvfLists,
+      s"gate SF must exercise the SCALED geometry (got $servedLists lists for n=$n)")
+    def best(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = best(VectorOps.c78BitextMargin(spark, sf001))
+    val served = best(VectorOps.c90BitextMarginIvf(spark, sf001)) // AutoLists default
+    assert(exact.nonEmpty)
+    val agree = exact.count { case (s, t) => served.get(s).contains(t) }
+    val recall = agree.toDouble / exact.size
+    assert(recall >= 0.8,
+      f"served-geometry recall@1 = $recall%.3f < 0.8 ($agree of ${exact.size} srcs; $servedLists lists)")
+    info(
+      f"AutoLists=$servedLists probes=${VectorOps.scaledProbes(servedLists)} R=${VectorOps.BitextIvfMemberR}: " +
+        f"best-alignment recall@1 = $recall%.3f ($agree/${exact.size})"
+    )
   }
 }

@@ -43,6 +43,22 @@ ROOT = sys.argv[2] if len(sys.argv) > 2 else "/root/sfgen"
 # documents-only query wastes minutes and gigabytes). Values must be table
 # names; anything else still generates (cheap) dimension tables it depends on.
 ONLY = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+# optional 5th arg: documents GEOMETRY (provenance-versioned; every scale
+# table in BASELINE.md names the geometry it was measured on):
+#   synthetic  (default) the 31-word adversarial vocabulary that matches the
+#              shipped sf0.1 tables — deliberately worst-case for SimHash
+#              (correlated vote bits -> hot 12-bit blocks)
+#   natural    Zipf-Mandelbrot vocabulary of 20,000 pseudo-words with
+#              lognormal doc lengths — the "real corpus" geometry the
+#              round-10 verdict asked for (c92/c93's served-default decision
+#              leaned on an unmeasured "near-linear on natural vocabularies"
+#              claim). Word frequencies follow p(r) ~ 1/(r+2.7)^1.07 (Zipf-
+#              Mandelbrot fit to English), doc lengths ln N(median 50 tok,
+#              sigma 0.8) clipped to [8, 400] so token mass per doc stays
+#              comparable to synthetic. Only documents changes; the seed
+#              string carries the geometry tag so both mirrors coexist.
+GEOM = sys.argv[4] if len(sys.argv) > 4 else "synthetic"
+assert GEOM in ("synthetic", "natural"), GEOM
 sfs = ("%g" % SF)
 OUT = f"{ROOT}/sf{sfs}"
 os.makedirs(OUT, exist_ok=True)
@@ -171,21 +187,53 @@ if want("events"):
         "props": [f'{{"k": {k}}}' for k in g.integers(0, 100, N_EVT)],
     })
 
-g = rng("documents")
-VOCAB = np.array([
-    "spark", "window", "merge", "table", "column", "vector", "stream", "value",
-    "data", "small", "join", "filter", "big", "group", "hash", "customer",
-    "sort", "order", "slow", "line", "part", "fast", "row", "the",
-    "agg", "key", "query", "a", "scan", "batch", "so",
-])
+g = rng("documents" if GEOM == "synthetic" else f"documents|{GEOM}")
+if GEOM == "synthetic":
+    VOCAB = np.array([
+        "spark", "window", "merge", "table", "column", "vector", "stream", "value",
+        "data", "small", "join", "filter", "big", "group", "hash", "customer",
+        "sort", "order", "slow", "line", "part", "fast", "row", "the",
+        "agg", "key", "query", "a", "scan", "batch", "so",
+    ])
+else:
+    # 20k distinct pseudo-words: rank r spelled as syllables of (r + 40)
+    # in base 40 — deterministic, all distinct, natural-ish lengths
+    SYL = ["ka", "ro", "ti", "na", "se", "lo", "mi", "da", "ve", "pu",
+           "ri", "ta", "no", "ba", "ku", "le", "sa", "do", "fi", "ga",
+           "he", "ju", "wa", "zo", "ce", "ny", "qu", "xi", "pe", "ma",
+           "tu", "si", "re", "ko", "la", "bi", "mo", "ne", "vi", "su"]
+    NV = 20_000
+
+    def word(r):
+        r += len(SYL)  # skip 1-syllable collisions with short ranks
+        out = []
+        while r:
+            out.append(SYL[r % len(SYL)])
+            r //= len(SYL)
+        return "".join(reversed(out))
+
+    VOCAB = np.array([word(r) for r in range(NV)])
+    zipf = 1.0 / np.power(np.arange(1, NV + 1) + 2.7, 1.07)
+    zipf /= zipf.sum()
 langs = np.array(["en", "es", "fr", "de", "zh"])
 lang_ix = g.choice(5, N_DOC, p=[0.41, 0.15, 0.15, 0.14, 0.15])
-lens = g.integers(8, 100, N_DOC)
+if GEOM == "synthetic":
+    lens = g.integers(8, 100, N_DOC)
+else:
+    lens = np.clip(np.round(np.exp(g.normal(np.log(50.0), 0.8, N_DOC))), 8, 400).astype(np.int64)
 texts = []
-for i in range(N_DOC):
-    texts.append(" ".join(VOCAB[g.integers(0, len(VOCAB), lens[i])]))
+if GEOM == "synthetic":
+    for i in range(N_DOC):
+        texts.append(" ".join(VOCAB[g.integers(0, len(VOCAB), lens[i])]))
+else:
+    # one bulk Zipf draw for the whole corpus (per-doc choice() re-scans
+    # the 20k-probability vector -> 1e9 ops at sf1), then slice per doc
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    all_toks = g.choice(len(VOCAB), int(offs[-1]), p=zipf)
+    for i in range(N_DOC):
+        texts.append(" ".join(VOCAB[all_toks[offs[i]:offs[i + 1]]]))
 # exact-dup pairs ~0.16% of docs, mirroring sf0.1's 8-in-5000
-gd = rng("doc_dups")
+gd = rng("doc_dups" if GEOM == "synthetic" else f"doc_dups|{GEOM}")
 n_dup = max(1, int(N_DOC * 0.0016))
 for _ in range(n_dup):
     a, b = gd.integers(0, N_DOC, 2)
@@ -217,4 +265,4 @@ write("embeddings", {
     "label": pa.array(labels, pa.int32()),
 })
 
-print(f"done -> {OUT}")
+print(f"done -> {OUT} (geometry={GEOM}, seed=md5('graft_sf|<table>|{sfs}" + ("" if GEOM == "synthetic" else f"|{GEOM}") + "'))")
