@@ -569,6 +569,51 @@ object OracleGen {
        |QUALIFY rank <= 5""".stripMargin
   }
 
+  /** c101 = the inverted multi-index recomputed structurally: per-half
+    * codebooks from the same seed ranges, per-half argmax assignment
+    * via ROW_NUMBER, query cells ranked by the half-dot SUM (added in
+    * the Spark operand order), top-P cells joined to the single-cell
+    * members, exact cosine QUALIFY top-5. DuckDB's v[1:h] / v[h+1:2h]
+    * list slices match Spark's slice() elementwise, so every float op
+    * sees identical inputs.
+    */
+  val c101AnnImi: String = {
+    import graft.operators.VectorOps.{ImiHalfKFloor, ImiCellProbes, NumQueryVecs, Dim}
+    val h = Dim / 2
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |nm AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),
+       |nc AS (SELECT GREATEST($ImiHalfKFloor, CAST(ROUND(SQRT(SQRT(COUNT(*)))) AS BIGINT)) AS hk FROM embeddings),
+       |ca AS (SELECT CAST(vec_id - $NumQueryVecs AS INT) AS aid, vn[1:$h] AS av FROM nm
+       |  WHERE vec_id >= $NumQueryVecs AND vec_id < $NumQueryVecs + (SELECT hk FROM nc)),
+       |cb AS (SELECT CAST(vec_id - $NumQueryVecs - (SELECT hk FROM nc) AS INT) AS bid, vn[${h + 1}:${2 * h}] AS bv FROM nm
+       |  WHERE vec_id >= $NumQueryVecs + (SELECT hk FROM nc) AND vec_id < $NumQueryVecs + 2 * (SELECT hk FROM nc)),
+       |mar AS (SELECT n.vec_id, a.aid,
+       |  ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.vn[1:$h], a.av) DESC, a.aid) rn
+       |  FROM nm n CROSS JOIN ca a WHERE n.vec_id >= $NumQueryVecs),
+       |mbr AS (SELECT n.vec_id, b.bid,
+       |  ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.vn[${h + 1}:${2 * h}], b.bv) DESC, b.bid) rn
+       |  FROM nm n CROSS JOIN cb b WHERE n.vec_id >= $NumQueryVecs),
+       |mem AS (SELECT a.vec_id, a.aid, b.bid FROM (SELECT vec_id, aid FROM mar WHERE rn = 1) a
+       |  JOIN (SELECT vec_id, bid FROM mbr WHERE rn = 1) b USING (vec_id)),
+       |qa AS (SELECT q.vec_id AS query_id, a.aid, list_dot_product(q.vn[1:$h], a.av) AS da
+       |  FROM nm q CROSS JOIN ca a WHERE q.vec_id < $NumQueryVecs),
+       |qb AS (SELECT q.vec_id AS query_id, b.bid, list_dot_product(q.vn[${h + 1}:${2 * h}], b.bv) AS db
+       |  FROM nm q CROSS JOIN cb b WHERE q.vec_id < $NumQueryVecs),
+       |qc AS (SELECT query_id, aid, bid,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY da + db DESC, aid, bid) cn
+       |  FROM qa JOIN qb USING (query_id)),
+       |s AS (SELECT c.query_id, m.vec_id AS neighbor_id, list_dot_product(qn.vn, nn.vn) AS cos
+       |  FROM (SELECT query_id, aid, bid FROM qc
+       |        WHERE cn <= (SELECT GREATEST($ImiCellProbes, 4 * hk) FROM nc)) c
+       |  JOIN mem m ON m.aid = c.aid AND m.bid = c.bid
+       |  JOIN nm qn ON qn.vec_id = c.query_id JOIN nm nn ON nn.vec_id = m.vec_id)
+       |SELECT query_id, neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+       |  cos
+       |FROM s
+       |QUALIFY rank <= 5""".stripMargin
+  }
+
   /** c24 = the TRAINED-quantizer IVF pipeline recomputed end to end:
     * md5-threshold training sample, init = first k sample vectors in
     * md5-of-id order, the Lloyd iterations UNROLLED (one CTE chain per

@@ -86,6 +86,7 @@ object SparkEntry {
     "c7_ann_lsh" -> ((s, d) => VectorOps.c7AnnLsh(s, d)),
     "c17_dedup_embedding_lsh" -> ((s, d) => VectorOps.c17EmbeddingDedupLsh(s, d)),
     "c18_ann_ivf" -> ((s, d) => VectorOps.c18AnnIvf(s, d)),
+    "c101_ann_imi" -> ((s, d) => VectorOps.c101AnnImi(s, d)),
     "c35_semdedup" -> (VectorOps.c35SemDedup _),
     "c39_embedding_outliers" -> (VectorOps.c39EmbeddingOutliers _),
     "c24_ann_ivf_trained" -> ((s, d) => VectorOps.c24AnnIvfTrained(s, d)),
@@ -631,6 +632,7 @@ object SparkEntry {
     "c96_dedup_embedding_ivf" -> OracleGen.c96DedupEmbeddingIvf,
     "c6_ann_bruteforce" -> OracleGen.c6AnnBruteforce,
     "c18_ann_ivf" -> OracleGen.c18AnnIvf,
+    "c101_ann_imi" -> OracleGen.c101AnnImi,
     "c24_ann_ivf_trained" -> OracleGen.c24AnnIvfTrained,
     "c35_semdedup" -> OracleGen.c35SemDedup,
     "c39_embedding_outliers" -> OracleGen.c39EmbeddingOutliers,

@@ -748,6 +748,123 @@ object VectorOps {
     )
   }
 
+  /** Per-half codebook size floor for c101's inverted multi-index. */
+  val ImiHalfKFloor = 8
+
+  /** Cell-probe FLOOR per query in c101 (the IMI recall knob); the
+    * served count is max(this, 4·halfK) — pure integer math, mirrored
+    * as GREATEST(32, 4·hk) in SQL — so cell coverage P/hk² decays as
+    * n^-0.25 (c90's coverage posture) instead of n^-0.5. Round-11
+    * sweep at the gate (hk = 8, 64 cells, near-random embeddings):
+    * recall@5 vs exact c6 = 0.28 / 0.48 / 0.66 / 0.82 / 0.94 at
+    * P = 8 / 16 / 24 / 32 / 48 — the served 32 lands 0.82.
+    * Per-half rank depth equals P: the top-P cells by half-sum are
+    * always contained in topP(A) × topP(B) — if cell (i, j) is top-P
+    * then i must be top-P in half A (otherwise the ≥ P cells (i', j)
+    * with better a-scores all beat it), and symmetrically for j.
+    */
+  val ImiCellProbes = 32
+
+  /** halfK = max(floor, round(n^(1/4))) — each half-codebook scales as
+    * the FOURTH root of the corpus, so the cell count halfK² keeps the
+    * √n list-count contract of the flat-IVF gates while assignment
+    * scores only 2·halfK ∝ n^0.25 centroids per row instead of √n:
+    * Θ(n^1.25) assignment work vs flat IVF's Θ(n^1.5) — the
+    * hierarchical rung BASELINE.md names as the next step past flat
+    * IVF. Mirrored in SQL as GREATEST(floor, ROUND(SQRT(SQRT(
+    * COUNT(*))))); round-half collisions are impossible (an exact .5
+    * would need n = (2k+1)⁴/16, never an integer).
+    */
+  def imiHalfK(n: Long): Int =
+    math.max(ImiHalfKFloor, math.round(math.sqrt(math.sqrt(n.toDouble))).toInt)
+
+  /** C101: ANN through an INVERTED MULTI-INDEX (Babenko & Lempitsky
+    * 2012) — the hierarchical coarse quantizer prototyped as the rung
+    * past flat IVF (c18/c24). The vector splits into two halves; each
+    * half quantizes against its OWN driver-held codebook of
+    * [[imiHalfK]] seed half-vectors (codebook A = halves 1..dim/2 of
+    * seed vectors NQ..NQ+hk, codebook B = halves dim/2+1..dim of the
+    * NEXT hk seeds — independent codebooks, c18's deterministic seeded
+    * posture), and a CELL is a pair (aid, bid): hk² cells from 2·hk
+    * codebook rows. Build: each candidate argmax-assigns per half —
+    * two row-local [[graft.plans.CentroidTopK]] kernel calls (k = 1),
+    * nothing but (id, aid, bid) ever produced, no exchange. Search:
+    * each query ranks all cells by the half-score SUM dot(q₁,aᵢ) +
+    * dot(q₂,bⱼ) (queries × hk per half then a tiny per-query cell
+    * cross — bounded by the ≤ NQ query battery) and probes its top-
+    * [[ImiCellProbes]] cells via ONE keyed (aid, bid) join against the
+    * members; exact cosine reranks. A member resides in exactly one
+    * cell, so no pair duplicates — no distinct. Scale: assignment
+    * Θ(n^1.25) (the 100 TB win over flat IVF's Θ(n^1.5)), probe-side
+    * candidate mass ∝ P·n/hk² = Θ(P·√n) per query. Oracle recomputes
+    * the identical structure (ROW_NUMBER per half, cell sum rank,
+    * QUALIFY top-5); DuckDB list slices v[1:32]/v[33:64] match Spark's
+    * slice(vn, 1, 32)/slice(vn, 33, 32) elementwise, and the half-dot
+    * sum adds in the same order, so scores gate hash-exact. Recall vs
+    * the exact c6 baseline is floored in VectorRecallSpec (the c24
+    * posture).
+    */
+  def c101AnnImi(spark: SparkSession, sfDir: String, cellProbes: Int = AutoProbes): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val hk = imiHalfK(embCount(spark, sfDir))
+    val nProbes = if (cellProbes == AutoProbes) math.max(ImiCellProbes, 4 * hk) else cellProbes
+    val half = Dim / 2
+    // driver-held half codebooks: 2·hk half-vectors of ≤ 8·√n doubles —
+    // the bounded driver-held index artifact (c24's posture)
+    val seeds = e
+      .filter(col("vec_id") >= NumQueryVecs && col("vec_id") < NumQueryVecs + 2L * hk)
+      .select(col("vec_id"), col("vn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val centsA = seeds.take(hk).zipWithIndex.map { case ((_, v), i) => (i, v.take(half)) }.toSeq
+    val centsB = seeds.drop(hk).zipWithIndex.map { case ((_, v), i) => (i, v.drop(half)) }.toSeq
+    // build: per-half argmax assignment — two codegen'd row-local kernel
+    // calls; ties to the lowest codebook id (the kernel's order rule)
+    val mem = e
+      .filter(col("vec_id") >= NumQueryVecs)
+      .select(
+        col("vec_id").as("neighbor_id"),
+        element_at(graft.plans.CentroidTopK.centroidTopK(slice(col("vn"), 1, half), centsA, 1), 1).as("aid"),
+        element_at(graft.plans.CentroidTopK.centroidTopK(slice(col("vn"), half + 1, half), centsB, 1), 1).as("bid"),
+        col("vn")
+      )
+    // search: rank the hk² cells per query by the half-score sum —
+    // queries are a bounded battery, so these frames are tiny and the
+    // crosses broadcast
+    val queries = e
+      .filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("vn").as("qv"))
+    val centAdf = e
+      .filter(col("vec_id") >= NumQueryVecs && col("vec_id") < NumQueryVecs + hk.toLong)
+      .select((col("vec_id") - NumQueryVecs).cast("int").as("aid"), slice(col("vn"), 1, half).as("av"))
+    val centBdf = e
+      .filter(col("vec_id") >= NumQueryVecs + hk.toLong && col("vec_id") < NumQueryVecs + 2L * hk)
+      .select(
+        (col("vec_id") - NumQueryVecs - hk).cast("int").as("bid"),
+        slice(col("vn"), half + 1, half).as("bv")
+      )
+    val qa = queries
+      .crossJoin(broadcast(centAdf))
+      .select(col("query_id"), col("aid"), arrayDot(slice(col("qv"), 1, half), col("av")).as("da"))
+    val qb = queries
+      .crossJoin(broadcast(centBdf))
+      .select(col("query_id"), col("bid"), arrayDot(slice(col("qv"), half + 1, half), col("bv")).as("db"))
+    val wc = Window.partitionBy(col("query_id")).orderBy((col("da") + col("db")).desc, col("aid"), col("bid"))
+    val cells = qa
+      .join(qb, "query_id")
+      .withColumn("cn", row_number().over(wc))
+      .filter(col("cn") <= nProbes)
+      .select(col("query_id"), col("aid"), col("bid"))
+    rankTopK(
+      mem
+        .join(broadcast(cells), Seq("aid", "bid"))
+        .join(broadcast(queries), "query_id")
+        .withColumn("cos", arrayDot(col("qv"), col("vn"))),
+      5
+    )
+  }
+
   // --------------------------------------------------------------------
   // Trained IVF (Lloyd / spherical k-means) — the quality path c18's
   // deterministic seed quantizer stands in for. Centroids are DRIVER-HELD

@@ -2636,7 +2636,8 @@ class PlanSpec extends SparkSpec {
       "c87_ann_jl" -> "broadcast ≤10-query frame; the corpus streams its 4x-smaller sketch column (c6's posture)",
       "c96_dedup_embedding_ivf" -> "driver-held centroid literals since round 10 (entry kept for provenance); the corpus-sized pair meet is a keyed list_id join (c61's posture)",
       "c97_cross_rerank" -> "inherits c57's broadcast 2-query × chunk-stream first stage; the pair scorer touches only the k-per-query shortlist",
-      "c98_hybrid_rrf" -> "inherits c57's broadcast 2-query × chunk-stream first stage; the fusion itself joins two bounded top-k lists"
+      "c98_hybrid_rrf" -> "inherits c57's broadcast 2-query × chunk-stream first stage; the fusion itself joins two bounded top-k lists",
+      "c101_ann_imi" -> "broadcast ≤2·halfK half-codebook frames × the ≤10-query battery (cell ranking only — corpus assignment is the row-local CentroidTopK kernel; the corpus-sized meet is a keyed (aid, bid) join)"
     )
     // Unpartitioned windows are allowed only over an AGGREGATED frame
     // (bucket/band offsets — rows ∝ buckets, not corpus); a global

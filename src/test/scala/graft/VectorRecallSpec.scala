@@ -418,6 +418,28 @@ class VectorRecallSpec extends SparkSpec {
       s"served IVF-PQ diverged: missing=${(built -- served).take(3)} extra=${(served -- built).take(3)}")
   }
 
+  test("c101 IMI ANN recall@5 vs the exact c6 baseline (served floor)") {
+    val exactTop5 = VectorOps
+      .c6AnnBruteforce(spark, sf001)
+      .filter("rank <= 5")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val imiTop5 = VectorOps
+      .c101AnnImi(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(exactTop5.size == VectorOps.NumQueryVecs * 5)
+    val recall = (exactTop5 & imiTop5).size.toDouble / exactTop5.size
+    // the gate embeddings are near-random (the adversarial ANN floor);
+    // the floor is the measured value minus slack — the geometry is
+    // deterministic so this cannot flake. Production clustered
+    // embeddings co-reside with their neighbors and recall rises.
+    assert(recall >= 0.75, f"IMI recall@5 = $recall%.3f < 0.75")
+    info(f"IMI (hk=${VectorOps.imiHalfK(2010)}, P=${VectorOps.ImiCellProbes}): recall@5 = $recall%.3f")
+  }
+
   test("c7 LSH ANN recall@5 >= 0.9 vs the exact c6 baseline") {
     val exactTop5 = VectorOps
       .c6AnnBruteforce(spark, sf001)

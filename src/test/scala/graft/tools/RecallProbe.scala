@@ -11,6 +11,7 @@ import graft.operators.VectorOps
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val mode = if (args.length > 1) args(1) else "bitext"
     val spark = SparkSession.builder
       .master("local[32]")
       .appName("recall-probe")
@@ -18,6 +19,26 @@ object RecallProbe {
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (mode == "imi") {
+      val exactTop5 = VectorOps
+        .c6AnnBruteforce(spark, sfDir)
+        .filter("rank <= 5")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      for (p <- Seq(8, 12, 16, 24, 32, 48)) {
+        val t0 = System.nanoTime()
+        val got = VectorOps
+          .c101AnnImi(spark, sfDir, cellProbes = p)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .toSet
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"P=$p%3d recall@5=${(exactTop5 & got).size.toDouble / exactTop5.size}%.3f t=$dt%.2fs")
+      }
+      spark.stop()
+      return
+    }
     val exact = VectorOps
       .c78BitextMargin(spark, sfDir)
       .collect()
