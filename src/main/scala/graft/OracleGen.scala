@@ -1427,6 +1427,42 @@ object OracleGen {
        |FROM f""".stripMargin
   }
 
+  /** c102 = the content-defined chunker recomputed with the identical
+    * list algebra: token 32-bit md5 hashes → the same overflow-proof
+    * polynomial window hash (rollCoeffs, shared constants) → boundary
+    * positions by residue → per-chunk md5 over the sliced tokens.
+    * generate_series(a, b) is empty for b < a in DuckDB, so the short-
+    * doc guards are implicit; every hash input string is identical on
+    * both sides, so the gate is hash-exact.
+    */
+  val c102CdcChunkDedup: String = {
+    import graft.functions.TextFunctions.{rollCoeffs, RollP}
+    import graft.operators.TextAnalysis.{CdcWindow, CdcDivisor}
+    val w = CdcWindow
+    val terms = rollCoeffs(w).zipWithIndex
+      .map { case (k, j) => s"ht[i + $j] * $k" }
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |h AS (SELECT doc_id, toks, len(toks) AS n,
+       |  list_transform(toks, t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)) AS ht FROM d),
+       |r AS (SELECT doc_id, toks, n,
+       |  list_transform(generate_series(1, n - ${w - 1}), i -> ($terms) % $RollP) AS rh FROM h),
+       |b AS (SELECT doc_id, toks, n,
+       |  list_filter(generate_series($w, n - 1), p -> rh[p - ${w - 1}] % $CdcDivisor = 0) AS bpos FROM r),
+       |se AS (SELECT doc_id, toks,
+       |  list_prepend(1, list_transform(bpos, p -> p + 1)) AS starts,
+       |  list_append(bpos, n) AS ends FROM b),
+       |c AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(starts)),
+       |  i -> struct_pack(m := md5(array_to_string(toks[starts[i]:ends[i]], ' ')),
+       |                   l := ends[i] - starts[i] + 1))) AS ch FROM se)
+       |SELECT ch.m AS chunk_md5,
+       |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  MIN(doc_id) AS keep_doc_id,
+       |  CAST(MIN(ch.l) AS BIGINT) AS tok_len
+       |FROM c GROUP BY ch.m HAVING COUNT(*) >= 2""".stripMargin
+  }
+
   /** c99 = the BPE merge loop UNROLLED, one CTE triple per round
     * (c24's iterative-training idiom): y{i} re-splits the padded
     * segmentation on the double-space separator, t{i} takes the argmax

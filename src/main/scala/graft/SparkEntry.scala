@@ -210,6 +210,7 @@ object SparkEntry {
     "c98_hybrid_rrf" -> (VectorOps.c98HybridRrf _),
     "c99_bpe_train" -> (TextAnalysis.c99BpeTrain _),
     "c100_bpe_segment" -> (TextAnalysis.c100BpeSegment _),
+    "c102_cdc_chunk_dedup" -> (TextAnalysis.c102CdcChunkDedup _),
     "b52_null_semantics" -> (Relational.b52NullSemantics _)
   )
 
@@ -619,6 +620,7 @@ object SparkEntry {
     "c98_hybrid_rrf" -> OracleGen.c98HybridRrf,
     "c99_bpe_train" -> OracleGen.c99BpeTrain,
     "c100_bpe_segment" -> OracleGen.c100BpeSegment,
+    "c102_cdc_chunk_dedup" -> OracleGen.c102CdcChunkDedup,
     "c92_dedup_simhash_wide" -> OracleGen.c92DedupSimhashWide,
     // c93 serves the SAME exact pair set as c92 (recursive hot-bucket
     // refinement changes candidate generation, not the contract), so

@@ -333,6 +333,110 @@ object TextAnalysis {
         md5(concat_ws(" ", col("cw"))).as("chunk_md5")
       )
 
+  /** CDC geometry: rolling window (tokens per boundary test) and the
+    * divisor — a boundary lands after token p whenever the window
+    * hash ending at p is ≡ 0 (mod divisor), so expected chunk length
+    * ≈ divisor tokens. Window 4 reuses the repo's overflow-proof
+    * polynomial rolling hash ([[graft.functions.TextFunctions.rollingShingleHashes]]).
+    */
+  val CdcWindow = 4
+  val CdcDivisor = 8L
+
+  /** C102: CONTENT-DEFINED chunk dedup (Rabin/FastCDC's boundary
+    * idiom over tokens) — the insertion-robust sibling of c38's
+    * fixed-width chunk dedup. Fixed-width chunking has a known
+    * failure: inserting ONE token shifts every later boundary, so a
+    * near-copy with a new preamble shares ZERO fixed chunks with its
+    * source. CDC cuts where the CONTENT's rolling hash hits a
+    * residue, so boundaries re-synchronize right after any edit and
+    * the untouched tail deduplicates chunk-for-chunk (the property
+    * backup/dedup systems — and chunk-level corpus dedup — rely on;
+    * the planted insertion spec asserts it against c38's chunker on
+    * the same pair). Per doc the whole chunking is ONE row-local
+    * expression chain (token hashes → rolling window hashes →
+    * boundary positions → per-chunk md5): nothing but (doc_id,
+    * chunk_md5, tok_len) ever reaches the exchange — text never
+    * rides a shuffle — and the single groupBy(chunk_md5) is map-side
+    * combined with output ∝ duplication. Oracle mirrors the identical
+    * list algebra (generate_series/list_filter/list slices); the
+    * rolling hash is the established cross-engine polynomial, so the
+    * gate is hash-exact. At 100 TB: chunking is embarrassingly
+    * parallel map work; the dedup shuffle carries 48-byte digests.
+    */
+  def c102CdcChunkDedup(spark: SparkSession, sfDir: String): DataFrame =
+    cdcChunks(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+      .groupBy(col("chunk_md5"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keep_doc_id"),
+        min(col("tok_len")).cast("long").as("tok_len")
+      )
+      .filter(col("n_occurrences") >= 2)
+
+  /** c102's chunker as a df→df transform over any (doc_id, text)
+    * frame — row-local, stream-applicable (c31's factoring). Emits
+    * one row per chunk: (doc_id, chunk_md5, tok_len).
+    */
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.hash32
+    // STAGED projections, not one nested expression: each array column
+    // (ht→rh, bpos, starts/ends) is referenced more than once
+    // downstream, and a lambda body that embeds the upstream ARRAY
+    // EXPRESSION re-evaluates the whole chain per element — the
+    // single-expression form measured O(n²·md5) per doc (minutes at
+    // sf0.01). Project boundaries make each array an attribute, built
+    // once per row (CollapseProject keeps non-cheap multi-referenced
+    // aliases in their own stage).
+    val s1 = docs.select(
+      col("doc_id"),
+      tokens(col("text")).as("toks"),
+      transform(tokens(col("text")), t => hash32(t)).as("ht")
+    )
+    val s2 = s1.select(
+      col("doc_id"),
+      col("toks"),
+      size(col("toks")).as("n"),
+      graft.functions.TextFunctions.rollingShingleHashes(col("ht"), CdcWindow).as("rh")
+    )
+    // cut AFTER token p for p ∈ [window, n−1] iff the window ending at
+    // p hashes to the residue; rh(i) covers tokens i..i+window−1, so
+    // the window ending at p is rh(p − window + 1). The when-guard
+    // matters: Spark's sequence(a, b) DESCENDS when b < a.
+    val s3 = s2.select(
+      col("doc_id"),
+      col("toks"),
+      col("n"),
+      when(
+        col("n") - 1 >= CdcWindow,
+        filter(
+          sequence(lit(CdcWindow), col("n") - 1),
+          p => element_at(col("rh"), p - (CdcWindow - 1)) % CdcDivisor === 0
+        )
+      ).otherwise(array().cast("array<int>")).as("bpos")
+    )
+    val s4 = s3.select(
+      col("doc_id"),
+      col("toks"),
+      concat(array(lit(1)), transform(col("bpos"), p => p + 1)).as("starts"),
+      concat(col("bpos"), array(col("n"))).as("ends")
+    )
+    // explode the (start, end) ranges FIRST, hash each chunk once from
+    // the row-local token array — still zero exchanges before the
+    // digest-only aggregate
+    s4.select(col("doc_id"), col("toks"), explode(arrays_zip(col("starts"), col("ends"))).as("r"))
+      .select(
+        col("doc_id"),
+        md5(
+          array_join(
+            slice(col("toks"), col("r.starts"), col("r.ends") - col("r.starts") + 1),
+            " "
+          )
+        ).as("chunk_md5"),
+        (col("r.ends") - col("r.starts") + 1).cast("long").as("tok_len")
+      )
+  }
+
   /** C33: the canonical corpus after near-dup collapse — each near-dup
     * cluster (c16 over the amortized c3 pair set) keeps only its
     * canonical member (the min-id label), documents outside any

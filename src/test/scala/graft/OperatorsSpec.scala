@@ -1953,6 +1953,69 @@ class OperatorsSpec extends SparkSpec {
     assert(sizes.nonEmpty)
   }
 
+  test("c102 CDC chunking: re-derived in plain JVM; insertion re-syncs boundaries where fixed chunks lose everything") {
+    import TextAnalysis.{CdcWindow, CdcDivisor}
+    // plain-JVM reference chunker (md5 strings, same window polynomial)
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    def h32(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    val ks = graft.functions.TextFunctions.rollCoeffs(CdcWindow)
+    def refChunks(text: String): Seq[(String, Int)] = {
+      val toks = text.split(" ", -1)
+      val n = toks.length
+      val ht = toks.map(h32)
+      val rh = (1 to n - (CdcWindow - 1)).map { i =>
+        (0 until CdcWindow).map(j => ht(i - 1 + j) * ks(j)).sum % graft.functions.TextFunctions.RollP
+      }
+      val bpos = (CdcWindow to n - 1).filter(p => rh(p - CdcWindow) % CdcDivisor == 0)
+      val starts = 1 +: bpos.map(_ + 1)
+      val ends = bpos :+ n
+      starts.zip(ends).map { case (s, e) => (md5hex(toks.slice(s - 1, e).mkString(" ")), e - s + 1) }
+    }
+    // gate parity: the whole corpus aggregate re-derived row-at-a-time
+    val docs = graft.sources.Tables.documents(spark, sf001).select(col("doc_id"), col("text")).collect()
+    val want = scala.collection.mutable.Map.empty[String, (Long, Set[Long], Long, Long)]
+    docs.foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      refChunks(text).foreach { case (m, l) =>
+        val (occ, ds, keep, _) = want.getOrElse(m, (0L, Set.empty[Long], Long.MaxValue, 0L))
+        want(m) = (occ + 1, ds + id, math.min(keep, id), l.toLong)
+      }
+    }
+    val wantDup = want.collect { case (m, (occ, ds, keep, l)) if occ >= 2 => m -> ((occ, ds.size.toLong, keep, l)) }
+    val got = TextAnalysis
+      .c102CdcChunkDedup(spark, sf001)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == wantDup.toMap, s"CDC dedup diverges: got ${got.size} want ${wantDup.size}")
+    assert(got.nonEmpty, "gate corpus must contain duplicated CDC chunks (exact-dup pairs exist)")
+
+    // the CDC property: a copy with an inserted preamble re-synchronizes
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w${i * 7 % 53}x$i").mkString(" ")
+    val pair = Seq((1L, base), (2L, s"zza zzb zzc $base")).toDF("doc_id", "text")
+    val cdcShared = TextAnalysis
+      .cdcChunks(pair)
+      .groupBy(col("chunk_md5"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") === 2)
+      .count()
+    val fixedShared = TextAnalysis
+      .chunked(pair)
+      .groupBy(col("chunk_md5"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") === 2)
+      .count()
+    assert(cdcShared >= 2, s"CDC must re-sync after the insertion (shared chunks = $cdcShared)")
+    assert(fixedShared == 0, s"fixed-width chunks must all shift (shared = $fixedShared) — else the contrast proves nothing")
+    // and the reference agrees on the planted pair
+    val sharedRef = refChunks(base).map(_._1).toSet & refChunks(s"zza zzb zzc $base").map(_._1).toSet
+    assert(sharedRef.size.toLong == cdcShared)
+  }
+
   test("c99 bpe train: the full merge sequence re-derived in plain JVM, greedy left-to-right") {
     val got = TextAnalysis
       .c99BpeTrain(spark, sf001)
