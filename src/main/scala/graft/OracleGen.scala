@@ -1366,7 +1366,15 @@ object OracleGen {
   val c98HybridRrf: String = {
     import graft.operators.TextAnalysis.{Bm25K1, Bm25B, Bm25TopK, Bm25Queries, ChunkSize, ChunkStride}
     import graft.operators.VectorOps.{RagDims, RagTopK, RagQueryTexts, RrfK}
-    val nq = RagQueryTexts.size
+    // the shared battery by text identity — same source as the Spark
+    // side (VectorOps.rrfSharedBattery), so reordering either battery
+    // remaps in BOTH engines identically
+    val battery = graft.operators.VectorOps.rrfSharedBattery
+    val batteryIn = battery.map(_._1).sorted.mkString(", ")
+    val batteryCase = battery
+      .sortBy(_._1)
+      .map { case (bm, dense) => s"WHEN query_id = $bm THEN CAST($dense AS BIGINT)" }
+      .mkString(" ")
     val embed =
       s"""list_transform(generate_series(0, ${RagDims - 1}),
          |  j -> CAST(CAST(concat('0x', substr(h, CAST(j * 4 + 1 AS INT), 4)) AS BIGINT) AS DOUBLE) - 32768.0)""".stripMargin
@@ -1416,8 +1424,8 @@ object OracleGen {
        |bb AS (SELECT query_id, doc_id, score,
        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
        |  FROM bsc WHERE score > 0.0),
-       |sp AS (SELECT query_id, doc_id, CAST(rk AS BIGINT) AS bm25_rank FROM bb
-       |  WHERE rk <= $Bm25TopK AND query_id < $nq),
+       |sp AS (SELECT CASE $batteryCase END AS query_id, doc_id, CAST(rk AS BIGINT) AS bm25_rank FROM bb
+       |  WHERE rk <= $Bm25TopK AND query_id IN ($batteryIn)),
        |f AS (SELECT COALESCE(dr.query_id, sp.query_id) AS query_id,
        |  COALESCE(dr.doc_id, sp.doc_id) AS doc_id, dr.dense_rank, sp.bm25_rank,
        |  (COALESCE(1.0 / ($RrfK + dr.dense_rank), 0.0) + COALESCE(1.0 / ($RrfK + sp.bm25_rank), 0.0)) AS rrf_score

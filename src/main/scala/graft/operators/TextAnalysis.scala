@@ -423,18 +423,24 @@ object TextAnalysis {
     )
     // explode the (start, end) ranges FIRST, hash each chunk once from
     // the row-local token array — still zero exchanges before the
-    // digest-only aggregate
-    s4.select(col("doc_id"), col("toks"), explode(arrays_zip(col("starts"), col("ends"))).as("r"))
-      .select(
-        col("doc_id"),
-        md5(
-          array_join(
-            slice(col("toks"), col("r.starts"), col("r.ends") - col("r.starts") + 1),
-            " "
-          )
-        ).as("chunk_md5"),
-        (col("r.ends") - col("r.starts") + 1).cast("long").as("tok_len")
-      )
+    // digest-only aggregate. The ordinal rides along for the streaming
+    // parity leg (ChunkRow wants (doc, idx, md5)); c102's aggregate
+    // ignores it.
+    s4.select(
+      col("doc_id"),
+      col("toks"),
+      posexplode(arrays_zip(col("starts"), col("ends"))).as(Seq("ci", "r"))
+    ).select(
+      col("doc_id"),
+      col("ci").cast("long").as("chunk_idx"),
+      md5(
+        array_join(
+          slice(col("toks"), col("r.starts"), col("r.ends") - col("r.starts") + 1),
+          " "
+        )
+      ).as("chunk_md5"),
+      (col("r.ends") - col("r.starts") + 1).cast("long").as("tok_len")
+    )
   }
 
   /** C33: the canonical corpus after near-dup collapse — each near-dup

@@ -451,18 +451,41 @@ object VectorOps {
     * over ≤ 15 rows per query; the corpus is touched only inside the
     * two upstream stages, each of which has its own scale path.
     */
+  /** The dense↔sparse shared battery, defined by TEXT IDENTITY, not
+    * position: BM25 query id → dense query id for every RAG query
+    * text, derived by matching the texts themselves. The previous
+    * `query_id < nq` convention silently fused the WRONG lists if
+    * either battery was ever reordered; this mapping remaps instead,
+    * and throws at plan time if a RAG text leaves Bm25Queries. The
+    * oracle generates its IN-list + CASE remap from the same map.
+    */
+  def rrfSharedBattery: Seq[(Long, Long)] =
+    RagQueryTexts.zipWithIndex.map { case (t, i) =>
+      val bmQid = graft.operators.TextAnalysis.Bm25Queries
+        .collectFirst { case (q, bt) if bt == t => q }
+        .getOrElse(
+          throw new IllegalArgumentException(
+            s"RAG query '$t' missing from Bm25Queries — the c98 shared-battery contract"
+          )
+        )
+      bmQid -> i.toLong
+    }
+
   def c98HybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
-    val nq = RagQueryTexts.size
+    val battery = rrfSharedBattery
     val wd = Window.partitionBy(col("query_id")).orderBy(col("best_chunk_rank"), col("doc_id"))
     val denseDocs = ragShortlist(spark, sfDir)
       .groupBy(col("query_id"), col("doc_id"))
       .agg(min(col("rank")).as("best_chunk_rank"))
       .withColumn("dense_rank", row_number().over(wd).cast("long"))
       .select(col("query_id"), col("doc_id"), col("dense_rank"))
+    val remap = battery.foldLeft(lit(null).cast("long")) { case (acc, (bm, dense)) =>
+      when(col("query_id") === bm, lit(dense)).otherwise(acc)
+    }
     val sparse = graft.operators.TextAnalysis
       .c91Bm25(spark, sfDir)
-      .filter(col("query_id") < nq) // the shared battery: c91 runs a superset
-      .select(col("query_id"), col("doc_id"), col("rank").as("bm25_rank"))
+      .filter(col("query_id").isin(battery.map(_._1): _*))
+      .select(remap.as("query_id"), col("doc_id"), col("rank").as("bm25_rank"))
     val wf = Window.partitionBy(col("query_id")).orderBy(col("rrf_score").desc, col("doc_id"))
     denseDocs
       .join(sparse, Seq("query_id", "doc_id"), "full_outer")

@@ -968,6 +968,59 @@ class StreamingSpec extends SparkSpec {
     assert(chunks.exists(c => canon(c.chunk_md5) != ((c.doc_id, c.chunk_idx))), "gate data must contain dup chunks")
   }
 
+  test("streaming CDC chunk dedup: row-local cdcChunks + the shared chunk-holder state matches batch c102") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // the SAME stateful operator as the fixed-grid stream — CDC only
+    // changes the row-local chunker upstream, which is the point: the
+    // chunk definition is swappable, the dedup state law is shared
+    val chunks = graft.operators.TextAnalysis
+      .cdcChunks(graft.sources.Tables.documents(spark, sf001).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_md5"))
+      .as[StreamingOps.ChunkRow]
+      .collect()
+      .sortBy(r => (r.doc_id, r.chunk_idx))
+
+    val input = MemoryStream[StreamingOps.ChunkRow]
+    val q = StreamingOps
+      .streamingChunkDedup(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("cdc_chunk_out")
+      .outputMode("update")
+      .start()
+    chunks.grouped(500).foreach { c =>
+      input.addData(c.toSeq)
+      q.processAllAvailable()
+    }
+    val verdicts = spark.table("cdc_chunk_out").as[StreamingOps.ChunkVerdict].collect()
+    q.stop()
+    val last = verdicts.groupBy(v => (v.doc_id, v.chunk_idx)).view.mapValues(_.head).toMap
+
+    // batch c102 reconciliation: per duplicated content hash, the
+    // stream's non-survivor count must equal n_occurrences − 1 and the
+    // canonical doc must equal keep_doc_id
+    val byMd5 = chunks.groupBy(_.chunk_md5)
+    val batch = graft.operators.TextAnalysis
+      .c102CdcChunkDedup(spark, sf001)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3))))
+      .toMap
+    assert(batch.nonEmpty)
+    batch.foreach { case (md5, (occ, keep)) =>
+      val cs = byMd5(md5)
+      assert(cs.length.toLong == occ)
+      val survivors = cs.filter(c => last((c.doc_id, c.chunk_idx)).survives)
+      assert(survivors.length == 1 && survivors.head.doc_id == keep, s"$md5: $survivors vs keep=$keep")
+    }
+    // chunks whose content never duplicates must all survive
+    byMd5.filterNot { case (m, _) => batch.contains(m) }.values.flatten.foreach { c =>
+      assert(last((c.doc_id, c.chunk_idx)).survives)
+    }
+  }
+
   /** Shared harness for the stateless screens: drive a (doc_id, text)
     * transform through a MemoryStream in chunks and return all rows.
     * Stateless transforms need no watermark, no state store, and no
