@@ -253,11 +253,28 @@ write("documents", {
     "n_chars": pa.array([len(t) for t in texts], pa.int64()),
 })
 
-g = rng("embeddings")
+g = rng("embeddings" if GEOM == "synthetic" else f"embeddings|{GEOM}")
 labels = g.integers(0, 10, N_EMB).astype(np.int32)
 centers = g.standard_normal((10, 64))
 centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-E = g.standard_normal((N_EMB, 64)) / 8.0 + 0.063 / 8.0 * centers[labels] * 8.0
+if GEOM == "synthetic":
+    # near-isotropic (within-label mean cos ~0.004, matches shipped sf0.1)
+    E = g.standard_normal((N_EMB, 64)) / 8.0 + 0.063 / 8.0 * centers[labels] * 8.0
+else:
+    # CLUSTERED: the production-embedding geometry (LASER/encoder
+    # outputs concentrate around semantic clusters) — within-CLUSTER
+    # mean cos ~0.75 (unit signal + total noise power 1/3: cos =
+    # 1/(1 + 1/3)), the regime where IVF holds recall at fixed probes
+    # because neighbors co-reside. The semantic cluster is drawn
+    # INDEPENDENTLY of the label: the label plays "language" in the
+    # bitext queries, and aligned multilingual embeddings put
+    # translations in the SAME semantic cluster across languages
+    # (tying clusters to labels instead makes the two languages
+    # disjoint point clouds and IVF candidate sets go EMPTY — measured
+    # round 11, recorded in BASELINE.md as the label-aligned trap).
+    # The adversarial isotropic default stays the stress test.
+    sem = g.integers(0, 10, N_EMB)
+    E = centers[sem] + g.standard_normal((N_EMB, 64)) * (1.0 / np.sqrt(3.0 * 64.0))
 E /= np.linalg.norm(E, axis=1, keepdims=True)
 write("embeddings", {
     "vec_id": pa.array(range(N_EMB), pa.int64()),
