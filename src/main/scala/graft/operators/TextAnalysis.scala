@@ -388,10 +388,11 @@ object TextAnalysis {
     // sf0.01). Project boundaries make each array an attribute, built
     // once per row (CollapseProject keeps non-cheap multi-referenced
     // aliases in their own stage).
-    val s1 = docs.select(
+    val s0 = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val s1 = s0.select(
       col("doc_id"),
-      tokens(col("text")).as("toks"),
-      transform(tokens(col("text")), t => hash32(t)).as("ht")
+      col("toks"),
+      transform(col("toks"), t => hash32(t)).as("ht")
     )
     val s2 = s1.select(
       col("doc_id"),

@@ -459,8 +459,8 @@ object VectorOps {
     * and throws at plan time if a RAG text leaves Bm25Queries. The
     * oracle generates its IN-list + CASE remap from the same map.
     */
-  def rrfSharedBattery: Seq[(Long, Long)] =
-    RagQueryTexts.zipWithIndex.map { case (t, i) =>
+  def rrfSharedBattery: Seq[(Long, Long)] = {
+    val m = RagQueryTexts.zipWithIndex.map { case (t, i) =>
       val bmQid = graft.operators.TextAnalysis.Bm25Queries
         .collectFirst { case (q, bt) if bt == t => q }
         .getOrElse(
@@ -470,6 +470,16 @@ object VectorOps {
         )
       bmQid -> i.toLong
     }
+    // Two dense queries mapping to one bm25 id would make the remap
+    // order-dependent (Spark's when-chain picks the LAST duplicate,
+    // the oracle's sorted CASE the FIRST) — reject the ambiguity
+    // outright so the engines can never silently diverge.
+    require(
+      m.map(_._1).distinct.size == m.size,
+      s"duplicate bm25 query ids in the c98 shared battery: ${m.map(_._1)}"
+    )
+    m
+  }
 
   def c98HybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
     val battery = rrfSharedBattery

@@ -2106,4 +2106,65 @@ class OperatorsSpec extends SparkSpec {
     val nChars = wc.map { case (w, c) => (w.length + 1).toLong * c }.sum
     assert(gotSeg.values.map(_._1).sum < nChars, "BPE apply must compress vs char-level")
   }
+
+  test("bpe degenerate corpus: pair counts exhaust at k < rounds, segmentation survives (oracle LEFT JOIN semantics)") {
+    import spark.implicits._
+    // Two single-char words: round 1 merges (a,</w>), round 2 (b,</w>),
+    // round 3 finds NO adjacent pair — the loop must stop with the
+    // round-2 segmentation intact, exactly what the oracle's
+    // LEFT JOIN ON TRUE + COALESCE keeps (an inner/cross join against
+    // the empty t3 would collapse seg to zero rows).
+    val docs = Seq((1L, "a a b"), (2L, "a")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bpe_degen").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val (merges, seg) = TextAnalysis.bpeTrainUncached(spark, dir, TextAnalysis.BpeTrainRounds)
+    assert(merges.length == 2, s"expected exhaustion after 2 merges, got $merges")
+    assert(merges(0) == ((1L, "a", TextAnalysis.BpeEndOfWord, 3L)))
+    assert(merges(1) == ((2L, "b", TextAnalysis.BpeEndOfWord, 1L)))
+    // the surviving segmentation: vocab rows unchanged through the
+    // empty rounds — the JVM mirror of the oracle's seg12 == seg2
+    val got = seg.collect().map(r => (r.getLong(0), r.getString(1).trim)).toSet
+    val eow = TextAnalysis.BpeEndOfWord
+    assert(got == Set((3L, s"a$eow"), (1L, s"b$eow")), s"segmentation collapsed or diverged: $got")
+    // and the c100 aggregate over it stays non-empty with exact counts
+    val segCounts = seg
+      .select(explode(split(trim(col("s")), "  ")).as("symbol"), col("cnt"))
+      .groupBy(col("symbol"))
+      .agg(sum(col("cnt")).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(segCounts == Map(s"a$eow" -> 3L, s"b$eow" -> 1L))
+  }
+
+  test("bpe merge tie-break is UTF-8 byte order: non-BMP planted case where UTF-16 order diverges") {
+    import spark.implicits._
+    // U+E000 encodes as EF 80 80; U+1F600 (non-BMP) as F0 9F 98 80 —
+    // UTF-8 byte order puts U+E000 FIRST. Java's compareTo works on
+    // UTF-16 code units, where U+E000 (0xE000) sorts AFTER the
+    // surrogate pair's 0xD83D — the two orders genuinely diverge here,
+    // so a UTF-16 reference would pick the wrong round-1 merge.
+    val priv = "\uE000"
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(priv.compareTo(emoji) > 0, "UTF-16 order: private-use AFTER the surrogate pair")
+    val utf8Lt = java.util.Arrays.compareUnsigned(
+      priv.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      emoji.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    ) < 0
+    assert(utf8Lt, "UTF-8 byte order: private-use FIRST")
+    // both words appear once → both round-1 candidate pairs tie at
+    // n = 1 and the lhs tie-break alone decides the argmax
+    val docs = Seq((1L, priv), (2L, emoji)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bpe_nonbmp").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val (merges, _) = TextAnalysis.bpeTrainUncached(spark, dir, TextAnalysis.BpeTrainRounds)
+    assert(merges.nonEmpty)
+    assert(
+      merges.head == ((1L, priv, TextAnalysis.BpeEndOfWord, 1L)),
+      s"round-1 argmax must follow UTF-8 binary order (Spark/DuckDB collation), got ${merges.head}"
+    )
+    // the UTF-16 order would have merged the emoji first — round 2
+    // picks it up, confirming both candidates were live
+    assert(merges(1) == ((2L, emoji, TextAnalysis.BpeEndOfWord, 1L)))
+  }
 }

@@ -3406,4 +3406,22 @@ class PlanSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)): Unit
     }
   }
+
+  test("c100 bpe segment: the returned plan replays NO corpus scan — training is a cached checkpoint") {
+    // c99 trains (and caches) the tokenizer for this (app, sfDir);
+    // c100 must then aggregate over the localCheckpointed segmentation
+    // only. A parquet scan in c100's plan means the full corpus scan +
+    // 12 re-segmentations silently re-run per downstream consumer.
+    graft.operators.TextAnalysis.c99BpeTrain(spark, sf0001).collect()
+    val plan = graft.operators.TextAnalysis
+      .c100BpeSegment(spark, sf0001)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(
+      !plan.contains("FileScan parquet") && !plan.contains("BatchScan"),
+      s"c100 replays a corpus scan:\n$plan"
+    )
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan"), s"expected a checkpoint scan:\n$plan")
+  }
 }

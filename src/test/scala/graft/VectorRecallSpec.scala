@@ -437,7 +437,8 @@ class VectorRecallSpec extends SparkSpec {
     // deterministic so this cannot flake. Production clustered
     // embeddings co-reside with their neighbors and recall rises.
     assert(recall >= 0.75, f"IMI recall@5 = $recall%.3f < 0.75")
-    info(f"IMI (hk=${VectorOps.imiHalfK(2010)}, P=${VectorOps.ImiCellProbes}): recall@5 = $recall%.3f")
+    val n = graft.sources.Tables.embeddings(spark, sf001).count()
+    info(f"IMI (hk=${VectorOps.imiHalfK(n)}, P=${VectorOps.ImiCellProbes}): recall@5 = $recall%.3f")
   }
 
   test("c7 LSH ANN recall@5 >= 0.9 vs the exact c6 baseline") {
