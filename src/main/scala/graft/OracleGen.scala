@@ -376,6 +376,37 @@ object OracleGen {
        |FROM cov c JOIN toks t ON t.doc_id = c.doc_id""".stripMargin
   }
 
+  /** c103 = c47's duplicated-window stream, then gaps-and-islands per
+    * doc: consecutive 1-based window starts group on
+    * i − row_number() and each island is one maximal span covering
+    * tokens [min(i), max(i) + W − 1]. Same rolling-hash constants as
+    * the engine; positions are integers end-to-end, so hash-exact.
+    */
+  val c103ExactSubstrSpans: String = {
+    import graft.functions.TextFunctions.{rollCoeffs, RollP}
+    import graft.operators.TextAnalysis.DupSpanW
+    val n1 = DupSpanW - 1
+    val terms = rollCoeffs(DupSpanW).zipWithIndex
+      .map { case (k, j) => s"ht[i + $j] * $k" }
+      .mkString(" + ")
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+       |toks AS (SELECT doc_id,
+       |  list_transform(w, t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)) AS ht FROM docs),
+       |pos AS (SELECT doc_id, ht, unnest(generate_series(1, greatest(len(ht) - $n1, 0))) AS i FROM toks),
+       |occ AS (SELECT doc_id, i, ($terms) % $RollP AS h FROM pos),
+       |dup AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
+       |dp AS (SELECT doc_id, i FROM occ JOIN dup USING (h)),
+       |r AS (SELECT doc_id, i,
+       |  i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS isl FROM dp),
+       |s AS (SELECT doc_id, MIN(i) AS span_start, MAX(i) + $n1 AS span_end,
+       |  COUNT(*) AS n_windows FROM r GROUP BY doc_id, isl)
+       |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+       |  CAST(span_end AS BIGINT) AS span_end,
+       |  CAST(span_end - span_start + 1 AS BIGINT) AS span_len,
+       |  CAST(n_windows AS BIGINT) AS n_windows
+       |FROM s""".stripMargin
+  }
+
   /** c48's vocabulary is re-derived in SQL (top-V by freq, term
     * tie-break); the per-doc coverage joins each token against it, so
     * the literal-array scoring path is checked end-to-end.
@@ -627,7 +658,12 @@ object OracleGen {
     * identical order (see its scaladoc); every other float op is the
     * established list_dot_product / division idiom.
     */
-  val c24AnnIvfTrained: String = {
+  /** Shared trained-IVF CTE prefix (e → nm → q/cand → sample → init →
+    * unrolled Lloyd rounds → final assignment `corpus` → per-query
+    * `probe` lists) — c24 appends the exact-cosine scan + recall
+    * instrumentation, c104 appends the residual-PQ ADC chain.
+    */
+  private val ivfTrainedPrefix: String = {
     import graft.operators.VectorOps.{C24Iters, C24Lists, C24Probes, NumQueryVecs, SampleHashMod, TrainSampleN}
     val iterCtes = (1 to C24Iters)
       .map { i =>
@@ -664,7 +700,11 @@ object OracleGen {
        |probe AS (SELECT query_id, qv, cid AS list_id FROM (
        |  SELECT q.query_id, q.qv, c.cid,
        |    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cid) pn
-       |  FROM q CROSS JOIN $centF c) WHERE pn <= $C24Probes),
+       |  FROM q CROSS JOIN $centF c) WHERE pn <= $C24Probes)""".stripMargin
+  }
+
+  val c24AnnIvfTrained: String = {
+    s"""$ivfTrainedPrefix,
        |s AS (SELECT p.query_id, corpus.neighbor_id, list_dot_product(p.qv, corpus.vn) AS cos
        |  FROM probe p JOIN corpus ON corpus.list_id = p.list_id),
        |ivf AS (SELECT query_id, neighbor_id,
@@ -680,6 +720,61 @@ object OracleGen {
        |SELECT i.query_id, i.neighbor_id, i.rank, i.cos,
        |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall_at_5
        |FROM ivf i LEFT JOIN hits h ON h.query_id = i.query_id""".stripMargin
+  }
+
+  /** c104 = IVFADC recomputed structurally on the shared trained-IVF
+    * prefix: seed residuals against each seed's own argmax centroid →
+    * per-subspace residual codebooks → corpus residual encoding
+    * (min-L2 codeword via argmax dot − ‖cw‖²/2, ties low j) →
+    * probed-list ADC as
+    * centDot + ((d0 + d1) + … + d7) — the Spark side's
+    * `centDot + adcScore(...)` association, exactly →
+    * exact re-rank of the shortlist. Every float op sees identical
+    * inputs in identical order, so the gate is hash-exact.
+    */
+  val c104AnnIvfAdc: String = {
+    import graft.operators.VectorOps.{C24Iters, NumQueryVecs, PqKs, PqM, PqReRank, PqSubDim}
+    val centF = s"cent$C24Iters"
+    val dPivot = (0 until PqM).map(m => s"MAX(CASE WHEN m = $m THEN d END) AS d$m").mkString(", ")
+    val dSum = (0 until PqM).map(m => s"d$m").reduce((a, b) => s"($a + $b)")
+    s"""$ivfTrainedPrefix,
+       |ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+       |seeds AS (SELECT vec_id - $NumQueryVecs AS sj, vn FROM nm
+       |  WHERE vec_id >= $NumQueryVecs AND vec_id < ${NumQueryVecs + PqKs}),
+       |sasg AS (SELECT s.sj, s.vn, c.cv,
+       |  ROW_NUMBER() OVER (PARTITION BY s.sj ORDER BY list_dot_product(s.vn, c.cv) DESC, c.cid) rn
+       |  FROM seeds s CROSS JOIN $centF c),
+       |sres AS (SELECT sj, list_transform(generate_series(1, len(vn)), i -> vn[i] - cv[i]) AS rv
+       |  FROM sasg WHERE rn = 1),
+       |cbr AS (SELECT ms.m, r.sj AS j,
+       |  list_slice(r.rv, ms.m * $PqSubDim + 1, ms.m * $PqSubDim + $PqSubDim) AS cw
+       |  FROM sres r CROSS JOIN ms),
+       |cres AS (SELECT co.neighbor_id, co.list_id,
+       |  list_transform(generate_series(1, len(co.vn)), i -> co.vn[i] - c.cv[i]) AS rv
+       |  FROM corpus co JOIN $centF c ON c.cid = co.list_id),
+       |encr AS (SELECT n.neighbor_id, n.list_id, c.m, c.j,
+       |  ROW_NUMBER() OVER (PARTITION BY n.neighbor_id, c.m
+       |    ORDER BY (list_dot_product(list_slice(n.rv, c.m * $PqSubDim + 1, c.m * $PqSubDim + $PqSubDim), c.cw)
+       |              - 0.5 * list_dot_product(c.cw, c.cw)) DESC, c.j) AS rn
+       |  FROM cres n CROSS JOIN cbr c),
+       |enc AS (SELECT neighbor_id, list_id, m, j AS code FROM encr WHERE rn = 1),
+       |perm AS (SELECT p.query_id, enc.neighbor_id, enc.list_id, enc.m,
+       |  list_dot_product(list_slice(p.qv, enc.m * $PqSubDim + 1, enc.m * $PqSubDim + $PqSubDim), c.cw) AS d
+       |  FROM probe p JOIN enc ON enc.list_id = p.list_id
+       |  JOIN cbr c ON c.m = enc.m AND c.j = enc.code),
+       |adcp AS (SELECT query_id, neighbor_id, list_id, $dPivot FROM perm GROUP BY 1, 2, 3),
+       |adcv AS (SELECT a.query_id, a.neighbor_id,
+       |  (list_dot_product(q.qv, c.cv) + $dSum) AS adc
+       |  FROM adcp a JOIN q ON q.query_id = a.query_id JOIN $centF c ON c.cid = a.list_id),
+       |sl AS (SELECT query_id, neighbor_id FROM adcv
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) <= $PqReRank),
+       |s AS (SELECT sl.query_id, sl.neighbor_id, list_dot_product(q.qv, nn.vn) AS cos
+       |  FROM sl JOIN q ON q.query_id = sl.query_id JOIN cand nn ON nn.neighbor_id = sl.neighbor_id)
+       |SELECT query_id, neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+       |  cos
+       |FROM s
+       |QUALIFY rank <= 5""".stripMargin
   }
 
   /** c61 = the IVF-bucketed kNN graph recomputed exactly: seeded

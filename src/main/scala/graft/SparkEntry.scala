@@ -103,6 +103,8 @@ object SparkEntry {
     "c45_quality_canonical" -> (TextAnalysis.c45QualityCanonical _),
     "c46_weighted_sample" -> (Sampling.c46WeightedSample _),
     "c47_dup_spans" -> (TextAnalysis.c47DupSpans _),
+    "c103_exactsubstr_spans" -> (TextAnalysis.c103ExactSubstrSpans _),
+    "c104_ann_ivfadc" -> (VectorOps.c104AnnIvfAdc _),
     "c48_vocab_coverage" -> (TextAnalysis.c48VocabCoverage _),
     "b25_unpivot" -> (Relational.b25Unpivot _),
     "c20_training_pipeline" -> (Sampling.c20TrainingPipeline _),
@@ -690,6 +692,8 @@ object SparkEntry {
     "c45_quality_canonical" -> OracleGen.c45QualityCanonical,
     "c46_weighted_sample" -> OracleGen.c46WeightedSample,
     "c47_dup_spans" -> OracleGen.c47DupSpans,
+    "c103_exactsubstr_spans" -> OracleGen.c103ExactSubstrSpans,
+    "c104_ann_ivfadc" -> OracleGen.c104AnnIvfAdc,
     "c48_vocab_coverage" -> OracleGen.c48VocabCoverage,
     "b25_unpivot" ->
       """SELECT user_id, event_type, count(*) AS n FROM events

@@ -688,6 +688,79 @@ object TextAnalysis {
       )
   }
 
+  /** C103: ExactSubstr variable-length duplicated-span removal signal
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better") — the MAXIMAL-span upgrade of c47. c47 reports
+    * per-doc coverage of fixed-width duplicated windows; the paper's
+    * suffix-array tool emits the maximal duplicated substrings
+    * themselves (a 60-token verbatim quote is ONE span, not ⌈60/W⌉
+    * fragments), because the removal stage cuts those exact intervals.
+    *
+    * Distributed form: a position's [[DupSpanW]]-token window is
+    * duplicated iff its rolling hash occurs ≥ 2 times corpus-wide
+    * (c47's stream); within a doc, a run of CONSECUTIVE duplicated
+    * window starts extends a span one token at a time — the extension
+    * is kept exactly while the next window still repeats — and each
+    * maximal run is one emitted span covering tokens
+    * [min_start, max_start + W − 1]. A repeat of length L ≥ W yields
+    * L − W + 1 consecutive duplicated windows, so its span comes back
+    * at its FULL length L (planted-spec-asserted at L = 60). This is
+    * precisely the union-of-maximal-repeats interval set the paper's
+    * removal consumes: adjacent overlapping repeats merge, sub-window
+    * repeats (< W tokens) are below resolution — the standard
+    * distributed relaxation of the suffix array.
+    *
+    * Scale shape: window hashes are row-local longs over the doc's own
+    * token array (text never shuffles); the duplicate list is one
+    * hash-keyed aggregate with map-side combine; the probe join keys
+    * on the same hash; the run merge is a doc-keyed window function
+    * over (doc_id, pos) INT pairs — gaps-and-islands, one exchange on
+    * doc_id, output ∝ duplication. The occurrence stream is
+    * checkpointed once (it feeds both the count and the probe — c47's
+    * pattern).
+    */
+  def c103ExactSubstrSpans(spark: SparkSession, sfDir: String): DataFrame =
+    exactSubstrSpansFrom(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+
+  /** c103 over any (doc_id, text) frame — split out so the spec can
+    * plant a maximal 60-token duplicated span (c89's factoring).
+    */
+  def exactSubstrSpansFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), transform(col("w"), t => hash32(t)).as("ht"))
+      .select(
+        col("doc_id"),
+        posexplode_outer(rollingShingleHashes(col("ht"), DupSpanW)).as(Seq("pos", "h"))
+      )
+      .filter(col("h").isNotNull)
+      .localCheckpoint()
+    val dup = occ
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("h"))
+    // 1-based window start (the oracle's generate_series origin)
+    val starts = occ.join(dup, Seq("h")).select(col("doc_id"), (col("pos") + 1).as("i"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    starts
+      .withColumn("isl", col("i") - row_number().over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(
+        min(col("i")).cast("long").as("span_start"),
+        (max(col("i")) + (DupSpanW - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows")
+      )
+      .select(
+        col("doc_id"),
+        col("span_start"),
+        col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"),
+        col("n_windows")
+      )
+  }
+
   /** Vocabulary size for [[c48VocabCoverage]] — small enough to be a
     * broadcast literal AND strictly smaller than the synthetic corpus
     * vocabulary (31 distinct terms at every SF), so both the in-vocab

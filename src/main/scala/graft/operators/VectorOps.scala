@@ -1218,6 +1218,27 @@ object VectorOps {
       (-array_max(array(scored.toIndexedSeq: _*)).getField("nj")).cast("int")
     }: _*)
 
+  /** Nearest-codeword encoding under L2 — argmin ‖sub − cw‖², computed
+    * as argmax (dot(sub, cw) − ‖cw‖²/2) so the expression reuses the
+    * codegen'd dot (ties to the lowest codeword id). [[pqEncode]]'s
+    * argmax-dot is equivalent ONLY when codewords share a norm (c29's
+    * unit-sphere slices); residual-space codewords (c104) have wildly
+    * varying norms, where argmax-dot systematically picks large
+    * codewords and reconstruction collapses (measured on the clustered
+    * recall fixture at reRank=50: 0.36 argmax-dot → 0.52 L2, vs 0.24
+    * for raw-vector codes). The ‖cw‖²/2 constant is the same strict
+    * sequential fold the oracle's list_dot_product uses.
+    */
+  private def pqEncodeL2(cb: Array[Array[Array[Double]]], v: Column): Column =
+    array((0 until PqM).map { m =>
+      val sub = slice(v, m * PqSubDim + 1, PqSubDim)
+      val scored = cb(m).zipWithIndex.map { case (cw, j) =>
+        val halfNormSq = 0.5 * cw.foldLeft(0.0)((s, x) => s + x * x)
+        struct((arrayDot(sub, typedlit(cw.toSeq)) - lit(halfNormSq)).as("c"), lit(-j).as("nj"))
+      }
+      (-array_max(array(scored.toIndexedSeq: _*)).getField("nj")).cast("int")
+    }: _*)
+
   /** Asymmetric-distance (ADC) score: Σ_m dot(q_m, codebook_m[code_m]).
     * Left-associated term order, mirrored exactly by the oracle's
     * pivoted d0+d1+…+d7 so the double sum is bit-identical.
@@ -1355,6 +1376,139 @@ object VectorOps {
       .filter(col("vec_id") >= NumQueryVecs)
       .select(col("vec_id").as("neighbor_id"), col("vn"))
     annPq(cands, queries, pqCodebooks(e), PqReRank, 5)
+  }
+
+  // --------------------------------------------------------------------
+  // IVFADC (Jégou, Douze & Schmid 2011, "Product Quantization for
+  // Nearest Neighbor Search") — the production FAISS IndexIVFPQ
+  // encoding: PQ codes quantize the RESIDUAL vec − coarse_centroid,
+  // not the raw vector. Residuals concentrate near the origin of each
+  // list, so a shared codebook spends its codewords on the fine
+  // structure the coarse quantizer left behind — the reason the paper's
+  // IVFADC beats plain PQ at equal code budget. annIvfPq above is the
+  // raw-vector composition; c104 is the paper's.
+  // --------------------------------------------------------------------
+
+  /** JVM-side coarse assignment, same semantics as [[assignList]]
+    * (argmax dot, ties to the lowest list id) and the same strict
+    * sequential dot fold as [[graft.plans.ArrayDotProduct]] — the seed
+    * residuals computed here must match what the engine/oracle would
+    * compute for the same vectors.
+    */
+  private def nearestList(cents: Array[Array[Double]], v: Array[Double]): Int = {
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    var best = 0
+    var bestD = dot(cents(0), v)
+    var j = 1
+    while (j < cents.length) {
+      val d = dot(cents(j), v)
+      if (d > bestD) { best = j; bestD = d }
+      j += 1
+    }
+    best
+  }
+
+  /** Residual-space PQ codebooks: the [[pqCodebooks]] seed vectors,
+    * each replaced by its residual against ITS OWN nearest trained
+    * centroid, then sliced per subspace. Deterministic given `cents`
+    * (the seeds are fixed ids, the assignment is the argmax contract),
+    * so the c104 gate stays hash-exact while the codewords live where
+    * IVFADC needs them — in residual space. Driver-held:
+    * M × Ks × subDim doubles.
+    */
+  def residualCodebooks(e: DataFrame, cents: Array[Array[Double]]): Array[Array[Array[Double]]] =
+    residualCodebooksOf(
+      e.filter(col("vec_id") >= NumQueryVecs && col("vec_id") < NumQueryVecs + PqKs)
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getSeq[Double](1).toArray),
+      cents
+    )
+
+  /** Residual codebooks from caller-supplied seeds (the spec path —
+    * same algebra as [[residualCodebooks]] over the gate seeds).
+    */
+  def residualCodebooksOf(
+      seeds: Array[Array[Double]],
+      cents: Array[Array[Double]]
+  ): Array[Array[Array[Double]]] =
+    pqCodebooksOf(seeds.map { v =>
+      val c = cents(nearestList(cents, v))
+      Array.tabulate(v.length)(i => v(i) - c(i))
+    })
+
+  /** IVFADC search: coarse-assign the corpus, PQ-encode each vector's
+    * RESIDUAL, then per query probe `nprobe` lists and score codes by
+    * adc = dot(q, centroid_list) + Σ_m dot(q_m, codebook_m[code_m])
+    * — the inner-product expansion dot(q, c + r̂) of the paper's
+    * residual decomposition, computed entirely from the 8-int code
+    * table and two driver-held structures. The exact re-rank touches
+    * full vectors for the ≤ `reRank` shortlist only.
+    *
+    * Scale shape = [[annIvfPq]]'s: encoding is one map-side projection
+    * (the residual is staged as its own attribute so the 8 subspace
+    * argmaxes read it, not recompute it); the ADC scan reads
+    * ~(nprobe/k) of a 64×-smaller table; shuffles carry (query_id,
+    * neighbor_id, adc) triples pruned by the native per-key heaps.
+    */
+  def annIvfAdc(
+      cands: DataFrame,
+      queries: DataFrame,
+      cents: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]],
+      nprobe: Int,
+      reRank: Int,
+      topK: Int
+  ): DataFrame = {
+    val centTable = typedlit(cents.map(_.toSeq).toSeq)
+    val codes = cands
+      .select(col("neighbor_id"), col("vn"), assignList(cents, col("vn")).as("list_id"))
+      .withColumn("resid", zip_with(col("vn"), element_at(centTable, col("list_id") + 1), (a, b) => a - b))
+      .select(col("neighbor_id"), col("list_id"), pqEncodeL2(cb, col("resid")).as("codes"))
+    val centDot = arrayDot(col("qv"), element_at(centTable, col("list_id") + 1))
+    val shortlist = graft.plans.TopKPerKey.topKPerKey(
+      codes
+        .join(broadcast(probeLists(queries, cents, nprobe)), "list_id")
+        .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
+        .withColumn("adc", centDot + adcScore(cb, col("codes"), col("qv")))
+        .select(col("query_id"), col("neighbor_id"), col("adc")),
+      keyCols = Seq("query_id"),
+      orderBy = Seq(("adc", false), ("neighbor_id", true)),
+      k = reRank
+    )
+    rankTopK(
+      shortlist
+        .join(cands, "neighbor_id")
+        .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
+        .withColumn("cos", arrayDot(col("qv"), col("vn"))),
+      topK
+    )
+  }
+
+  /** C104: IVFADC over the embeddings table — c24's TRAINED coarse
+    * quantizer (shared centroid cache: train once, serve both) composed
+    * with residual PQ codes. Hash-exact posture: the oracle unrolls the
+    * identical Lloyd chain (c24's), recomputes seed residuals +
+    * encoding + the adc sum in the same float order, and re-ranks the
+    * same shortlist. Recall floor vs the exact c6 baseline lives in
+    * VectorRecallSpec.
+    */
+  def c104AnnIvfAdc(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val queries = e
+      .filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("vn").as("qv"))
+    val cands = e
+      .filter(col("vec_id") >= NumQueryVecs)
+      .select(col("vec_id").as("neighbor_id"), col("vn"))
+    val cents = centroidCache.getOrElseUpdate(spark.sparkContext, s"$sfDir|k=$C24Lists|iters=$C24Iters") {
+      trainCentroids(cands, C24Lists, C24Iters)
+    }
+    annIvfAdc(cands, queries, cents, residualCodebooks(e, cents), C24Probes, PqReRank, 5)
   }
 
   // --------------------------------------------------------------------

@@ -2107,6 +2107,46 @@ class OperatorsSpec extends SparkSpec {
     assert(gotSeg.values.map(_._1).sum < nChars, "BPE apply must compress vs char-level")
   }
 
+  test("c103 exactsubstr: a 60-token repeat is ONE maximal span, not W-window fragments") {
+    import spark.implicits._
+    val W = TextAnalysis.DupSpanW
+    // unique fillers everywhere else, one 60-token block lifted verbatim
+    // from doc 1 into the middle of doc 2
+    val block = (0 until 60).map(i => s"dup$i")
+    val doc1 = ((0 until 20).map(i => s"a$i") ++ block ++ (0 until 20).map(i => s"b$i")).mkString(" ")
+    val doc2 = ((0 until 35).map(i => s"c$i") ++ block ++ (0 until 10).map(i => s"d$i")).mkString(" ")
+    val docs = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .exactSubstrSpansFrom(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(x => (x._1, x._2))
+      .toSeq
+    // doc 1: block occupies 1-based tokens 21..80 → span_start 21,
+    // span_end 80, len 60, 60-W+1 = 56 consecutive windows.
+    // doc 2: tokens 36..95.
+    assert(
+      got == Seq(
+        (1L, 21L, 80L, 60L, (60 - W + 1).toLong),
+        (2L, 36L, 95L, 60L, (60 - W + 1).toLong)
+      ),
+      s"expected one MAXIMAL 60-token span per doc, got $got"
+    )
+    // adjacent DISTINCT repeats merge into the covered interval (union
+    // semantics — what the removal stage cuts), while a gap splits spans
+    val doc3 = (block.take(30) ++ Seq("gapx") ++ block.drop(30)).mkString(" ")
+    val got3 = TextAnalysis
+      .exactSubstrSpansFrom(Seq((1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text"))
+      .filter(col("doc_id") === 3L)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(3)))
+      .sortBy(_._1)
+      .toSeq
+    // doc 3 = first 30 dup tokens, a fresh token, last 30: two spans of
+    // 30, split at the gap (windows crossing 'gapx' occur once)
+    assert(got3 == Seq((1L, 30L), (32L, 30L)), s"gap must split maximal spans: $got3")
+  }
+
   test("bpe degenerate corpus: pair counts exhaust at k < rounds, segmentation survives (oracle LEFT JOIN semantics)") {
     import spark.implicits._
     // Two single-char words: round 1 merges (a,</w>), round 2 (b,</w>),

@@ -19,6 +19,32 @@ object RecallProbe {
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (mode == "ivfadc") {
+      val exactTop5 = VectorOps
+        .c6AnnBruteforce(spark, sfDir)
+        .filter("rank <= 5")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      def recall(df: org.apache.spark.sql.DataFrame): Double = {
+        val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        (exactTop5 & got).size.toDouble / exactTop5.size
+      }
+      val t24 = System.nanoTime()
+      val r24 = recall(VectorOps.c24AnnIvfTrained(spark, sfDir))
+      val t104 = System.nanoTime()
+      val r104 = recall(VectorOps.c104AnnIvfAdc(spark, sfDir))
+      val t29 = System.nanoTime()
+      val r29 = recall(VectorOps.c29AnnPq(spark, sfDir))
+      val tEnd = System.nanoTime()
+      println(
+        f"c24(ivf exact-scan)=$r24%.3f t=${(t104 - t24) / 1e9}%.2fs  " +
+          f"c104(ivfadc)=$r104%.3f t=${(t29 - t104) / 1e9}%.2fs  " +
+          f"c29(pq flat)=$r29%.3f t=${(tEnd - t29) / 1e9}%.2fs"
+      )
+      spark.stop()
+      return
+    }
     if (mode == "imi") {
       val exactTop5 = VectorOps
         .c6AnnBruteforce(spark, sfDir)
