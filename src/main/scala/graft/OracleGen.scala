@@ -209,6 +209,36 @@ object OracleGen {
        |WHERE bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) <= $HammingMax""".stripMargin
   }
 
+  /** c105 = the dHash pipeline recomputed from first principles:
+    * locality-preserving stub pixels p(r,c) = 32-bit
+    * md5(token_i ‖ '_' ‖ i) mod 256 at grid index i = (r·cols + c) mod
+    * n_tokens over the image rows (doc_id % 3 = 0, c12's fmt
+    * convention), gradient bits p(r,c) < p(r,c+1) packed as
+    * shift-and-add (disjoint powers — order-free integer sum),
+    * exhaustive pair join at hamming ≤ max. The banded join is a pure
+    * candidate optimization (pigeonhole exhaustive at ≤ bands − 1), so
+    * the oracle skips it.
+    */
+  val c105ImageDhashPairs: String = {
+    import graft.operators.Multimodal.{PhashCols, PhashHammingMax, PhashRows}
+    s"""WITH img AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 3 = 0),
+       |px AS (SELECT doc_id, rr.r, cc.c,
+       |  CAST(concat('0x', substr(md5(
+       |    w[CAST((rr.r * $PhashCols + cc.c) % len(w) AS INT) + 1] || '_' ||
+       |    CAST((rr.r * $PhashCols + cc.c) % len(w) AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS p
+       |  FROM img
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${PhashRows - 1})) AS r) rr
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${PhashCols - 1})) AS c) cc),
+       |sig AS (SELECT a.doc_id,
+       |  CAST(SUM(CASE WHEN a.p < b.p THEN (CAST(1 AS BIGINT) << CAST(a.r * ${PhashCols - 1} + a.c AS INT)) ELSE 0 END) AS BIGINT) AS dhash
+       |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+       |  GROUP BY a.doc_id)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.dhash, b.dhash)) <= $PhashHammingMax""".stripMargin
+  }
+
   /** C27 mirrors the Spark side's non-deduped rolling shingle hashes:
     * dup_ratio = 1 − distinct/total over the SAME hash math.
     */
@@ -638,6 +668,79 @@ object OracleGen {
        |        WHERE cn <= (SELECT GREATEST($ImiCellProbes, 4 * hk) FROM nc)) c
        |  JOIN mem m ON m.aid = c.aid AND m.bid = c.bid
        |  JOIN nm qn ON qn.vec_id = c.query_id JOIN nm nn ON nn.vec_id = m.vec_id)
+       |SELECT query_id, neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+       |  cos
+       |FROM s
+       |QUALIFY rank <= 5""".stripMargin
+  }
+
+  /** c106 = the trained inverted multi-index recomputed end to end:
+    * the c24 sample/init/Lloyd chain UNROLLED TWICE — once per
+    * half-slice (vn[1:32] / vn[33:64]) — then c101's cell algebra
+    * (per-half argmax membership, half-dot-sum cell rank, top-P cell
+    * probe, exact-cosine top-5) against the trained codebooks. Every
+    * float op (slice dots, ordered member folds, normalized means,
+    * da + db) is the established bit-stable idiom, so the gate is
+    * hash-exact.
+    */
+  val c106AnnImiTrained: String = {
+    import graft.operators.VectorOps.{C106Iters, Dim, ImiCellProbes, ImiHalfKFloor, NumQueryVecs, SampleHashMod, TrainSampleN}
+    val h = Dim / 2
+    def lloyd(pfx: String, lo: Int, hi: Int): String = {
+      val rounds = (1 to C106Iters)
+        .map { i =>
+          val prev = s"${pfx}cent${i - 1}"
+          s"""${pfx}asg$i AS (SELECT s.neighbor_id, s.hv, c.cid,
+             |  ROW_NUMBER() OVER (PARTITION BY s.neighbor_id ORDER BY list_dot_product(s.hv, c.cv) DESC, c.cid) rn
+             |  FROM ${pfx}samp s CROSS JOIN $prev c),
+             |${pfx}dim$i AS (SELECT cid, neighbor_id, unnest(generate_series(1, len(hv))) AS pos, unnest(hv) AS val
+             |  FROM ${pfx}asg$i WHERE rn = 1),
+             |${pfx}sum$i AS (SELECT cid, pos, list_reduce(list(val ORDER BY neighbor_id), (a, b) -> a + b) AS s, COUNT(*) AS n
+             |  FROM ${pfx}dim$i GROUP BY cid, pos),
+             |${pfx}vec$i AS (SELECT cid, list(s / n ORDER BY pos) AS mv FROM ${pfx}sum$i GROUP BY cid),
+             |${pfx}cent$i AS (SELECT p.cid,
+             |  CASE WHEN v.mv IS NULL OR sqrt(list_dot_product(v.mv, v.mv)) = 0 THEN p.cv
+             |       ELSE list_transform(v.mv, x -> x / sqrt(list_dot_product(v.mv, v.mv))) END AS cv
+             |  FROM $prev p LEFT JOIN ${pfx}vec$i v ON v.cid = p.cid)""".stripMargin
+        }
+        .mkString(",\n")
+      s"""${pfx}samp AS (SELECT neighbor_id, vn[$lo:$hi] AS hv FROM samp),
+         |${pfx}cent0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(neighbor_id AS VARCHAR))) AS INT) - 1 AS cid, hv AS cv
+         |  FROM ${pfx}samp QUALIFY cid < (SELECT hk FROM nc)),
+         |$rounds""".stripMargin
+    }
+    val (af, bf) = (s"acent$C106Iters", s"bcent$C106Iters")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |nm AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn FROM e),
+       |nc AS (SELECT GREATEST($ImiHalfKFloor, CAST(ROUND(SQRT(SQRT(COUNT(*)))) AS BIGINT)) AS hk FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, vn AS qv FROM nm WHERE vec_id < $NumQueryVecs),
+       |cand AS (SELECT vec_id AS neighbor_id, vn FROM nm WHERE vec_id >= $NumQueryVecs),
+       |samp AS (SELECT neighbor_id, vn FROM cand, (SELECT COUNT(*) AS n FROM cand)
+       |  WHERE CAST(concat('0x', substr(md5(CAST(neighbor_id AS VARCHAR)), 1, 8)) AS BIGINT) % $SampleHashMod
+       |        < GREATEST(1, CAST(CEIL($SampleHashMod.0 * $TrainSampleN / n) AS BIGINT))),
+       |${lloyd("a", 1, h)},
+       |${lloyd("b", h + 1, 2 * h)},
+       |mar AS (SELECT n.neighbor_id, a.cid AS aid,
+       |  ROW_NUMBER() OVER (PARTITION BY n.neighbor_id ORDER BY list_dot_product(n.vn[1:$h], a.cv) DESC, a.cid) rn
+       |  FROM cand n CROSS JOIN $af a),
+       |mbr AS (SELECT n.neighbor_id, b.cid AS bid,
+       |  ROW_NUMBER() OVER (PARTITION BY n.neighbor_id ORDER BY list_dot_product(n.vn[${h + 1}:${2 * h}], b.cv) DESC, b.cid) rn
+       |  FROM cand n CROSS JOIN $bf b),
+       |mem AS (SELECT a.neighbor_id, a.aid, b.bid FROM (SELECT neighbor_id, aid FROM mar WHERE rn = 1) a
+       |  JOIN (SELECT neighbor_id, bid FROM mbr WHERE rn = 1) b USING (neighbor_id)),
+       |qa AS (SELECT q.query_id, a.cid AS aid, list_dot_product(q.qv[1:$h], a.cv) AS da
+       |  FROM q CROSS JOIN $af a),
+       |qb AS (SELECT q.query_id, b.cid AS bid, list_dot_product(q.qv[${h + 1}:${2 * h}], b.cv) AS db
+       |  FROM q CROSS JOIN $bf b),
+       |qc AS (SELECT query_id, aid, bid,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY da + db DESC, aid, bid) cn
+       |  FROM qa JOIN qb USING (query_id)),
+       |s AS (SELECT c.query_id, m.neighbor_id, list_dot_product(qn.qv, nn.vn) AS cos
+       |  FROM (SELECT query_id, aid, bid FROM qc
+       |        WHERE cn <= (SELECT GREATEST($ImiCellProbes, 4 * hk) FROM nc)) c
+       |  JOIN mem m ON m.aid = c.aid AND m.bid = c.bid
+       |  JOIN q qn ON qn.query_id = c.query_id JOIN cand nn ON nn.neighbor_id = m.neighbor_id)
        |SELECT query_id, neighbor_id,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
        |  cos

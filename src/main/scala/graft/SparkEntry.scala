@@ -105,6 +105,7 @@ object SparkEntry {
     "c47_dup_spans" -> (TextAnalysis.c47DupSpans _),
     "c103_exactsubstr_spans" -> (TextAnalysis.c103ExactSubstrSpans _),
     "c104_ann_ivfadc" -> (VectorOps.c104AnnIvfAdc _),
+    "c106_ann_imi_trained" -> (VectorOps.c106AnnImiTrained _),
     "c48_vocab_coverage" -> (TextAnalysis.c48VocabCoverage _),
     "b25_unpivot" -> (Relational.b25Unpivot _),
     "c20_training_pipeline" -> (Sampling.c20TrainingPipeline _),
@@ -133,6 +134,7 @@ object SparkEntry {
     "c10_text_tokens" -> (TextAnalysis.c10TextTokens _),
     "c11_text_fingerprint" -> (TextAnalysis.c11TextFingerprint _),
     "c12_multimodal_decode" -> (Multimodal.c12MultimodalDecode _),
+    "c105_image_dhash_pairs" -> (Multimodal.c105ImageDhashPairs _),
     "b13_sql_q6" -> (GraftSql.b13SqlQ6 _),
     "b19_sql_correlated" -> (GraftSql.b19SqlCorrelated _),
     "c13_sql_vector" -> (GraftSql.c13SqlVector _),
@@ -694,6 +696,7 @@ object SparkEntry {
     "c47_dup_spans" -> OracleGen.c47DupSpans,
     "c103_exactsubstr_spans" -> OracleGen.c103ExactSubstrSpans,
     "c104_ann_ivfadc" -> OracleGen.c104AnnIvfAdc,
+    "c106_ann_imi_trained" -> OracleGen.c106AnnImiTrained,
     "c48_vocab_coverage" -> OracleGen.c48VocabCoverage,
     "b25_unpivot" ->
       """SELECT user_id, event_type, count(*) AS n FROM events
@@ -1014,6 +1017,7 @@ object SparkEntry {
         |  CAST(CASE WHEN fmt = 'video' THEN 1 + cs % ${Multimodal.FrameSpan} ELSE 1 END AS INT) AS n_frames,
         |  CAST(cs % 256 AS DOUBLE) / 255.0 AS brightness
         |FROM m""".stripMargin,
+    "c105_image_dhash_pairs" -> OracleGen.c105ImageDhashPairs,
     "c15_bigram_lm" -> OracleGen.c15BigramLm,
     "c16_dedup_clusters" -> OracleGen.c16Clusters,
     "c51_cluster_sizes" -> OracleGen.c51ClusterSizes,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -126,6 +126,114 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions(_.map(decodeStub)).toDF()
   }
+
+  /** c105 geometry: a [[PhashRows]]×[[PhashCols]] stub pixel grid
+    * yields 8 horizontal gradients per row → a 56-bit dHash, banded
+    * into [[PhashBands]] 7-bit blocks for the pigeonhole join; any
+    * pair within hamming ≤ [[PhashHammingMax]] = bands − 1 shares an
+    * intact band, so the candidate set is exhaustive (c4's argument).
+    * 56 bits (not the classic 64) keeps the packed signature strictly
+    * positive in a signed BIGINT — the cross-engine arithmetic stays
+    * shift-and-add in both Spark and DuckDB.
+    */
+  val PhashRows = 7
+  val PhashCols = 9
+  val PhashBands = 8
+  val PhashBandBits = 7
+  val PhashHammingMax = 7
+
+  /** Per-image dHash signature over any (doc_id, text) media frame.
+    * The stub "decoder" must be LOCALITY-PRESERVING like a real one —
+    * near-identical payloads must decode to near-identical pixel
+    * grids, or perceptual hashing has nothing to hash (an
+    * md5-of-whole-payload stub avalanche-randomizes the grid and the
+    * operator degenerates to exact dedup). Pixel (r, c) therefore
+    * samples the CONTENT REGION the cell covers: grid index
+    * i = (r·cols + c) mod n_tokens, intensity = 32-bit
+    * md5(token_i ‖ "_" ‖ i) mod 256 — payloads sharing a prefix ≥ the
+    * sampled span decode to (near-)identical grids, exactly how a
+    * thumbnail of a padded/truncated image shares its pixels (a real
+    * codec replaces exactly these pixel expressions with decoded
+    * luma). The dHash bit (r, c) is the horizontal gradient
+    * p(r,c) < p(r,c+1) — neighbor ORDER only, the invariance to
+    * global brightness/contrast shifts that makes production image
+    * dedup key on gradient hashes rather than raw bytes. Pixels are
+    * staged as their own projection (each is read by two gradient
+    * bits — the lambda-inlining discipline), the 56 disjoint
+    * power-of-two terms add exactly in any order, and everything is
+    * integer math end-to-end → the gate is hash-exact.
+    */
+  def imageDhashSignatures(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.hash32
+    val withW = docs
+      .filter(col("doc_id") % 3 === 0) // c12's fmt convention: these rows are the images
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("w"))
+    val pixelCols = for { r <- 0 until PhashRows; c <- 0 until PhashCols } yield {
+      val idx = lit(r * PhashCols + c) % size(col("w"))
+      (hash32(concat(element_at(col("w"), idx + 1), lit("_"), idx.cast("string"))) % 256)
+        .as(s"p_${r}_$c")
+    }
+    val px = withW.select((col("doc_id") +: pixelCols): _*)
+    val bits = for { r <- 0 until PhashRows; c <- 0 until PhashCols - 1 } yield
+      shiftleft(
+        when(col(s"p_${r}_$c") < col(s"p_${r}_${c + 1}"), lit(1L)).otherwise(lit(0L)),
+        r * (PhashCols - 1) + c
+      )
+    px.select(col("doc_id"), bits.reduce(_ + _).as("dhash"))
+  }
+
+  /** The banded near-dup join over any (doc_id, dhash) frame — c4's
+    * pigeonhole idiom verbatim (first-matching-band emit-once, no
+    * distinct(), hamming as one row-local bit_count): split out so the
+    * spec can exercise exact signature-level geometry (planted bit
+    * flips at the pigeonhole boundary) independently of the grid stub.
+    */
+  def dhashPairsFrom(sigIn: DataFrame): DataFrame = {
+    val sig = sigIn.localCheckpoint()
+    val blockCols = (0 until PhashBands).map { i =>
+      struct(
+        lit(i).as("block_idx"),
+        shiftright(col("dhash"), i * PhashBandBits).bitwiseAND((1L << PhashBandBits) - 1).as("bval")
+      )
+    }
+    val blocks = sig
+      .select(col("doc_id"), col("dhash"), explode(array(blockCols: _*)).as("b"))
+      .select(col("doc_id"), col("dhash"), col("b.block_idx").as("bi"), col("b.bval").as("bv"))
+    val xorSig = col("sig_a").bitwiseXOR(col("sig_b"))
+    val firstBlock = (0 until PhashBands).reverse
+      .foldLeft(lit(-1): Column) { (tail, i) =>
+        when(shiftright(xorSig, i * PhashBandBits).bitwiseAND((1L << PhashBandBits) - 1) === 0, lit(i))
+          .otherwise(tail)
+      }
+    blocks
+      .select(col("bi"), col("bv"), col("doc_id").as("doc_a"), col("dhash").as("sig_a"))
+      .join(
+        blocks.select(col("bi"), col("bv"), col("doc_id").as("doc_b"), col("dhash").as("sig_b")),
+        Seq("bi", "bv")
+      )
+      .filter(col("doc_a") < col("doc_b") && col("bi") === firstBlock)
+      .withColumn("hamming", bit_count(xorSig).cast("long"))
+      .filter(col("hamming") <= PhashHammingMax)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** C105: perceptual-hash image near-dup — the multimodal member of
+    * the dedup family (c1 whole-doc text, c4/c92/c93 text SimHash,
+    * c5/c17/c35 embeddings; until now the media columns had decode
+    * (c12) and frame sampling (c23) but NO dedup). dHash signatures
+    * over the stub pixel grid, banded pigeonhole join, exact hamming
+    * filter — integer math end-to-end, gated hash-exact against a
+    * DuckDB oracle that recomputes pixels, gradients, packing and the
+    * exhaustive pair set from first principles. Scale = c4's: one
+    * row-local signature scan (the 63 pixel hashes per image are the
+    * stub decoder's stand-in cost), an 8-way banded self-join whose
+    * candidate volume is bounded by the band-value distribution, and
+    * nothing but (doc_id, long) pairs on any exchange.
+    */
+  def c105ImageDhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    dhashPairsFrom(
+      imageDhashSignatures(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+    )
 
   def c12MultimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -781,6 +781,11 @@ object TextDedup {
       HotBucketMeanMultiple * ((nDocs + (1L << WideBlockBits) - 1) / (1L << WideBlockBits))
     )
 
+  /** Level-2 half-block width: the doubly-hot re-key slices the 8
+    * remaining full blocks into 16 sub-keys of this many bits.
+    */
+  val WideHalfBits = WideBlockBits / 2
+
   /** C93: c92's pair-set contract served through Manku/Jain/Sarma
     * 2007's RECURSIVE refinement — the exactness-preserving answer to
     * hot buckets (a per-bucket cap would silently drop candidates).
@@ -792,14 +797,35 @@ object TextDedup {
     * re-keying them on each of their 9 OTHER blocks (the "remaining
     * bits") still meets every qualifying pair — at the second intact
     * block — and turns the bucket's n² fan-out into Σ sub-bucket².
-    * Hot and cold bucket slices partition the (block, value) key
-    * space, so the once-only emit stays pure row-local bit math (no
-    * distinct()): a pair appears in the cold path iff its FIRST intact
-    * block's bucket is cold (emit at bi = first), else in the hot path
-    * (emit at bi = first, sub-block = second intact). Ceiling note:
+    *
+    * LEVEL 2 (round 12, Manku's FULL multi-level form): a sub-bucket
+    * (bi, bv, sbi, sbv) that is ITSELF still above threshold (a Zipf
+    * head can saturate two blocks at once — the measured exp-1.71
+    * residue on the natural sf10 leg) re-keys once more. A third FULL
+    * intact block is NOT guaranteed at threshold 8 — the 8 differing
+    * bits can occupy 8 distinct blocks, leaving exactly the two intact
+    * blocks already consumed — so the provably exhaustive level-2 key
+    * is FINER, not another block: the 8 remaining blocks split into 16
+    * half-blocks of [[WideHalfBits]] = 6 bits, where ≤ 8 differing
+    * bits leave ≥ 8 intact half-blocks (pigeonhole with room). Each
+    * doubly-hot member re-keys on its 16 remaining half-blocks and the
+    * pair is emitted at the FIRST intact remaining half-block —
+    * sub-sub-buckets shrink by 2^6 per level and the recursion
+    * terminates at depth 2 by construction (this is the width-halving
+    * rung of Manku's variable-width table family; a further level
+    * would halve again to 3-bit keys).
+    *
+    * Hot/cold (and hot-hot/hot-cold) slices partition the key space,
+    * so the once-only emit stays pure row-local bit math (no
+    * distinct()): a pair lives in the cold path iff its FIRST intact
+    * block's bucket is cold (emit at bi = first); else in the hot-cold
+    * path iff its (first, second-intact) sub-bucket is cold (emit at
+    * bi = first, sbi = second); else in the hot-hot path (emit at
+    * bi = first, sbi = second, hbi = first intact remaining
+    * half-block, which exists by the pigeonhole above). Ceiling note:
     * refinement caps the servable threshold at #blocks − 2 differing
-    * bits (= 8 here) — exactly the served bar, documented, and the
-    * reason the layout keeps 10 blocks rather than fewer wider ones.
+    * bits (= 8 here) — exactly the served bar, and the level-2 key
+    * needs ≤ 16 − 1 differing bits, far above it.
     */
   def c93DedupSimhashRefined(spark: SparkSession, sfDir: String): DataFrame = {
     val sig = simHashSignaturesWide(spark, sfDir).localCheckpoint()
@@ -837,15 +863,64 @@ object TextDedup {
         col("sb.block_idx").as("sbi"), col("sb.bval").as("sbv")
       )
       .filter(col("sbi") =!= col("bi"))
+      .localCheckpoint() // feeds the level-2 size census AND both hot paths
+    // LEVEL 2: sub-buckets still above threshold re-key on 6-bit
+    // half-blocks. The over-threshold key set is bounded by
+    // 10n/hotT keys, broadcastable by the same argument as hotKeys.
+    val hot2Keys = hot
+      .groupBy(col("bi"), col("bv"), col("sbi"), col("sbv"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > hotT)
+      .select(col("bi"), col("bv"), col("sbi"), col("sbv"), lit(true).as("is_hot2"))
+    val sized2 = hot.join(broadcast(hot2Keys), Seq("bi", "bv", "sbi", "sbv"), "left")
+    val hotCold = sized2.filter(col("is_hot2").isNull).drop("is_hot2")
+    // half-block hb covers bits [hb%2 * 6, +6) of full block hb/2
+    val nHalves = 2 * nBlocks
+    def halfVal(half: Column, blockInHalf: Int, sub: Int): Column =
+      shiftright(half, blockInHalf * WideBlockBits + sub * WideHalfBits)
+        .bitwiseAND((1L << WideHalfBits) - 1)
+    val halfCols = (0 until nHalves).map { hb =>
+      val blk = hb / 2
+      val half = if (blk < WideBlocksPerHalf) col("s1") else col("s2")
+      struct(lit(hb).as("half_idx"), halfVal(half, blk % WideBlocksPerHalf, hb % 2).as("hval"))
+    }
+    val hotHot = sized2
+      .filter(col("is_hot2").isNotNull)
+      .drop("is_hot2")
+      .select(
+        col("doc_id"), col("s1"), col("s2"), col("bi"), col("bv"), col("sbi"), col("sbv"),
+        explode(array(halfCols: _*)).as("hb")
+      )
+      .select(
+        col("doc_id"), col("s1"), col("s2"), col("bi"), col("bv"), col("sbi"), col("sbv"),
+        col("hb.half_idx").as("hbi"), col("hb.hval").as("hbv")
+      )
+      // only the 16 half-blocks of REMAINING blocks (hb/2 ∉ {bi, sbi})
+      .filter(shiftright(col("hbi"), 1) =!= col("bi") && shiftright(col("hbi"), 1) =!= col("sbi"))
 
     def xorAt(i: Int): Column = {
       val x = if (i < WideBlocksPerHalf) col("s1a").bitwiseXOR(col("s1b")) else col("s2a").bitwiseXOR(col("s2b"))
       blockVal(x, i % WideBlocksPerHalf)
     }
+    def xorHalfAt(hb: Int): Column = {
+      val blk = hb / 2
+      val x = if (blk < WideBlocksPerHalf) col("s1a").bitwiseXOR(col("s1b")) else col("s2a").bitwiseXOR(col("s2b"))
+      halfVal(x, blk % WideBlocksPerHalf, hb % 2)
+    }
     val firstIntact = (0 until nBlocks).reverse
       .foldLeft(lit(-1): Column)((tail, i) => when(xorAt(i) === 0, lit(i)).otherwise(tail))
     val secondIntact = (0 until nBlocks).reverse
       .foldLeft(lit(-1): Column)((tail, i) => when(xorAt(i) === 0 && lit(i) > firstIntact, lit(i)).otherwise(tail))
+    // first intact half-block among REMAINING blocks: the static hb/2
+    // compares against the row's (bi, sbi) — exists whenever
+    // hamming ≤ 8 (≥ 8 of the 16 remaining half-blocks intact)
+    val firstIntactHalf = (0 until nHalves).reverse
+      .foldLeft(lit(-1): Column) { (tail, hb) =>
+        when(
+          xorHalfAt(hb) === 0 && lit(hb / 2) =!= col("bi") && lit(hb / 2) =!= col("sbi"),
+          lit(hb)
+        ).otherwise(tail)
+      }
     val hamming = (bit_count(col("s1a").bitwiseXOR(col("s1b"))) +
       bit_count(col("s2a").bitwiseXOR(col("s2b")))).cast("long")
 
@@ -857,13 +932,22 @@ object TextDedup {
     val coldPairs = ca
       .join(cb, Seq("bi", "bv"))
       .filter(col("doc_a") < col("doc_b") && col("bi") === firstIntact)
-    val (ha, hb) = sides(hot, Seq("bi", "bv", "sbi", "sbv"))
-    val hotPairs = ha
+    val (ha, hb) = sides(hotCold, Seq("bi", "bv", "sbi", "sbv"))
+    val hotColdPairs = ha
       .join(hb, Seq("bi", "bv", "sbi", "sbv"))
       .filter(col("doc_a") < col("doc_b") && col("bi") === firstIntact && col("sbi") === secondIntact)
+    val (h2a, h2b) = sides(hotHot, Seq("bi", "bv", "sbi", "sbv", "hbi", "hbv"))
+    val hotHotPairs = h2a
+      .join(h2b, Seq("bi", "bv", "sbi", "sbv", "hbi", "hbv"))
+      .filter(
+        col("doc_a") < col("doc_b") && col("bi") === firstIntact &&
+          col("sbi") === secondIntact && col("hbi") === firstIntactHalf
+      )
+    val sig6 = Seq(col("doc_a"), col("doc_b"), col("s1a"), col("s1b"), col("s2a"), col("s2b"))
     coldPairs
-      .select(col("doc_a"), col("doc_b"), col("s1a"), col("s1b"), col("s2a"), col("s2b"))
-      .unionByName(hotPairs.select(col("doc_a"), col("doc_b"), col("s1a"), col("s1b"), col("s2a"), col("s2b")))
+      .select(sig6: _*)
+      .unionByName(hotColdPairs.select(sig6: _*))
+      .unionByName(hotHotPairs.select(sig6: _*))
       .withColumn("hamming", hamming)
       .filter(col("hamming") <= HammingMax)
       .select(col("doc_a"), col("doc_b"), col("hamming"))

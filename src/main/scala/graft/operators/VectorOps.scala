@@ -898,6 +898,93 @@ object VectorOps {
     )
   }
 
+  /** IMI search against caller-supplied TRAINED half-codebooks — c101's
+    * cell algebra (per-half kernel assignment, half-dot-sum cell rank,
+    * keyed (aid, bid) probe join, exact rerank) with the codebooks as
+    * driver arrays instead of seed table rows.
+    */
+  def imiSearchTrained(
+      cands: DataFrame,
+      queries: DataFrame,
+      centsA: Array[Array[Double]],
+      centsB: Array[Array[Double]],
+      nProbes: Int,
+      topK: Int
+  ): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val half = centsA.head.length
+    val cA = centsA.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    val cB = centsB.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    val mem = cands.select(
+      col("neighbor_id"),
+      element_at(graft.plans.CentroidTopK.centroidTopK(slice(col("vn"), 1, half), cA, 1), 1).as("aid"),
+      element_at(graft.plans.CentroidTopK.centroidTopK(slice(col("vn"), half + 1, half), cB, 1), 1).as("bid"),
+      col("vn")
+    )
+    val centAdf = centsA.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("aid", "av")
+    val centBdf = centsB.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("bid", "bv")
+    val qa = queries
+      .crossJoin(broadcast(centAdf))
+      .select(col("query_id"), col("aid"), arrayDot(slice(col("qv"), 1, half), col("av")).as("da"))
+    val qb = queries
+      .crossJoin(broadcast(centBdf))
+      .select(col("query_id"), col("bid"), arrayDot(slice(col("qv"), half + 1, half), col("bv")).as("db"))
+    val wc = Window.partitionBy(col("query_id")).orderBy((col("da") + col("db")).desc, col("aid"), col("bid"))
+    val cells = qa
+      .join(qb, "query_id")
+      .withColumn("cn", row_number().over(wc))
+      .filter(col("cn") <= nProbes)
+      .select(col("query_id"), col("aid"), col("bid"))
+    rankTopK(
+      mem
+        .join(broadcast(cells), Seq("aid", "bid"))
+        .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
+        .withColumn("cos", arrayDot(col("qv"), col("vn"))),
+      topK
+    )
+  }
+
+  /** Lloyd rounds for the c106 half-codebooks — c24's posture (the
+    * oracle unrolls exactly this many per half).
+    */
+  val C106Iters = 3
+
+  /** C106: TRAINED-codebook inverted multi-index — c101's geometry
+    * (hk = max(8, n^¼) cells per half, probe budget max(32, 4·hk))
+    * with each half-codebook Lloyd-trained by [[trainCentroids]] on
+    * the corresponding half-slices (spherical k-means on the same
+    * hash-threshold sample, member sums folded in ascending id order —
+    * the bit-stability contract that keeps the gate hash-exact while
+    * the codebooks move to where the data actually lives). c101's
+    * seeded half-codebooks are the training-free calibration baseline;
+    * this is the quality path: on the clustered recall fixture the
+    * seeded cells leave recall at the isotropic floor while trained
+    * cells hold ≥ 0.9 at the SAME probe budget (VectorRecallSpec).
+    * Oracle = two unrolled half-Lloyd chains (c24's iterCtes per half)
+    * composed with c101's cell algebra — identical float ops in
+    * identical order.
+    */
+  def c106AnnImiTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val hk = imiHalfK(embCount(spark, sfDir))
+    val nProbes = math.max(ImiCellProbes, 4 * hk)
+    val half = Dim / 2
+    val queries = e
+      .filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("vn").as("qv"))
+    val cands = e
+      .filter(col("vec_id") >= NumQueryVecs)
+      .select(col("vec_id").as("neighbor_id"), col("vn"))
+    val centsA = centroidCache.getOrElseUpdate(spark.sparkContext, s"$sfDir|imiA|hk=$hk|iters=$C106Iters") {
+      trainCentroids(cands.select(col("neighbor_id"), slice(col("vn"), 1, half).as("vn")), hk, C106Iters)
+    }
+    val centsB = centroidCache.getOrElseUpdate(spark.sparkContext, s"$sfDir|imiB|hk=$hk|iters=$C106Iters") {
+      trainCentroids(cands.select(col("neighbor_id"), slice(col("vn"), half + 1, half).as("vn")), hk, C106Iters)
+    }
+    imiSearchTrained(cands, queries, centsA, centsB, nProbes, 5)
+  }
+
   // --------------------------------------------------------------------
   // Trained IVF (Lloyd / spherical k-means) — the quality path c18's
   // deterministic seed quantizer stands in for. Centroids are DRIVER-HELD

@@ -438,6 +438,49 @@ class OperatorsSpec extends SparkSpec {
     assert(hotBuckets > 0, s"no bucket exceeds hotBucketT=$hotT at sf0.01 — refinement untested")
   }
 
+  test("c93 level-2 refinement: doubly-hot sub-buckets engage at sf0.1 and the pair set still equals c92's") {
+    // sf0.01's sub-buckets all sit under the threshold (census: max 11
+    // vs hotT 32), so the gate alone never runs the half-block path;
+    // sf0.1 has 128 doubly-hot sub-buckets (max 97 members) — this leg
+    // is where the level-2 emit-once algebra is actually exercised.
+    val sf01 = "/root/testdata/sf0.1"
+    val sig = TextDedup.simHashSignaturesWide(spark, sf01).localCheckpoint()
+    val hotT = TextDedup.hotBucketT(sig.count())
+    val nb = 2 * TextDedup.WideBlocksPerHalf
+    val blockCols = (0 until nb).map { idx =>
+      val half = if (idx < TextDedup.WideBlocksPerHalf) col("s1") else col("s2")
+      struct(
+        lit(idx).as("bi"),
+        shiftright(half, (idx % TextDedup.WideBlocksPerHalf) * TextDedup.WideBlockBits)
+          .bitwiseAND((1L << TextDedup.WideBlockBits) - 1)
+          .as("bv")
+      )
+    }
+    val blocks = sig
+      .select(col("doc_id"), explode(array(blockCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+      .localCheckpoint()
+    val hotKeys = blocks.groupBy(col("bi"), col("bv")).count().filter(col("count") > hotT).drop("count")
+    val hot2 = blocks
+      .join(broadcast(hotKeys), Seq("bi", "bv"))
+      .join(blocks.select(col("doc_id"), col("bi").as("sbi"), col("bv").as("sbv")), Seq("doc_id"))
+      .filter(col("sbi") =!= col("bi"))
+      .groupBy(col("bi"), col("bv"), col("sbi"), col("sbv"))
+      .count()
+      .filter(col("count") > hotT)
+      .count()
+    assert(hot2 > 0, s"no sub-bucket exceeds hotBucketT=$hotT at sf0.1 — the level-2 path is untested")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = pairs(TextDedup.c93DedupSimhashRefined(spark, sf01))
+    assert(got.length == got.toSet.size, "duplicate emits at sf0.1")
+    assert(
+      got.toSet == pairs(TextDedup.c92DedupSimhashWide(spark, sf01)).toSet,
+      "pair set diverges at sf0.1 with the level-2 path engaged"
+    )
+    info(s"doubly-hot sub-buckets at sf0.1: $hot2")
+  }
+
   test("b52 null semantics: NULL groups once, meets NULL through <=>, and sorts first — JVM re-derived") {
     val keys = graft.sources.Tables
       .orders(spark, sf0001)
@@ -2105,6 +2148,62 @@ class OperatorsSpec extends SparkSpec {
     assert(gotSeg.keys.exists(s => s.replace(TextAnalysis.BpeEndOfWord, "").length > 1))
     val nChars = wc.map { case (w, c) => (w.length + 1).toLong * c }.sum
     assert(gotSeg.values.map(_._1).sum < nChars, "BPE apply must compress vs char-level")
+  }
+
+  test("c105 perceptual dhash: planted near-identical frames pair with small hamming; far payloads don't") {
+    import spark.implicits._
+    // doc ids multiples of 3 = the image rows (c12's fmt convention).
+    // Doc 3 and doc 6 share a 70-token prefix — a truncation family:
+    // doc 6 is 10 tokens shorter, so grid cells past its length wrap
+    // to the payload head and only the wrapped cells' gradients can
+    // differ. A real decoder shows exactly this shape for a
+    // padded/cropped image: most of the thumbnail identical, a border
+    // band different.
+    val prefix = (0 until 70).map(i => s"t$i")
+    val docA = (prefix ++ (70 until 80).map(i => s"a$i")).mkString(" ")   // 80 tokens
+    val docB = prefix.take(60).mkString(" ")                              // 60 tokens: cells 60..62 wrap
+    val docFar = (0 until 80).map(i => s"z$i").mkString(" ")              // unrelated content
+    val docs = Seq((3L, docA), (6L, docB), (9L, docFar), (4L, docA)).toDF("doc_id", "text")
+    val sigs = Multimodal
+      .imageDhashSignatures(docs)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(sigs.keySet == Set(3L, 6L, 9L), "doc 4 is not an image row and must not be hashed")
+    val hamAB = java.lang.Long.bitCount(sigs(3L) ^ sigs(6L))
+    val hamAF = java.lang.Long.bitCount(sigs(3L) ^ sigs(9L))
+    // cells 60..62 sit in row 6, cols 6..8 — at most 3 gradient bits
+    // can flip (the wrap also shifts every cell of doc B whose index
+    // mod 60 differs... none do below 60), so the family is WELL
+    // within the served threshold while unrelated content is far out
+    assert(hamAB > 0 && hamAB <= 3, s"truncation family hamming $hamAB not in (0, 3]")
+    assert(hamAF > Multimodal.PhashHammingMax, s"unrelated payloads at hamming $hamAF — grid not discriminating")
+    val pairs = Multimodal
+      .dhashPairsFrom(Multimodal.imageDhashSignatures(docs))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(pairs == Set((3L, 6L, hamAB.toLong)), s"expected exactly the planted family pair, got $pairs")
+    // banding boundary: hamming == threshold is kept, threshold+1 dropped,
+    // and a pair differing ONLY inside one band is found once (emit-once)
+    val base = 0L
+    def flipLow(k: Int): Long = (1L << k) - 1 // k one-bits in band 0 (+ band 1 for k > 7)
+    val planted = Seq(
+      (10L, base),
+      (11L, flipLow(Multimodal.PhashHammingMax)),     // hamming 7 == max → kept
+      (12L, flipLow(Multimodal.PhashHammingMax + 1)), // hamming 8 vs base → dropped
+      (13L, base)                                     // exact dup of 10 → hamming 0
+    ).toDF("doc_id", "dhash")
+    val got = Multimodal
+      .dhashPairsFrom(planted)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == got.toSet.size, "duplicate emits — first-matching-band algebra broken")
+    val gotSet = got.toSet
+    assert(gotSet.contains((10L, 11L, Multimodal.PhashHammingMax.toLong)), s"boundary pair missing: $gotSet")
+    assert(gotSet.contains((10L, 13L, 0L)) && gotSet.contains((11L, 13L, Multimodal.PhashHammingMax.toLong)))
+    assert(!gotSet.exists { case (a, b, _) => Set(a, b).contains(12L) && Set(a, b).contains(10L) },
+      s"hamming ${Multimodal.PhashHammingMax + 1} pair must be dropped: $gotSet")
   }
 
   test("c103 exactsubstr: a 60-token repeat is ONE maximal span, not W-window fragments") {

@@ -428,6 +428,66 @@ class VectorRecallSpec extends SparkSpec {
     assert(adcSmall >= 0.45, f"IVFADC recall@5 = $adcSmall%.3f < 0.45 at reRank=${VectorOps.PqReRank} (measured 0.52)")
   }
 
+  test("c106 trained IMI: recall@5 >= 0.9 on clustered embeddings at the c101 probe budget; trained cells beat seeded") {
+    import org.apache.spark.sql.functions.{col, slice, xxhash64}
+    val (cands, queries) = clusteredFrames(spark, nClusters = 20, perCluster = 200)
+    val exactTop5 = VectorOps
+      .annBruteforce(cands, queries, 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val hk = VectorOps.ImiHalfKFloor
+    val nProbes = math.max(VectorOps.ImiCellProbes, 4 * hk)
+    val half = 32
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exactTop5 & got).size.toDouble / exactTop5.size
+    }
+    val centsA = VectorOps.trainCentroids(
+      cands.select(col("neighbor_id"), slice(col("vn"), 1, half).as("vn")), hk, VectorOps.C106Iters)
+    val centsB = VectorOps.trainCentroids(
+      cands.select(col("neighbor_id"), slice(col("vn"), half + 1, half).as("vn")), hk, VectorOps.C106Iters)
+    val trained = recall(VectorOps.imiSearchTrained(cands, queries, centsA, centsB, nProbes, 5))
+    // the seeded baseline: c101's posture — 2·hk hash-spread corpus
+    // draws, halves sliced out — at the SAME probe budget
+    val seeds = cands
+      .orderBy(xxhash64(col("neighbor_id")))
+      .limit(2 * hk)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    val seededA = seeds.take(hk).map(_.take(half))
+    val seededB = seeds.drop(hk).map(_.drop(half))
+    assert(trained >= 0.9, f"trained IMI recall@5 = $trained%.3f < 0.9 at P=$nProbes")
+    // where training actually pays: at the served budget both codebook
+    // families saturate (P=32 of 64 cells covers everything on 20
+    // clusters); the pruning regime separates them. Measured sweep:
+    // P=1 trained 1.000 vs seeded 0.720; P=2 1.000 vs 0.840 — Lloyd
+    // cells align with the clusters, so even the single best cell
+    // already contains the query's home cluster.
+    val trained1 = recall(VectorOps.imiSearchTrained(cands, queries, centsA, centsB, 1, 5))
+    val seeded1 = recall(VectorOps.imiSearchTrained(cands, queries, seededA, seededB, 1, 5))
+    info(f"P=$nProbes trained=$trained%.3f; P=1 trained=$trained1%.3f seeded=$seeded1%.3f")
+    assert(trained1 >= 0.9, f"trained IMI recall@5 = $trained1%.3f < 0.9 at P=1 — cells not cluster-aligned")
+    assert(trained1 > seeded1, f"trained cells ($trained1%.3f) must beat seeded ($seeded1%.3f) in the pruning regime")
+  }
+
+  test("c106 trained IMI recall@5 vs the exact c6 baseline (served floor)") {
+    val exactTop5 = VectorOps
+      .c6AnnBruteforce(spark, sf001)
+      .filter("rank <= 5")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val got = VectorOps
+      .c106AnnImiTrained(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recall = (exactTop5 & got).size.toDouble / exactTop5.size
+    info(f"trained IMI gate recall@5 = $recall%.3f")
+    assert(recall >= 0.75, f"trained IMI recall@5 = $recall%.3f < 0.75 (c101's seeded floor — training must not cost recall)")
+  }
+
   test("c104 IVFADC recall@5 vs the exact c6 baseline (served floor)") {
     val exactTop5 = VectorOps
       .c6AnnBruteforce(spark, sf001)
