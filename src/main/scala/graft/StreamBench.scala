@@ -120,6 +120,19 @@ object StreamBench {
     }
     val eventChunks = chunked(events)
 
+    // the round-11 deployment rule, applied: streaming shuffle
+    // partitions follow per-batch volume, not cores (state-store
+    // commits are per partition per batch — see GraftSession scaladoc;
+    // the batch replay collect above already ran on the cores-sized
+    // default). Override with SPARK_GRAFT_STREAM_PARTITIONS to
+    // reproduce the 32-partition worst case BASELINE.md records.
+    val rowsPerBatch = math.max(1, math.ceil(events.length.toDouble / nChunks).toLong)
+    val streamParts = sys.env
+      .get("SPARK_GRAFT_STREAM_PARTITIONS")
+      .map(_.toInt)
+      .getOrElse(GraftSession.streamingShufflePartitions(rowsPerBatch, cpus))
+    spark.conf.set("spark.sql.shuffle.partitions", streamParts.toString)
+
     val results = scala.collection.mutable.ArrayBuffer.empty[TopoResult]
 
     // 1. windowed first-wins dedup (DeduplicationExample topology)
@@ -202,7 +215,7 @@ object StreamBench {
 
     val topoJson = results.map(_.json).mkString("{", ",", "}")
     println(
-      s"""{"metric":"stream_throughput","unit":"rows_per_sec","sf":"$sfDir","cpus":$cpus,"chunks":$nChunks,"topologies":$topoJson}"""
+      s"""{"metric":"stream_throughput","unit":"rows_per_sec","sf":"$sfDir","cpus":$cpus,"chunks":$nChunks,"stream_partitions":$streamParts,"topologies":$topoJson}"""
     )
   }
 }

@@ -45,6 +45,37 @@ object GraftSession {
       // native SQL functions + the TopKPerKey planner strategy
       .withExtensions(new graft.plans.GraftExtensions)
 
+  /** Measured constant behind [[streamingShufflePartitions]]: target
+    * rows per shuffle partition per micro-batch. Round 11's
+    * StreamJoinProfile root cause: every streaming state operator
+    * commits its RocksDB store(s) once per PARTITION per batch (a
+    * symmetric stream-stream join keeps four stores), and the
+    * per-(batch × partition × store) commit/fsync is fixed-cost — at
+    * 5 k-row batches a cores-sized 32 partitions paid 128 store
+    * commits for ~160 rows of work each, and dropping to 8 partitions
+    * lifted the interval join 2.8× with identical results. 640 puts
+    * the measured sweet spot (5 000 rows → 8 partitions) on the curve
+    * and leaves large batches cores-bound, where the default is right.
+    */
+  val StreamTargetRowsPerPartition = 640L
+
+  /** Streaming shuffle partitions sized to PER-BATCH VOLUME, not
+    * cores (the deployment rule BASELINE.md documents): partitions =
+    * ⌈rowsPerBatch / [[StreamTargetRowsPerPartition]]⌉ clamped to
+    * [2, cores]. Batch queries keep the cores-sized default — this
+    * applies to `writeStream` topologies, where state-store commit
+    * count is partitions × stores regardless of data volume. Set it
+    * on the session before starting a streaming query:
+    * `spark.conf.set("spark.sql.shuffle.partitions",
+    * GraftSession.streamingShufflePartitions(rowsPerBatch, cores))`
+    * — streaming fixes the partition count at first start from this
+    * conf (it persists in the checkpoint thereafter).
+    */
+  def streamingShufflePartitions(rowsPerBatch: Long, cores: Int): Int = {
+    val byVolume = ((rowsPerBatch + StreamTargetRowsPerPartition - 1) / StreamTargetRowsPerPartition).toInt
+    math.max(2, math.min(cores, byVolume))
+  }
+
   def getOrCreate(): SparkSession = {
     val preexisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
     val spark = builder().getOrCreate()

@@ -732,6 +732,10 @@ object TextDedup {
         when(shiftright(x, i * WideBlockBits).bitwiseAND((1L << WideBlockBits) - 1) === 0, lit(idx))
           .otherwise(tail)
       }
+    // hamming-first conjunct order (c93's discipline): the two-popcount
+    // test rejects ~every candidate before the 10-branch dedup fold
+    // runs, and the single filter sits directly on the join so it
+    // becomes the join condition — failed candidates never materialize
     blocks
       .select(col("bi"), col("bv"), col("doc_id").as("doc_a"), col("s1").as("s1a"), col("s2").as("s2a"))
       .join(
@@ -739,39 +743,38 @@ object TextDedup {
           .select(col("bi"), col("bv"), col("doc_id").as("doc_b"), col("s1").as("s1b"), col("s2").as("s2b")),
         Seq("bi", "bv")
       )
-      .filter(col("doc_a") < col("doc_b") && col("bi") === firstBlock)
-      .withColumn("hamming", (bit_count(x1) + bit_count(x2)).cast("long"))
-      .filter(col("hamming") <= HammingMax)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .filter(
+        col("doc_a") < col("doc_b") &&
+          (bit_count(x1) + bit_count(x2)) <= HammingMax &&
+          col("bi") === firstBlock
+      )
+      .select(col("doc_a"), col("doc_b"), (bit_count(x1) + bit_count(x2)).cast("long").as("hamming"))
   }
 
-  /** Hot-bucket threshold FLOOR for c93's recursive refinement: a
-    * per-(block, value) bucket larger than the adaptive threshold is
-    * re-pigeonholed on a second block instead of self-joined directly.
-    * 32 keeps the cold path's worst pair fan-out at 32²/2 at the gate
-    * SFs while engaging the refinement on every corpus the gate
-    * actually runs (the synthetic geometry's hot 12-bit values hold
-    * ~12% of docs at every SF ≥ 0.01).
+  /** Census floor for c93's per-bucket refine decision: buckets of ≤
+    * this many members never refine (a 32-member bucket's flat fan is
+    * 32²/2 — below any re-key payoff) and are excluded from the
+    * sub-bucket census, bounding its cost to the warm members' re-key
+    * stream. Also the FLOOR of the level-2 [[hotBucketT]].
     */
   val HotBucketFloor = 32
 
-  /** Multiple of the MEAN bucket size above which a bucket counts as
-    * hot. Round 10's sf3 run showed why the threshold cannot be a
-    * constant: at 150 k docs the mean (block, value) bucket is ~37 >
-    * 32, so EVERY bucket went hot and the ×(blocks−1) re-key explode
-    * applied to the whole corpus — refinement cost more than the n²
-    * it saved (1 091 s vs c92's 876 s). Hotness must mean OUTLIER:
-    * refinement wins when a bucket's s² fan dwarfs its 9s re-key +
-    * Σ sub², i.e. when s is a large multiple of the typical sub-bucket
-    * size — 8× the mean is that boundary with slack. The pair OUTPUT
-    * is invariant to the threshold (the emit-once proof never uses T),
-    * so this is pure cost tuning; at the gate SFs the adaptive value
-    * IS the floor (mean ≈ 1–2), keeping gate plans and baselines
-    * unchanged.
+  /** Multiple of the MEAN bucket size for the LEVEL-2 threshold
+    * [[hotBucketT]] (a sub-bucket counts as doubly hot above it).
+    * History: rounds 10–11 used this adaptive threshold for the
+    * LEVEL-1 refine decision too — round 10's sf3 run showed a
+    * constant can't work (at 150 k docs the mean bucket is ~37 > 32,
+    * so EVERY bucket went hot and the ×9 re-key cost more than the n²
+    * it saved: 1 091 s vs c92's 876 s), and round 12 replaced the
+    * level-1 threshold entirely with the per-bucket measured cost
+    * rule ([[refineBucketKeys]]) after the natural sf10 leg showed
+    * the 8×-mean boundary leaving a 1e9-candidate warm band flat.
+    * The pair OUTPUT is invariant to any of these choices (the
+    * emit-once proof never uses them) — all pure cost arbitration.
     */
   val HotBucketMeanMultiple = 8
 
-  /** The adaptive hot-bucket threshold for a corpus of `nDocs`
+  /** The adaptive level-2 threshold for a corpus of `nDocs`
     * signatures: mean bucket size is nDocs×blocks / (blocks×2^bits) =
     * ceil(nDocs / 4096) — corpus-size-dependent, bucket-count-free.
     */
@@ -791,17 +794,21 @@ object TextDedup {
     * hot buckets (a per-bucket cap would silently drop candidates).
     * The observation: at threshold [[HammingMax]] = 8 over 10 blocks,
     * ≤ 8 differing bits touch ≤ 8 blocks, so every qualifying pair has
-    * at least TWO intact blocks. A bucket whose size exceeds
-    * the adaptive [[hotBucketT]] therefore doesn't need its members
-    * self-joined:
+    * at least TWO intact blocks. A bucket therefore doesn't need its
+    * members self-joined:
     * re-keying them on each of their 9 OTHER blocks (the "remaining
     * bits") still meets every qualifying pair — at the second intact
     * block — and turns the bucket's n² fan-out into Σ sub-bucket².
+    * WHICH buckets refine is a per-bucket MEASURED cost decision
+    * ([[refineBucketKeys]], round 12): refine iff Σ sub² + 9n < n² —
+    * the pair OUTPUT is invariant to the choice (the emit-once proof
+    * below never uses it), so the decision is pure cost arbitration
+    * and adapts to the geometry instead of a tuned threshold.
     *
     * LEVEL 2 (round 12, Manku's FULL multi-level form): a sub-bucket
-    * (bi, bv, sbi, sbv) that is ITSELF still above threshold (a Zipf
-    * head can saturate two blocks at once — the measured exp-1.71
-    * residue on the natural sf10 leg) re-keys once more. A third FULL
+    * (bi, bv, sbi, sbv) that is ITSELF still above the adaptive
+    * [[hotBucketT]] (a Zipf head can saturate two blocks at once)
+    * re-keys once more. A third FULL
     * intact block is NOT guaranteed at threshold 8 — the 8 differing
     * bits can occupy 8 distinct blocks, leaving exactly the two intact
     * blocks already consumed — so the provably exhaustive level-2 key
@@ -827,51 +834,185 @@ object TextDedup {
     * bits (= 8 here) — exactly the served bar, and the level-2 key
     * needs ≤ 16 − 1 differing bits, far above it.
     */
-  def c93DedupSimhashRefined(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = simHashSignaturesWide(spark, sfDir).localCheckpoint()
+  /** The wide-signature block frame: one row per (doc, block) with the
+    * signatures carried — shared by the operator and its specs.
+    */
+  private[graft] def wideBlocks(sig: DataFrame): DataFrame = {
     val nBlocks = 2 * WideBlocksPerHalf
-    def blockVal(half: Column, i: Int): Column =
-      shiftright(half, i * WideBlockBits).bitwiseAND((1L << WideBlockBits) - 1)
     val blockCols = (0 until nBlocks).map { idx =>
       val half = if (idx < WideBlocksPerHalf) col("s1") else col("s2")
-      struct(lit(idx).as("block_idx"), blockVal(half, idx % WideBlocksPerHalf).as("bval"))
+      struct(
+        lit(idx).as("block_idx"),
+        shiftright(half, (idx % WideBlocksPerHalf) * WideBlockBits)
+          .bitwiseAND((1L << WideBlockBits) - 1)
+          .as("bval")
+      )
     }
-    val blocks = sig
+    sig
       .select(col("doc_id"), col("s1"), col("s2"), explode(array(blockCols: _*)).as("b"))
       .select(col("doc_id"), col("s1"), col("s2"), col("b.block_idx").as("bi"), col("b.bval").as("bv"))
-    // the hot/cold split key set is CORPUS-SIZE-INDEPENDENT: at most
-    // nBlocks * 2^WideBlockBits (= 40 960) buckets exist, so the
-    // over-threshold subset always broadcasts — the block frame is
-    // classified by a map-side hash probe instead of a full-frame
-    // window (which would sort all 10n rows inside each bucket)
-    val hotT = hotBucketT(sig.count()) // sig is checkpointed — cheap count
-    val hotKeys = blocks
+  }
+
+  /** The (bi, bv) buckets c93 refines — a MEASURED per-bucket cost
+    * decision, not a global threshold (round 12; the single source for
+    * the operator and the engagement specs). Flat cost of a bucket of
+    * n members is its self-join fan n²; refined cost is the re-key
+    * volume 9n plus the sub-bucket join fan Σ sub². Refine exactly
+    * where measurement says it wins: sub_sq + 9n < n². The census is
+    * one slim aggregate over the warm members' re-key stream (no
+    * signatures, map-side combined, keys bounded by blocks × 2^bits
+    * per level) — and it is precisely the quantity the decision needs,
+    * so neither geometry regime needs tuning: on Zipfian natural text
+    * sub-buckets spread ~2^12 and every warm bucket refines (measured
+    * sf10: Σ flat 5.56e9 → Σ refined 3.2e8, all 22 740 warm buckets
+    * win); on the adversarial 31-word geometry sub-bucket values
+    * correlate, sub_sq stays near n², and the census correctly leaves
+    * those buckets flat — the round-10 sf3 regression (a constant
+    * threshold re-keyed the whole corpus for nothing) cannot recur by
+    * construction. [[HotBucketFloor]] bounds the census to buckets
+    * where refinement could possibly pay (n² > overhead floor).
+    */
+  private def wideBlockStructCols: Seq[Column] =
+    (0 until 2 * WideBlocksPerHalf).map { idx =>
+      val half = if (idx < WideBlocksPerHalf) col("s1") else col("s2")
+      struct(
+        lit(idx).as("block_idx"),
+        shiftright(half, (idx % WideBlocksPerHalf) * WideBlockBits)
+          .bitwiseAND((1L << WideBlockBits) - 1)
+          .as("bval")
+      )
+    }
+
+  private def wideHalfStructCols: Seq[Column] =
+    (0 until 4 * WideBlocksPerHalf).map { hb =>
+      val blk = hb / 2
+      val half = if (blk < WideBlocksPerHalf) col("s1") else col("s2")
+      struct(
+        lit(hb).as("half_idx"),
+        shiftright(half, (blk % WideBlocksPerHalf) * WideBlockBits + (hb % 2) * WideHalfBits)
+          .bitwiseAND((1L << WideHalfBits) - 1)
+          .as("hval")
+      )
+    }
+
+  /** c93's measured refine plan (round 12): per-BUCKET and
+    * per-SUB-BUCKET cost decisions with the level-2 rescue priced in.
+    * A bucket of n members pays n² flat; one-level re-keying pays
+    * Σ sub² + n·(re-key rows) — but where a SECOND block correlates
+    * with the bucket's (the Zipf head drives several block values
+    * jointly), sub-buckets stay ≈ n and one level buys nothing, while
+    * the 6-bit HALF-blocks of the 8 remaining blocks still spread by
+    * 2^6. So the estimate prices each sub-bucket at
+    * min(sub², 16·sub + Σ subsub²) — its flat self-join vs its
+    * half-block re-key, both MEASURED (the sub-sub census runs only
+    * over sub-buckets > [[HotBucketFloor]], where the rescue could
+    * matter) — and a bucket refines iff re-key + Σ estimates < n².
+    * Exact-dup families price out correctly: every level is ≈ n there
+    * (copies agree on all blocks AND all halves), min picks flat, and
+    * their n² IS the output being emitted — irreducible by any
+    * bucketing. Returns (warmMembers — the checkpointed ×(blocks>bi)
+    * re-key frame the census and the hot path share —, refineKeys,
+    * hot2Keys), decisions checkpointed (each re-referenced by both
+    * self-join sides; un-checkpointed the census re-ran 5× per
+    * action, measured).
+    */
+  private[graft] def refinePlan(blocks: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val sizes = blocks
       .groupBy(col("bi"), col("bv"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") > hotT)
-      .select(col("bi"), col("bv"), lit(true).as("is_hot"))
-    val sized = blocks.join(broadcast(hotKeys), Seq("bi", "bv"), "left")
-    val cold = sized.filter(col("is_hot").isNull).drop("is_hot")
-    // hot members re-keyed on every OTHER block — 9 sub-rows per hot
-    // block row, each landing in a sub-bucket ~2^12 smaller
-    val hot = sized
-      .filter(col("is_hot").isNotNull)
-      .drop("is_hot")
-      .select(col("doc_id"), col("s1"), col("s2"), col("bi"), col("bv"), explode(array(blockCols: _*)).as("sb"))
+      .agg(count(lit(1)).as("nn"))
+      .filter(col("nn") > HotBucketFloor)
+    // sub-keys only on blocks AFTER bi: the emit point (first intact,
+    // second intact) always has second > first, so re-keying on lower
+    // blocks can never host an emit — halving both the census and the
+    // hot path's re-key volume
+    val warmMembers = blocks
+      .join(broadcast(sizes.select(col("bi"), col("bv"))), Seq("bi", "bv"))
+      .select(col("doc_id"), col("s1"), col("s2"), col("bi"), col("bv"), explode(array(wideBlockStructCols: _*)).as("sb"))
       .select(
         col("doc_id"), col("s1"), col("s2"), col("bi"), col("bv"),
         col("sb.block_idx").as("sbi"), col("sb.bval").as("sbv")
       )
-      .filter(col("sbi") =!= col("bi"))
-      .localCheckpoint() // feeds the level-2 size census AND both hot paths
-    // LEVEL 2: sub-buckets still above threshold re-key on 6-bit
-    // half-blocks. The over-threshold key set is bounded by
-    // 10n/hotT keys, broadcastable by the same argument as hotKeys.
-    val hot2Keys = hot
+      .filter(col("sbi") > col("bi"))
+      .localCheckpoint()
+    val subSizes = warmMembers
       .groupBy(col("bi"), col("bv"), col("sbi"), col("sbv"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") > hotT)
-      .select(col("bi"), col("bv"), col("sbi"), col("sbv"), lit(true).as("is_hot2"))
+      .agg(count(lit(1)).as("sn"))
+      .localCheckpoint() // feeds the estimate AND the level-2 decision
+    val bigSubs = subSizes.filter(col("sn") > HotBucketFloor)
+    // sub-sub census: half-block spread of each big sub-bucket's
+    // members (16 halves per member, the two consumed blocks excluded)
+    val ssq = warmMembers
+      .join(bigSubs.select(col("bi"), col("bv"), col("sbi"), col("sbv")), Seq("bi", "bv", "sbi", "sbv"))
+      .select(
+        col("bi"), col("bv"), col("sbi"), col("sbv"),
+        explode(array(wideHalfStructCols: _*)).as("hb")
+      )
+      .select(
+        col("bi"), col("bv"), col("sbi"), col("sbv"),
+        col("hb.half_idx").as("hbi"), col("hb.hval").as("hbv")
+      )
+      .filter(shiftright(col("hbi"), 1) =!= col("bi") && shiftright(col("hbi"), 1) =!= col("sbi"))
+      .groupBy(col("bi"), col("bv"), col("sbi"), col("sbv"), col("hbi"), col("hbv"))
+      .agg(count(lit(1)).as("hn"))
+      .groupBy(col("bi"), col("bv"), col("sbi"), col("sbv"))
+      .agg(sum(col("hn") * col("hn")).as("ss_sq"))
+    val subCost = subSizes
+      .join(ssq, Seq("bi", "bv", "sbi", "sbv"), "left")
+      .select(
+        col("bi"), col("bv"), col("sbi"), col("sbv"), col("sn"), col("ss_sq"),
+        when(
+          col("ss_sq").isNotNull && lit(16L) * col("sn") + col("ss_sq") < col("sn") * col("sn"),
+          lit(16L) * col("sn") + col("ss_sq")
+        ).otherwise(col("sn") * col("sn")).as("est")
+      )
+      .localCheckpoint() // re-referenced by the bucket estimate and hot2Keys
+    val refineKeys = sizes
+      .join(
+        subCost.groupBy(col("bi"), col("bv")).agg(sum(col("est")).as("refined_est"), sum(col("sn")).as("rekey")),
+        Seq("bi", "bv")
+      )
+      .filter(col("refined_est") + col("rekey") < col("nn") * col("nn"))
+      .select(col("bi"), col("bv"))
+      .localCheckpoint()
+    val hot2Keys = subCost
+      .join(broadcast(refineKeys), Seq("bi", "bv"))
+      .filter(col("ss_sq").isNotNull && lit(16L) * col("sn") + col("ss_sq") < col("sn") * col("sn"))
+      .select(col("bi"), col("bv"), col("sbi"), col("sbv"))
+      .localCheckpoint()
+    (warmMembers, refineKeys, hot2Keys)
+  }
+
+  /** Level-1 refine keys alone (spec entry point). */
+  private[graft] def refineBucketKeys(blocks: DataFrame): DataFrame = refinePlan(blocks)._2
+
+  def c93DedupSimhashRefined(spark: SparkSession, sfDir: String): DataFrame =
+    simhashRefinedPairs(simHashSignaturesWide(spark, sfDir))
+
+  /** c93 over any (doc_id, s1, s2) wide-signature frame — split out so
+    * the spec can plant bucket geometries that route pairs through
+    * each of the three paths (cold / hot-cold / hot-hot).
+    */
+  def simhashRefinedPairs(sigIn: DataFrame): DataFrame = {
+    val sig = sigIn.localCheckpoint()
+    val nBlocks = 2 * WideBlocksPerHalf
+    def blockVal(half: Column, i: Int): Column =
+      shiftright(half, i * WideBlockBits).bitwiseAND((1L << WideBlockBits) - 1)
+    val blocks = wideBlocks(sig).localCheckpoint() // feeds the census, the decision, and both path splits
+    // the refine/flat key set is CORPUS-SIZE-INDEPENDENT: at most
+    // nBlocks * 2^WideBlockBits (= 40 960) buckets exist, so the
+    // refined subset always broadcasts — the block frame is classified
+    // by a map-side hash probe instead of a full-frame window (which
+    // would sort all 10n rows inside each bucket)
+    val (warmMembers, refineKeys, hot2KeysRaw) = refinePlan(blocks)
+    val hotKeys = refineKeys.withColumn("is_hot", lit(true))
+    val sized = blocks.join(broadcast(hotKeys), Seq("bi", "bv"), "left")
+    val cold = sized.filter(col("is_hot").isNull).drop("is_hot")
+    // refined members re-keyed on every LATER block (the re-key frame
+    // is the census's own checkpoint — built once, shared)
+    val hot = warmMembers.join(broadcast(refineKeys), Seq("bi", "bv"))
+    // LEVEL 2: sub-buckets whose half-block re-key measures cheaper
+    // than their flat self-join (the cost decision from refinePlan)
+    val hot2Keys = hot2KeysRaw.withColumn("is_hot2", lit(true))
     val sized2 = hot.join(broadcast(hot2Keys), Seq("bi", "bv", "sbi", "sbv"), "left")
     val hotCold = sized2.filter(col("is_hot2").isNull).drop("is_hot2")
     // half-block hb covers bits [hb%2 * 6, +6) of full block hb/2
@@ -898,59 +1039,74 @@ object TextDedup {
       // only the 16 half-blocks of REMAINING blocks (hb/2 ∉ {bi, sbi})
       .filter(shiftright(col("hbi"), 1) =!= col("bi") && shiftright(col("hbi"), 1) =!= col("sbi"))
 
-    def xorAt(i: Int): Column = {
-      val x = if (i < WideBlocksPerHalf) col("s1a").bitwiseXOR(col("s1b")) else col("s2a").bitwiseXOR(col("s2b"))
-      blockVal(x, i % WideBlocksPerHalf)
-    }
-    def xorHalfAt(hb: Int): Column = {
-      val blk = hb / 2
-      val x = if (blk < WideBlocksPerHalf) col("s1a").bitwiseXOR(col("s1b")) else col("s2a").bitwiseXOR(col("s2b"))
-      halfVal(x, blk % WideBlocksPerHalf, hb % 2)
-    }
-    val firstIntact = (0 until nBlocks).reverse
-      .foldLeft(lit(-1): Column)((tail, i) => when(xorAt(i) === 0, lit(i)).otherwise(tail))
-    val secondIntact = (0 until nBlocks).reverse
-      .foldLeft(lit(-1): Column)((tail, i) => when(xorAt(i) === 0 && lit(i) > firstIntact, lit(i)).otherwise(tail))
-    // first intact half-block among REMAINING blocks: the static hb/2
-    // compares against the row's (bi, sbi) — exists whenever
-    // hamming ≤ 8 (≥ 8 of the 16 remaining half-blocks intact)
-    val firstIntactHalf = (0 until nHalves).reverse
-      .foldLeft(lit(-1): Column) { (tail, hb) =>
-        when(
-          xorHalfAt(hb) === 0 && lit(hb / 2) =!= col("bi") && lit(hb / 2) =!= col("sbi"),
-          lit(hb)
-        ).otherwise(tail)
+    // ——— HAMMING-FIRST emit filter, evaluated inside the join ———
+    // Per-candidate cost decides this operator's wall time (the fan is
+    // cost-optimal by the measured arbitration above; at natural sf10
+    // it is ~1.3e9 rows). Two formulations failed before this one:
+    // nested when-folds re-ran the block-xor chain ~12× per row
+    // (~385 s of a 530 s run), and STAGED mask projections forced the
+    // join to materialize every candidate row before filtering. The
+    // fix is ordering + placement: keep the whole test as ONE filter
+    // directly on the join (Catalyst pushes it into the join
+    // condition, so candidates that fail never materialize), and put
+    // `hamming ≤ max` — two xors + two popcounts, rejecting ~all rows
+    // — BEFORE the emit-once arithmetic, which then runs only on the
+    // handful of true near-dup sightings. Conjuncts short-circuit in
+    // codegen, so the common-case candidate costs ~a dozen ALU ops.
+    // Emit-once stays lowest-set-bit mask math (no nested folds):
+    // joined rows share the bucket block so imask ≠ 0; hot rows share
+    // two, so the cleared mask is ≠ 0 where `si` is read.
+    val x1 = col("s1a").bitwiseXOR(col("s1b"))
+    val x2 = col("s2a").bitwiseXOR(col("s2b"))
+    val hamOk = (bit_count(x1) + bit_count(x2)) <= HammingMax
+    val imask = (0 until nBlocks)
+      .map { i =>
+        val x = if (i < WideBlocksPerHalf) x1 else x2
+        when(blockVal(x, i % WideBlocksPerHalf) === 0, lit(1L << i)).otherwise(lit(0L))
       }
-    val hamming = (bit_count(col("s1a").bitwiseXOR(col("s1b"))) +
-      bit_count(col("s2a").bitwiseXOR(col("s2b")))).cast("long")
+      .reduce(_ + _)
+    val lsb = imask.bitwiseAND(-imask)
+    val fiOk = col("bi") === bit_count(lsb - 1)
+    val m2 = imask - lsb
+    val siOk = col("sbi") === bit_count(m2.bitwiseAND(-m2) - 1)
+    // first intact half-block among REMAINING blocks (hot-hot only —
+    // a 20-bit mask with the row's (bi, sbi) blocks zeroed; ≥ 8 of the
+    // 16 remaining half-blocks are intact at hamming ≤ 8, so ≠ 0)
+    val hmask = (0 until nHalves)
+      .map { hb =>
+        val blk = hb / 2
+        val x = if (blk < WideBlocksPerHalf) x1 else x2
+        when(
+          halfVal(x, blk % WideBlocksPerHalf, hb % 2) === 0 &&
+            lit(blk) =!= col("bi") && lit(blk) =!= col("sbi"),
+          lit(1L << hb)
+        ).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+    val hfiOk = col("hbi") === bit_count(hmask.bitwiseAND(-hmask) - 1)
+    val hamming = (bit_count(x1) + bit_count(x2)).cast("long")
 
     def sides(df: DataFrame, keys: Seq[String]): (DataFrame, DataFrame) = (
       df.select((keys.map(col) :+ col("doc_id").as("doc_a") :+ col("s1").as("s1a") :+ col("s2").as("s2a")): _*),
       df.select((keys.map(col) :+ col("doc_id").as("doc_b") :+ col("s1").as("s1b") :+ col("s2").as("s2b")): _*)
     )
+    val out = Seq(col("doc_a"), col("doc_b"), hamming.as("hamming"))
     val (ca, cb) = sides(cold, Seq("bi", "bv"))
     val coldPairs = ca
       .join(cb, Seq("bi", "bv"))
-      .filter(col("doc_a") < col("doc_b") && col("bi") === firstIntact)
+      .filter(col("doc_a") < col("doc_b") && hamOk && fiOk)
+      .select(out: _*)
     val (ha, hb) = sides(hotCold, Seq("bi", "bv", "sbi", "sbv"))
     val hotColdPairs = ha
       .join(hb, Seq("bi", "bv", "sbi", "sbv"))
-      .filter(col("doc_a") < col("doc_b") && col("bi") === firstIntact && col("sbi") === secondIntact)
+      .filter(col("doc_a") < col("doc_b") && hamOk && fiOk && siOk)
+      .select(out: _*)
     val (h2a, h2b) = sides(hotHot, Seq("bi", "bv", "sbi", "sbv", "hbi", "hbv"))
     val hotHotPairs = h2a
       .join(h2b, Seq("bi", "bv", "sbi", "sbv", "hbi", "hbv"))
-      .filter(
-        col("doc_a") < col("doc_b") && col("bi") === firstIntact &&
-          col("sbi") === secondIntact && col("hbi") === firstIntactHalf
-      )
-    val sig6 = Seq(col("doc_a"), col("doc_b"), col("s1a"), col("s1b"), col("s2a"), col("s2b"))
-    coldPairs
-      .select(sig6: _*)
-      .unionByName(hotColdPairs.select(sig6: _*))
-      .unionByName(hotHotPairs.select(sig6: _*))
-      .withColumn("hamming", hamming)
-      .filter(col("hamming") <= HammingMax)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .filter(col("doc_a") < col("doc_b") && hamOk && fiOk && siOk && hfiOk)
+      .select(out: _*)
+    coldPairs.unionByName(hotColdPairs).unionByName(hotHotPairs)
   }
 
   /** Head fingerprint width for c68 — long enough that coincidental

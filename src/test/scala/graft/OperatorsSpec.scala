@@ -417,68 +417,97 @@ class OperatorsSpec extends SparkSpec {
       assert(got.toSet == pairs(TextDedup.c92DedupSimhashWide(spark, sf)).toSet, s"pair set diverges at $sf")
     }
     // the refinement must ENGAGE at the gate SF — otherwise this spec
-    // only ever exercises the cold path; the threshold is the same
-    // adaptive hotBucketT(n) the operator computes
-    val sigs = TextDedup.simHashSignaturesWide(spark, sf001)
-    val hotT = TextDedup.hotBucketT(sigs.count())
-    val hotBuckets = sigs
-      .select(explode(array((0 until 2 * TextDedup.WideBlocksPerHalf).map { idx =>
-        val half = if (idx < TextDedup.WideBlocksPerHalf) col("s1") else col("s2")
-        struct(
-          lit(idx).as("bi"),
-          shiftright(half, (idx % TextDedup.WideBlocksPerHalf) * TextDedup.WideBlockBits)
-            .bitwiseAND((1L << TextDedup.WideBlockBits) - 1)
-            .as("bv")
-        )
-      }: _*)).as("b"))
-      .groupBy(col("b.bi"), col("b.bv"))
-      .count()
-      .filter(col("count") > hotT)
-      .count()
-    assert(hotBuckets > 0, s"no bucket exceeds hotBucketT=$hotT at sf0.01 — refinement untested")
+    // only ever exercises the cold path; the decision is the
+    // operator's own measured cost rule (refineBucketKeys)
+    val blocks = TextDedup.wideBlocks(TextDedup.simHashSignaturesWide(spark, sf001))
+    val refined = TextDedup.refineBucketKeys(blocks).count()
+    assert(refined > 0, "no bucket wins the refine cost rule at sf0.01 — refinement untested")
   }
 
-  test("c93 level-2 refinement: doubly-hot sub-buckets engage at sf0.1 and the pair set still equals c92's") {
-    // sf0.01's sub-buckets all sit under the threshold (census: max 11
-    // vs hotT 32), so the gate alone never runs the half-block path;
-    // sf0.1 has 128 doubly-hot sub-buckets (max 97 members) — this leg
-    // is where the level-2 emit-once algebra is actually exercised.
+  test("c93 at sf0.1: level 1 refines at scale, level 2 correctly prices out, pair set equals c92's") {
+    // sf0.1: hundreds of buckets refine (level-1 at scale); the
+    // synthetic geometry's half-blocks are as correlated as its
+    // blocks, so the level-2 rescue correctly prices OUT everywhere
+    // here (hot2 = 0 is the RIGHT answer — asserted, since a rescue
+    // that fired on this geometry would be paying 16× re-key for
+    // nothing). The half-block path itself is exercised by the
+    // planted-geometry spec below.
     val sf01 = "/root/testdata/sf0.1"
     val sig = TextDedup.simHashSignaturesWide(spark, sf01).localCheckpoint()
-    val hotT = TextDedup.hotBucketT(sig.count())
-    val nb = 2 * TextDedup.WideBlocksPerHalf
-    val blockCols = (0 until nb).map { idx =>
-      val half = if (idx < TextDedup.WideBlocksPerHalf) col("s1") else col("s2")
-      struct(
-        lit(idx).as("bi"),
-        shiftright(half, (idx % TextDedup.WideBlocksPerHalf) * TextDedup.WideBlockBits)
-          .bitwiseAND((1L << TextDedup.WideBlockBits) - 1)
-          .as("bv")
-      )
-    }
-    val blocks = sig
-      .select(col("doc_id"), explode(array(blockCols: _*)).as("b"))
-      .select(col("doc_id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
-      .localCheckpoint()
-    val hotKeys = blocks.groupBy(col("bi"), col("bv")).count().filter(col("count") > hotT).drop("count")
-    val hot2 = blocks
-      .join(broadcast(hotKeys), Seq("bi", "bv"))
-      .join(blocks.select(col("doc_id"), col("bi").as("sbi"), col("bv").as("sbv")), Seq("doc_id"))
-      .filter(col("sbi") =!= col("bi"))
-      .groupBy(col("bi"), col("bv"), col("sbi"), col("sbv"))
-      .count()
-      .filter(col("count") > hotT)
-      .count()
-    assert(hot2 > 0, s"no sub-bucket exceeds hotBucketT=$hotT at sf0.1 — the level-2 path is untested")
+    val blocks = TextDedup.wideBlocks(sig).localCheckpoint()
+    val (_, refineKeys, hot2Keys) = TextDedup.refinePlan(blocks)
+    assert(refineKeys.count() > 0, "no bucket refines at sf0.1 — level 1 untested at scale")
+    assert(hot2Keys.count() == 0,
+      "level-2 rescue fired on the fully-correlated synthetic geometry — the cost rule is mispricing")
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val got = pairs(TextDedup.c93DedupSimhashRefined(spark, sf01))
     assert(got.length == got.toSet.size, "duplicate emits at sf0.1")
     assert(
       got.toSet == pairs(TextDedup.c92DedupSimhashWide(spark, sf01)).toSet,
-      "pair set diverges at sf0.1 with the level-2 path engaged"
+      "pair set diverges at sf0.1"
     )
-    info(s"doubly-hot sub-buckets at sf0.1: $hot2")
+  }
+
+  test("c93 planted geometry: pairs route through cold, hot-cold AND hot-hot; set equals brute force") {
+    import spark.implicits._
+    def h64(seed: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(seed.getBytes("UTF-8"))
+      java.nio.ByteBuffer.wrap(d).getLong() & ((1L << 60) - 1)
+    }
+    val v0 = 0xabcL
+    val v1 = 0x123L
+    val fixed24 = (v1 << 12) | v0 // blocks 0 and 1 of s1
+    // group A: one bucket (block 0) where block 1 ALSO correlates —
+    // the Zipf-correlated-pair shape — but the remaining blocks (and
+    // all their half-blocks) spread randomly: level 1 alone can't
+    // shrink the (0,1) sub-bucket, the half-block rescue can
+    val groupA = (1L to 100L).map { i =>
+      (i, fixed24 | ((h64(s"a1_$i") >> 24) << 24), h64(s"a2_$i"))
+    }
+    // the hot-hot pair: group-A members identical except 2 bits inside
+    // s2's block 2 (global block 7) — hamming 2, first intact 0,
+    // second intact 1, (0,1) sub-bucket is the rescued one
+    val hh = Seq(
+      (201L, fixed24 | ((h64(s"hh1") >> 24) << 24), h64(s"hh2")),
+      (202L, fixed24 | ((h64(s"hh1") >> 24) << 24), h64(s"hh2") ^ (3L << 24))
+    )
+    // the hot-cold pair: share block 0 (the refined bucket) but NOT
+    // block 1 (one flipped bit there) — second intact is block 2,
+    // whose sub-bucket is tiny (cold): routed via hot-cold
+    val hcBase = (h64(s"hc1") >> 24) << 24
+    val hc = Seq(
+      (301L, fixed24 | hcBase, h64(s"hc2")),
+      (302L, (fixed24 ^ (1L << 12)) | hcBase, h64(s"hc2"))
+    )
+    // the cold pair: a private 2-member bucket, exact copies
+    val cold = Seq((401L, h64(s"cd1"), h64(s"cd2")), (402L, h64(s"cd1"), h64(s"cd2")))
+    val all = groupA ++ hh ++ hc ++ cold
+    val sig = all.toDF("doc_id", "s1", "s2")
+    // the operator's own decisions: the planted bucket must refine and
+    // its (0, 1) sub-bucket must win the half-block rescue
+    val (_, refineKeys, hot2Keys) = TextDedup.refinePlan(TextDedup.wideBlocks(sig).localCheckpoint())
+    val rk = refineKeys.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(rk.contains((0, v0)), s"planted bucket (0, $v0) must refine, got $rk")
+    val h2 = hot2Keys.collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(h2.contains((0, v0, 1, v1)), s"planted sub-bucket must win the level-2 rescue, got $h2")
+    // pair set == exhaustive JVM brute force, emitted once each
+    val expected = (for {
+      (a, s1a, s2a) <- all
+      (b, s1b, s2b) <- all
+      if a < b
+      ham = java.lang.Long.bitCount(s1a ^ s1b) + java.lang.Long.bitCount(s2a ^ s2b)
+      if ham <= TextDedup.HammingMax
+    } yield (a, b, ham.toLong)).toSet
+    assert(expected.size >= 3, s"planting must produce all three routed pairs, got $expected")
+    val got = TextDedup
+      .simhashRefinedPairs(sig)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == got.toSet.size, "duplicate emits on the planted geometry")
+    assert(got.toSet == expected, s"pair set diverges: missing=${expected -- got.toSet} extra=${got.toSet -- expected}")
+    assert(got.toSet.contains((201L, 202L, 2L)) && got.toSet.contains((401L, 402L, 0L)))
+    assert(got.exists(p => p._1 == 301L && p._2 == 302L))
   }
 
   test("b52 null semantics: NULL groups once, meets NULL through <=>, and sorts first — JVM re-derived") {

@@ -17,6 +17,20 @@ import graft.streaming.StreamingOps.Event
   */
 class StreamingSpec extends SparkSpec {
 
+  test("streaming shuffle partitions follow per-batch volume (the measured store-commit rule)") {
+    import graft.core.GraftSession.streamingShufflePartitions
+    // the measured round-11 sweet spot: 5k-row batches → 8 partitions
+    assert(streamingShufflePartitions(5000, 32) == 8)
+    // large batches become cores-bound — the batch default is right there
+    assert(streamingShufflePartitions(20000, 32) == 32)
+    assert(streamingShufflePartitions(1000000, 32) == 32)
+    // tiny batches never drop below 2 (no single-task stateful topology)
+    assert(streamingShufflePartitions(1, 32) == 2)
+    assert(streamingShufflePartitions(100, 32) == 2)
+    // fewer cores clamp from above
+    assert(streamingShufflePartitions(20000, 4) == 4)
+  }
+
   private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
 
   test("firstWinsDedup drops in-window duplicates, forwards first arrival (DeduplicationExample)") {
