@@ -205,16 +205,22 @@ object Multimodal {
         when(shiftright(xorSig, i * PhashBandBits).bitwiseAND((1L << PhashBandBits) - 1) === 0, lit(i))
           .otherwise(tail)
       }
+    // hamming-first conjunct order inside the ONE join filter (c92/c93's
+    // r12 discipline): the single popcount rejects ~every candidate
+    // before the 8-branch dedup fold runs, and failed candidates never
+    // materialize out of the join
     blocks
       .select(col("bi"), col("bv"), col("doc_id").as("doc_a"), col("dhash").as("sig_a"))
       .join(
         blocks.select(col("bi"), col("bv"), col("doc_id").as("doc_b"), col("dhash").as("sig_b")),
         Seq("bi", "bv")
       )
-      .filter(col("doc_a") < col("doc_b") && col("bi") === firstBlock)
-      .withColumn("hamming", bit_count(xorSig).cast("long"))
-      .filter(col("hamming") <= PhashHammingMax)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .filter(
+        col("doc_a") < col("doc_b") &&
+          bit_count(xorSig) <= PhashHammingMax &&
+          col("bi") === firstBlock
+      )
+      .select(col("doc_a"), col("doc_b"), bit_count(xorSig).cast("long").as("hamming"))
   }
 
   /** C105: perceptual-hash image near-dup — the multimodal member of

@@ -668,11 +668,17 @@ object TextAnalysis {
       )
       .filter(col("h").isNotNull)
       .localCheckpoint()
+    // the duplicate list is unbounded (∝ corpus duplication — 4.4M
+    // hashes at natural sf10), so the probe must stay a KEYED join:
+    // Catalyst's post-aggregate stats underestimate it and pick a
+    // broadcast that OOMs the driver at scale (measured). The hint
+    // pins the scale-safe shuffled-hash plan; both sides shuffle on h.
     val dup = occ
       .groupBy(col("h"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2)
       .select(col("h"))
+      .hint("shuffle_hash")
     val cov = occ
       .join(dup, Seq("h"))
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (DupSpanW - 1))).as("idx"))
@@ -736,11 +742,14 @@ object TextAnalysis {
       )
       .filter(col("h").isNotNull)
       .localCheckpoint()
+    // keyed probe, never broadcast — the dup list is ∝ duplication
+    // (c47's scale note: the stats misestimate OOMs the driver at sf10)
     val dup = occ
       .groupBy(col("h"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2)
       .select(col("h"))
+      .hint("shuffle_hash")
     // 1-based window start (the oracle's generate_series origin)
     val starts = occ.join(dup, Seq("h")).select(col("doc_id"), (col("pos") + 1).as("i"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
