@@ -22,9 +22,23 @@ object Bench {
       } finally src.close()
     }
   }
+  /** 1-minute load average at a point in time (-1 outside Linux).
+    * Recorded at run start and emitted in the JSON so a reader can see
+    * machine contention WITHOUT re-running — round 12's three >2×
+    * flags on untouched code ran under the worst median_spread on
+    * record and could only be adjudicated after the fact.
+    */
+  def loadAvg1m(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split("\\s+")(0).toDouble
+      finally src.close()
+    } catch { case NonFatal(_) => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val loadStart = loadAvg1m()
     // the engine's own tuned session — benchmarking a hand-rolled config
     // would measure plans the library never produces
     val spark = graft.core.GraftSession
@@ -104,10 +118,32 @@ object Bench {
     val vsBaseline =
       if (anyFailed || common.isEmpty) -1.0
       else common.map(_._2).sum / common.map { case (k, _, _) => baseline(k) }.sum
-    val regressed = common
-      .filter { case (k, v, _) => v / baseline(k) > 2.0 }
-      .map(r => "\"" + r._1 + "\"")
+    // auto-adjudication (round 13): a >2× flag from the interleaved
+    // suite is re-measured SOLO right here — the suite is finished, so
+    // nothing else from this process competes, and the JVM/page cache
+    // are warm (exactly the s16/r12 adjudication protocol, automated).
+    // A flag that clears solo was contention, not code: it moves to
+    // `cleared` with its solo median; only flags that REPRODUCE solo
+    // are emitted in `regressed` (each carrying its solo median in
+    // `rerun`, so the emitted flag is born adjudicated).
+    val flaggedRaw = common.filter { case (k, v, _) => v / baseline(k) > 2.0 }.map(_._1)
+    val rerun: Map[String, Double] = flaggedRaw.map { name =>
+      val fn = SparkEntry.queries(name)
+      val ts = (1 to 3).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case NonFatal(_) => None }
+      }
+      name -> (if (ts.isEmpty) Double.MaxValue else ts.sorted.apply(ts.size / 2))
+    }.toMap
+    val (stillRegressed, clearedSolo) = flaggedRaw.partition(k => rerun(k) / baseline(k) > 2.0)
+    val regressed = stillRegressed
+      .map(r => "\"" + r + "\"")
       .mkString("[", ",", "]")
+    val rerunJson = flaggedRaw
+      .map(k => "\"" + k + "\":" + f"${rerun(k)}%.3f")
+      .mkString("{", ",", "}")
+    val clearedJson = clearedSolo.map(r => "\"" + r + "\"").mkString("[", ",", "]")
     // machine-contention self-annotation: per-query relative spread of
     // the WARM passes ((max−min)/median over passes 2..n — pass 1
     // carries JIT and the amortized layout builds of s2/s3/s5/s9/c3,
@@ -146,10 +182,10 @@ object Bench {
     // (the long line pushed it out of the tail window → parsed:null
     // again). The headline alone is enough to grade the round.
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","baseline_queries":${common.size},"vs_baseline":${f"$vsBaseline%.3f"},"ratios":$ratios,"regressed":$regressed,"pass_spread":$spreadJson,"median_spread":${f"$medianSpread%.3f"},"amortized":$amortized,"method":"noop-write; per-query median of $Passes passes; ratios vs BASELINE.md (v2: round-9 quiet-run re-freeze); pass_spread=(max-min)/median over ok warm passes (2..n) per query - high values indicate machine contention, not code change; amortized lists queries whose per-(app,sfDir) cached work is charged to pass 1"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","baseline_queries":${common.size},"vs_baseline":${f"$vsBaseline%.3f"},"ratios":$ratios,"regressed":$regressed,"rerun":$rerunJson,"cleared":$clearedJson,"loadavg":${f"$loadStart%.2f"},"pass_spread":$spreadJson,"median_spread":${f"$medianSpread%.3f"},"amortized":$amortized,"method":"noop-write; per-query median of $Passes passes; ratios vs BASELINE.md (v2: round-9 quiet-run re-freeze); pass_spread=(max-min)/median over ok warm passes (2..n) per query - high values indicate machine contention, not code change; >2x flags are re-measured solo post-suite and emitted in regressed only if they reproduce (solo medians in rerun; contention-cleared flags in cleared); amortized lists queries whose per-(app,sfDir) cached work is charged to pass 1"}"""
     )
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":{"all":$total},"n_queries":${medians.size},"vs_baseline":${f"$vsBaseline%.3f"},"regressed":$regressed,"failed":$failed,"median_spread":${f"$medianSpread%.3f"},"detail":"previous line has per-query medians"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":{"all":$total},"n_queries":${medians.size},"vs_baseline":${f"$vsBaseline%.3f"},"regressed":$regressed,"rerun":$rerunJson,"cleared":$clearedJson,"loadavg":${f"$loadStart%.2f"},"failed":$failed,"median_spread":${f"$medianSpread%.3f"},"detail":"previous line has per-query medians"}"""
     )
     spark.stop()
   }

@@ -131,6 +131,10 @@ object StreamBench {
       .get("SPARK_GRAFT_STREAM_PARTITIONS")
       .map(_.toInt)
       .getOrElse(GraftSession.streamingShufflePartitions(rowsPerBatch, cpus))
+    // the streaming-sized setting is scoped to this bench: restore the
+    // caller's value afterwards, or a batch query run later on the
+    // shared session would silently inherit a 2-partition shuffle
+    val priorShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", streamParts.toString)
 
     val results = scala.collection.mutable.ArrayBuffer.empty[TopoResult]
@@ -212,6 +216,8 @@ object StreamBench {
           }
       )
     }
+
+    spark.conf.set("spark.sql.shuffle.partitions", priorShufflePartitions)
 
     val topoJson = results.map(_.json).mkString("{", ",", "}")
     println(

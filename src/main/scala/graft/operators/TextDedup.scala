@@ -755,28 +755,28 @@ object TextDedup {
     * this many members never refine (a 32-member bucket's flat fan is
     * 32²/2 — below any re-key payoff) and are excluded from the
     * sub-bucket census, bounding its cost to the warm members' re-key
-    * stream. Also the FLOOR of the level-2 [[hotBucketT]].
+    * stream. Same floor bounds the level-2 sub-sub census (only
+    * sub-buckets > this size get half-block spread measured).
     */
   val HotBucketFloor = 32
 
-  /** Multiple of the MEAN bucket size for the LEVEL-2 threshold
-    * [[hotBucketT]] (a sub-bucket counts as doubly hot above it).
-    * History: rounds 10–11 used this adaptive threshold for the
-    * LEVEL-1 refine decision too — round 10's sf3 run showed a
-    * constant can't work (at 150 k docs the mean bucket is ~37 > 32,
-    * so EVERY bucket went hot and the ×9 re-key cost more than the n²
-    * it saved: 1 091 s vs c92's 876 s), and round 12 replaced the
-    * level-1 threshold entirely with the per-bucket measured cost
-    * rule ([[refineBucketKeys]]) after the natural sf10 leg showed
-    * the 8×-mean boundary leaving a 1e9-candidate warm band flat.
-    * The pair OUTPUT is invariant to any of these choices (the
-    * emit-once proof never uses them) — all pure cost arbitration.
+  /** PROBE-ONLY LEGACY (rounds 10–11's adaptive threshold; the
+    * operator no longer reads it — see [[hotBucketT]]). Kept for the
+    * C93CostProbe/Hot2Probe diagnostics, which report how the old
+    * mean-multiple boundary would have classified a corpus next to
+    * the measured rule that replaced it.
     */
   val HotBucketMeanMultiple = 8
 
-  /** The adaptive level-2 threshold for a corpus of `nDocs`
-    * signatures: mean bucket size is nDocs×blocks / (blocks×2^bits) =
-    * ceil(nDocs / 4096) — corpus-size-dependent, bucket-count-free.
+  /** PROBE-ONLY LEGACY: the rounds-10–11 adaptive hot threshold
+    * (max(floor, 8 × mean bucket size), mean = ceil(nDocs / 4096)).
+    * Round 12 removed it from the operator: the LEVEL-1 decision is
+    * the per-bucket measured rule `refined_est + rekey < n²` and the
+    * LEVEL-2 decision is the per-SUB-bucket measured rule
+    * `16·sn + Σ subsub² < sn²` (both in [[refinePlan]]) — thresholds
+    * tuned on one geometry misfire on another (round 10's sf3
+    * regression), measured costs cannot. Only the cost-probe mains
+    * still call this, to print the legacy boundary for comparison.
     */
   def hotBucketT(nDocs: Long): Long =
     math.max(
@@ -800,15 +800,24 @@ object TextDedup {
     * bits") still meets every qualifying pair — at the second intact
     * block — and turns the bucket's n² fan-out into Σ sub-bucket².
     * WHICH buckets refine is a per-bucket MEASURED cost decision
-    * ([[refineBucketKeys]], round 12): refine iff Σ sub² + 9n < n² —
-    * the pair OUTPUT is invariant to the choice (the emit-once proof
-    * below never uses it), so the decision is pure cost arbitration
-    * and adapts to the geometry instead of a tuned threshold.
+    * ([[refinePlan]], round 12): refine iff
+    * Σ_sub min(sub², 16·sub + Σ subsub²) + rekey < n², where rekey =
+    * Σ sub counts the re-key rows actually produced (later-blocks-only
+    * — see refinePlan's sbi > bi note) and each sub-bucket is priced
+    * at the cheaper of its flat self-join and its measured level-2
+    * rescue. The pair OUTPUT is invariant to the choice (the emit-once
+    * proof below never uses it), so the decision is pure cost
+    * arbitration and adapts to the geometry instead of a tuned
+    * threshold.
     *
     * LEVEL 2 (round 12, Manku's FULL multi-level form): a sub-bucket
-    * (bi, bv, sbi, sbv) that is ITSELF still above the adaptive
-    * [[hotBucketT]] (a Zipf head can saturate two blocks at once)
-    * re-keys once more. A third FULL
+    * (bi, bv, sbi, sbv) inside a refining bucket goes doubly hot iff
+    * its own measured half-block re-key prices cheaper than its flat
+    * self-join — 16·sn + Σ subsub² < sn² (refinePlan's hot2Keys; a
+    * Zipf head can saturate two blocks at once, and only measurement
+    * distinguishes that from an exact-dup family whose n² is the
+    * output itself). A doubly-hot sub-bucket re-keys once more. A
+    * third FULL
     * intact block is NOT guaranteed at threshold 8 — the 8 differing
     * bits can occupy 8 distinct blocks, leaving exactly the two intact
     * blocks already consumed — so the provably exhaustive level-2 key
