@@ -221,7 +221,8 @@ object OracleGen {
     */
   val c105ImageDhashPairs: String = {
     import graft.operators.Multimodal.{PhashCols, PhashHammingMax, PhashRows}
-    s"""WITH img AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 3 = 0),
+    s"""WITH img AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE doc_id % 3 = 0 AND len(string_split(text, ' ')) >= 2),
        |px AS (SELECT doc_id, rr.r, cc.c,
        |  CAST(concat('0x', substr(md5(
        |    w[CAST((rr.r * $PhashCols + cc.c) % len(w) AS INT) + 1] || '_' ||
@@ -346,6 +347,137 @@ object OracleGen {
       |    CAST(alpha_chars AS DOUBLE) / n_chars * 0.3 +
       |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3 END AS quality_score
       |FROM m)""".stripMargin
+
+  /** c107 = the TRAINING fold unrolled from first principles: c9
+    * labels at the threshold, per-bucket label-conditioned occurrence
+    * counts over the md5-hash feature buckets, the integer
+    * cross-product weights pos·T_neg − neg·T_pos, sign-split
+    * quantization (non-negative DIV only — truncating and flooring
+    * division agree there, so `//` here equals Spark's DIV), then the
+    * per-doc served sum and score. Every stage is exact integer math
+    * until the final double division — the gate is hash-exact through
+    * the TRAINING, not just the scoring.
+    */
+  val c107TrainedQuality: String = {
+    import graft.operators.TextAnalysis.{QcDim, QcLabelThreshold, QcScale}
+    s"""WITH $qualityCtes,
+       |lab AS (SELECT d.doc_id, string_split(d.text, ' ') AS w,
+       |  CASE WHEN qs.quality_score >= $QcLabelThreshold THEN 1 ELSE 0 END AS label
+       |  FROM documents d JOIN qs USING (doc_id)),
+       |occ AS (SELECT label, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % $QcDim AS bucket
+       |  FROM (SELECT label, unnest(w) AS tok FROM lab)),
+       |bs AS (SELECT bucket,
+       |  CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos_cnt,
+       |  CAST(SUM(CASE WHEN label = 1 THEN 0 ELSE 1 END) AS BIGINT) AS neg_cnt
+       |  FROM occ GROUP BY bucket),
+       |tot AS (SELECT CAST(SUM(pos_cnt) AS BIGINT) AS t_pos, CAST(SUM(neg_cnt) AS BIGINT) AS t_neg FROM bs),
+       |raw AS (SELECT bucket, pos_cnt * t_neg - neg_cnt * t_pos AS w_raw FROM bs, tot),
+       |mx AS (SELECT MAX(ABS(w_raw)) AS max_abs FROM raw),
+       |wq AS (SELECT bucket,
+       |  CASE WHEN max_abs = 0 THEN 0
+       |       ELSE (CASE WHEN w_raw < 0 THEN -1 WHEN w_raw > 0 THEN 1 ELSE 0 END)
+       |            * ((ABS(w_raw) * $QcScale) // max_abs) END AS w_q
+       |  FROM raw, mx),
+       |ds AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % $QcDim AS bucket
+       |  FROM (SELECT doc_id, unnest(w) AS tok FROM lab)),
+       |sums AS (SELECT ds.doc_id, CAST(SUM(wq.w_q) AS BIGINT) AS w_sum
+       |  FROM ds JOIN wq USING (bucket) GROUP BY ds.doc_id)
+       |SELECT m.doc_id, m.n_tokens, sums.w_sum,
+       |  CAST(sums.w_sum AS DOUBLE) / ($QcScale.0 * m.n_tokens) AS qc_score,
+       |  CAST(CASE WHEN sums.w_sum > 0 THEN 1 ELSE 0 END AS INT) AS admit
+       |FROM m JOIN sums USING (doc_id)""".stripMargin
+  }
+
+  /** c109 = the unigram-LM hard-EM trainer unrolled: substring
+    * seeding, then per round a Viterbi forward pass as a RECURSIVE CTE
+    * carrying the same sliding 4-value DP window + backpointer list
+    * the Spark fold threads, the same strict-greater/smallest-l tie
+    * chain (nested CASE, not ROW_NUMBER — identical comparisons on
+    * identical doubles), a recursive backtrack walk, Laplace
+    * re-estimation and the count-ranked prune. Integer counts
+    * everywhere; doubles only in the products and one division per
+    * piece — hash-exact through training.
+    */
+  val c109UnigramTrain: String = {
+    import graft.operators.TextAnalysis.{UniEmRounds, UniKeepPieces, UniMaxPieceLen, UniMaxWordLen, UniSeedCandidates}
+    // nested best/backpointer chains: sL = vL * pL (pL NULL→0 when the
+    // piece would start before the word), strict > replacement from
+    // l = 1 up — ties keep the smaller l, Spark's fold order
+    def bestExpr(upTo: Int): String =
+      (2 to upTo).foldLeft("(s.v1 * COALESCE(wp.p1, 0.0))") { (acc, l) =>
+        s"(CASE WHEN (s.v$l * COALESCE(wp.p$l, 0.0)) > $acc THEN (s.v$l * COALESCE(wp.p$l, 0.0)) ELSE $acc END)"
+      }
+    def blExpr(upTo: Int): String =
+      (2 to upTo).foldLeft("1") { (acc, l) =>
+        s"(CASE WHEN (s.v$l * COALESCE(wp.p$l, 0.0)) > ${bestExpr(l - 1)} THEN $l ELSE $acc END)"
+      }
+    val pPivot = (1 to UniMaxPieceLen).map(l => s"MAX(CASE WHEN l = $l THEN p END) AS p$l").mkString(", ")
+    // one EM round: probabilities table pIn(piece, p) -> counts table
+    // cntOut(piece, n) via forward fwd + backtrack bt
+    def round(r: Int, pIn: String): String =
+      s"""wpl$r AS (SELECT v.w, pos.i, ln.l, p.p
+         |  FROM vocab v
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $UniMaxWordLen)) AS i) pos
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $UniMaxPieceLen)) AS l) ln
+         |  JOIN $pIn p ON p.piece = substr(v.w, pos.i - ln.l + 1, ln.l)
+         |  WHERE pos.i <= length(v.w) AND ln.l <= pos.i),
+         |wp$r AS (SELECT w, i, $pPivot FROM wpl$r GROUP BY w, i),
+         |fwd$r(w, cnt, i, v1, v2, v3, v4, bps) AS (
+         |  -- the DP values MUST be typed DOUBLE in the recursive base:
+         |  -- bare 1.0 infers DECIMAL(2,1) and the whole recursion then
+         |  -- truncates every product to one decimal place
+         |  SELECT w, cnt, 0, CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+         |    CAST([] AS INT[]) FROM vocab
+         |  UNION ALL
+         |  SELECT s.w, s.cnt, s.i + 1,
+         |    ${bestExpr(UniMaxPieceLen)}, s.v1, s.v2, s.v3,
+         |    list_append(s.bps, ${blExpr(UniMaxPieceLen)})
+         |  FROM fwd$r s JOIN wp$r wp ON wp.w = s.w AND wp.i = s.i + 1
+         |  WHERE s.i < length(s.w)),
+         |fin$r AS (SELECT w, cnt, bps FROM fwd$r WHERE i = length(w)),
+         |bt$r(w, cnt, cur, bps, pieces) AS (
+         |  SELECT w, cnt, length(w), bps, CAST([] AS VARCHAR[]) FROM fin$r
+         |  UNION ALL
+         |  SELECT w, cnt, cur - bps[cur], bps, list_append(pieces, substr(w, cur - bps[cur] + 1, bps[cur]))
+         |  FROM bt$r WHERE cur > 0),
+         |cnt$r AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n
+         |  FROM (SELECT unnest(pieces) AS piece, cnt FROM bt$r WHERE cur = 0) GROUP BY piece)""".stripMargin
+    // inventory after round r: chars keep their (possibly 0) counts,
+    // multi-char pieces with n > 0 ranked (n DESC, piece) keep the top
+    def inv(r: Int): String =
+      s"""inv$r AS (
+         |  SELECT c.piece, COALESCE(t.n, CAST(0 AS BIGINT)) AS n FROM chars c LEFT JOIN cnt$r t USING (piece)
+         |  UNION ALL
+         |  SELECT piece, n FROM cnt$r WHERE length(piece) >= 2
+         |  QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, piece) <= $UniKeepPieces)""".stripMargin
+    def probs(r: Int): String =
+      s"""p$r AS (SELECT piece,
+         |  CAST(n + 1 AS DOUBLE) / CAST((SELECT SUM(n) + COUNT(*) FROM inv$r) AS DOUBLE) AS p
+         |  FROM inv$r)""".stripMargin
+    val rounds = (1 to UniEmRounds)
+      .map(r => s"${round(r, s"p${r - 1}")},\n${inv(r)},\n${probs(r)}")
+      .mkString(",\n")
+    s"""WITH RECURSIVE voc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) >= 1 GROUP BY w),
+       |vocab AS (SELECT w, cnt FROM voc WHERE length(w) <= $UniMaxWordLen),
+       |occ AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+       |  SELECT substr(v.w, pos.i, ln.l) AS piece, v.cnt
+       |  FROM vocab v
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $UniMaxWordLen)) AS i) pos
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $UniMaxPieceLen)) AS l) ln
+       |  WHERE pos.i + ln.l - 1 <= length(v.w)) GROUP BY piece),
+       |chars AS (SELECT piece, n FROM occ WHERE length(piece) = 1),
+       |inv0 AS (
+       |  SELECT piece, n FROM chars
+       |  UNION ALL
+       |  SELECT piece, n FROM occ WHERE length(piece) >= 2
+       |  QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, piece) <= $UniSeedCandidates),
+       |${probs(0).replace("inv0", "inv0")},
+       |$rounds
+       |SELECT i.piece, i.n AS n_tokens, p.p AS prob
+       |FROM inv$UniEmRounds i JOIN p$UniEmRounds p USING (piece)""".stripMargin
+  }
 
   /** c64 = the NAIVE global definition the two-phase plan must equal:
     * per-lang row_number over (quality DESC, doc_id), kept while
@@ -684,8 +816,13 @@ object OracleGen {
     * da + db) is the established bit-stable idiom, so the gate is
     * hash-exact.
     */
-  val c106AnnImiTrained: String = {
-    import graft.operators.VectorOps.{C106Iters, Dim, ImiCellProbes, ImiHalfKFloor, NumQueryVecs, SampleHashMod, TrainSampleN}
+  /** Shared trained-IMI CTE prefix (e → nm → nc → q/cand → sample →
+    * two unrolled half-Lloyd chains → per-half corpus membership `mem`
+    * → per-query ranked cells `qc`) — c106 appends the exact-cosine
+    * probe scan, c108 appends the residual-PQ ADC chain.
+    */
+  private val imiTrainedPrefix: String = {
+    import graft.operators.VectorOps.{C106Iters, Dim, ImiHalfKFloor, NumQueryVecs, SampleHashMod, TrainSampleN}
     val h = Dim / 2
     def lloyd(pfx: String, lo: Int, hi: Int): String = {
       val rounds = (1 to C106Iters)
@@ -735,12 +872,81 @@ object OracleGen {
        |  FROM q CROSS JOIN $bf b),
        |qc AS (SELECT query_id, aid, bid,
        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY da + db DESC, aid, bid) cn
-       |  FROM qa JOIN qb USING (query_id)),
+       |  FROM qa JOIN qb USING (query_id))""".stripMargin
+  }
+
+  val c106AnnImiTrained: String = {
+    import graft.operators.VectorOps.ImiCellProbes
+    s"""$imiTrainedPrefix,
        |s AS (SELECT c.query_id, m.neighbor_id, list_dot_product(qn.qv, nn.vn) AS cos
        |  FROM (SELECT query_id, aid, bid FROM qc
        |        WHERE cn <= (SELECT GREATEST($ImiCellProbes, 4 * hk) FROM nc)) c
        |  JOIN mem m ON m.aid = c.aid AND m.bid = c.bid
        |  JOIN q qn ON qn.query_id = c.query_id JOIN cand nn ON nn.neighbor_id = m.neighbor_id)
+       |SELECT query_id, neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+       |  cos
+       |FROM s
+       |QUALIFY rank <= 5""".stripMargin
+  }
+
+  /** c108 = Multi-D-ADC recomputed structurally on the shared
+    * trained-IMI prefix: per-half seed assignment against the final
+    * half-codebooks → seed residuals vs the CONCATENATED cell centroid
+    * → per-subspace residual codebooks → corpus residual encoding
+    * (min-L2 codeword, ties low j) → probed-cell ADC as
+    * (da + db) + ((d0 + d1) + … + d7) — exactly the Spark side's
+    * `cellDot + adcScore(...)` association — → exact re-rank of the
+    * shortlist. Identical float ops in identical order throughout.
+    */
+  val c108AnnImiAdc: String = {
+    import graft.operators.VectorOps.{C106Iters, Dim, ImiCellProbes, NumQueryVecs, PqKs, PqM, PqReRank, PqSubDim}
+    val h = Dim / 2
+    val (af, bf) = (s"acent$C106Iters", s"bcent$C106Iters")
+    val dPivot = (0 until PqM).map(m => s"MAX(CASE WHEN m = $m THEN d END) AS d$m").mkString(", ")
+    val dSum = (0 until PqM).map(m => s"d$m").reduce((a, b) => s"($a + $b)")
+    s"""$imiTrainedPrefix,
+       |cells AS (SELECT query_id, aid, bid FROM qc
+       |  WHERE cn <= (SELECT GREATEST($ImiCellProbes, 4 * hk) FROM nc)),
+       |ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+       |seeds AS (SELECT vec_id - $NumQueryVecs AS sj, vn FROM nm
+       |  WHERE vec_id >= $NumQueryVecs AND vec_id < ${NumQueryVecs + PqKs}),
+       |sa AS (SELECT s.sj, a.cv AS acv,
+       |  ROW_NUMBER() OVER (PARTITION BY s.sj ORDER BY list_dot_product(s.vn[1:$h], a.cv) DESC, a.cid) rn
+       |  FROM seeds s CROSS JOIN $af a),
+       |sb AS (SELECT s.sj, b.cv AS bcv,
+       |  ROW_NUMBER() OVER (PARTITION BY s.sj ORDER BY list_dot_product(s.vn[${h + 1}:${2 * h}], b.cv) DESC, b.cid) rn
+       |  FROM seeds s CROSS JOIN $bf b),
+       |sres AS (SELECT s.sj,
+       |  list_transform(generate_series(1, len(s.vn)), i -> s.vn[i] - (sa.acv || sb.bcv)[i]) AS rv
+       |  FROM seeds s JOIN sa ON sa.sj = s.sj AND sa.rn = 1 JOIN sb ON sb.sj = s.sj AND sb.rn = 1),
+       |cbr AS (SELECT ms.m, r.sj AS j,
+       |  list_slice(r.rv, ms.m * $PqSubDim + 1, ms.m * $PqSubDim + $PqSubDim) AS cw
+       |  FROM sres r CROSS JOIN ms),
+       |cres AS (SELECT m.neighbor_id, m.aid, m.bid,
+       |  list_transform(generate_series(1, len(nn.vn)), i -> nn.vn[i] - (ca.cv || cb2.cv)[i]) AS rv
+       |  FROM mem m JOIN cand nn ON nn.neighbor_id = m.neighbor_id
+       |  JOIN $af ca ON ca.cid = m.aid JOIN $bf cb2 ON cb2.cid = m.bid),
+       |encr AS (SELECT n.neighbor_id, n.aid, n.bid, c.m, c.j,
+       |  ROW_NUMBER() OVER (PARTITION BY n.neighbor_id, c.m
+       |    ORDER BY (list_dot_product(list_slice(n.rv, c.m * $PqSubDim + 1, c.m * $PqSubDim + $PqSubDim), c.cw)
+       |              - 0.5 * list_dot_product(c.cw, c.cw)) DESC, c.j) AS rn
+       |  FROM cres n CROSS JOIN cbr c),
+       |enc AS (SELECT neighbor_id, aid, bid, m, j AS code FROM encr WHERE rn = 1),
+       |perm AS (SELECT p.query_id, enc.neighbor_id, enc.aid, enc.bid, enc.m,
+       |  list_dot_product(list_slice(q.qv, enc.m * $PqSubDim + 1, enc.m * $PqSubDim + $PqSubDim), c.cw) AS d
+       |  FROM cells p JOIN enc ON enc.aid = p.aid AND enc.bid = p.bid
+       |  JOIN q ON q.query_id = p.query_id
+       |  JOIN cbr c ON c.m = enc.m AND c.j = enc.code),
+       |adcp AS (SELECT query_id, neighbor_id, aid, bid, $dPivot FROM perm GROUP BY 1, 2, 3, 4),
+       |adcv AS (SELECT a.query_id, a.neighbor_id,
+       |  (list_dot_product(q.qv[1:$h], ca.cv) + list_dot_product(q.qv[${h + 1}:${2 * h}], cb2.cv) + $dSum) AS adc
+       |  FROM adcp a JOIN q ON q.query_id = a.query_id
+       |  JOIN $af ca ON ca.cid = a.aid JOIN $bf cb2 ON cb2.cid = a.bid),
+       |sl AS (SELECT query_id, neighbor_id FROM adcv
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) <= $PqReRank),
+       |s AS (SELECT sl.query_id, sl.neighbor_id, list_dot_product(q.qv, nn.vn) AS cos
+       |  FROM sl JOIN q ON q.query_id = sl.query_id JOIN cand nn ON nn.neighbor_id = sl.neighbor_id)
        |SELECT query_id, neighbor_id,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
        |  cos

@@ -106,6 +106,9 @@ object SparkEntry {
     "c103_exactsubstr_spans" -> (TextAnalysis.c103ExactSubstrSpans _),
     "c104_ann_ivfadc" -> (VectorOps.c104AnnIvfAdc _),
     "c106_ann_imi_trained" -> (VectorOps.c106AnnImiTrained _),
+    "c107_trained_quality" -> (TextAnalysis.c107TrainedQuality _),
+    "c108_ann_imi_adc" -> (VectorOps.c108AnnImiAdc _),
+    "c109_unigram_train" -> (TextAnalysis.c109UnigramTrain _),
     "c48_vocab_coverage" -> (TextAnalysis.c48VocabCoverage _),
     "b25_unpivot" -> (Relational.b25Unpivot _),
     "c20_training_pipeline" -> (Sampling.c20TrainingPipeline _),
@@ -697,6 +700,9 @@ object SparkEntry {
     "c103_exactsubstr_spans" -> OracleGen.c103ExactSubstrSpans,
     "c104_ann_ivfadc" -> OracleGen.c104AnnIvfAdc,
     "c106_ann_imi_trained" -> OracleGen.c106AnnImiTrained,
+    "c107_trained_quality" -> OracleGen.c107TrainedQuality,
+    "c108_ann_imi_adc" -> OracleGen.c108AnnImiAdc,
+    "c109_unigram_train" -> OracleGen.c109UnigramTrain,
     "c48_vocab_coverage" -> OracleGen.c48VocabCoverage,
     "b25_unpivot" ->
       """SELECT user_id, event_type, count(*) AS n FROM events

@@ -165,9 +165,18 @@ object Multimodal {
     */
   def imageDhashSignatures(docs: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.hash32
+    // degenerate-payload screen: a 0/1-token payload decodes to a
+    // CONSTANT pixel grid (every cell samples the same token), whose
+    // gradients are all zero — every such row would share dhash = 0
+    // and the banded self-join would pair them quadratically for a
+    // "similarity" that is really "both payloads were empty". Real
+    // perceptual dedup excludes below-minimum-size media the same way
+    // (a 1×1 thumbnail matches everything); the oracle mirrors the
+    // filter, so the gate stays hash-exact.
     val withW = docs
       .filter(col("doc_id") % 3 === 0) // c12's fmt convention: these rows are the images
       .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
     val pixelCols = for { r <- 0 until PhashRows; c <- 0 until PhashCols } yield {
       val idx = lit(r * PhashCols + c) % size(col("w"))
       (hash32(concat(element_at(col("w"), idx + 1), lit("_"), idx.cast("string"))) % 256)
@@ -182,11 +191,116 @@ object Multimodal {
     px.select(col("doc_id"), bits.reduce(_ + _).as("dhash"))
   }
 
+  /** Census floor for the c105 refine decision (c93's posture): a
+    * (band, value) bucket of ≤ this many members never refines — its
+    * flat fan is below any re-key payoff — and is excluded from the
+    * sub-band census, bounding census cost to the warm members.
+    */
+  val DhashHotFloor = 32
+
+  /** Refinement sub-band widths over the 49 REMAINING bits (the 56-bit
+    * dhash with the bucket band's 7 bits removed): 8 sub-bands of
+    * 6,6,6,6,6,6,6,7 bits. Why 8 and why over the COMPACTED value:
+    * c93's "re-key hot buckets on the other full bands" is NOT
+    * exhaustive here — at threshold [[PhashHammingMax]] = 7 the 7
+    * differing bits can occupy all 7 remaining bands (one each),
+    * leaving no second intact FULL band. But all ≤ 7 differing bits of
+    * a pair met in an intact band live in the remaining 49 bits, and 7
+    * differing bits over EIGHT sub-bands leave ≥ 1 intact sub-band
+    * (pigeonhole, 8 > 7) — so re-keying hot members on these 8 keys is
+    * exhaustive, with ~6-bit keys (64-value spread per sub-band: fan
+    * Σ sub² ≈ n²/8.6 on spread geometry vs n² flat).
+    */
+  private val DhashSubWidths: Seq[Int] = Seq(6, 6, 6, 6, 6, 6, 6, 7)
+  private val DhashSubOffsets: Seq[Int] = DhashSubWidths.scanLeft(0)(_ + _).init
+
+  /** The 49-bit remaining-bits value: `v` (a dhash or a dhash XOR —
+    * bit removal is linear, so xor-of-compacts = compact-of-xor) with
+    * band `bi`'s 7 bits spliced out. 8-branch when-fold over the
+    * bucket band index (a run-time column on the hot path); each
+    * branch is two shifts and a mask.
+    */
+  private def dhashCompact(v: Column, bi: Column): Column =
+    (0 until PhashBands).foldLeft(lit(0L)) { (acc, b) =>
+      when(
+        bi === b,
+        shiftleft(shiftright(v, (b + 1) * PhashBandBits), b * PhashBandBits) +
+          v.bitwiseAND((1L << (b * PhashBandBits)) - 1)
+      ).otherwise(acc)
+    }
+
+  private def dhashSubVal(compact: Column, j: Int): Column =
+    shiftright(compact, DhashSubOffsets(j)).bitwiseAND((1L << DhashSubWidths(j)) - 1)
+
+  /** c105's measured refine plan — c93's per-bucket cost arbitration
+    * ported to the dHash band algebra (round 13; the r12 verdict's one
+    * open scale-killer: on correlated band values — the text-derived
+    * stub at natural sf10, or an adversarial real-image corpus — the
+    * flat 8-band self-join is enumeration-bound, exp 2.26). A (band,
+    * value) bucket of n members pays n² flat; re-keying its members on
+    * the 8 remaining-bit sub-bands pays 8n re-key rows + Σ sub² join
+    * fan — both MEASURED by a slim census (map-side combined counts,
+    * no signatures on the wide exchange), so the bucket refines
+    * exactly where measurement says it wins: Σ sub² + 8n < n².
+    * Exact-dup families (identical dhashes) price out correctly:
+    * every sub-bucket equals the bucket there, Σ sub² = 8n² > n², the
+    * bucket stays flat, and its n² IS the output being emitted —
+    * irreducible by any bucketing. Returns (warmMembers — the
+    * checkpointed 8-way re-key frame the census and the hot path
+    * share —, refineKeys); both checkpointed (re-referenced by the
+    * two self-join sides — c93's measured lesson: un-checkpointed,
+    * the census re-runs per action).
+    */
+  private[graft] def dhashRefinePlan(blocks: DataFrame): (DataFrame, DataFrame) = {
+    val sizes = blocks
+      .groupBy(col("bi"), col("bv"))
+      .agg(count(lit(1)).as("nn"))
+      .filter(col("nn") > DhashHotFloor)
+    val subCols = (0 until DhashSubWidths.size).map { j =>
+      struct(lit(j).as("half_idx"), dhashSubVal(col("compact"), j).as("hval"))
+    }
+    val warmMembers = blocks
+      .join(broadcast(sizes.select(col("bi"), col("bv"))), Seq("bi", "bv"))
+      .withColumn("compact", dhashCompact(col("dhash"), col("bi")))
+      .select(col("doc_id"), col("dhash"), col("bi"), col("bv"), explode(array(subCols: _*)).as("sb"))
+      .select(
+        col("doc_id"), col("dhash"), col("bi"), col("bv"),
+        col("sb.half_idx").as("hbi"), col("sb.hval").as("hbv")
+      )
+      .localCheckpoint()
+    val refineKeys = sizes
+      .join(
+        warmMembers
+          .groupBy(col("bi"), col("bv"), col("hbi"), col("hbv"))
+          .agg(count(lit(1)).as("sn"))
+          .groupBy(col("bi"), col("bv"))
+          .agg(sum(col("sn") * col("sn")).as("refined_est"), sum(col("sn")).as("rekey")),
+        Seq("bi", "bv")
+      )
+      .filter(col("refined_est") + col("rekey") < col("nn") * col("nn"))
+      .select(col("bi"), col("bv"))
+      .localCheckpoint()
+    (warmMembers, refineKeys)
+  }
+
   /** The banded near-dup join over any (doc_id, dhash) frame — c4's
-    * pigeonhole idiom verbatim (first-matching-band emit-once, no
-    * distinct(), hamming as one row-local bit_count): split out so the
-    * spec can exercise exact signature-level geometry (planted bit
-    * flips at the pigeonhole boundary) independently of the grid stub.
+    * pigeonhole idiom (emit-once, no distinct(), hamming as row-local
+    * bit_count) with c93's measured-cost bucket refinement (round 13):
+    * hot (band, value) buckets — where the census prices a sub-band
+    * re-key cheaper than the flat self-join — re-key on the 8
+    * remaining-bit sub-bands ([[DhashSubWidths]]; exhaustive by
+    * pigeonhole, 8 sub-keys > 7 differing bits). Emit-once stays pure
+    * row-local bit math across both paths, exactly c93's partition
+    * argument: a pair lives in the cold path iff its FIRST intact
+    * band's bucket is cold (emit at bi = first intact), else in the
+    * hot path (emit at bi = first intact, hbi = first intact
+    * remaining-bit sub-band, which exists by the pigeonhole). The
+    * hamming test — one xor + one popcount — runs FIRST in each join
+    * filter, so ~every candidate is rejected before the mask math and
+    * failed candidates never materialize out of the join. Split out so
+    * the spec can exercise exact signature-level geometry (planted bit
+    * flips at the pigeonhole boundary, planted hot buckets routing
+    * pairs through both paths) independently of the grid stub.
     */
   def dhashPairsFrom(sigIn: DataFrame): DataFrame = {
     val sig = sigIn.localCheckpoint()
@@ -199,28 +313,50 @@ object Multimodal {
     val blocks = sig
       .select(col("doc_id"), col("dhash"), explode(array(blockCols: _*)).as("b"))
       .select(col("doc_id"), col("dhash"), col("b.block_idx").as("bi"), col("b.bval").as("bv"))
+      .localCheckpoint() // feeds the census, the decision, and both path splits
+    val (warmMembers, refineKeys) = dhashRefinePlan(blocks)
+    val hotKeys = refineKeys.withColumn("is_hot", lit(true))
+    val cold = blocks.join(broadcast(hotKeys), Seq("bi", "bv"), "left").filter(col("is_hot").isNull).drop("is_hot")
+    val hot = warmMembers.join(broadcast(refineKeys), Seq("bi", "bv"))
+
+    // ——— hamming-first emit filters, evaluated inside each join ———
     val xorSig = col("sig_a").bitwiseXOR(col("sig_b"))
-    val firstBlock = (0 until PhashBands).reverse
-      .foldLeft(lit(-1): Column) { (tail, i) =>
-        when(shiftright(xorSig, i * PhashBandBits).bitwiseAND((1L << PhashBandBits) - 1) === 0, lit(i))
-          .otherwise(tail)
+    val hamOk = bit_count(xorSig) <= PhashHammingMax
+    // first intact band as lowest-set-bit mask math (no when-folds in
+    // the hot loop — c93's measured lesson)
+    val imask = (0 until PhashBands)
+      .map { i =>
+        when(shiftright(xorSig, i * PhashBandBits).bitwiseAND((1L << PhashBandBits) - 1) === 0, lit(1L << i))
+          .otherwise(lit(0L))
       }
-    // hamming-first conjunct order inside the ONE join filter (c92/c93's
-    // r12 discipline): the single popcount rejects ~every candidate
-    // before the 8-branch dedup fold runs, and failed candidates never
-    // materialize out of the join
-    blocks
-      .select(col("bi"), col("bv"), col("doc_id").as("doc_a"), col("dhash").as("sig_a"))
-      .join(
-        blocks.select(col("bi"), col("bv"), col("doc_id").as("doc_b"), col("dhash").as("sig_b")),
-        Seq("bi", "bv")
-      )
-      .filter(
-        col("doc_a") < col("doc_b") &&
-          bit_count(xorSig) <= PhashHammingMax &&
-          col("bi") === firstBlock
-      )
-      .select(col("doc_a"), col("doc_b"), bit_count(xorSig).cast("long").as("hamming"))
+      .reduce(_ + _)
+    val fiOk = col("bi") === bit_count(imask.bitwiseAND(-imask) - 1)
+    // first intact remaining-bit sub-band (hot path only): the xor's
+    // compact shares the row's bucket band, so ≥ 1 of the 8 sub-bands
+    // is intact at hamming ≤ 7
+    val cxor = dhashCompact(xorSig, col("bi"))
+    val hmask = (0 until DhashSubWidths.size)
+      .map(j => when(dhashSubVal(cxor, j) === 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val hfiOk = col("hbi") === bit_count(hmask.bitwiseAND(-hmask) - 1)
+    val hamming = bit_count(xorSig).cast("long")
+
+    def sides(df: DataFrame, keys: Seq[String]): (DataFrame, DataFrame) = (
+      df.select((keys.map(col) :+ col("doc_id").as("doc_a") :+ col("dhash").as("sig_a")): _*),
+      df.select((keys.map(col) :+ col("doc_id").as("doc_b") :+ col("dhash").as("sig_b")): _*)
+    )
+    val out = Seq(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+    val (ca, cb) = sides(cold, Seq("bi", "bv"))
+    val coldPairs = ca
+      .join(cb, Seq("bi", "bv"))
+      .filter(col("doc_a") < col("doc_b") && hamOk && fiOk)
+      .select(out: _*)
+    val (ha, hb) = sides(hot, Seq("bi", "bv", "hbi", "hbv"))
+    val hotPairs = ha
+      .join(hb, Seq("bi", "bv", "hbi", "hbv"))
+      .filter(col("doc_a") < col("doc_b") && hamOk && fiOk && hfiOk)
+      .select(out: _*)
+    coldPairs.unionByName(hotPairs)
   }
 
   /** C105: perceptual-hash image near-dup — the multimodal member of

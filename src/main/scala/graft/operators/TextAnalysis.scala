@@ -1147,6 +1147,209 @@ object TextAnalysis {
       )
   }
 
+  // --------------------------------------------------------------------
+  // C109 — unigram-LM (SentencePiece-family) tokenizer trainer (Kudo
+  // 2018, arXiv:1804.10959): the OTHER production tokenizer family
+  // next to BPE (c99/c100). Seed a candidate piece inventory from
+  // frequent substrings, then run fixed-round hard-EM: E-step =
+  // Viterbi-segment the corpus-collapsed vocabulary under the current
+  // piece probabilities (the max-product DP over pieces of length ≤
+  // UniMaxPieceLen); M-step = re-estimate piece probabilities from
+  // the Viterbi counts (Laplace-smoothed so single-char fallbacks
+  // never die); prune = keep the top UniKeepPieces multi-char pieces
+  // by count (Kudo's lowest-contribution prune, the deterministic
+  // integer-count form). Hard (Viterbi) EM rather than full
+  // forward-backward: the E-step marginalization is the one piece of
+  // the published algorithm that resists cross-engine bit-exactness
+  // (per-position float sums over all segmentations); the Viterbi
+  // variant keeps every float op a product or a strict comparison in
+  // a fixed order, which both engines replay bit-for-bit — and
+  // hard-EM is itself a published, served variant of the trainer.
+  //
+  // Scale shape = c99's: the corpus is touched once (the same
+  // map-side-combined word-frequency collapse), every EM round runs
+  // over VOCAB rows with a row-local DP (aggregate() fold over ≤
+  // UniMaxWordLen positions — no UDF, no explode of per-position
+  // state), and the piece inventory is a ≤ (chars + UniKeepPieces)-row
+  // driver-held artifact (c24's posture). Rounds are vocab-bound;
+  // corpus size only enters through the one collapse.
+  // --------------------------------------------------------------------
+
+  /** Longest candidate piece (chars). 4 covers the corpus geometries'
+    * word stems while keeping the seed inventory bounded.
+    */
+  val UniMaxPieceLen = 4
+
+  /** Words longer than this are excluded from the TRAINER vocabulary
+    * (the DP fold is unrolled to this many positions; SentencePiece
+    * applies the same kind of max-length screen). Both corpus
+    * geometries top out at 8 chars, so the screen is plan-only at
+    * every gate SF.
+    */
+  val UniMaxWordLen = 16
+
+  /** Multi-char candidate pieces seeded (top by raw substring count,
+    * piece-lexicographic tiebreak) and kept per round.
+    */
+  val UniSeedCandidates = 48
+  val UniKeepPieces = 32
+
+  /** Hard-EM rounds. Two rounds exercise the full loop (probabilities
+    * move, the prune fires, the second Viterbi re-segments under
+    * moved probabilities) while the unrolled oracle chain stays
+    * tractable — c99's BpeTrainRounds trade.
+    */
+  val UniEmRounds = 2
+
+  /** Viterbi-segment `w` (≤ [[UniMaxWordLen]] chars) under the given
+    * piece→probability map and return the piece array of the best
+    * segmentation. Pure row-local column algebra: a forward fold over
+    * the word's positions carrying the last [[UniMaxPieceLen]] DP
+    * values and the backpointer list, then a bounded backtrack fold.
+    * Max-product with STRICT-GREATER replacement scanning l = 1..4,
+    * so ties break to the SMALLEST piece length — the oracle's CASE
+    * chain replays the identical comparisons on identical doubles.
+    */
+  private def viterbiPieces(w: Column, probs: Map[String, Double]): Column = {
+    val pmap = typedlit(probs)
+    def p(piece: Column): Column = coalesce(element_at(pmap, piece), lit(0.0))
+    // forward: state (v1 = v[i-1], v2 = v[i-2], v3 = v[i-3], v4 = v[i-4], bps)
+    val fwd = aggregate(
+      sequence(lit(1), length(w)),
+      struct(
+        lit(1.0).as("v1"), lit(0.0).as("v2"), lit(0.0).as("v3"), lit(0.0).as("v4"),
+        array().cast("array<int>").as("bps")
+      ),
+      (st, i) => {
+        val vs = Seq(st.getField("v1"), st.getField("v2"), st.getField("v3"), st.getField("v4"))
+        val scores = (1 to UniMaxPieceLen).map { l =>
+          when(i >= l, vs(l - 1) * p(w.substr(i - l + 1, lit(l)))).otherwise(lit(0.0))
+        }
+        val (best, bl) = (2 to UniMaxPieceLen).foldLeft((scores.head, lit(1))) {
+          case ((b, bi), l) =>
+            (when(scores(l - 1) > b, scores(l - 1)).otherwise(b), when(scores(l - 1) > b, lit(l)).otherwise(bi))
+        }
+        struct(
+          best.as("v1"), st.getField("v1").as("v2"), st.getField("v2").as("v3"), st.getField("v3").as("v4"),
+          concat(st.getField("bps"), array(bl)).as("bps")
+        )
+      }
+    )
+    // backtrack: ≤ UniMaxWordLen steps, each consumes ≥ 1 char
+    aggregate(
+      sequence(lit(1), lit(UniMaxWordLen)),
+      struct(length(w).as("cur"), fwd.getField("bps").as("bps"), array().cast("array<string>").as("pieces")),
+      (st, _) => {
+        val cur = st.getField("cur")
+        val l = element_at(st.getField("bps"), cur)
+        struct(
+          when(cur > 0, cur - l).otherwise(cur).as("cur"),
+          st.getField("bps").as("bps"),
+          when(cur > 0, concat(st.getField("pieces"), array(w.substr(cur - l + 1, l))))
+            .otherwise(st.getField("pieces"))
+            .as("pieces")
+        )
+      }
+    ).getField("pieces")
+  }
+
+  /** One E-step: Viterbi counts (corpus-weighted) per piece over the
+    * vocab frame (w, cnt).
+    */
+  private def viterbiCounts(vocab: DataFrame, probs: Map[String, Double]): Array[(String, Long)] =
+    vocab
+      .select(explode(viterbiPieces(col("w"), probs)).as("piece"), col("cnt"))
+      .groupBy(col("piece"))
+      .agg(sum(col("cnt")).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+
+  /** Laplace-smoothed probabilities over the kept inventory — every
+    * kept piece (and every single char, the coverage fallback) stays
+    * strictly positive. Exact integer inputs, one double division per
+    * piece: both engines reproduce the doubles bit-for-bit.
+    */
+  private def uniProbs(counts: Seq[(String, Long)]): Map[String, Double] = {
+    val t = counts.map(_._2).sum
+    val v = counts.size
+    counts.map { case (piece, c) => piece -> (c + 1).toDouble / (t + v).toDouble }.toMap
+  }
+
+  /** The trained inventory as (piece, n_tokens, prob) rows after
+    * [[UniEmRounds]] hard-EM rounds, plus the vocab frame — shared by
+    * the gate query and the spec.
+    */
+  private[graft] def unigramTrain(vocab0: DataFrame): (Seq[(String, Long, Double)], DataFrame) = {
+    val vocab = vocab0.filter(length(col("w")) <= UniMaxWordLen).localCheckpoint()
+    // seed counts: chars = every occurrence; multi-char = top
+    // UniSeedCandidates substrings by (raw occurrence count, piece)
+    val occ = vocab
+      .select(
+        explode(
+          flatten(
+            transform(
+              sequence(lit(1), length(col("w"))),
+              i =>
+                filter(
+                  transform(
+                    sequence(lit(1), lit(UniMaxPieceLen)),
+                    l => when(i + l - 1 <= length(col("w")), col("w").substr(i, l)).otherwise(lit(null))
+                  ),
+                  x => x.isNotNull
+                )
+            )
+          )
+        ).as("piece"),
+        col("cnt")
+      )
+      .groupBy(col("piece"))
+      .agg(sum(col("cnt")).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val chars = occ.filter(_._1.length == 1).sortBy(_._1)
+    val seeds = occ
+      .filter(_._1.length >= 2)
+      .sortBy { case (piece, n) => (-n, piece) }
+      .take(UniSeedCandidates)
+    var inventory: Seq[(String, Long)] = (chars ++ seeds).toSeq
+    (1 to UniEmRounds).foreach { _ =>
+      val counted = viterbiCounts(vocab, uniProbs(inventory)).toMap
+      val charRows = chars.map { case (piece, _) => piece -> counted.getOrElse(piece, 0L) }
+      val multiRows = inventory
+        .filter(_._1.length >= 2)
+        .map { case (piece, _) => piece -> counted.getOrElse(piece, 0L) }
+        .filter(_._2 > 0L)
+        .sortBy { case (piece, n) => (-n, piece) }
+        .take(UniKeepPieces)
+      inventory = (charRows ++ multiRows).toSeq
+    }
+    val probs = uniProbs(inventory)
+    (inventory.map { case (piece, n) => (piece, n, probs(piece)) }, vocab)
+  }
+
+  /** C109: the unigram-LM tokenizer TRAINER gate query — emits the
+    * trained inventory (piece, n_tokens, prob) after the fixed-round
+    * hard-EM above. The oracle unrolls the identical chain in SQL:
+    * substring seeding, per-round Viterbi as a recursive CTE carrying
+    * the same 4-value DP window and backpointer list, the same
+    * strict-greater/smallest-l tie chain, Laplace probabilities, and
+    * the count-ranked prune — integer counts everywhere, doubles only
+    * in products and one division, so the gate is hash-exact through
+    * TRAINING, like c99 and c107. Fertility comparison vs BPE
+    * surfaces through c81's report on the same corpus.
+    */
+  def c109UnigramTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = Tables
+      .documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val (inventory, _) = unigramTrain(vocab)
+    inventory.toDF("piece", "n_tokens", "prob")
+  }
+
   /** Merge-loop lineage bound: the segmentation frame gains one
     * `replace` projection per adopted merge, and with no checkpoint
     * each round re-derives every prior replace from the persisted
@@ -1576,6 +1779,110 @@ object TextAnalysis {
       .withColumn("w_sum", aggregate(transform(col("w"), qcWeight(_)), lit(0L), (acc, x) => acc + x))
       .withColumn("qc_score", col("w_sum").cast("double") / (lit(QcScale.toDouble) * col("n_tokens")))
       .withColumn("admit", (col("qc_score") > 0.0).cast("int"))
+  }
+
+  /** c107 label threshold: docs with c9 quality_score ≥ this train as
+    * positives (24.6% of the shipped corpus — non-degenerate at every
+    * SF). The label source is deliberately the EXPENSIVE in-repo
+    * signal (c9's battery): production trains its cheap fastText-style
+    * filter to mimic labels it can't afford to compute on every doc —
+    * wiki-vs-crawl, human ratings, an LLM judge — and c9 stands in as
+    * the deterministic, oracle-reproducible version of that.
+    */
+  val QcLabelThreshold = 0.5
+
+  /** C107 training: labeled (label, w=tokens) frame → the quantized
+    * integer weight vector as a (bucket, w_q) frame. Closed-form
+    * centroid/log-odds-free training — per-bucket label-conditioned
+    * occurrence counts, then w_raw(b) = pos(b)·T_neg − neg(b)·T_pos
+    * (the integer cross-product form of the rate difference
+    * pos(b)/T_pos − neg(b)/T_neg, exact in BIGINT), quantized to
+    * [−QcScale, QcScale] by sign·(|w|·QcScale DIV max|w|) — non-
+    * negative operands only, so truncating and flooring division
+    * agree and the rule is engine-identical. Scale: ONE map-side
+    * combined token shuffle of (bucket, 2 counts) — ≤ QcDim×2
+    * combiner rows per partition, c37's posture — then two ≤ 512-row
+    * aggregates; nothing else touches the exchange. Quantization also
+    * bounds the SERVED sum: |w_sum| ≤ QcScale·n_tokens regardless of
+    * corpus size (raw counts would overflow BIGINT near 10^12
+    * tokens).
+    */
+  def trainedQualityWeightFrame(labeled: DataFrame): DataFrame = {
+    val occ = labeled
+      .select(col("label"), explode(col("w")).as("tok"))
+      .select(col("label"), (hash32(col("tok")) % QcDim).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(col("label") === 1, 1L).otherwise(0L)).as("pos_cnt"),
+        sum(when(col("label") === 1, 0L).otherwise(1L)).as("neg_cnt")
+      )
+    val totals = occ.agg(sum(col("pos_cnt")).as("t_pos"), sum(col("neg_cnt")).as("t_neg"))
+    val raw = occ
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"), (col("pos_cnt") * col("t_neg") - col("neg_cnt") * col("t_pos")).as("w_raw"))
+    val maxAbs = raw.agg(max(abs(col("w_raw"))).as("max_abs"))
+    raw
+      .crossJoin(broadcast(maxAbs))
+      .select(
+        col("bucket"),
+        when(col("max_abs") === 0, lit(0L))
+          .otherwise(signum(col("w_raw")).cast("long") * expr(s"(abs(w_raw) * $QcScale) DIV max_abs"))
+          .as("w_q")
+      )
+  }
+
+  /** c107 serving: score any (doc_id, text) frame against a trained
+    * [[QcDim]]-long weight artifact — c79's exact row-local shape
+    * (tokenize, hash, fold an exact BIGINT sum in-array, one double
+    * division), with the md5 stand-in weights replaced by
+    * element_at over the broadcast literal array. Map-only at any
+    * corpus size; this IS the documented c79 swap-in contract,
+    * exercised.
+    */
+  def trainedQualityScored(docs: DataFrame, weights: Array[Long]): DataFrame = {
+    require(weights.length == QcDim, s"weight artifact must be $QcDim long, got ${weights.length}")
+    val warr = array(weights.map(lit): _*)
+    val base = if (docs.columns.contains("w")) docs else docs.withColumn("w", tokens(col("text")))
+    base
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn(
+        "w_sum",
+        aggregate(
+          transform(col("w"), t => element_at(warr, (hash32(t) % QcDim).cast("int") + 1)),
+          lit(0L),
+          (acc, x) => acc + x
+        )
+      )
+      .withColumn("qc_score", col("w_sum").cast("double") / (lit(QcScale.toDouble) * col("n_tokens")))
+      .withColumn("admit", (col("w_sum") > 0L).cast("int"))
+  }
+
+  /** C107: TRAINED linear quality classifier — closes the one gap the
+    * r12 verdict named in the quality family (c79 is inference-only;
+    * every production pipeline TRAINS its cheap filter). Train on the
+    * corpus with c9's battery as the label source
+    * ([[QcLabelThreshold]]), hold the ≤ [[QcDim]]-int quantized weight
+    * artifact on the driver (c24/c99's bounded-artifact posture — 512
+    * longs, not corpus-sized), then serve row-locally over the same
+    * corpus. Gate output: per-doc (n_tokens, w_sum, qc_score, admit);
+    * the oracle unrolls the identical count → cross-product → quantize
+    * → score chain in SQL, so the gate is hash-exact end to end —
+    * training included. TrainedQualitySpec plants a vocabulary-split
+    * quality signal and shows the trained weights separate it
+    * perfectly where c79's md5 weights score at chance.
+    */
+  def c107TrainedQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val labeled = qualityScored(docs)
+      .withColumn("label", (col("quality_score") >= QcLabelThreshold).cast("int"))
+      .select(col("label"), col("w"))
+    val wq = trainedQualityWeightFrame(labeled)
+      .collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1))
+      .toMap
+    val weights = Array.tabulate(QcDim)(b => wq.getOrElse(b, 0L))
+    trainedQualityScored(docs, weights)
+      .select(col("doc_id"), col("n_tokens"), col("w_sum"), col("qc_score"), col("admit"))
   }
 
   /** C84: language-ID CONFUSION MATRIX — the classifier-eval report

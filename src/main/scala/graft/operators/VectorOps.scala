@@ -985,6 +985,153 @@ object VectorOps {
     imiSearchTrained(cands, queries, centsA, centsB, nProbes, 5)
   }
 
+  /** Residual PQ codebooks against trained IMI CELL centroids — c104's
+    * [[residualCodebooksOf]] with the coarse quantizer replaced by the
+    * multi-index: each seed's nearest cell decomposes per half
+    * (dot(v, a‖b) = dot(v₁, a) + dot(v₂, b), so argmax over hk² cells
+    * = the two per-half argmaxes), and the seed residual subtracts the
+    * CONCATENATED half-centroids. Driver-held: M × Ks × subDim
+    * doubles, same artifact shape as every PQ path.
+    */
+  def residualCodebooksImi(
+      e: DataFrame,
+      centsA: Array[Array[Double]],
+      centsB: Array[Array[Double]]
+  ): Array[Array[Array[Double]]] =
+    residualCodebooksImiOf(
+      e.filter(col("vec_id") >= NumQueryVecs && col("vec_id") < NumQueryVecs + PqKs)
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getSeq[Double](1).toArray),
+      centsA,
+      centsB
+    )
+
+  /** IMI residual codebooks from caller-supplied seeds (the spec
+    * path — same algebra as [[residualCodebooksImi]]).
+    */
+  def residualCodebooksImiOf(
+      seeds: Array[Array[Double]],
+      centsA: Array[Array[Double]],
+      centsB: Array[Array[Double]]
+  ): Array[Array[Array[Double]]] = {
+    val half = centsA.head.length
+    pqCodebooksOf(seeds.map { v =>
+      val a = centsA(nearestList(centsA, v.take(half)))
+      val b = centsB(nearestList(centsB, v.drop(half)))
+      Array.tabulate(v.length)(i => v(i) - (if (i < half) a(i) else b(i - half)))
+    })
+  }
+
+  /** IMI-ADC search (Babenko & Lempitsky 2012's Multi-D-ADC — the
+    * FAISS IndexIVFPQ-on-IMI serving stack): trained IMI cells prune
+    * to `nProbes` of hk² cells, PQ codes quantize each member's
+    * residual against its CELL centroid (the concatenated
+    * half-centroids), ADC scores codes inside probed cells as
+    * cellDot + Σ_m dot(q_m, cb_m[code_m]), and the exact re-rank
+    * touches full vectors for the shortlist only. The scale
+    * composition of the whole ANN matrix: cells ∝ √n (vs IVF's chosen
+    * k) AND the cell scan reads 8-int codes, not vectors — the two
+    * wins stack. Assignment and encoding are one map-side projection
+    * against driver-held structures; shuffles carry (query_id,
+    * neighbor_id, adc) triples pruned by the native per-key heaps.
+    */
+  def annImiAdc(
+      cands: DataFrame,
+      queries: DataFrame,
+      centsA: Array[Array[Double]],
+      centsB: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]],
+      nProbes: Int,
+      reRank: Int,
+      topK: Int
+  ): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val half = centsA.head.length
+    val cA = centsA.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    val cB = centsB.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    val centATable = typedlit(centsA.map(_.toSeq).toSeq)
+    val centBTable = typedlit(centsB.map(_.toSeq).toSeq)
+    // encode: per-half kernel assignment (c106's), residual against
+    // the concatenated cell centroid STAGED as its own attribute (the
+    // 8 subspace argmaxes read it, not recompute it), min-L2 codeword
+    val codes = cands
+      .select(
+        col("neighbor_id"),
+        col("vn"),
+        element_at(graft.plans.CentroidTopK.centroidTopK(slice(col("vn"), 1, half), cA, 1), 1).as("aid"),
+        element_at(graft.plans.CentroidTopK.centroidTopK(slice(col("vn"), half + 1, half), cB, 1), 1).as("bid")
+      )
+      .withColumn("cc", concat(element_at(centATable, col("aid") + 1), element_at(centBTable, col("bid") + 1)))
+      .withColumn("resid", zip_with(col("vn"), col("cc"), (a, b) => a - b))
+      .select(col("neighbor_id"), col("aid"), col("bid"), pqEncodeL2(cb, col("resid")).as("codes"))
+    // cell ranking per query — c101/c106's half-dot-sum algebra
+    val centAdf = centsA.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("aid", "av")
+    val centBdf = centsB.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("bid", "bv")
+    val qa = queries
+      .crossJoin(broadcast(centAdf))
+      .select(col("query_id"), col("aid"), arrayDot(slice(col("qv"), 1, half), col("av")).as("da"))
+    val qb = queries
+      .crossJoin(broadcast(centBdf))
+      .select(col("query_id"), col("bid"), arrayDot(slice(col("qv"), half + 1, half), col("bv")).as("db"))
+    val wc = Window.partitionBy(col("query_id")).orderBy((col("da") + col("db")).desc, col("aid"), col("bid"))
+    val cells = qa
+      .join(qb, "query_id")
+      .withColumn("cn", row_number().over(wc))
+      .filter(col("cn") <= nProbes)
+      .select(col("query_id"), col("aid"), col("bid"))
+    val cellDot = arrayDot(slice(col("qv"), 1, half), element_at(centATable, col("aid") + 1)) +
+      arrayDot(slice(col("qv"), half + 1, half), element_at(centBTable, col("bid") + 1))
+    val shortlist = graft.plans.TopKPerKey.topKPerKey(
+      codes
+        .join(broadcast(cells), Seq("aid", "bid"))
+        .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
+        .withColumn("adc", cellDot + adcScore(cb, col("codes"), col("qv")))
+        .select(col("query_id"), col("neighbor_id"), col("adc")),
+      keyCols = Seq("query_id"),
+      orderBy = Seq(("adc", false), ("neighbor_id", true)),
+      k = reRank
+    )
+    rankTopK(
+      shortlist
+        .join(cands, "neighbor_id")
+        .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
+        .withColumn("cos", arrayDot(col("qv"), col("vn"))),
+      topK
+    )
+  }
+
+  /** C108: trained-IMI + residual-ADC — the natural completion of the
+    * ANN matrix the r12 verdict asked for: c106's trained (aid, bid)
+    * cells composed with c104's residual PQ against the CELL centroid.
+    * Codebooks come from the SAME shared centroid cache as c106 (train
+    * once, serve both); the oracle unrolls the two half-Lloyd chains,
+    * the per-half seed/corpus assignment, residual encode and the ADC
+    * sum in the identical float order, so the gate is hash-exact
+    * end to end. Recall floor vs c104 at equal budget lives in
+    * VectorRecallSpec.
+    */
+  def c108AnnImiAdc(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val hk = imiHalfK(embCount(spark, sfDir))
+    val nProbes = math.max(ImiCellProbes, 4 * hk)
+    val half = Dim / 2
+    val queries = e
+      .filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("vn").as("qv"))
+    val cands = e
+      .filter(col("vec_id") >= NumQueryVecs)
+      .select(col("vec_id").as("neighbor_id"), col("vn"))
+    val centsA = centroidCache.getOrElseUpdate(spark.sparkContext, s"$sfDir|imiA|hk=$hk|iters=$C106Iters") {
+      trainCentroids(cands.select(col("neighbor_id"), slice(col("vn"), 1, half).as("vn")), hk, C106Iters)
+    }
+    val centsB = centroidCache.getOrElseUpdate(spark.sparkContext, s"$sfDir|imiB|hk=$hk|iters=$C106Iters") {
+      trainCentroids(cands.select(col("neighbor_id"), slice(col("vn"), half + 1, half).as("vn")), hk, C106Iters)
+    }
+    annImiAdc(cands, queries, centsA, centsB, residualCodebooksImi(e, centsA, centsB), nProbes, PqReRank, 5)
+  }
+
   // --------------------------------------------------------------------
   // Trained IVF (Lloyd / spherical k-means) — the quality path c18's
   // deterministic seed quantizer stands in for. Centroids are DRIVER-HELD

@@ -16,10 +16,33 @@ import graft.streaming.StreamingOps.Event
   */
 object StreamingDemo {
 
+  /** The deployment partition rule applied to the demo's replay shape:
+    * AvailableNow over one file = ONE micro-batch of the whole table,
+    * so rowsPerBatch is the table row count; SPARK_GRAFT_STREAM_
+    * PARTITIONS overrides for reproducing the cores-sized worst case
+    * BASELINE.md records. Factored so StreamingSpec can assert the
+    * sizing (and the override) without running the demo.
+    */
+  def demoShufflePartitions(rowsPerBatch: Long, cores: Int, env: Map[String, String] = sys.env): Int =
+    env
+      .get("SPARK_GRAFT_STREAM_PARTITIONS")
+      .map(_.toInt)
+      .getOrElse(GraftSession.streamingShufflePartitions(rowsPerBatch, cores))
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = GraftSession.getOrCreate()
     import spark.implicits._
+
+    // the round-11 deployment rule, exercised on the file-stream path:
+    // streaming shuffle partitions follow per-batch volume, not cores
+    // (state stores commit once per partition per batch — see
+    // GraftSession.streamingShufflePartitions). The demo's batch
+    // parity reads run at this size too — at demo scale that is the
+    // right size for them as well.
+    val replayRows = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val streamParts = demoShufflePartitions(replayRows, spark.sparkContext.defaultParallelism)
+    spark.conf.set("spark.sql.shuffle.partitions", streamParts.toString)
 
     // file-stream source over the parquet table (ts is TIMESTAMP(MICROS),
     // surfaced NTZ; the UTC session makes the LTZ cast value-preserving —
@@ -459,9 +482,9 @@ object StreamingDemo {
     val nAsofMatched = spark.table("demo_asof").filter("view_id IS NOT NULL").count()
     val nClicks = spark.table("demo_papi").count()
     val nJoined = spark.table("demo_papi").filter("view_id IS NOT NULL").count()
-    val total = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val total = replayRows
     println(
-      s"""{"streaming_demo":{"input_events":$total,"deduped_kept":$nDedup,"closed_windows":$nWindows,"asof_clicks":$nAsof,"asof_with_view":$nAsofMatched,"enriched_clicks":$nClicks,"clicks_with_view":$nJoined,"funnel_users":${lastFunnel.size},"full_funnels":${lastFunnel.count(_.full_funnel)},"curated_docs":$nCurated,"contaminated_docs":${decontamStreamed.size},"quota_docs":$nQuota,"budget_admits":$nBudget,"reservoir_docs":$nWsamp,"neardup_suspects":$nSuspects,"chunk_survivors":$nChunkSurv,"pii_hit_docs":$nPiiHits,"epoch_copies":$nEpochCopies,"upsert_rows":$nUpsert,"sink_rows":$nSunk}}"""
+      s"""{"streaming_demo":{"stream_partitions":$streamParts,"input_events":$total,"deduped_kept":$nDedup,"closed_windows":$nWindows,"asof_clicks":$nAsof,"asof_with_view":$nAsofMatched,"enriched_clicks":$nClicks,"clicks_with_view":$nJoined,"funnel_users":${lastFunnel.size},"full_funnels":${lastFunnel.count(_.full_funnel)},"curated_docs":$nCurated,"contaminated_docs":${decontamStreamed.size},"quota_docs":$nQuota,"budget_admits":$nBudget,"reservoir_docs":$nWsamp,"neardup_suspects":$nSuspects,"chunk_survivors":$nChunkSurv,"pii_hit_docs":$nPiiHits,"epoch_copies":$nEpochCopies,"upsert_rows":$nUpsert,"sink_rows":$nSunk}}"""
     )
     spark.stop()
   }

@@ -1624,6 +1624,89 @@ class OperatorsSpec extends SparkSpec {
     assert(expected.nonEmpty)
   }
 
+  test("c107 trained quality: trained weights separate a planted vocabulary signal the md5 weights score at chance") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis.QcDim
+    // planted signal: positive docs draw from the g* vocabulary,
+    // negative docs from z* — label is a pure function of vocabulary,
+    // which a hashed-BoW linear model can learn exactly and c79's
+    // md5-derived stand-in weights know nothing about. 20 train docs
+    // per class, 10 held-out per class (DIFFERENT token subsets of the
+    // same vocabularies, so held-out docs aren't byte-copies).
+    def doc(vocab: String, salt: Int, n: Int) = (0 until n).map(i => s"$vocab${(i * 7 + salt) % 40}").mkString(" ")
+    val train = (0 until 20).map(i => (i.toLong, 1, doc("g", i, 30))) ++
+      (20 until 40).map(i => (i.toLong, 0, doc("z", i, 30)))
+    val held = (100 until 110).map(i => (i.toLong, 1, doc("g", i * 3 + 1, 25))) ++
+      (110 until 120).map(i => (i.toLong, 0, doc("z", i * 3 + 1, 25)))
+    val trainDf = train.toDF("doc_id", "label", "text")
+      .withColumn("w", graft.functions.TextFunctions.tokens(col("text")))
+    val wq = TextAnalysis
+      .trainedQualityWeightFrame(trainDf.select(col("label"), col("w")))
+      .collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1))
+      .toMap
+    val weights = Array.tabulate(QcDim)(b => wq.getOrElse(b, 0L))
+    assert(weights.exists(_ > 0L) && weights.exists(_ < 0L), "training produced a degenerate weight vector")
+    val heldDf = held.toDF("doc_id", "label", "text")
+    val trainedAdmit = TextAnalysis
+      .trainedQualityScored(heldDf.select(col("doc_id"), col("text")), weights)
+      .collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) -> r.getInt(r.fieldIndex("admit")))
+      .toMap
+    val labels = held.map { case (id, l, _) => id -> l }.toMap
+    val trainedAcc = labels.count { case (id, l) => trainedAdmit(id) == l }.toDouble / labels.size
+    assert(trainedAcc == 1.0, s"trained weights must separate the planted signal perfectly, acc=$trainedAcc")
+    // the md5 stand-in weights (c79) have no access to the label and
+    // must NOT classify the plant — at least one mistake on the 20
+    // held-out docs (a deterministic assertion: the plant is fixed)
+    val md5Admit = TextAnalysis
+      .linearQualityScored(heldDf.select(col("doc_id"), col("text")))
+      .collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) -> r.getInt(r.fieldIndex("admit")))
+      .toMap
+    val md5Acc = labels.count { case (id, l) => md5Admit(id) == l }.toDouble / labels.size
+    assert(md5Acc < 1.0, s"md5 weights accidentally classify the plant perfectly — change the plant vocab")
+    assert(trainedAcc > md5Acc, s"trained ($trainedAcc) must beat md5 stand-in ($md5Acc)")
+  }
+
+  test("c109 unigram trainer: learned pieces beat chars-only fertility on a compositional plant; deterministic") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis.{UniMaxWordLen, unigramTrain}
+    // compositional vocabulary: words are concatenations of 2-char
+    // morphemes — exactly the structure a unigram trainer exists to
+    // discover. Frequencies make the morphemes dominant substrings.
+    val morphemes = Seq("ab", "cd", "ef", "gh")
+    val words = (for {
+      m1 <- morphemes; m2 <- morphemes if m1 != m2
+    } yield (m1 + m2, 50L)) ++
+      Seq(("abcdef", 30L), ("x", 9L), ("a" * (UniMaxWordLen + 2), 1L)) // 1-char + overlong edge rows
+    val vocab = words.toDF("w", "cnt")
+    val (inv, _) = unigramTrain(vocab)
+    val (inv2, _) = unigramTrain(vocab)
+    assert(inv == inv2, "training must be deterministic run-to-run")
+    val multis = inv.filter(_._1.length >= 2)
+    assert(multis.nonEmpty, "no multi-char pieces survived training")
+    assert(
+      morphemes.forall(m => inv.exists(p => p._1 == m && p._2 > 0L) || inv.exists(p => p._1.contains(m) && p._2 > 0L)),
+      s"planted morphemes not represented in the learned inventory: $inv"
+    )
+    // fertility: the learned segmentation must compress vs chars-only
+    // (the overlong word is screened from the trainer on both sides)
+    val charTotal = words.filter(_._1.length <= UniMaxWordLen).map { case (w, c) => w.length * c }.sum
+    val pieceTotal = inv.map(_._2).sum
+    assert(
+      pieceTotal < charTotal,
+      s"learned pieces must beat chars-only fertility: $pieceTotal pieces vs $charTotal chars"
+    )
+    // every word's Viterbi mass is conserved: piece counts sum to at
+    // most the char total and at least the word count (≥ 1 piece/word)
+    assert(pieceTotal >= words.filter(_._1.length <= UniMaxWordLen).map(_._2).sum)
+    // probabilities are a valid Laplace distribution over the inventory
+    val probSum = inv.map(_._3).sum
+    assert(probSum <= 1.0 + 1e-9, s"Laplace probs must not exceed 1: $probSum")
+    inv.foreach { case (piece, n, p) => assert(p > 0.0 && n >= 0L, s"invalid row ($piece, $n, $p)") }
+  }
+
   test("c91 BM25: rational-idf scores re-derived bit-for-bit in the JVM; top-k selection exact") {
     import graft.operators.TextAnalysis.{Bm25K1, Bm25B, Bm25TopK, Bm25Queries}
     val docs = graft.sources.Tables
@@ -2233,6 +2316,68 @@ class OperatorsSpec extends SparkSpec {
     assert(gotSet.contains((10L, 13L, 0L)) && gotSet.contains((11L, 13L, Multimodal.PhashHammingMax.toLong)))
     assert(!gotSet.exists { case (a, b, _) => Set(a, b).contains(12L) && Set(a, b).contains(10L) },
       s"hamming ${Multimodal.PhashHammingMax + 1} pair must be dropped: $gotSet")
+  }
+
+  test("c105 refinement: a planted hot band bucket refines and the pair set is byte-identical to brute force") {
+    import spark.implicits._
+    // 200 signatures all sharing band 0 (bits 0..6 = 85) — one hot
+    // (band, value) bucket well above DhashHotFloor — with the other
+    // 49 bits spread by a multiplicative hash so the sub-band census
+    // prices the re-key IN. Planted families: 3001 = 3000 with 3 bits
+    // flipped inside band 3 (hamming 3), 3002 = an exact copy of the
+    // doc-5 signature (hamming 0), 3003 = 7 bits flipped across SIX
+    // bands of doc 10's signature (hamming 7 == max, kept), 3004 = 8
+    // bits flipped on doc 20's (dropped).
+    def spread(i: Long): Long = ((i * 0x9E3779B97F4A7C15L) >>> 15) & ((1L << 49) - 1)
+    val bandVal = 85L
+    def sig(i: Long): Long = (spread(i) << 7) | bandVal
+    val base = (0L until 200L).map(i => (i, sig(i)))
+    val planted = Seq(
+      3001L -> (sig(3000) ^ (0x7L << (3 * 7))), // 3 bits inside band 3 of doc 3000's signature
+      3002L -> sig(5),
+      3003L -> (sig(10) ^ ((1L << 8) | (1L << 15) | (1L << 22) | (1L << 29) | (1L << 36) | (1L << 43) | (1L << 44))),
+      3004L -> (sig(20) ^ ((0xFL << 8) | (0xFL << 22)))
+    )
+    val all = base ++ Seq(3000L -> sig(3000)) ++ planted
+    val sigs = all.toDF("doc_id", "dhash")
+    // brute-force reference: exhaustive pairs at hamming <= max
+    val ref = (for {
+      (a, sa) <- all; (b, sb) <- all if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= Multimodal.PhashHammingMax
+    } yield (a, b, h.toLong)).toSet
+    assert(ref.exists(_._3 == 0L) && ref.exists(_._3 == Multimodal.PhashHammingMax.toLong),
+      "plant must cover hamming 0 and the threshold boundary")
+    val got = Multimodal
+      .dhashPairsFrom(sigs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == got.toSet.size, s"duplicate emits across cold/hot paths")
+    assert(got.toSet == ref, s"refined pair set diverges: missing=${ref -- got.toSet} extra=${got.toSet -- ref}")
+    // the decision must actually have fired on this geometry — the
+    // routing (not just the cold path) is what this test pins
+    val blockCols = (0 until Multimodal.PhashBands).map { i =>
+      org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.lit(i).as("block_idx"),
+        org.apache.spark.sql.functions
+          .shiftright(org.apache.spark.sql.functions.col("dhash"), i * Multimodal.PhashBandBits)
+          .bitwiseAND((1L << Multimodal.PhashBandBits) - 1)
+          .as("bval")
+      )
+    }
+    val blocks = sigs
+      .select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("dhash"),
+        org.apache.spark.sql.functions.explode(org.apache.spark.sql.functions.array(blockCols: _*)).as("b")
+      )
+      .select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("dhash"),
+        org.apache.spark.sql.functions.col("b.block_idx").as("bi"),
+        org.apache.spark.sql.functions.col("b.bval").as("bv")
+      )
+    val refineKeys = Multimodal.dhashRefinePlan(blocks)._2.collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(refineKeys.contains((0, bandVal)), s"the planted hot bucket (0, $bandVal) must refine, got ${refineKeys.toSeq}")
   }
 
   test("c103 exactsubstr: a 60-token repeat is ONE maximal span, not W-window fragments") {

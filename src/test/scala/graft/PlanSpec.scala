@@ -2638,7 +2638,8 @@ class PlanSpec extends SparkSpec {
       "c97_cross_rerank" -> "inherits c57's broadcast 2-query × chunk-stream first stage; the pair scorer touches only the k-per-query shortlist",
       "c98_hybrid_rrf" -> "inherits c57's broadcast 2-query × chunk-stream first stage; the fusion itself joins two bounded top-k lists",
       "c101_ann_imi" -> "broadcast ≤2·halfK half-codebook frames × the ≤10-query battery (cell ranking only — corpus assignment is the row-local CentroidTopK kernel; the corpus-sized meet is a keyed (aid, bid) join)",
-      "c106_ann_imi_trained" -> "c101's cell-ranking posture with TRAINED half-codebooks (driver arrays → local frames): broadcast ≤2·halfK rows × the ≤10-query battery; corpus assignment stays the row-local kernel, the corpus-sized meet a keyed (aid, bid) join"
+      "c106_ann_imi_trained" -> "c101's cell-ranking posture with TRAINED half-codebooks (driver arrays → local frames): broadcast ≤2·halfK rows × the ≤10-query battery; corpus assignment stays the row-local kernel, the corpus-sized meet a keyed (aid, bid) join",
+      "c108_ann_imi_adc" -> "c106's cell-ranking posture verbatim (broadcast ≤2·halfK half-codebook rows × the ≤10-query battery); corpus assignment + residual encode are row-local projections against driver-held structures, the corpus-sized meet a keyed (aid, bid) join over 8-int codes"
     )
     // Unpartitioned windows are allowed only over an AGGREGATED frame
     // (bucket/band offsets — rows ∝ buckets, not corpus); a global

@@ -471,6 +471,42 @@ class VectorRecallSpec extends SparkSpec {
     assert(trained1 > seeded1, f"trained cells ($trained1%.3f) must beat seeded ($seeded1%.3f) in the pruning regime")
   }
 
+  test("c108 IMI-ADC: recall@5 >= 0.9 on clustered embeddings at the c104 re-rank budget") {
+    import org.apache.spark.sql.functions.{col, slice, xxhash64}
+    val (cands, queries) = clusteredFrames(spark, nClusters = 20, perCluster = 200)
+    val exactTop5 = VectorOps
+      .annBruteforce(cands, queries, 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val hk = VectorOps.ImiHalfKFloor
+    val nProbes = math.max(VectorOps.ImiCellProbes, 4 * hk)
+    val half = 32
+    val centsA = VectorOps.trainCentroids(
+      cands.select(col("neighbor_id"), slice(col("vn"), 1, half).as("vn")), hk, VectorOps.C106Iters)
+    val centsB = VectorOps.trainCentroids(
+      cands.select(col("neighbor_id"), slice(col("vn"), half + 1, half).as("vn")), hk, VectorOps.C106Iters)
+    val seeds = cands
+      .orderBy(xxhash64(col("neighbor_id")))
+      .limit(VectorOps.PqKs)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    val rcb = VectorOps.residualCodebooksImiOf(seeds, centsA, centsB)
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exactTop5 & got).size.toDouble / exactTop5.size
+    }
+    // the c104 clustered contract carried over to cells: at reRank ≥
+    // cluster size the cell-centroid term alone surfaces the home
+    // cluster and the exact re-rank recovers the true top-5
+    val big = recall(VectorOps.annImiAdc(cands, queries, centsA, centsB, rcb, nProbes, reRank = 250, topK = 5))
+    val small = recall(
+      VectorOps.annImiAdc(cands, queries, centsA, centsB, rcb, nProbes, reRank = VectorOps.PqReRank, topK = 5)
+    )
+    info(f"IMI-ADC clustered: reRank=250 $big%.3f; reRank=${VectorOps.PqReRank} $small%.3f at P=$nProbes")
+    assert(big >= 0.9, f"IMI-ADC recall@5 = $big%.3f < 0.9 at reRank=250 — c104's clustered floor must carry to cells")
+  }
+
   test("c106 trained IMI recall@5 vs the exact c6 baseline (served floor)") {
     val exactTop5 = VectorOps
       .c6AnnBruteforce(spark, sf001)
