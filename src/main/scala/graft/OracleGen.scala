@@ -240,6 +240,38 @@ object OracleGen {
        |WHERE bit_count(xor(a.dhash, b.dhash)) <= $PhashHammingMax""".stripMargin
   }
 
+  /** c110 = the WIDE dHash recomputed from first principles: the same
+    * stub pixel grid as c105, BOTH gradient packs (horizontal 56 bits,
+    * vertical 54), exhaustive pair join at combined hamming ≤ max.
+    * The 17-band refinement is a pure candidate optimization (≥ 2
+    * intact bands at ≤ 7 differing bits), so the oracle skips it.
+    */
+  val c110ImageDhashWidePairs: String = {
+    import graft.operators.Multimodal.{PhashCols, PhashHammingMax, PhashRows}
+    s"""WITH img AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE doc_id % 3 = 0 AND len(string_split(text, ' ')) >= 2),
+       |px AS (SELECT doc_id, rr.r, cc.c,
+       |  CAST(concat('0x', substr(md5(
+       |    w[CAST((rr.r * $PhashCols + cc.c) % len(w) AS INT) + 1] || '_' ||
+       |    CAST((rr.r * $PhashCols + cc.c) % len(w) AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS p
+       |  FROM img
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${PhashRows - 1})) AS r) rr
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${PhashCols - 1})) AS c) cc),
+       |sigh AS (SELECT a.doc_id,
+       |  CAST(SUM(CASE WHEN a.p < b.p THEN (CAST(1 AS BIGINT) << CAST(a.r * ${PhashCols - 1} + a.c AS INT)) ELSE 0 END) AS BIGINT) AS h
+       |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+       |  GROUP BY a.doc_id),
+       |sigv AS (SELECT a.doc_id,
+       |  CAST(SUM(CASE WHEN a.p < b.p THEN (CAST(1 AS BIGINT) << CAST(a.r * $PhashCols + a.c AS INT)) ELSE 0 END) AS BIGINT) AS v
+       |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.r = a.r + 1 AND b.c = a.c
+       |  GROUP BY a.doc_id),
+       |sig AS (SELECT doc_id, h, v FROM sigh JOIN sigv USING (doc_id))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.h, b.h)) + bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.h, b.h)) + bit_count(xor(a.v, b.v)) <= $PhashHammingMax""".stripMargin
+  }
+
   /** C27 mirrors the Spark side's non-deduped rolling shingle hashes:
     * dup_ratio = 1 − distinct/total over the SAME hash math.
     */
@@ -398,7 +430,13 @@ object OracleGen {
     * everywhere; doubles only in the products and one division per
     * piece — hash-exact through training.
     */
-  val c109UnigramTrain: String = {
+  /** The unigram trainer's recursive-CTE chain through the final
+    * probabilities (seed → per-round Viterbi fwd/backtrack → prune →
+    * Laplace) plus the per-round builder, shared by c109 (emits the
+    * inventory) and c111 (appends one more Viterbi round under
+    * p_final and emits per-word segmentations).
+    */
+  private lazy val (unigramChain: String, unigramRound: ((Int, String) => String)) = {
     import graft.operators.TextAnalysis.{UniEmRounds, UniKeepPieces, UniMaxPieceLen, UniMaxWordLen, UniSeedCandidates}
     // nested best/backpointer chains: sL = vL * pL (pL NULL→0 when the
     // piece would start before the word), strict > replacement from
@@ -457,26 +495,51 @@ object OracleGen {
     val rounds = (1 to UniEmRounds)
       .map(r => s"${round(r, s"p${r - 1}")},\n${inv(r)},\n${probs(r)}")
       .mkString(",\n")
-    s"""WITH RECURSIVE voc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-       |  WHERE length(w) >= 1 GROUP BY w),
-       |vocab AS (SELECT w, cnt FROM voc WHERE length(w) <= $UniMaxWordLen),
-       |occ AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n FROM (
-       |  SELECT substr(v.w, pos.i, ln.l) AS piece, v.cnt
-       |  FROM vocab v
-       |  CROSS JOIN (SELECT unnest(generate_series(1, $UniMaxWordLen)) AS i) pos
-       |  CROSS JOIN (SELECT unnest(generate_series(1, $UniMaxPieceLen)) AS l) ln
-       |  WHERE pos.i + ln.l - 1 <= length(v.w)) GROUP BY piece),
-       |chars AS (SELECT piece, n FROM occ WHERE length(piece) = 1),
-       |inv0 AS (
-       |  SELECT piece, n FROM chars
-       |  UNION ALL
-       |  SELECT piece, n FROM occ WHERE length(piece) >= 2
-       |  QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, piece) <= $UniSeedCandidates),
-       |${probs(0).replace("inv0", "inv0")},
-       |$rounds
+    val chain =
+      s"""WITH RECURSIVE voc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) >= 1 GROUP BY w),
+         |vocab AS (SELECT w, cnt FROM voc WHERE length(w) <= $UniMaxWordLen),
+         |occ AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+         |  SELECT substr(v.w, pos.i, ln.l) AS piece, v.cnt
+         |  FROM vocab v
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $UniMaxWordLen)) AS i) pos
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $UniMaxPieceLen)) AS l) ln
+         |  WHERE pos.i + ln.l - 1 <= length(v.w)) GROUP BY piece),
+         |chars AS (SELECT piece, n FROM occ WHERE length(piece) = 1),
+         |inv0 AS (
+         |  SELECT piece, n FROM chars
+         |  UNION ALL
+         |  SELECT piece, n FROM occ WHERE length(piece) >= 2
+         |  QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, piece) <= $UniSeedCandidates),
+         |${probs(0)},
+         |$rounds""".stripMargin
+    (chain, round _)
+  }
+
+  val c109UnigramTrain: String = {
+    import graft.operators.TextAnalysis.UniEmRounds
+    s"""$unigramChain
        |SELECT i.piece, i.n AS n_tokens, p.p AS prob
        |FROM inv$UniEmRounds i JOIN p$UniEmRounds p USING (piece)""".stripMargin
+  }
+
+  /** c111 = one more Viterbi round under the FINAL probabilities on
+    * top of the shared trainer chain, emitting each word's
+    * segmentation record; the piece-sequence fingerprint reverses the
+    * backtrack's end-to-start order exactly as the Spark side does.
+    */
+  val c111UnigramSegment: String = {
+    import graft.operators.TextAnalysis.UniEmRounds
+    val applyRound = UniEmRounds + 1
+    s"""$unigramChain,
+       |${unigramRound(applyRound, s"p$UniEmRounds")}
+       |SELECT b.w, b.cnt,
+       |  CAST(length(b.w) AS BIGINT) AS n_chars,
+       |  CAST(len(b.pieces) AS BIGINT) AS n_pieces,
+       |  md5(array_to_string(list_reverse(b.pieces), ' ')) AS pieces_md5
+       |FROM bt$applyRound b
+       |WHERE b.cur = 0""".stripMargin
   }
 
   /** c64 = the NAIVE global definition the two-phase plan must equal:

@@ -109,6 +109,8 @@ object SparkEntry {
     "c107_trained_quality" -> (TextAnalysis.c107TrainedQuality _),
     "c108_ann_imi_adc" -> (VectorOps.c108AnnImiAdc _),
     "c109_unigram_train" -> (TextAnalysis.c109UnigramTrain _),
+    "c110_image_dhash_wide" -> (Multimodal.c110ImageDhashWidePairs _),
+    "c111_unigram_segment" -> (TextAnalysis.c111UnigramSegment _),
     "c48_vocab_coverage" -> (TextAnalysis.c48VocabCoverage _),
     "b25_unpivot" -> (Relational.b25Unpivot _),
     "c20_training_pipeline" -> (Sampling.c20TrainingPipeline _),
@@ -703,6 +705,8 @@ object SparkEntry {
     "c107_trained_quality" -> OracleGen.c107TrainedQuality,
     "c108_ann_imi_adc" -> OracleGen.c108AnnImiAdc,
     "c109_unigram_train" -> OracleGen.c109UnigramTrain,
+    "c110_image_dhash_wide" -> OracleGen.c110ImageDhashWidePairs,
+    "c111_unigram_segment" -> OracleGen.c111UnigramSegment,
     "c48_vocab_coverage" -> OracleGen.c48VocabCoverage,
     "b25_unpivot" ->
       """SELECT user_id, event_type, count(*) AS n FROM events

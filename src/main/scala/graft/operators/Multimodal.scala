@@ -359,6 +359,184 @@ object Multimodal {
     coldPairs.unionByName(hotPairs)
   }
 
+  /** c110 geometry: the same 7×9 stub pixel grid read BOTH ways —
+    * [[PhashRows]]×8 horizontal gradients (c105's 56 bits) plus 6×9
+    * VERTICAL gradients (54 bits) — production dHash's full H+V form.
+    * Widening the signature is c92's scale lesson applied to images:
+    * at the same absolute threshold (hamming ≤ [[PhashHammingMax]]
+    * over the combined 110 bits, a stricter per-bit bar — both
+    * calibrations stay served, like c4 vs c92), the 110 bits band as
+    * NINE 10-14-bit bands — the FEWEST bands that still guarantee
+    * ≥ 2 intact at the threshold (9 ≥ 7 + 2), hence the WIDEST keys.
+    * Band count is the whole trade: a first 17-narrow-band cut of
+    * this operator measured natural sf10 at 262.5 s / exp 1.60 —
+    * WORSE than refined c105 — because band rows scale with the
+    * count while bucket spread scales with 2^width; 9×12-bit-class
+    * bands restore exactly the c92/c93 key width whose absence
+    * capped c105's refined exponent at 1.42 (its 56 bits at
+    * threshold 7 cannot give 9 bands of useful width; 110 can).
+    * c93's full later-band hot-bucket re-key is exhaustive here.
+    */
+  val VhashRows = PhashRows - 1 // 6 rows of vertical gradients
+
+  /** Per-image (h, v) wide signature: horizontal + vertical gradient
+    * packs over the same staged pixel projection (each pixel read by
+    * up to four gradient bits — the lambda-inlining discipline).
+    * Same degenerate-payload screen as c105 (a 0/1-token payload's
+    * constant grid zeroes BOTH packs).
+    */
+  def imageDhashWideSignatures(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.hash32
+    val withW = docs
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    val pixelCols = for { r <- 0 until PhashRows; c <- 0 until PhashCols } yield {
+      val idx = lit(r * PhashCols + c) % size(col("w"))
+      (hash32(concat(element_at(col("w"), idx + 1), lit("_"), idx.cast("string"))) % 256)
+        .as(s"p_${r}_$c")
+    }
+    val px = withW.select((col("doc_id") +: pixelCols): _*)
+    val hBits = for { r <- 0 until PhashRows; c <- 0 until PhashCols - 1 } yield
+      shiftleft(
+        when(col(s"p_${r}_$c") < col(s"p_${r}_${c + 1}"), lit(1L)).otherwise(lit(0L)),
+        r * (PhashCols - 1) + c
+      )
+    val vBits = for { r <- 0 until VhashRows; c <- 0 until PhashCols } yield
+      shiftleft(
+        when(col(s"p_${r}_$c") < col(s"p_${r + 1}_$c"), lit(1L)).otherwise(lit(0L)),
+        r * PhashCols + c
+      )
+    px.select(col("doc_id"), hBits.reduce(_ + _).as("h"), vBits.reduce(_ + _).as("v"))
+  }
+
+  /** The 9-band layout over the (h, v) signature pair: band index →
+    * (source column name, bit offset, width). H = 4 bands of 14 bits
+    * (56), V = 4 of 11 + 1 of 10 (54).
+    */
+  private[graft] val WideBandLayout: Seq[(String, Int, Int)] =
+    (0 until 4).map(i => ("h", i * 14, 14)) ++
+      (0 until 4).map(j => ("v", j * 11, 11)) :+ (("v", 44, 10))
+
+  private def wideBandVal(sigOf: String => Column, band: Int): Column = {
+    val (s, off, w) = WideBandLayout(band)
+    shiftright(sigOf(s), off).bitwiseAND((1L << w) - 1)
+  }
+
+  /** c110's measured refine plan — c93's level-1 arbitration on the
+    * 17-band algebra: with ≥ 2 intact bands guaranteed, hot-bucket
+    * members re-key on their LATER bands only (the emit point
+    * (first, second intact) always has second > first — c93's
+    * halving), and a bucket refines iff the measured census says the
+    * re-key wins: Σ sub² + Σ sub < n². Full-band sub-keys (6-7 bits
+    * per band, but conditioned on a shared first band the sub-bucket
+    * spread is the OTHER signature dimension's) — the width c105's
+    * 49-remaining-bit split could not offer.
+    */
+  private[graft] def wideRefinePlan(blocks: DataFrame): (DataFrame, DataFrame) = {
+    val nBands = WideBandLayout.size
+    val sizes = blocks
+      .groupBy(col("bi"), col("bv"))
+      .agg(count(lit(1)).as("nn"))
+      .filter(col("nn") > DhashHotFloor)
+    def sigOf(s: String): Column = col(s)
+    val subCols = (0 until nBands).map { j =>
+      struct(lit(j).as("sub_idx"), wideBandVal(sigOf, j).as("sval"))
+    }
+    val warmMembers = blocks
+      .join(broadcast(sizes.select(col("bi"), col("bv"))), Seq("bi", "bv"))
+      .select(col("doc_id"), col("h"), col("v"), col("bi"), col("bv"), explode(array(subCols: _*)).as("sb"))
+      .select(
+        col("doc_id"), col("h"), col("v"), col("bi"), col("bv"),
+        col("sb.sub_idx").as("sbi"), col("sb.sval").as("sbv")
+      )
+      .filter(col("sbi") > col("bi"))
+      .localCheckpoint()
+    val refineKeys = sizes
+      .join(
+        warmMembers
+          .groupBy(col("bi"), col("bv"), col("sbi"), col("sbv"))
+          .agg(count(lit(1)).as("sn"))
+          .groupBy(col("bi"), col("bv"))
+          .agg(sum(col("sn") * col("sn")).as("refined_est"), sum(col("sn")).as("rekey")),
+        Seq("bi", "bv")
+      )
+      .filter(col("refined_est") + col("rekey") < col("nn") * col("nn"))
+      .select(col("bi"), col("bv"))
+      .localCheckpoint()
+    (warmMembers, refineKeys)
+  }
+
+  /** The banded near-dup join over any (doc_id, h, v) wide-signature
+    * frame — c93's two-path emit algebra on the 17-band layout: a
+    * pair lives in the cold path iff its FIRST intact band's bucket
+    * is cold (emit at bi = first intact), else in the hot path (emit
+    * at bi = first, sbi = SECOND intact — which exists because 7
+    * differing bits leave ≥ 10 of 17 bands intact). Hamming-first
+    * filter; everything row-local bit math, no distinct().
+    */
+  def dhashWidePairsFrom(sigIn: DataFrame): DataFrame = {
+    val sig = sigIn.localCheckpoint()
+    val nBands = WideBandLayout.size
+    def sigOf(s: String): Column = col(s)
+    val bandCols = (0 until nBands).map { i =>
+      struct(lit(i).as("band_idx"), wideBandVal(sigOf, i).as("bval"))
+    }
+    val blocks = sig
+      .select(col("doc_id"), col("h"), col("v"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("h"), col("v"), col("b.band_idx").as("bi"), col("b.bval").as("bv"))
+      .localCheckpoint()
+    val (warmMembers, refineKeys) = wideRefinePlan(blocks)
+    val hotKeys = refineKeys.withColumn("is_hot", lit(true))
+    val cold = blocks.join(broadcast(hotKeys), Seq("bi", "bv"), "left").filter(col("is_hot").isNull).drop("is_hot")
+    val hot = warmMembers.join(broadcast(refineKeys), Seq("bi", "bv"))
+
+    val xh = col("h_a").bitwiseXOR(col("h_b"))
+    val xv = col("v_a").bitwiseXOR(col("v_b"))
+    val hamOk = (bit_count(xh) + bit_count(xv)) <= PhashHammingMax
+    def xorOf(s: String): Column = if (s == "h") xh else xv
+    val imask = (0 until nBands)
+      .map(i => when(wideBandVal(xorOf, i) === 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val lsb = imask.bitwiseAND(-imask)
+    val fiOk = col("bi") === bit_count(lsb - 1)
+    val m2 = imask - lsb
+    val siOk = col("sbi") === bit_count(m2.bitwiseAND(-m2) - 1)
+    val hamming = (bit_count(xh) + bit_count(xv)).cast("long")
+
+    def sides(df: DataFrame, keys: Seq[String]): (DataFrame, DataFrame) = (
+      df.select((keys.map(col) :+ col("doc_id").as("doc_a") :+ col("h").as("h_a") :+ col("v").as("v_a")): _*),
+      df.select((keys.map(col) :+ col("doc_id").as("doc_b") :+ col("h").as("h_b") :+ col("v").as("v_b")): _*)
+    )
+    val out = Seq(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+    val (ca, cb) = sides(cold, Seq("bi", "bv"))
+    val coldPairs = ca
+      .join(cb, Seq("bi", "bv"))
+      .filter(col("doc_a") < col("doc_b") && hamOk && fiOk)
+      .select(out: _*)
+    val (ha, hb) = sides(hot, Seq("bi", "bv", "sbi", "sbv"))
+    val hotPairs = ha
+      .join(hb, Seq("bi", "bv", "sbi", "sbv"))
+      .filter(col("doc_a") < col("doc_b") && hamOk && fiOk && siOk)
+      .select(out: _*)
+    coldPairs.unionByName(hotPairs)
+  }
+
+  /** C110: WIDE perceptual-hash image near-dup — c105's next rung,
+    * named by its BASELINE adjudication: the 56-bit single-direction
+    * signature caps refinement sub-keys at 6 bits, so the scale fix
+    * is to WIDEN the signature (c92's lesson), not re-tune the
+    * arbitration. Production dHash serves exactly this H+V gradient
+    * pair; the combined 110-bit hamming ≤ 7 is the stricter
+    * calibration next to c105's 56-bit one, both served. Integer
+    * math end-to-end; the oracle recomputes pixels, BOTH gradient
+    * packs and the exhaustive pair set from first principles.
+    */
+  def c110ImageDhashWidePairs(spark: SparkSession, sfDir: String): DataFrame =
+    dhashWidePairsFrom(
+      imageDhashWideSignatures(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+    )
+
   /** C105: perceptual-hash image near-dup — the multimodal member of
     * the dedup family (c1 whole-doc text, c4/c92/c93 text SimHash,
     * c5/c17/c35 embeddings; until now the media columns had decode

@@ -1327,6 +1327,23 @@ object TextAnalysis {
     (inventory.map { case (piece, n) => (piece, n, probs(piece)) }, vocab)
   }
 
+  private val uniCache = new graft.core.AppScopedCache[(Seq[(String, Long, Double)], DataFrame)]
+
+  /** Shared unigram trainer for c109/c111 — cached per (application,
+    * sfDir), c99's posture: a trained tokenizer is a session artifact;
+    * train and apply (and repeated bench passes) must train ONCE.
+    */
+  private def unigramTrained(spark: SparkSession, sfDir: String): (Seq[(String, Long, Double)], DataFrame) =
+    uniCache.getOrElseUpdate(spark.sparkContext, sfDir) {
+      val vocab = Tables
+        .documents(spark, sfDir)
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("cnt"))
+      unigramTrain(vocab)
+    }
+
   /** C109: the unigram-LM tokenizer TRAINER gate query — emits the
     * trained inventory (piece, n_tokens, prob) after the fixed-round
     * hard-EM above. The oracle unrolls the identical chain in SQL:
@@ -1336,18 +1353,48 @@ object TextAnalysis {
     * the count-ranked prune — integer counts everywhere, doubles only
     * in products and one division, so the gate is hash-exact through
     * TRAINING, like c99 and c107. Fertility comparison vs BPE
-    * surfaces through c81's report on the same corpus.
+    * surfaces through c111's segment report on the same corpus.
     */
   def c109UnigramTrain(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val vocab = Tables
-      .documents(spark, sfDir)
-      .select(explode(tokens(col("text"))).as("w"))
-      .filter(length(col("w")) >= 1)
-      .groupBy(col("w"))
-      .agg(count(lit(1)).as("cnt"))
-    val (inventory, _) = unigramTrain(vocab)
+    val (inventory, _) = unigramTrained(spark, sfDir)
     inventory.toDF("piece", "n_tokens", "prob")
+  }
+
+  /** C111: APPLY the trained unigram tokenizer — Viterbi-segment the
+    * vocabulary under the FINAL trained probabilities (one more
+    * row-local DP pass, c100's apply-half posture) and emit the
+    * per-word segmentation record: corpus count, char length, piece
+    * count, and the md5 of the natural-order piece sequence (the
+    * backtrack emits pieces end-to-start, so the fingerprint reverses
+    * them — both engines do). This is the table a fertility or
+    * packing analysis consumes: n_pieces/cnt-weighted sums against
+    * c100's BPE segmentation of the same corpus is the
+    * tokenizer-family comparison, served from one scan of VOCAB rows
+    * (the corpus never re-enters). Oracle = c109's unrolled chain plus
+    * one more recursive forward/backtrack round under p_final —
+    * string/integer output, hash-exact.
+    */
+  def c111UnigramSegment(spark: SparkSession, sfDir: String): DataFrame = {
+    val (inventory, vocab) = unigramTrained(spark, sfDir)
+    unigramSegmented(vocab, inventory)
+  }
+
+  /** The apply pass over any (w, cnt) vocab frame with a trained
+    * inventory — split out so the spec can drive planted vocabularies
+    * through the exact served path.
+    */
+  private[graft] def unigramSegmented(vocab: DataFrame, inventory: Seq[(String, Long, Double)]): DataFrame = {
+    val probs = inventory.map { case (piece, _, p) => piece -> p }.toMap
+    vocab
+      .withColumn("pieces", viterbiPieces(col("w"), probs))
+      .select(
+        col("w"),
+        col("cnt"),
+        length(col("w")).cast("long").as("n_chars"),
+        size(col("pieces")).cast("long").as("n_pieces"),
+        md5(array_join(reverse(col("pieces")), " ")).as("pieces_md5")
+      )
   }
 
   /** Merge-loop lineage bound: the segmentation frame gains one

@@ -1705,6 +1705,35 @@ class OperatorsSpec extends SparkSpec {
     val probSum = inv.map(_._3).sum
     assert(probSum <= 1.0 + 1e-9, s"Laplace probs must not exceed 1: $probSum")
     inv.foreach { case (piece, n, p) => assert(p > 0.0 && n >= 0L, s"invalid row ($piece, $n, $p)") }
+
+    // c111 apply pass over the same plant: every word segments into
+    // trained pieces covering it exactly, multi-char pieces do the
+    // heavy lifting (corpus-weighted fertility beats chars-only), and
+    // the fingerprint is deterministic
+    val invPieces = inv.map(_._1).toSet
+    val seg = TextAnalysis
+      .unigramSegmented(vocab.filter(length($"w") <= UniMaxWordLen), inv)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(seg.nonEmpty)
+    seg.foreach { case (w, _, nChars, nPieces, fp) =>
+      assert(nPieces >= 1 && nPieces <= nChars, s"$w: $nPieces pieces over $nChars chars")
+      assert(fp.length == 32, s"$w: fingerprint not md5")
+    }
+    val segTotal = seg.map { case (_, c, _, np, _) => c * np }.sum
+    val segChars = seg.map { case (_, c, nc, _, _) => c * nc }.sum
+    assert(segTotal < segChars, s"apply fertility must beat chars-only: $segTotal vs $segChars")
+    val seg2 = TextAnalysis
+      .unigramSegmented(vocab.filter(length($"w") <= UniMaxWordLen), inv)
+      .collect()
+      .map(r => (r.getString(0), r.getString(4)))
+      .toMap
+    assert(seg.forall { case (w, _, _, _, fp) => seg2(w) == fp }, "apply must be deterministic")
+    // the word 'abcd' (or any morpheme pair) must segment WITHOUT
+    // falling back to single chars — its pieces are in the inventory
+    val abcd = seg.find(_._1 == "abcd")
+    assert(abcd.exists(_._4 <= 2), s"'abcd' should segment into <= 2 trained pieces, got ${abcd.map(_._4)}")
+    assert(invPieces.exists(p => p.length >= 2 && "abcd".contains(p)), "no multi-char piece covers the plant")
   }
 
   test("c91 BM25: rational-idf scores re-derived bit-for-bit in the JVM; top-k selection exact") {
@@ -2378,6 +2407,79 @@ class OperatorsSpec extends SparkSpec {
       )
     val refineKeys = Multimodal.dhashRefinePlan(blocks)._2.collect().map(r => (r.getInt(0), r.getLong(1)))
     assert(refineKeys.contains((0, bandVal)), s"the planted hot bucket (0, $bandVal) must refine, got ${refineKeys.toSeq}")
+  }
+
+  test("c110 wide dhash: truncation family pairs through the full H+V pipeline; hot bucket matches brute force") {
+    import spark.implicits._
+    // full-pipeline leg: c105's planted truncation family — the wrap
+    // perturbs ≤ 3 horizontal and ≤ 3 vertical gradient bits (row-6
+    // cells 6..8 and their row-5 vertical neighbors), so the family
+    // stays within the combined threshold while unrelated content is
+    // far outside on BOTH packs
+    val prefix = (0 until 70).map(i => s"t$i")
+    val docA = (prefix ++ (70 until 80).map(i => s"a$i")).mkString(" ")
+    val docB = prefix.take(60).mkString(" ")
+    val docFar = (0 until 80).map(i => s"z$i").mkString(" ")
+    val docs = Seq((3L, docA), (6L, docB), (9L, docFar)).toDF("doc_id", "text")
+    val sigs = Multimodal.imageDhashWideSignatures(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    assert(ham(sigs(3L), sigs(6L)) > 0 && ham(sigs(3L), sigs(6L)) <= Multimodal.PhashHammingMax,
+      s"family combined hamming ${ham(sigs(3L), sigs(6L))} outside (0, ${Multimodal.PhashHammingMax}]")
+    assert(ham(sigs(3L), sigs(9L)) > Multimodal.PhashHammingMax, "unrelated payloads too close in H+V")
+    // the gate exercises the sfDir entry point; here drive the frame path
+    val got = Multimodal.dhashWidePairsFrom(Multimodal.imageDhashWideSignatures(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((3L, 6L, ham(sigs(3L), sigs(6L)).toLong)), s"expected exactly the planted pair, got $got")
+
+    // hot-bucket brute-force parity: 200 signatures sharing the full
+    // 14-bit H band 0, other bits spread; planted exact copy, a 3-bit
+    // h family, a 7-bit family split across h and v (threshold kept),
+    // an 8-bit one (dropped)
+    def spread(i: Long, salt: Long): Long = ((i * 0x9E3779B97F4A7C15L + salt) >>> 15)
+    val bandVal = 5285L
+    def hs(i: Long): Long = ((spread(i, 7) & ((1L << 42) - 1)) << 14) | bandVal
+    def vs(i: Long): Long = spread(i, 13) & ((1L << 54) - 1)
+    val base = (0L until 200L).map(i => (i, hs(i), vs(i)))
+    val planted = Seq(
+      (3001L, hs(0) ^ (0x7L << 21), vs(0)),                       // 3 bits in h band 3
+      (3002L, hs(5), vs(5)),                                      // exact copy
+      (3003L, hs(10) ^ ((1L << 8) | (1L << 22) | (1L << 36)), vs(10) ^ ((1L << 1) | (1L << 13) | (1L << 25) | (1L << 40))), // 3+4 = 7 == max
+      (3004L, hs(20) ^ (0xFL << 8), vs(20) ^ (0xFL << 20))        // 8 bits → dropped
+    )
+    val all = base ++ planted
+    val ref = (for {
+      (a, ha2, va) <- all; (b, hb2, vb) <- all if a < b
+      hm = java.lang.Long.bitCount(ha2 ^ hb2) + java.lang.Long.bitCount(va ^ vb)
+      if hm <= Multimodal.PhashHammingMax
+    } yield (a, b, hm.toLong)).toSet
+    assert(ref.exists(_._3 == 0L) && ref.exists(_._3 == Multimodal.PhashHammingMax.toLong))
+    val gotHot = Multimodal.dhashWidePairsFrom(all.toDF("doc_id", "h", "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(gotHot.length == gotHot.toSet.size, "duplicate emits across cold/hot paths")
+    assert(gotHot.toSet == ref, s"missing=${ref -- gotHot.toSet} extra=${gotHot.toSet -- ref}")
+    // the decision must actually have fired — pin the hot routing
+    val bandStructs = Multimodal.WideBandLayout.zipWithIndex.map { case ((s, off, w), i) =>
+      org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.lit(i).as("band_idx"),
+        org.apache.spark.sql.functions
+          .shiftright(col(s), off)
+          .bitwiseAND((1L << w) - 1)
+          .as("bval")
+      )
+    }
+    val blocks = all
+      .toDF("doc_id", "h", "v")
+      .select(
+        col("doc_id"), col("h"), col("v"),
+        org.apache.spark.sql.functions
+          .explode(org.apache.spark.sql.functions.array(bandStructs: _*))
+          .as("b")
+      )
+      .select(col("doc_id"), col("h"), col("v"), col("b.band_idx").as("bi"), col("b.bval").as("bv"))
+    val rk = Multimodal.wideRefinePlan(blocks)._2.collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(rk.contains((0, bandVal)), s"the planted hot bucket (0, $bandVal) must refine, got ${rk.toSeq}")
   }
 
   test("c103 exactsubstr: a 60-token repeat is ONE maximal span, not W-window fragments") {
