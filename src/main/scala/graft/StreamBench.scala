@@ -206,15 +206,17 @@ object StreamBench {
     // (user, pv) join + dedup — the reference's PvKey/EvPvKey stores)
     locally {
       val in = MemoryStream[Event]
-      results += drive(
-        "processor_api_join",
-        eventChunks,
-        in,
-        () =>
-          ProcessorApiJoin.withChainedStatefulAllowed(spark) {
-            noopSink(ProcessorApiJoin(in.toDS(), joinWindowSec = 600, dedupWindowSec = 60).toDF())
-          }
-      )
+      // wrap the FULL drive (start + every processAllAvailable), not
+      // just start(): the chained-stateful correctness check runs
+      // lazily on the stream thread and races a start-scoped wrapper
+      results += ProcessorApiJoin.withChainedStatefulAllowed(spark) {
+        drive(
+          "processor_api_join",
+          eventChunks,
+          in,
+          () => noopSink(ProcessorApiJoin(in.toDS(), joinWindowSec = 600, dedupWindowSec = 60).toDF())
+        )
+      }
     }
 
     spark.conf.set("spark.sql.shuffle.partitions", priorShufflePartitions)

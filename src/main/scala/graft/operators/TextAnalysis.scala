@@ -1918,19 +1918,29 @@ object TextAnalysis {
     * quality signal and shows the trained weights separate it
     * perfectly where c79's md5 weights score at chance.
     */
-  def c107TrainedQuality(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-    val labeled = qualityScored(docs)
+  /** The c107 training pass as a driver-held artifact builder — c9
+    * labels at the threshold over the corpus, counts → cross-product →
+    * quantize, densified to the [[QcDim]]-long vector the scorer
+    * broadcasts. Shared by the gate query and the streaming screen
+    * (train in batch, serve the stream — exactly how a production
+    * quality filter deploys).
+    */
+  def trainedQualityWeightsFor(spark: SparkSession, sfDir: String): Array[Long] = {
+    val labeled = qualityScored(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
       .withColumn("label", (col("quality_score") >= QcLabelThreshold).cast("int"))
       .select(col("label"), col("w"))
     val wq = trainedQualityWeightFrame(labeled)
       .collect()
       .map(r => r.getLong(0).toInt -> r.getLong(1))
       .toMap
-    val weights = Array.tabulate(QcDim)(b => wq.getOrElse(b, 0L))
-    trainedQualityScored(docs, weights)
-      .select(col("doc_id"), col("n_tokens"), col("w_sum"), col("qc_score"), col("admit"))
+    Array.tabulate(QcDim)(b => wq.getOrElse(b, 0L))
   }
+
+  def c107TrainedQuality(spark: SparkSession, sfDir: String): DataFrame =
+    trainedQualityScored(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      trainedQualityWeightsFor(spark, sfDir)
+    ).select(col("doc_id"), col("n_tokens"), col("w_sum"), col("qc_score"), col("admit"))
 
   /** C84: language-ID CONFUSION MATRIX — the classifier-eval report
     * for c8's marker heuristic against the labeled corpus: one row per

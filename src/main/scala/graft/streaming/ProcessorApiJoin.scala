@@ -298,6 +298,15 @@ object ProcessorApiJoin {
     * executes on a cloned session whose conf was captured at start, so
     * restoring on exit never disturbs a running query.
     */
+  /** CALLER CONTRACT (round 13, measured): `body` must span the
+    * query's FULL lifecycle — through awaitTermination /
+    * processAllAvailable — not just `.start()`. The chained-stateful
+    * correctness check runs LAZILY on the stream-execution thread
+    * (MicroBatchExecution analyzes its logical plan there), so a
+    * wrapper that restores the conf as soon as start() returns races
+    * the check; StreamingDemo lost that race reproducibly while the
+    * specs (which processAllAvailable inside the block) never did.
+    */
   def withChainedStatefulAllowed[T](spark: SparkSession)(body: => T): T = {
     val prev = spark.conf.getOption(CheckCorrectnessKey)
     spark.conf.set(CheckCorrectnessKey, "false")

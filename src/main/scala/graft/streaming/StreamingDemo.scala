@@ -101,16 +101,20 @@ object StreamingDemo {
 
     // Processor-API topology: stateful join+dedup per user key
     // (join window widened to 10 min for the synthetic event density)
-    val papi = ProcessorApiJoin.withChainedStatefulAllowed(spark) {
-      ProcessorApiJoin(events, joinWindowSec = 600, dedupWindowSec = 60)
+    // the wrapper must span AWAIT, not just start(): the chained-
+    // stateful correctness check runs lazily on the stream-execution
+    // thread, and a wrapper that restores the conf right after
+    // start() returns races it (measured: the demo lost that race)
+    ProcessorApiJoin.withChainedStatefulAllowed(spark) {
+      val papi = ProcessorApiJoin(events, joinWindowSec = 600, dedupWindowSec = 60)
         .writeStream
         .format("memory")
         .queryName("demo_papi")
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
+      papi.awaitTermination()
     }
-    papi.awaitTermination()
 
     // incremental funnel over the replayed events: per-user min-merge
     // state, last emissions folded to the a9 aggregate — parity is

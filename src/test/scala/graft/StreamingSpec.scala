@@ -1244,6 +1244,32 @@ class StreamingSpec extends SparkSpec {
       "gate data must exercise both admit branches")
   }
 
+  test("streaming trained-quality screen matches batch c107 row-for-row (train batch, serve stream)") {
+    import org.apache.spark.sql.functions.col
+    // the deployment shape: weights trained ONCE in batch (the
+    // driver-held artifact), the stream scored row-locally against
+    // the broadcast literal — c107's serve path verbatim
+    val weights = graft.operators.TextAnalysis.trainedQualityWeightsFor(spark, sf0001)
+    val docs = graft.sources.Tables
+      .documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def screen(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis
+        .trainedQualityScored(df, weights)
+        .select(col("doc_id"), col("n_tokens"), col("w_sum"), col("qc_score"), col("admit"))
+    val streamed = streamStateless(docs, "tqc_out")(screen)
+    val batch = graft.operators.TextAnalysis
+      .c107TrainedQuality(spark, sf0001)
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    assert(streamed == batch)
+    assert(batch.exists(_(4).asInstanceOf[Int] == 1) && batch.exists(_(4).asInstanceOf[Int] == 0),
+      "gate data must exercise both admit branches")
+  }
+
   test("streaming as-of: late older views never regress state; redelivered clicks re-emit identically") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
