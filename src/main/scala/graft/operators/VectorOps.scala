@@ -1102,6 +1102,40 @@ object VectorOps {
     )
   }
 
+  /** Persist a trained IMI (the two half-codebooks) as parquet — one
+    * row per (half, cell id, half-centroid), the same build/serve
+    * contract as [[saveIvfIndex]]/[[savePqIndex]]: a serving session
+    * loads the ≤ 2·hk half-vectors and runs [[imiSearchTrained]] (or,
+    * with [[savePqIndex]]'s codebooks alongside, the full
+    * [[annImiAdc]] composition) with no training pass.
+    */
+  def saveImiIndex(
+      spark: SparkSession,
+      path: String,
+      centsA: Array[Array[Double]],
+      centsB: Array[Array[Double]]
+  ): Unit = {
+    import spark.implicits._
+    (centsA.zipWithIndex.map { case (c, i) => (0, i, c.toSeq) } ++
+      centsB.zipWithIndex.map { case (c, i) => (1, i, c.toSeq) }).toSeq
+      .toDF("half", "cell_id", "centroid")
+      .repartition(1)
+      .write
+      .mode("overwrite")
+      .parquet(path)
+  }
+
+  /** Load a persisted IMI (inverse of [[saveImiIndex]]). */
+  def loadImiIndex(spark: SparkSession, path: String): (Array[Array[Double]], Array[Array[Double]]) = {
+    val rows = spark.read
+      .parquet(path)
+      .select(col("half"), col("cell_id"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def half(h: Int) = rows.filter(_._1 == h).sortBy(_._2).map(_._3)
+    (half(0), half(1))
+  }
+
   /** C108: trained-IMI + residual-ADC — the natural completion of the
     * ANN matrix the r12 verdict asked for: c106's trained (aid, bid)
     * cells composed with c104's residual PQ against the CELL centroid.

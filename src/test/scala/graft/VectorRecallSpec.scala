@@ -322,6 +322,46 @@ class VectorRecallSpec extends SparkSpec {
       s"served top-k diverged from the training session: missing=${(trained -- served).take(3)} extra=${(served -- trained).take(3)}")
   }
 
+  test("IMI build/serve split: the persisted half-codebooks serve identical Multi-D-ADC top-k in a fresh session") {
+    import org.apache.spark.sql.functions.{col, slice, xxhash64}
+    val (cands, queries) = clusteredFrames(spark, nClusters = 8, perCluster = 50)
+    val hk = VectorOps.ImiHalfKFloor
+    val half = 32
+    val centsA = VectorOps.trainCentroids(
+      cands.select(col("neighbor_id"), slice(col("vn"), 1, half).as("vn")), hk, VectorOps.C106Iters)
+    val centsB = VectorOps.trainCentroids(
+      cands.select(col("neighbor_id"), slice(col("vn"), half + 1, half).as("vn")), hk, VectorOps.C106Iters)
+    val seeds = cands
+      .orderBy(xxhash64(col("neighbor_id")))
+      .limit(VectorOps.PqKs)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    val rcb = VectorOps.residualCodebooksImiOf(seeds, centsA, centsB)
+    val nProbes = math.max(VectorOps.ImiCellProbes, 4 * hk)
+    val trained = VectorOps
+      .annImiAdc(cands, queries, centsA, centsB, rcb, nProbes, reRank = 250, topK = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_imi_idx").toString
+    VectorOps.saveImiIndex(spark, dir, centsA, centsB)
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_imi_pq").toString
+    VectorOps.savePqIndex(spark, pqDir, rcb)
+    val serve = spark.newSession()
+    val (la, lb) = VectorOps.loadImiIndex(serve, dir)
+    la.zip(centsA).foreach { case (a, b) => assert(a.sameElements(b), "half A did not round-trip bit-for-bit") }
+    lb.zip(centsB).foreach { case (a, b) => assert(a.sameElements(b), "half B did not round-trip bit-for-bit") }
+    val lcb = VectorOps.loadPqIndex(serve, pqDir)
+    val (cands2, queries2) = clusteredFrames(serve, nClusters = 8, perCluster = 50)
+    val served = VectorOps
+      .annImiAdc(cands2, queries2, la, lb, lcb, nProbes, reRank = 250, topK = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(served == trained,
+      s"served Multi-D-ADC diverged: missing=${(trained -- served).take(3)} extra=${(served -- trained).take(3)}")
+  }
+
   test("PQ-ADC: recall@5 >= 0.9 on clustered embeddings (shortlist must contain the true top-5)") {
     import org.apache.spark.sql.functions.col
     val (cands, queries) = clusteredFrames(spark, nClusters = 20, perCluster = 200)
