@@ -453,13 +453,13 @@ object OracleGen {
     // one EM round: probabilities table pIn(piece, p) -> counts table
     // cntOut(piece, n) via forward fwd + backtrack bt
     def round(r: Int, pIn: String): String =
-      s"""wpl$r AS (SELECT v.w, pos.i, ln.l, p.p
+      s"""wpl$r AS MATERIALIZED (SELECT v.w, pos.i, ln.l, p.p
          |  FROM vocab v
          |  CROSS JOIN (SELECT unnest(generate_series(1, $UniMaxWordLen)) AS i) pos
          |  CROSS JOIN (SELECT unnest(generate_series(1, $UniMaxPieceLen)) AS l) ln
          |  JOIN $pIn p ON p.piece = substr(v.w, pos.i - ln.l + 1, ln.l)
          |  WHERE pos.i <= length(v.w) AND ln.l <= pos.i),
-         |wp$r AS (SELECT w, i, $pPivot FROM wpl$r GROUP BY w, i),
+         |wp$r AS MATERIALIZED (SELECT w, i, $pPivot FROM wpl$r GROUP BY w, i),
          |fwd$r(w, cnt, i, v1, v2, v3, v4, bps) AS (
          |  -- the DP values MUST be typed DOUBLE in the recursive base:
          |  -- bare 1.0 infers DECIMAL(2,1) and the whole recursion then
@@ -478,36 +478,36 @@ object OracleGen {
          |  UNION ALL
          |  SELECT w, cnt, cur - bps[cur], bps, list_append(pieces, substr(w, cur - bps[cur] + 1, bps[cur]))
          |  FROM bt$r WHERE cur > 0),
-         |cnt$r AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n
+         |cnt$r AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n
          |  FROM (SELECT unnest(pieces) AS piece, cnt FROM bt$r WHERE cur = 0) GROUP BY piece)""".stripMargin
     // inventory after round r: chars keep their (possibly 0) counts,
     // multi-char pieces with n > 0 ranked (n DESC, piece) keep the top
     def inv(r: Int): String =
-      s"""inv$r AS (
+      s"""inv$r AS MATERIALIZED (
          |  SELECT c.piece, COALESCE(t.n, CAST(0 AS BIGINT)) AS n FROM chars c LEFT JOIN cnt$r t USING (piece)
          |  UNION ALL
          |  SELECT piece, n FROM cnt$r WHERE length(piece) >= 2
          |  QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, piece) <= $UniKeepPieces)""".stripMargin
     def probs(r: Int): String =
-      s"""p$r AS (SELECT piece,
+      s"""p$r AS MATERIALIZED (SELECT piece,
          |  CAST(n + 1 AS DOUBLE) / CAST((SELECT SUM(n) + COUNT(*) FROM inv$r) AS DOUBLE) AS p
          |  FROM inv$r)""".stripMargin
     val rounds = (1 to UniEmRounds)
       .map(r => s"${round(r, s"p${r - 1}")},\n${inv(r)},\n${probs(r)}")
       .mkString(",\n")
     val chain =
-      s"""WITH RECURSIVE voc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+      s"""WITH RECURSIVE voc AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
          |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
          |  WHERE length(w) >= 1 GROUP BY w),
-         |vocab AS (SELECT w, cnt FROM voc WHERE length(w) <= $UniMaxWordLen),
-         |occ AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+         |vocab AS MATERIALIZED (SELECT w, cnt FROM voc WHERE length(w) <= $UniMaxWordLen),
+         |occ AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n FROM (
          |  SELECT substr(v.w, pos.i, ln.l) AS piece, v.cnt
          |  FROM vocab v
          |  CROSS JOIN (SELECT unnest(generate_series(1, $UniMaxWordLen)) AS i) pos
          |  CROSS JOIN (SELECT unnest(generate_series(1, $UniMaxPieceLen)) AS l) ln
          |  WHERE pos.i + ln.l - 1 <= length(v.w)) GROUP BY piece),
          |chars AS (SELECT piece, n FROM occ WHERE length(piece) = 1),
-         |inv0 AS (
+         |inv0 AS MATERIALIZED (
          |  SELECT piece, n FROM chars
          |  UNION ALL
          |  SELECT piece, n FROM occ WHERE length(piece) >= 2

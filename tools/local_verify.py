@@ -3,7 +3,7 @@
 parquet dumps, run each oracle SQL in DuckDB over the same sf dir, and
 compare (sort columns by name, sort rows, value-compare). Dev tool only —
 the graft library itself is pure Scala/Spark."""
-import json, sys, math
+import json, os, sys, math
 import duckdb
 import pandas as pd
 
@@ -16,7 +16,11 @@ only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # table-subset scale dirs (gen_sf.py documents-only runs) lack most
+    # tables; a query touching a missing view then fails loudly at
+    # exec time, which is the right failure for a subset compare
+    if os.path.exists(f"{sf_dir}/{t}.parquet"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
