@@ -132,11 +132,20 @@ object Bench {
       val ts = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case NonFatal(_) => None }
+        catch {
+          case NonFatal(e) =>
+            // surface the cause — a swallowed solo failure once hid behind
+            // a Double.MaxValue median printed as a ~310-digit literal
+            System.err.println(s"[bench] solo rerun of $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            None
+        }
       }
-      name -> (if (ts.isEmpty) Double.MaxValue else ts.sorted.apply(ts.size / 2))
+      // all-solo-passes-failed → sentinel -1 (kept in `regressed`, never
+      // `cleared`: a query that cannot even run solo is not contention)
+      name -> (if (ts.isEmpty) -1.0 else ts.sorted.apply(ts.size / 2))
     }.toMap
-    val (stillRegressed, clearedSolo) = flaggedRaw.partition(k => rerun(k) / baseline(k) > 2.0)
+    val (stillRegressed, clearedSolo) =
+      flaggedRaw.partition(k => rerun(k) < 0.0 || rerun(k) / baseline(k) > 2.0)
     val regressed = stillRegressed
       .map(r => "\"" + r + "\"")
       .mkString("[", ",", "]")

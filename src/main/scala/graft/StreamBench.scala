@@ -138,88 +138,93 @@ object StreamBench {
     spark.conf.set("spark.sql.shuffle.partitions", streamParts.toString)
 
     val results = scala.collection.mutable.ArrayBuffer.empty[TopoResult]
+    // a drive that throws must not leave the shared session at the
+    // streaming-sized shuffle setting for whoever reuses it
+    try {
 
-    // 1. windowed first-wins dedup (DeduplicationExample topology)
-    locally {
-      val in = MemoryStream[Event]
-      results += drive(
-        "first_wins_dedup",
-        eventChunks,
-        in,
-        () => noopSink(StreamingOps.firstWinsDedup(in.toDS(), windowSec = 900).toDF())
-      )
-    }
-
-    // 2. tumbling windowed counts + exact money sum
-    locally {
-      val in = MemoryStream[Event]
-      results += drive(
-        "windowed_counts",
-        eventChunks,
-        in,
-        () => noopSink(StreamingOps.windowedCounts(in.toDS().toDF(), "15 minutes", "10 minutes"))
-      )
-    }
-
-    // 3. stream-stream interval LEFT join (clickstream enrich): clicks
-    // against views, both legs replayed on the same schedule. The
-    // view leg rides a second MemoryStream fed in lockstep (chunk i of
-    // both legs before each processAllAvailable).
-    locally {
-      val clicks = MemoryStream[(Long, Long, Timestamp)]
-      val views = MemoryStream[(Long, Long, Timestamp)]
-      val clickChunks = chunked(
-        events.collect { case e if e.event_type == "click" => (e.event_id, e.user_id, e.ts) }
-      )
-      val viewChunks = chunked(
-        events.collect { case e if e.event_type == "view" => (e.event_id, e.user_id, e.ts) }
-      )
-      val t0 = System.nanoTime()
-      val q = noopSink(
-        StreamingOps.clickstreamLeftJoin(
-          clicks.toDS().toDF("click_id", "user_id", "click_ts"),
-          views.toDS().toDF("v_id", "v_user", "v_ts"),
-          joinWindowSec = 600
-        )
-      )
-      clickChunks.zipAll(viewChunks, Seq.empty, Seq.empty).foreach { case (c, v) =>
-        if (c.nonEmpty) clicks.addData(c)
-        if (v.nonEmpty) views.addData(v)
-        q.processAllAvailable()
-      }
-      val sec = (System.nanoTime() - t0) / 1e9
-      val progs = q.recentProgress.filter(_.numInputRows > 0)
-      val batchMs = progs.flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong)).sorted
-      val maxState = progs.flatMap(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal)).foldLeft(0L)(math.max)
-      q.stop()
-      results += TopoResult(
-        "interval_left_join",
-        (clickChunks.map(_.size.toLong) ++ viewChunks.map(_.size.toLong)).sum,
-        sec,
-        progs.length,
-        if (batchMs.nonEmpty) batchMs(batchMs.length / 2) else -1L,
-        maxState
-      )
-    }
-
-    // 4. Processor-API composite-key topology (attribution rekey →
-    // (user, pv) join + dedup — the reference's PvKey/EvPvKey stores)
-    locally {
-      val in = MemoryStream[Event]
-      // wrap the FULL drive (start + every processAllAvailable), not
-      // just start(): the chained-stateful correctness check runs
-      // lazily on the stream thread and races a start-scoped wrapper
-      results += ProcessorApiJoin.withChainedStatefulAllowed(spark) {
-        drive(
-          "processor_api_join",
+      // 1. windowed first-wins dedup (DeduplicationExample topology)
+      locally {
+        val in = MemoryStream[Event]
+        results += drive(
+          "first_wins_dedup",
           eventChunks,
           in,
-          () => noopSink(ProcessorApiJoin(in.toDS(), joinWindowSec = 600, dedupWindowSec = 60).toDF())
+          () => noopSink(StreamingOps.firstWinsDedup(in.toDS(), windowSec = 900).toDF())
         )
       }
-    }
 
-    spark.conf.set("spark.sql.shuffle.partitions", priorShufflePartitions)
+      // 2. tumbling windowed counts + exact money sum
+      locally {
+        val in = MemoryStream[Event]
+        results += drive(
+          "windowed_counts",
+          eventChunks,
+          in,
+          () => noopSink(StreamingOps.windowedCounts(in.toDS().toDF(), "15 minutes", "10 minutes"))
+        )
+      }
+
+      // 3. stream-stream interval LEFT join (clickstream enrich): clicks
+      // against views, both legs replayed on the same schedule. The
+      // view leg rides a second MemoryStream fed in lockstep (chunk i of
+      // both legs before each processAllAvailable).
+      locally {
+        val clicks = MemoryStream[(Long, Long, Timestamp)]
+        val views = MemoryStream[(Long, Long, Timestamp)]
+        val clickChunks = chunked(
+          events.collect { case e if e.event_type == "click" => (e.event_id, e.user_id, e.ts) }
+        )
+        val viewChunks = chunked(
+          events.collect { case e if e.event_type == "view" => (e.event_id, e.user_id, e.ts) }
+        )
+        val t0 = System.nanoTime()
+        val q = noopSink(
+          StreamingOps.clickstreamLeftJoin(
+            clicks.toDS().toDF("click_id", "user_id", "click_ts"),
+            views.toDS().toDF("v_id", "v_user", "v_ts"),
+            joinWindowSec = 600
+          )
+        )
+        clickChunks.zipAll(viewChunks, Seq.empty, Seq.empty).foreach { case (c, v) =>
+          if (c.nonEmpty) clicks.addData(c)
+          if (v.nonEmpty) views.addData(v)
+          q.processAllAvailable()
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val progs = q.recentProgress.filter(_.numInputRows > 0)
+        val batchMs = progs.flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong)).sorted
+        val maxState = progs.flatMap(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal)).foldLeft(0L)(math.max)
+        q.stop()
+        results += TopoResult(
+          "interval_left_join",
+          (clickChunks.map(_.size.toLong) ++ viewChunks.map(_.size.toLong)).sum,
+          sec,
+          progs.length,
+          if (batchMs.nonEmpty) batchMs(batchMs.length / 2) else -1L,
+          maxState
+        )
+      }
+
+      // 4. Processor-API composite-key topology (attribution rekey →
+      // (user, pv) join + dedup — the reference's PvKey/EvPvKey stores)
+      locally {
+        val in = MemoryStream[Event]
+        // wrap the FULL drive (start + every processAllAvailable), not
+        // just start(): the chained-stateful correctness check runs
+        // lazily on the stream thread and races a start-scoped wrapper
+        results += ProcessorApiJoin.withChainedStatefulAllowed(spark) {
+          drive(
+            "processor_api_join",
+            eventChunks,
+            in,
+            () => noopSink(ProcessorApiJoin(in.toDS(), joinWindowSec = 600, dedupWindowSec = 60).toDF())
+          )
+        }
+      }
+
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", priorShufflePartitions)
+    }
 
     val topoJson = results.map(_.json).mkString("{", ",", "}")
     println(

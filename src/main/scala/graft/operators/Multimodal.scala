@@ -424,12 +424,15 @@ object Multimodal {
   }
 
   /** c110's measured refine plan — c93's level-1 arbitration on the
-    * 17-band algebra: with ≥ 2 intact bands guaranteed, hot-bucket
-    * members re-key on their LATER bands only (the emit point
+    * 9-band algebra ([[WideBandLayout]]: 4×14-bit H + 4×11-bit +
+    * 1×10-bit V; a 17-narrow-band first cut measured 6.4× slower and
+    * was rejected — band count vs key width is a measured design
+    * rule): with ≥ 2 intact bands guaranteed at hamming ≤ 7, hot-
+    * bucket members re-key on their LATER bands only (the emit point
     * (first, second intact) always has second > first — c93's
     * halving), and a bucket refines iff the measured census says the
-    * re-key wins: Σ sub² + Σ sub < n². Full-band sub-keys (6-7 bits
-    * per band, but conditioned on a shared first band the sub-bucket
+    * re-key wins: Σ sub² + Σ sub < n². Full-band sub-keys (10-14 bits
+    * per band, and conditioned on a shared first band the sub-bucket
     * spread is the OTHER signature dimension's) — the width c105's
     * 49-remaining-bit split could not offer.
     */
@@ -468,12 +471,13 @@ object Multimodal {
   }
 
   /** The banded near-dup join over any (doc_id, h, v) wide-signature
-    * frame — c93's two-path emit algebra on the 17-band layout: a
-    * pair lives in the cold path iff its FIRST intact band's bucket
-    * is cold (emit at bi = first intact), else in the hot path (emit
-    * at bi = first, sbi = SECOND intact — which exists because 7
-    * differing bits leave ≥ 10 of 17 bands intact). Hamming-first
-    * filter; everything row-local bit math, no distinct().
+    * frame — c93's two-path emit algebra on the 9-band layout
+    * ([[WideBandLayout]]): a pair lives in the cold path iff its
+    * FIRST intact band's bucket is cold (emit at bi = first intact),
+    * else in the hot path (emit at bi = first, sbi = SECOND intact —
+    * which exists because 7 differing bits leave ≥ 2 of 9 bands
+    * intact). Hamming-first filter; everything row-local bit math,
+    * no distinct().
     */
   def dhashWidePairsFrom(sigIn: DataFrame): DataFrame = {
     val sig = sigIn.localCheckpoint()

@@ -1279,10 +1279,18 @@ object TextAnalysis {
     * [[UniEmRounds]] hard-EM rounds, plus the vocab frame — shared by
     * the gate query and the spec.
     */
-  private[graft] def unigramTrain(vocab0: DataFrame): (Seq[(String, Long, Double)], DataFrame) = {
-    val vocab = vocab0.filter(length(col("w")) <= UniMaxWordLen).localCheckpoint()
-    // seed counts: chars = every occurrence; multi-char = top
-    // UniSeedCandidates substrings by (raw occurrence count, piece)
+  /** The bounded seed plan over a (w, cnt) vocab frame: (single-char
+    * frame, top-[[UniSeedCandidates]] multi-char frame), both as
+    * (piece, n) with n = raw occurrence count. The multi-char prune
+    * runs ENGINE-side — orderBy(n DESC, piece) + limit, which Spark
+    * plans as TakeOrderedAndProject (per-partition top-K heaps, one
+    * K-row merge on the driver) — so driver traffic is alphabet +
+    * [[UniSeedCandidates]] rows no matter the corpus: the full
+    * distinct-substring frame (|vocab| × ~64 pieces; billions of rows
+    * on a 10⁸-token web vocabulary) never leaves the executors.
+    * Split out so the spec can assert the bound on the plan itself.
+    */
+  private[graft] def uniSeedFrames(vocab: DataFrame): (DataFrame, DataFrame) = {
     val occ = vocab
       .select(
         explode(
@@ -1304,13 +1312,30 @@ object TextAnalysis {
       )
       .groupBy(col("piece"))
       .agg(sum(col("cnt")).as("n"))
+    val chars = occ.filter(length(col("piece")) === 1)
+    val seeds = occ
+      .filter(length(col("piece")) >= 2)
+      .orderBy(col("n").desc, col("piece"))
+      .limit(UniSeedCandidates)
+    (chars, seeds)
+  }
+
+  private[graft] def unigramTrain(vocab0: DataFrame): (Seq[(String, Long, Double)], DataFrame) = {
+    val vocab = vocab0.filter(length(col("w")) <= UniMaxWordLen).localCheckpoint()
+    // seed counts: chars = every occurrence; multi-char = top
+    // UniSeedCandidates substrings by (raw occurrence count, piece) —
+    // pruned engine-side ([[uniSeedFrames]]), collected bounded; the
+    // driver re-sorts with the same key so inventory order is
+    // engine-independent
+    val (charsDf, seedsDf) = uniSeedFrames(vocab)
+    val chars = charsDf
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
-    val chars = occ.filter(_._1.length == 1).sortBy(_._1)
-    val seeds = occ
-      .filter(_._1.length >= 2)
+      .sortBy(_._1)
+    val seeds = seedsDf
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
       .sortBy { case (piece, n) => (-n, piece) }
-      .take(UniSeedCandidates)
     var inventory: Seq[(String, Long)] = (chars ++ seeds).toSeq
     (1 to UniEmRounds).foreach { _ =>
       val counted = viterbiCounts(vocab, uniProbs(inventory)).toMap
@@ -1852,7 +1877,17 @@ object TextAnalysis {
     * aggregates; nothing else touches the exchange. Quantization also
     * bounds the SERVED sum: |w_sum| ≤ QcScale·n_tokens regardless of
     * corpus size (raw counts would overflow BIGINT near 10^12
-    * tokens).
+    * tokens). TRAINING bound, enforced loudly: the cross-product
+    * weights are exact only while t_pos·t_neg fits in BIGINT (since
+    * pos(b) ≤ t_pos and neg(b) ≤ t_neg, |w_raw| ≤ t_pos·t_neg) —
+    * roughly 3×10⁹ token occurrences per side, ~6×10⁹ total. Past
+    * that, non-ANSI Spark would WRAP silently and train wrong
+    * weights, so the plan carries an assert_true on the 1-row totals
+    * frame: a corpus over the bound fails the training job with this
+    * message instead of serving a corrupted artifact (shard the
+    * label sample or widen both engine and oracle to DECIMAL(38,0)
+    * to go past it — a quality filter trains on a SAMPLE at 100 TB
+    * anyway).
     */
   def trainedQualityWeightFrame(labeled: DataFrame): DataFrame = {
     val occ = labeled
@@ -1863,10 +1898,26 @@ object TextAnalysis {
         sum(when(col("label") === 1, 1L).otherwise(0L)).as("pos_cnt"),
         sum(when(col("label") === 1, 0L).otherwise(1L)).as("neg_cnt")
       )
-    val totals = occ.agg(sum(col("pos_cnt")).as("t_pos"), sum(col("neg_cnt")).as("t_neg"))
+    val totals = occ
+      .agg(sum(col("pos_cnt")).as("t_pos"), sum(col("neg_cnt")).as("t_neg"))
+      .select(
+        col("t_pos"),
+        col("t_neg"),
+        assert_true(
+          col("t_neg") === 0L || col("t_pos") <= lit(Long.MaxValue) / col("t_neg"),
+          lit(
+            "c107 training bound exceeded: t_pos*t_neg must fit in BIGINT " +
+              "(~6e9 token occurrences) or the cross-product weights wrap silently; " +
+              "train on a sample or widen engine+oracle to DECIMAL(38,0)"
+          )
+        ).as("_bound_ok")
+      )
     val raw = occ
       .crossJoin(broadcast(totals))
-      .select(col("bucket"), (col("pos_cnt") * col("t_neg") - col("neg_cnt") * col("t_pos")).as("w_raw"))
+      .select(
+        col("bucket"),
+        when(col("_bound_ok").isNull, col("pos_cnt") * col("t_neg") - col("neg_cnt") * col("t_pos")).as("w_raw")
+      )
     val maxAbs = raw.agg(max(abs(col("w_raw"))).as("max_abs"))
     raw
       .crossJoin(broadcast(maxAbs))

@@ -1736,6 +1736,49 @@ class OperatorsSpec extends SparkSpec {
     assert(invPieces.exists(p => p.length >= 2 && "abcd".contains(p)), "no multi-char piece covers the plant")
   }
 
+  test("c109 seed selection: driver traffic bounded — multi-char prune is engine-side and matches a full-frame reference") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis.{UniMaxPieceLen, UniSeedCandidates, uniSeedFrames}
+    // a vocabulary whose distinct-substring frame (what an unbounded
+    // seed step would collect) far exceeds chars + UniSeedCandidates
+    val words = (0 until 400).map(i => (f"w$i%03dabcd", (i % 7 + 1).toLong))
+    val (charsDf, seedsDf) = uniSeedFrames(words.toDF("w", "cnt"))
+    // the prune is IN THE PLAN: orderBy+limit plans as a per-partition
+    // top-K (TakeOrderedAndProject), never a full collect
+    val plan = seedsDf.queryExecution.executedPlan.toString
+    assert(
+      plan.contains("TakeOrderedAndProject") || plan.contains(s"GlobalLimit $UniSeedCandidates"),
+      s"seed prune must be engine-side (TakeOrdered/GlobalLimit), plan was:\n$plan"
+    )
+    val seeds = seedsDf.collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(seeds.length == UniSeedCandidates, s"expected exactly $UniSeedCandidates seeds, got ${seeds.length}")
+    assert(seeds.forall(_._1.length >= 2))
+    // the engine-side top-48 equals the full-frame driver reference
+    // (the pre-refactor selection): same (n DESC, piece) key
+    val occRef = words
+      .flatMap { case (w, cnt) =>
+        for {
+          i <- 0 until w.length
+          l <- 1 to UniMaxPieceLen
+          if i + l <= w.length
+        } yield (w.substring(i, i + l), cnt)
+      }
+      .groupBy(_._1)
+      .map { case (p, xs) => p -> xs.map(_._2).sum }
+    val refSeeds = occRef.toSeq
+      .filter(_._1.length >= 2)
+      .sortBy { case (piece, n) => (-n, piece) }
+      .take(UniSeedCandidates)
+    assert(
+      seeds.sortBy { case (p, n) => (-n, p) }.toSeq == refSeeds,
+      "engine-side seed prune must select the identical inventory"
+    )
+    // the chars frame is alphabet-bounded: exactly the distinct chars
+    val chars = charsDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val refChars = occRef.filter(_._1.length == 1)
+    assert(chars == refChars, "chars frame must carry exact per-char occurrence counts")
+  }
+
   test("c91 BM25: rational-idf scores re-derived bit-for-bit in the JVM; top-k selection exact") {
     import graft.operators.TextAnalysis.{Bm25K1, Bm25B, Bm25TopK, Bm25Queries}
     val docs = graft.sources.Tables
