@@ -183,7 +183,7 @@ object Bench {
     // annotate every consumer so a ~0.02x ratio reads as amortization,
     // not a speedup
     val amortized =
-      """["c3_dedup_minhash_lsh","c16_dedup_clusters","c33_canonical_corpus","c34_cross_source_neardups","c45_quality_canonical","c51_cluster_sizes","c55_neardup_incremental","c76_dedup_card","c85_dedup_sweep","c57_rag_retrieval","c97_cross_rerank","c98_hybrid_rrf","c99_bpe_train","c100_bpe_segment","c109_unigram_train","c111_unigram_segment"]"""
+      """["c3_dedup_minhash_lsh","c16_dedup_clusters","c33_canonical_corpus","c34_cross_source_neardups","c45_quality_canonical","c51_cluster_sizes","c55_neardup_incremental","c76_dedup_card","c85_dedup_sweep","c57_rag_retrieval","c97_cross_rerank","c98_hybrid_rrf","c99_bpe_train","c100_bpe_segment","c109_unigram_train","c111_unigram_segment","c107_trained_quality"]"""
     // detail line FIRST, compact headline LAST: the driver's tail capture
     // keeps the END of the output, so the last printed line is the one
     // guaranteed to survive. Round 6 printed only the long line (headline

@@ -129,8 +129,30 @@ object GraftSql {
       |  )
       |GROUP BY p.p_brand""".stripMargin
 
+  /** Engine-side form of [[Q17Sql]] (round-14, guide §2.4): the two
+    * correlated scalar subqueries decorrelate into two SEPARATE
+    * per-partkey aggregates over lineitem (the before plan scans
+    * lineitem three times). Both subqueries aggregate the same group —
+    * COUNT(*) and SUM(quantity) per l_partkey — so one shared
+    * aggregate serves both sides of the predicate. Equivalence: every
+    * outer row comes from the lineitem join, so its partkey group is
+    * non-empty (both subqueries bind non-NULL, exactly as the shared
+    * aggregate row does); the comparison stays in exact decimal. The
+    * oracle keeps [[Q17Sql]]; the gate hash proves equivalence.
+    */
+  val Q17EngineSql: String =
+    """WITH a AS (
+      |  SELECT l_partkey, COUNT(*) AS cnt, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT p.p_brand, COUNT(*) AS n_heavy
+      |FROM part p
+      |JOIN lineitem l ON l.l_partkey = p.p_partkey
+      |JOIN a ON a.l_partkey = p.p_partkey
+      |WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * a.cnt > 2 * a.sq
+      |GROUP BY p.p_brand""".stripMargin
+
   def b19SqlCorrelated(spark: SparkSession, sfDir: String): DataFrame =
-    sql(spark, sfDir, Q17Sql)
+    sql(spark, sfDir, Q17EngineSql)
 
   /** B23: TPC-H Q21 shape — the hardest correlation pattern in the
     * suite: a correlated EXISTS and a correlated NOT EXISTS against the
@@ -158,6 +180,11 @@ object GraftSql {
       |ORDER BY numwait DESC, suppkey
       |LIMIT 20""".stripMargin
 
+  // round-14 examined, deliberately NOT rewritten: replacing the
+  // semi/anti joins with one per-order distinct-supplier aggregate was
+  // measured SLOWER warm at sf0.1 (0.8 s original vs 1.3 s two-agg vs
+  // 2.0 s distinct-Expand in one-session A/B) — the decorrelated
+  // semi/anti pair broadcasts and never touches a distinct buffer.
   def b23SqlQ21(spark: SparkSession, sfDir: String): DataFrame =
     sql(spark, sfDir, Q21Sql)
 
@@ -224,8 +251,31 @@ object GraftSql {
       |ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
       |LIMIT 100""".stripMargin
 
+  /** Engine-side form of [[Q18Sql]] (round-14, guide §2.4): the IN
+    * subquery's per-order quantity aggregate and the outer per-order
+    * re-aggregate run over the SAME group (o_orderkey is unique, the
+    * customer/order attributes are functionally determined by it), so
+    * one lineitem aggregate serves as both the filter and the output
+    * sum — the before plan carried 12 HashAggregates / 10 scans, this
+    * one aggregate + 3 scans. The ORDER BY is total (orderkey unique)
+    * so LIMIT 100 is deterministic in both forms. The oracle keeps
+    * [[Q18Sql]]; the gate hash proves equivalence.
+    */
+  val Q18EngineSql: String =
+    """WITH oq AS (
+      |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+      |  CAST(oq.sq AS DOUBLE) AS sum_qty
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN oq ON oq.l_orderkey = o.o_orderkey
+      |WHERE oq.sq > 200
+      |ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+      |LIMIT 100""".stripMargin
+
   def b26SqlQ18(spark: SparkSession, sfDir: String): DataFrame =
-    sql(spark, sfDir, Q18Sql)
+    sql(spark, sfDir, Q18EngineSql)
 
   /** B27: TPC-H Q15 shape ("top supplier") — an aggregate CTE consumed
     * twice: once as the join input, once under an uncorrelated scalar
@@ -502,8 +552,45 @@ object GraftSql {
       |ORDER BY s.s_acctbal DESC, nation, s.s_name, p.p_partkey
       |LIMIT 100""".stripMargin
 
+  /** Engine-side form of [[Q2Sql]] (round-14, guide §2.4/§7.2): the
+    * correlated MIN subquery made Spark build the `ps` aggregate (a
+    * full lineitem scan + (partkey, suppkey) decimal-sum exchange)
+    * TWICE — once for the outer join tree, once decorrelated under the
+    * min — plus two sort-merge joins to stitch the correlation back
+    * (18 scans total in the before plan). The window form computes the
+    * Europe-restricted supplier-cost frame ONCE and takes
+    * MIN(supplycost) OVER (PARTITION BY l_partkey) — same value the
+    * correlated subquery binds for every outer row (the subquery's
+    * only correlation is l_partkey = p_partkey and its region filter
+    * matches), then keeps rows at the minimum. Ties keep every minimal
+    * row in both forms; supplycost is never NULL (sum over a non-empty
+    * group). One lineitem scan, one aggregate exchange, one window
+    * exchange — the duplicate subtree is gone. The DuckDB oracle keeps
+    * running [[Q2Sql]]; the gate hash proves equivalence.
+    */
+  val Q2EngineSql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS supplycost
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+      |eu AS (
+      |  SELECT ps.l_partkey, ps.supplycost, s.s_acctbal, s.s_name, n.n_name
+      |  FROM ps
+      |  JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |  JOIN region r ON r.r_regionkey = n.n_regionkey
+      |  WHERE r.r_name = 'EUROPE'),
+      |w AS (
+      |  SELECT eu.*, MIN(supplycost) OVER (PARTITION BY l_partkey) AS mc FROM eu)
+      |SELECT w.s_acctbal, w.s_name, w.n_name AS nation, p.p_partkey,
+      |  CAST(w.supplycost AS DOUBLE) AS supplycost
+      |FROM part p
+      |JOIN w ON w.l_partkey = p.p_partkey
+      |WHERE p.p_size <= 15 AND p.p_type = 'LARGE' AND w.supplycost = w.mc
+      |ORDER BY w.s_acctbal DESC, nation, w.s_name, p.p_partkey
+      |LIMIT 100""".stripMargin
+
   def b35SqlQ2(spark: SparkSession, sfDir: String): DataFrame =
-    sql(spark, sfDir, Q2Sql)
+    sql(spark, sfDir, Q2EngineSql)
 
   /** B36: TPC-H Q16 shape ("parts/supplier relationship") — COUNT
     * DISTINCT over a NOT IN-filtered bridge: how many distinct
@@ -620,11 +707,9 @@ object GraftSql {
   /** B40: explicit GROUPING SETS — the general form b6's ROLLUP and
     * b14's CUBE are sugar for, plus the GROUPING() markers that let a
     * consumer distinguish "NULL because aggregated away" from "NULL in
-    * the data" (the reason every BI layer emits them). One Expand +
-    * one aggregate exchange regardless of how many sets — the same
-    * single-pass plan as the sugared forms; markers cast BIGINT
-    * (Spark emits TINYINT/INT, DuckDB BIGINT — the width meta-spec
-    * rule).
+    * the data" (the reason every BI layer emits them). This text stays
+    * the ORACLE side (DuckDB); markers cast BIGINT (Spark emits
+    * TINYINT/INT, DuckDB BIGINT — the width meta-spec rule).
     */
   val GroupingSetsSql: String =
     """SELECT l_returnflag, l_linestatus,
@@ -635,8 +720,33 @@ object GraftSql {
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())""".stripMargin
 
+  /** Engine-side two-phase form of [[GroupingSetsSql]] (round-14, guide
+    * §2.3): the grouping-sets Expand multiplies its input by the number
+    * of sets, so it runs over the finest-grouping PARTIAL (≤ |rf×ls|
+    * rows), not over lineitem — the fact table is aggregated once,
+    * map-side-combined. Exact by decimal/long associativity
+    * (Σ_sets Σ_group ≡ Σ_rows bit-for-bit; the double cast stays at the
+    * edge); GROUPING() markers are a property of the grouping-set
+    * shape, not of the input rows, so they are unchanged. Equivalence
+    * is oracle-proven: the DuckDB side keeps running the direct text
+    * above and the gate hash must not move.
+    */
+  val GroupingSetsEngineSql: String =
+    """WITH base AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s,
+      |    COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+      |  CAST(CAST(SUM(s) AS DECIMAL(28,2)) AS DOUBLE) AS sum_qty,
+      |  SUM(cnt) AS n
+      |FROM base
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())""".stripMargin
+
   def b40GroupingSets(spark: SparkSession, sfDir: String): DataFrame =
-    sql(spark, sfDir, GroupingSetsSql)
+    sql(spark, sfDir, GroupingSetsEngineSql)
 
   /** B41's SQL parameterized on the source table so the spec can run
     * the IDENTICAL text against a synthetic orders view with a planted
@@ -735,8 +845,45 @@ object GraftSql {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1""".stripMargin
 
+  /** Engine-side form of [[MultiDistinctSql]] (round-14): same
+    * single-pass Expand plan, but the revenue term rides the gid=0
+    * branch as TWO long sums over the unscaled product instead of one
+    * decimal sum — a decimal(23,4) aggregation buffer in the 5-key
+    * Expand hash aggregate forces the non-vectorized BigDecimal update
+    * path for EVERY expanded row (4x the join output), measured 2.7 s
+    * vs 1.5 s for the identical aggregate with long-only buffers at
+    * sf0.1. Exactness: u = unscaled(price_dec18_2) x (100 −
+    * unscaled(disc_dec3_2)) IS price x (1−disc) at scale 4 as an
+    * integer (u ≤ 1e10, non-negative by data contract); the hi/lo split
+    * at 10^5 keeps both partial sums < 2^63 to ~9e13 rows per
+    * order_year (far past 100 TB's ~4e11 lineitem rows); the final
+    * reconstruction (hi*1e5 + lo)/1e4 runs once per group in decimal
+    * and casts to double, which is the same correctly-rounded value the
+    * direct decimal sum produces. The DuckDB oracle keeps running
+    * [[MultiDistinctSql]]; the gate hash proves equivalence.
+    */
+  val MultiDistinctEngineSql: String =
+    """WITH j AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      |    o_custkey, l_suppkey, l_partkey,
+      |    unscaled_long(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |      * (100 - unscaled_long(CAST(l_discount AS DECIMAL(3,2)))) AS u
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |a AS (
+      |  SELECT order_year,
+      |    COUNT(*) AS n_lines,
+      |    COUNT(DISTINCT o_custkey) AS n_customers,
+      |    COUNT(DISTINCT l_suppkey) AS n_suppliers,
+      |    COUNT(DISTINCT l_partkey) AS n_parts,
+      |    SUM(u DIV 100000) AS hi,
+      |    SUM(u % 100000) AS lo
+      |  FROM j GROUP BY 1)
+      |SELECT order_year, n_lines, n_customers, n_suppliers, n_parts,
+      |  CAST((CAST(hi AS DECIMAL(38,0)) * 100000 + lo) / 10000 AS DOUBLE) AS revenue
+      |FROM a""".stripMargin
+
   def b46MultiDistinct(spark: SparkSession, sfDir: String): DataFrame =
-    sql(spark, sfDir, MultiDistinctSql)
+    sql(spark, sfDir, MultiDistinctEngineSql)
 
   /** B49: INTERSECT ALL / EXCEPT ALL — the MULTISET set operations
     * (b8 covered the DISTINCT forms): per-key multiplicities survive,

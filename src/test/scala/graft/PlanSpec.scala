@@ -1647,13 +1647,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("b23: Q21-shape EXISTS/NOT EXISTS decorrelate to keyed semi + anti joins") {
+  test("b23: Q21-shape EXISTS/NOT EXISTS decorrelate to keyed semi + anti joins; values re-derived") {
+    import org.apache.spark.sql.functions.col
     val df = GraftSql.b23SqlQ21(spark, sf0001)
-    df.collect()
+    val rows = df.collect()
     val p = plan(df)
     assert(p.contains("LeftSemi"), s"EXISTS did not decorrelate to a semi join:\n$p")
     assert(p.contains("LeftAnti"), s"NOT EXISTS did not decorrelate to an anti join:\n$p")
     assert(!p.contains("CartesianProduct"))
+    // semantics re-derived against the ORIGINAL correlated definition
+    val li = graft.sources.Tables
+      .lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val ordF = graft.sources.Tables
+      .orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .collect()
+      .collect { case r if r.getString(1) == "F" => r.getLong(0) }
+      .toSet
+    val byOrder = li.groupBy(_._1)
+    val want = li
+      .filter { case (ok, sk, rf) =>
+        rf == "R" && ordF.contains(ok) &&
+        byOrder(ok).exists { case (_, sk2, _) => sk2 != sk } &&
+        !byOrder(ok).exists { case (_, sk3, rf3) => sk3 != sk && rf3 == "R" }
+      }
+      .groupBy(_._2)
+      .view
+      .mapValues(_.size.toLong)
+      .toMap
+    val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantTop = want.toSeq.sortBy { case (sk, n) => (-n, sk) }.take(20).toMap
+    assert(got == wantTop, s"got $got want $wantTop")
+    assert(wantTop.nonEmpty, "Q21 predicate never binds at sf0.001")
   }
 
   test("b24: Q22-shape NOT EXISTS decorrelates to a keyed anti join; scalar subqueries run once") {
@@ -1667,12 +1695,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Subquery") || p.contains("subquery"), p)
   }
 
-  test("b26: Q18-shape HAVING-IN plans a keyed semi join; deterministic top-100; values re-derived") {
+  test("b26: Q18-shape — one shared per-order aggregate (no second lineitem pass); deterministic top-100; values re-derived") {
     import org.apache.spark.sql.functions.col
     val df = GraftSql.b26SqlQ18(spark, sf0001)
     val rows = df.collect()
     val p = plan(df)
-    assert(p.contains("LeftSemi"), s"IN subquery did not plan as a semi join:\n$p")
+    // round-14 shape: the HAVING-IN filter and the output sum read the
+    // SAME per-order aggregate — exactly one lineitem scan in the
+    // executed (final) plan section (the AQE string repeats the tree
+    // under "== Initial Plan ==", which would double-count)
+    assert(p.split("== Initial Plan ==").head.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem")) <= 1,
+      s"lineitem must be scanned once:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     // re-derive from the raw tables: quantity sums over integral values
     // are exact, so an independent Scala fold must agree bit-for-bit
@@ -2802,13 +2836,28 @@ class PlanSpec extends SparkSpec {
     assert(want.size == TextAnalysis.BpeTopPairs)
   }
 
-  test("b40: grouping sets — one Expand + one aggregate exchange, all four sets re-derived") {
+  test("b40: grouping sets — two-phase: Expand over the finest-grouping partial, all four sets re-derived") {
     import org.apache.spark.sql.functions.col
     val df = GraftSql.b40GroupingSets(spark, sf0001)
     val rows = df.collect()
     val p = plan(df)
     assert(p.contains("Expand"), s"grouping sets must plan one Expand:\n$p")
-    assert(p.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 2, s"one agg exchange (+AQE read):\n$p")
+    // count exchanges in the executed (final) section only — after
+    // collect() the AQE plan string repeats the tree under
+    // "== Initial Plan ==", which would double-count
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
+      s"two agg exchanges max:\n$p")
+    // round-14 two-phase shape: the Expand's input is the finest-grouping
+    // AGGREGATE, not the fact-table scan — grouping sets never multiply
+    // lineitem rows (guide §2.3). In the printed tree the Expand line must
+    // be followed by a HashAggregate line before any FileScan line.
+    val lines = p.linesIterator.toSeq
+    val iExpand = lines.indexWhere(_.contains("Expand"))
+    val iScan = lines.indexWhere(_.contains("FileScan"))
+    val aggBetween = lines.slice(iExpand + 1, iScan).exists(_.contains("HashAggregate"))
+    assert(iExpand >= 0 && iScan > iExpand && aggBetween,
+      s"Expand must consume the pre-aggregate, not the scan:\n$p")
     val li = graft.sources.Tables
       .lineitem(spark, sf0001)
       .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
