@@ -2097,9 +2097,19 @@ object TextAnalysis {
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .withColumn("dl", size(col("w")).cast("long"))
     val terms = Bm25Queries.flatMap(_._2.split(" ")).distinct
+    val termIdx = terms.zipWithIndex.toMap
+    // round-14: every term frequency comes from ONE native array pass
+    // ([[graft.plans.TermCountsExpr]]) staged as its own column — the
+    // old spelling ran one interpreted (CodegenFallback) ArrayFilter
+    // per (row × query-term) in pass 2 and one array_contains per
+    // (row × term) in pass 1. Counts are the identical integers, so
+    // df/tf and every downstream double are bit-unchanged.
+    val withTc = docs.withColumn("tc", graft.plans.TermCountsExpr.termCounts(col("w"), terms))
     // pass 1: the whole statistics artifact in one aggregate row
-    val dfCols = terms.map(t => count(when(array_contains(col("w"), t), 1)).as(s"df_$t"))
-    val statsRow = docs
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      count(when(element_at(col("tc"), i + 1) > 0, 1)).as(s"df_$t")
+    }
+    val statsRow = withTc
       .agg(count(lit(1)).as("n"), (sum(col("dl")).as("sumdl") +: dfCols): _*)
       .head()
     val nDocs = statsRow.getLong(0)
@@ -2116,14 +2126,14 @@ object TextAnalysis {
         .split(" ")
         .toSeq
         .map { t =>
-          val tf = size(filter(col("w"), x => x === lit(t))).cast("double")
+          val tf = element_at(col("tc"), termIdx(t) + 1).cast("double")
           lit(idf(t)) * ((tf * lit(Bm25K1 + 1.0)) / (tf + norm))
         }
         .reduceLeft(_ + _)
     val perQuery = Bm25Queries.map { case (qid, text) =>
       struct(lit(qid).as("query_id"), qScore(text).as("score"))
     }
-    val scored = docs
+    val scored = withTc
       .select(col("doc_id"), explode(array(perQuery: _*)).as("qs"))
       .select(col("qs.query_id"), col("doc_id"), col("qs.score"))
       .filter(col("score") > 0.0)

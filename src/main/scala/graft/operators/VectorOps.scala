@@ -751,27 +751,33 @@ object VectorOps {
       .filter(col("vec_id") < NumQueryVecs)
       .select(col("vec_id").as("query_id"), col("vn").as("qv"))
 
-    // build: argmax-cosine assignment; ties go to the lowest centroid id
-    // (max of (cos, -cid)), matching the oracle's ORDER BY cos DESC, cid
+    // round-14: assignment and probe ranking through the native
+    // CentroidTopK kernel over DRIVER-COLLECTED centroids (k ≤ lists ∝
+    // √n — the c90/c24 bounded-artifact posture) — same (cos desc, cid
+    // asc) tie rule the crossJoin + max(struct)/row_number forms had,
+    // but zero-shuffle: the n×k crossJoin rows and the per-vector
+    // re-aggregation exchange are gone; both frames are plain
+    // projections over the scan.
+    val centRows: Seq[(Int, Array[Double])] = cent
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+      .toSeq
     val asg = e
       .filter(col("vec_id") >= NumQueryVecs)
-      .crossJoin(broadcast(cent))
-      .withColumn("cos_c", arrayDot(col("vn"), col("cv")))
-      .groupBy(col("vec_id"))
-      .agg(
-        max(struct(col("cos_c"), (-col("cid")).as("ncid"))).as("best"),
-        first(col("vn")).as("vn")
+      .select(
+        col("vec_id").as("neighbor_id"),
+        element_at(graft.plans.CentroidTopK.centroidTopK(col("vn"), centRows, 1), 1)
+          .cast("bigint")
+          .as("list_id"),
+        col("vn")
       )
-      .select(col("vec_id").as("neighbor_id"), (-col("best.ncid")).as("list_id"), col("vn"))
-
-    // search: rank centroids per query, probe the top-nprobe lists
-    val wp = Window.partitionBy(col("query_id")).orderBy(col("cos_c").desc, col("cid"))
     val probes = queries
-      .crossJoin(broadcast(cent))
-      .withColumn("cos_c", arrayDot(col("qv"), col("cv")))
-      .withColumn("pn", row_number().over(wp))
-      .filter(col("pn") <= nprobe)
-      .select(col("query_id"), col("cid").as("list_id"))
+      .select(
+        col("query_id"),
+        explode(graft.plans.CentroidTopK.centroidTopK(col("qv"), centRows, nprobe)).as("lid")
+      )
+      .select(col("query_id"), col("lid").cast("bigint").as("list_id"))
 
     rankTopK(
       asg
@@ -1838,20 +1844,31 @@ object VectorOps {
     */
   def c35SemDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val e = vecs(spark, sfDir)
-    val cent = e
-      .filter(col("vec_id") < SemLists)
-      .select(col("vec_id").as("cid"), col("vn").as("cv"))
-    val asg = e
-      .crossJoin(broadcast(cent))
-      .withColumn("cos_c", arrayDot(col("vn"), col("cv")))
-      .groupBy(col("vec_id"))
-      .agg(
-        max(struct(col("cos_c"), (-col("cid")).as("ncid"))).as("best"),
-        first(col("vn")).as("vn")
-      )
-      .select(col("vec_id"), (-col("best.ncid")).as("list_id"), col("vn"))
+    // round-14: kernel assignment over the 25 driver-collected seed
+    // centroids — the n×25 crossJoin and the per-vector argmax
+    // re-aggregation exchange are gone (same tie rule; see c18).
+    val asg = e.select(
+      col("vec_id"),
+      element_at(graft.plans.CentroidTopK.centroidTopK(col("vn"), semCentRows(spark, sfDir), 1), 1)
+        .cast("bigint")
+        .as("list_id"),
+      col("vn")
+    )
     semDedupAssigned(asg, SemDedupThreshold)
   }
+
+  /** The [[SemLists]] seed centroids, driver-collected (25 × dim
+    * doubles — bounded) for the kernel assignment shared by
+    * c35/c39/c69.
+    */
+  private def semCentRows(spark: SparkSession, sfDir: String): Seq[(Int, Array[Double])] =
+    vecs(spark, sfDir)
+      .filter(col("vec_id") < SemLists)
+      .select(col("vec_id"), col("vn"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+      .toSeq
 
   /** c39 floor: the ~10th percentile of best-centroid cosine on the
     * test embeddings — vectors below it sit far from EVERY cluster
@@ -1870,19 +1887,26 @@ object VectorOps {
     */
   def c39EmbeddingOutliers(spark: SparkSession, sfDir: String): DataFrame = {
     val e = vecs(spark, sfDir)
-    val cent = e
-      .filter(col("vec_id") < SemLists)
-      .select(col("vec_id").as("cid"), col("vn").as("cv"))
-    e.crossJoin(broadcast(cent))
-      .withColumn("cos_c", arrayDot(col("vn"), col("cv")))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("cos_c"), (-col("cid")).as("ncid"))).as("best"))
-      .select(
-        col("vec_id"),
-        (-col("best.ncid")).as("list_id"),
-        col("best.cos_c").as("cos_centroid"),
-        (col("best.cos_c") < OutlierCosFloor).as("is_outlier")
-      )
+    // round-14: kernel assignment (see c35); the best-centroid cosine is
+    // re-read through the native centroid dot — the identical strict
+    // sequential fold over the identical centroid, so the value is
+    // bit-equal to the old crossJoin max's cos_c.
+    val cents = semCentRows(spark, sfDir)
+    val centsArr = cents.map(_._2).toArray
+    e.select(
+      col("vec_id"),
+      element_at(graft.plans.CentroidTopK.centroidTopK(col("vn"), cents, 1), 1).as("lid"),
+      col("vn")
+    ).select(
+      col("vec_id"),
+      col("lid").cast("bigint").as("list_id"),
+      graft.plans.PqKernels.centroidDot(col("vn"), col("lid"), centsArr, 0).as("cos_centroid")
+    ).select(
+      col("vec_id"),
+      col("list_id"),
+      col("cos_centroid"),
+      (col("cos_centroid") < OutlierCosFloor).as("is_outlier")
+    )
   }
 
   /** The trained variant — [[trainCentroids]]' Lloyd quantizer instead
@@ -2068,18 +2092,23 @@ object VectorOps {
         col("label"),
         arrayNormalize(transform(col("embedding"), _.cast("double"))).as("vn")
       )
-    val cent = e
+    // round-14: kernel assignment over the driver-collected seed
+    // centroids (see c35) — no crossJoin, no per-vector re-aggregation;
+    // the ONLY shuffle left is the (list × label) count.
+    val cents = e
       .filter(col("vec_id") < SemLists)
-      .select(col("vec_id").as("cid"), col("vn").as("cv"))
-    val asg = e
-      .crossJoin(broadcast(cent))
-      .withColumn("cos_c", arrayDot(col("vn"), col("cv")))
-      .groupBy(col("vec_id"))
-      .agg(
-        max(struct(col("cos_c"), (-col("cid")).as("ncid"))).as("best"),
-        first(col("label")).as("label")
-      )
-      .select(col("vec_id"), (-col("best.ncid")).as("list_id"), col("label"))
+      .select(col("vec_id"), col("vn"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+      .toSeq
+    val asg = e.select(
+      col("vec_id"),
+      element_at(graft.plans.CentroidTopK.centroidTopK(col("vn"), cents, 1), 1)
+        .cast("bigint")
+        .as("list_id"),
+      col("label")
+    )
     val cl = asg.groupBy(col("list_id"), col("label")).agg(count(lit(1)).as("c"))
     cl
       .groupBy(col("list_id"))

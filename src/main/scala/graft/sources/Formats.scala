@@ -1089,81 +1089,48 @@ object Formats {
   /** S19: column-statistics collection — the ANALYZE TABLE job: per
     * column, row count, null count, exact distinct count, min and max.
     * These are the stats a cost-based optimizer and a file-skipping
-    * layout both feed on; at 100 TB the shape matters: ONE scan
-    * computes every column's stats together (Spark plans the multiple
-    * COUNT DISTINCTs as a single Expand-based aggregate — rows
-    * multiply by #distinct-columns but the table is still read once,
-    * the standard ANALYZE trade; an approximate variant would swap
-    * count_distinct for HLL sketches and drop the Expand, b12's
-    * posture). Output is one row per column via a row-local explode of
-    * the single aggregate row.
+    * layout both feed on. round-14 shape: one independent
+    * dedup-aggregate per column (groupBy(value) → count, then one
+    * final fold) instead of the single Expand-based multi-distinct —
+    * the Expand multiplied the scan by #columns AND carried every
+    * column's min/max buffers through the wide-key partial aggregate
+    * (measured 2.9 s vs 0.93 s for the split form at sf0.1, guide
+    * §2.3: each per-column aggregate map-side-combines to ~distinct
+    * values and reads a single pruned parquet column). The table is
+    * read once per column — columnar scans make that the cheap side
+    * of the trade at any scale; min/max/non-null ride the SAME
+    * per-column aggregate so nothing else touches the data.
     */
   def s19ColumnStats(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables
       .lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
-    val agg = li.agg(
-      count(lit(1)).as("n_rows"),
-      count(col("l_orderkey")).as("nn_ok"),
-      count_distinct(col("l_orderkey")).as("nd_ok"),
-      min(col("l_orderkey")).cast("double").as("mn_ok"),
-      max(col("l_orderkey")).cast("double").as("mx_ok"),
-      count(col("l_quantity")).as("nn_q"),
-      count_distinct(col("l_quantity")).as("nd_q"),
-      min(col("l_quantity")).cast("double").as("mn_q"),
-      max(col("l_quantity")).cast("double").as("mx_q"),
-      count(col("l_extendedprice")).as("nn_ep"),
-      count_distinct(col("l_extendedprice")).as("nd_ep"),
-      min(col("l_extendedprice")).cast("double").as("mn_ep"),
-      max(col("l_extendedprice")).cast("double").as("mx_ep"),
-      count(col("l_discount")).as("nn_d"),
-      count_distinct(col("l_discount")).as("nd_d"),
-      min(col("l_discount")).cast("double").as("mn_d"),
-      max(col("l_discount")).cast("double").as("mx_d")
-    )
-    agg
+    // per-column: distinct count via the grouped frame (NULL group
+    // excluded, exactly COUNT(DISTINCT)'s rule), non-null count as the
+    // sum of group sizes, min/max over the group keys (≡ row min/max)
+    def colStats(c: String): DataFrame =
+      li.select(col(c).as("v"))
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("occ"))
+        .agg(
+          lit(c).as("col_name"),
+          count(when(col("v").isNotNull, 1)).as("n_distinct"),
+          coalesce(sum(when(col("v").isNotNull, col("occ"))), lit(0L)).as("n_nonnull"),
+          min(col("v")).cast("double").as("min_val"),
+          max(col("v")).cast("double").as("max_val")
+        )
+    val stats = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+      .map(colStats)
+      .reduce(_.unionByName(_))
+    li.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(stats)
       .select(
+        col("col_name"),
         col("n_rows"),
-        explode(
-          array(
-            struct(
-              lit("l_orderkey").as("col_name"),
-              col("nn_ok").as("n_nonnull"),
-              col("nd_ok").as("n_distinct"),
-              col("mn_ok").as("min_val"),
-              col("mx_ok").as("max_val")
-            ),
-            struct(
-              lit("l_quantity").as("col_name"),
-              col("nn_q").as("n_nonnull"),
-              col("nd_q").as("n_distinct"),
-              col("mn_q").as("min_val"),
-              col("mx_q").as("max_val")
-            ),
-            struct(
-              lit("l_extendedprice").as("col_name"),
-              col("nn_ep").as("n_nonnull"),
-              col("nd_ep").as("n_distinct"),
-              col("mn_ep").as("min_val"),
-              col("mx_ep").as("max_val")
-            ),
-            struct(
-              lit("l_discount").as("col_name"),
-              col("nn_d").as("n_nonnull"),
-              col("nd_d").as("n_distinct"),
-              col("mn_d").as("min_val"),
-              col("mx_d").as("max_val")
-            )
-          )
-        ).as("s")
-      )
-      .select(
-        col("s.col_name"),
-        col("n_rows"),
-        (col("n_rows") - col("s.n_nonnull")).as("n_null"),
-        col("s.n_distinct"),
-        col("s.min_val"),
-        col("s.max_val")
+        (col("n_rows") - col("n_nonnull")).as("n_null"),
+        col("n_distinct"),
+        col("min_val"),
+        col("max_val")
       )
   }
 

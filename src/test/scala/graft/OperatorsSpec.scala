@@ -1168,7 +1168,7 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
-  test("s19 column stats: ANALYZE report re-derived exactly; one Expand-based pass") {
+  test("s19 column stats: ANALYZE report re-derived exactly; split per-column aggregates (r14)") {
     val li = graft.sources.Tables
       .lineitem(spark, sf0001)
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
@@ -1189,11 +1189,14 @@ class OperatorsSpec extends SparkSpec {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
       .toMap
     assert(got == expected)
-    // AQE's plan string repeats the tree under "== Initial Plan ==" —
-    // count scans in the current-plan segment only
+    // round-14 shape: one independent dedup aggregate per column (the
+    // Expand multi-distinct carried every column's min/max buffers
+    // through a 5×-multiplied wide-key partial aggregate — measured 3×
+    // slower, OPTIMIZATION_r14.md §10). No Expand; each of the four
+    // per-column aggregates reads its own pruned scan.
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    assert(p.contains("Expand"), "multi-distinct must plan the single-pass Expand aggregate")
-    assert("Scan ".r.findAllMatchIn(p).size == 1, "the table is read exactly once")
+    assert(!p.contains("Expand"), "split per-column aggregates must not plan an Expand")
+    assert("Scan ".r.findAllMatchIn(p).size <= 5, "one pruned scan per column + the row count")
   }
 
   test("b46 multi-distinct: single-pass Expand plan, both tables read once") {

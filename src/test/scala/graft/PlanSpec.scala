@@ -2653,6 +2653,7 @@ class PlanSpec extends SparkSpec {
       "b12_approx_sketch" -> "single-row sketch frame broadcast back",
       "a8_event_time_stats" -> "single-row watermark (max ts) frame broadcast back",
       "c14_tfidf" -> "single-row corpus doc-count frame broadcast back",
+      "s19_column_stats" -> "single-row per-column stat frames crossed with the row-count frame (the c76 idiom, not a data join; r14 split-aggregate shape)",
       "c18_ann_ivf" -> "broadcast coarse quantizer (≤k centroid rows) + ≤10-query frame",
       "c24_ann_ivf_trained" -> "broadcast trained quantizer (bounded index artifact; see c24 spec)",
       "c29_ann_pq" -> "broadcast ≤10-query frame over the 8-code ADC scan (see c29 spec)",
