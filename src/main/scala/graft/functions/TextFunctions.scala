@@ -65,12 +65,24 @@ object TextFunctions {
     */
   def rollingShingleHashes(ht: Column, n: Int): Column = {
     val ks = rollCoeffs(n)
+    // round-14: the window fold runs in the native RollingPolyHash
+    // kernel (one codegen'd loop) instead of an interpreted
+    // transform-lambda with n element_at calls per position — same
+    // integer math ((Σ ht·k) % P, long accumulate, one % at the end),
+    // same null propagation; the size guard keeps the empty-array
+    // semantics for short token lists bit-unchanged.
     when(
       size(ht) >= n,
-      transform(
-        sequence(lit(1), size(ht) - (n - 1)),
-        i => (0 until n).map(j => element_at(ht, i + j) * ks(j)).reduce(_ + _) % RollP
-      )
+      graft.plans.TokenKernels.rollingPolyHash(ht, ks, RollP)
     ).otherwise(array().cast("array<long>"))
   }
+
+  /** Per-token md5-prefix hashes of a string array in ONE native pass —
+    * the kernel form of `transform(arr, t => hashN(salt ++ t) % mod)`
+    * (round-14; transform lambdas are CodegenFallback — interpreted per
+    * element). hexDigits 8 ≡ [[hash32]], 15 ≡ [[hash60]]; salt ""
+    * and mod 0 mean none.
+    */
+  def md5Tokens(arr: Column, hexDigits: Int, salt: String = "", mod: Long = 0L): Column =
+    graft.plans.TokenKernels.md5Tokens(arr, hexDigits, salt, mod)
 }

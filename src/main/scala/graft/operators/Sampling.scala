@@ -708,7 +708,7 @@ object Sampling {
       .select(
         col("doc_id"),
         array_distinct(
-          rollingShingleHashes(transform(tokens(col("text")), t => hash32(t)), TextDedup.ShingleSize)
+          rollingShingleHashes(md5Tokens(tokens(col("text")), 8), TextDedup.ShingleSize)
         ).as("hs")
       )
       .select(

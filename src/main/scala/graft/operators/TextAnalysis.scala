@@ -25,8 +25,19 @@ object TextAnalysis {
     "zh" -> Seq("key", "value")
   )
 
-  private def markerScore(words: Column, ms: Seq[String]): Column =
-    size(filter(words, t => ms.map(m => t === m).reduce(_ || _))).cast("long")
+  /** Marker-hit count = Σ per-marker occurrence counts from ONE native
+    * [[graft.plans.TermCountsExpr]] pass (round-14; the old
+    * `size(filter(words, OR of equalities))` interpreted its lambda per
+    * token — CodegenFallback). Exact: marker lists are distinct
+    * strings, so a token matches at most one marker and the sum counts
+    * each matching token exactly once, multiplicity preserved; a null
+    * token matches nothing either way; a null array propagates null.
+    */
+  private def markerScore(words: Column, ms: Seq[String]): Column = {
+    require(ms.distinct == ms, "marker lists must be distinct for the count-sum form")
+    val tc = graft.plans.TermCountsExpr.termCounts(words, ms)
+    ms.indices.map(i => element_at(tc, i + 1).cast("long")).reduce(_ + _)
+  }
 
   /** c8's language ID as a df→df transform over any frame with a `text`
     * column: adds per-language marker scores `s_<lang>` and the argmax
@@ -156,7 +167,7 @@ object TextAnalysis {
     // and the join — without it the tokenize+md5 pipeline runs twice
     val bg = Tables
       .documents(spark, sfDir)
-      .select(col("doc_id"), transform(tokens(col("text")), t => hash32(t)).as("ht"))
+      .select(col("doc_id"), md5Tokens(tokens(col("text")), 8).as("ht"))
       .select(col("doc_id"), explode_outer(rollingShingleHashes(col("ht"), 2)).as("h"))
       .filter(col("h").isNotNull)
       .localCheckpoint()
@@ -275,7 +286,7 @@ object TextAnalysis {
     */
   def repetitionScored(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), transform(tokens(col("text")), t => hash32(t)).as("ht"))
+      .select(col("doc_id"), md5Tokens(tokens(col("text")), 8).as("ht"))
       .select(col("doc_id"), rollingShingleHashes(col("ht"), ShingleSize).as("hs"))
       .select(
         col("doc_id"),
@@ -552,7 +563,7 @@ object TextAnalysis {
   private def winnowSelected(docs: DataFrame): DataFrame = {
     val W = WinnowW
     docs
-      .select(col("doc_id"), transform(tokens(col("text")), t => hash32(t)).as("ht"))
+      .select(col("doc_id"), md5Tokens(tokens(col("text")), 8).as("ht"))
       // TWO materialization barriers, one per array-consuming stage:
       // an array-valued child expression is RE-EVALUATED on every
       // element access of its consumer (interpreted higher-order
@@ -887,7 +898,7 @@ object TextAnalysis {
     val bucketed = docs.select(
       col("doc_id"),
       col("lang"),
-      transform(tokens(col("text")), t => hash32(t) % ImportanceBuckets).as("tb")
+      md5Tokens(tokens(col("text")), 8, mod = ImportanceBuckets).as("tb")
     )
     val stats = bucketed
       .select(col("lang"), explode(col("tb")).as("b"))
@@ -1559,7 +1570,7 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         col("source"),
-        transform(tokens(col("text")), t => hash32(t)).as("ht")
+        md5Tokens(tokens(col("text")), 8).as("ht")
       )
       .select(col("doc_id"), col("source"), rollingShingleHashes(col("ht"), BoilerplateN).as("hs"))
       .localCheckpoint() // feeds the position explode AND the row-local totals
@@ -1819,6 +1830,21 @@ object TextAnalysis {
     hash32(concat(lit("qw#"), bucket.cast("string"))) % (2 * QcScale + 1) - QcScale
   }
 
+  /** The md5-derived weight VECTOR behind [[qcWeight]], precomputed
+    * driver-side (round-14): weight(b) = md5prefix8("qw#b") %
+    * (2·QcScale+1) − QcScale — the identical arithmetic
+    * [[graft.plans.Md5PrefixLongExpr.prefixLong]] gives the engine, so
+    * serving through the dense vector is bit-equal to evaluating
+    * qcWeight per token. 512 longs, computed once per JVM.
+    */
+  private lazy val qcWeightVector: Array[Long] =
+    Array.tabulate(QcDim) { b =>
+      graft.plans.Md5PrefixLongExpr.prefixLong(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"qw#$b"),
+        8
+      ) % (2 * QcScale + 1) - QcScale
+    }
+
   /** C79: linear quality-classifier INFERENCE (the fastText-style
     * hashed bag-of-words scorer GPT-3/CCNet/LLaMA-class pipelines run
     * over every crawled document to keep "wiki-like" text): each token
@@ -1846,9 +1872,14 @@ object TextAnalysis {
     */
   def linearQualityScored(docs: DataFrame): DataFrame = {
     val base = if (docs.columns.contains("w")) docs else docs.withColumn("w", tokens(col("text")))
+    // round-14: the per-token hash→bucket→weight→sum fold runs in the
+    // native BucketWeightSum kernel (one codegen'd loop over the token
+    // array) instead of interpreted aggregate(transform(...)) lambdas;
+    // [[qcWeightVector]] is the same md5 arithmetic densified, so w_sum
+    // is bit-identical.
     base
       .withColumn("n_tokens", size(col("w")).cast("long"))
-      .withColumn("w_sum", aggregate(transform(col("w"), qcWeight(_)), lit(0L), (acc, x) => acc + x))
+      .withColumn("w_sum", graft.plans.TokenKernels.bucketWeightSum(col("w"), qcWeightVector))
       .withColumn("qc_score", col("w_sum").cast("double") / (lit(QcScale.toDouble) * col("n_tokens")))
       .withColumn("admit", (col("qc_score") > 0.0).cast("int"))
   }
@@ -1939,18 +1970,13 @@ object TextAnalysis {
     */
   def trainedQualityScored(docs: DataFrame, weights: Array[Long]): DataFrame = {
     require(weights.length == QcDim, s"weight artifact must be $QcDim long, got ${weights.length}")
-    val warr = array(weights.map(lit): _*)
     val base = if (docs.columns.contains("w")) docs else docs.withColumn("w", tokens(col("text")))
+    // round-14: native BucketWeightSum kernel (see linearQualityScored)
+    // with the trained artifact as the weight vector — the interpreted
+    // transform + element_at + aggregate chain is gone; same fold.
     base
       .withColumn("n_tokens", size(col("w")).cast("long"))
-      .withColumn(
-        "w_sum",
-        aggregate(
-          transform(col("w"), t => element_at(warr, (hash32(t) % QcDim).cast("int") + 1)),
-          lit(0L),
-          (acc, x) => acc + x
-        )
-      )
+      .withColumn("w_sum", graft.plans.TokenKernels.bucketWeightSum(col("w"), weights))
       .withColumn("qc_score", col("w_sum").cast("double") / (lit(QcScale.toDouble) * col("n_tokens")))
       .withColumn("admit", (col("w_sum") > 0L).cast("int"))
   }

@@ -72,7 +72,7 @@ object TextDedup {
   def shingleHashes(spark: SparkSession, sfDir: String): DataFrame =
     Tables
       .documents(spark, sfDir)
-      .select(col("doc_id"), transform(tokens(col("text")), t => hash32(t)).as("ht"))
+      .select(col("doc_id"), md5Tokens(tokens(col("text")), 8).as("ht"))
       // per-doc dedup happens IN the row (array_distinct) before the
       // explode — a global .distinct() here would shuffle every
       // (doc, shingle) pair for something each row can decide alone.
@@ -609,7 +609,7 @@ object TextDedup {
   def simHashSignatures(spark: SparkSession, sfDir: String): DataFrame =
     Tables
       .documents(spark, sfDir)
-      .select(col("doc_id"), transform(tokens(col("text")), t => hash60(t)).as("hts"))
+      .select(col("doc_id"), md5Tokens(tokens(col("text")), 15).as("hts"))
       .select(
         col("doc_id"),
         graft.plans.SimHashOfTokens.simHashOfTokens(col("hts"), SimHashBits).as("simhash")
@@ -682,8 +682,8 @@ object TextDedup {
       .documents(spark, sfDir)
       .select(
         col("doc_id"),
-        transform(tokens(col("text")), t => hash60(t)).as("h1"),
-        transform(tokens(col("text")), t => hash60(concat(lit(WideSalt), t))).as("h2")
+        md5Tokens(tokens(col("text")), 15).as("h1"),
+        md5Tokens(tokens(col("text")), 15, salt = WideSalt).as("h2")
       )
       .select(
         col("doc_id"),
