@@ -403,7 +403,7 @@ object TextAnalysis {
     val s1 = s0.select(
       col("doc_id"),
       col("toks"),
-      transform(col("toks"), t => hash32(t)).as("ht")
+      md5Tokens(col("toks"), 8).as("ht")
     )
     val s2 = s1.select(
       col("doc_id"),
@@ -670,7 +670,7 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         size(col("w")).cast("long").as("n_tokens"),
-        transform(col("w"), t => hash32(t)).as("ht")
+        md5Tokens(col("w"), 8).as("ht")
       )
     val occ = toks
       .select(
@@ -746,7 +746,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val occ = docs
       .select(col("doc_id"), tokens(col("text")).as("w"))
-      .select(col("doc_id"), transform(col("w"), t => hash32(t)).as("ht"))
+      .select(col("doc_id"), md5Tokens(col("w"), 8).as("ht"))
       .select(
         col("doc_id"),
         posexplode_outer(rollingShingleHashes(col("ht"), DupSpanW)).as(Seq("pos", "h"))

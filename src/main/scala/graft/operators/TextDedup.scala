@@ -316,7 +316,7 @@ object TextDedup {
       )
       .filter(
         col("doc_a") < col("doc_b") &&
-          array_position(zip_with(col("bkeys_a"), col("bkeys_b"), _ === _), lit(true)) === col("band_idx") + 1
+          graft.plans.TokenKernels.firstEqIndex(col("bkeys_a"), col("bkeys_b")) === col("band_idx") + 1
       )
       .select(col("doc_a"), col("doc_b"))
   }
@@ -514,7 +514,7 @@ object TextDedup {
     probe
       .join(indexed, Seq("band_idx", "bkey"))
       .filter(
-        array_position(zip_with(col("bkeys"), col("bkeys_h"), _ === _), lit(true)) === col("band_idx") + 1
+        graft.plans.TokenKernels.firstEqIndex(col("bkeys"), col("bkeys_h")) === col("band_idx") + 1
       )
       .select(col("doc_id"), col("doc_h"))
   }

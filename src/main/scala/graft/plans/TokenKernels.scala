@@ -186,4 +186,53 @@ object TokenKernels {
 
   def bucketWeightSum(w: Column, weights: Seq[Long]): Column =
     shims.columnOf(BucketWeightSumExpr(shims.expressionOf(w), weights.toArray))
+
+  // ------------------------------------------------------------------
+  // array_position(zip_with(a, b, ===), true)  →  one loop
+  // ------------------------------------------------------------------
+
+  /** 1-based index of the first position where the two long arrays are
+    * equal, 0 when none — the exact value
+    * `array_position(zip_with(a, b, _ === _), true)` produced (both
+    * arrays same length and non-null elements at every call site; a
+    * null element compares not-equal, as `===` yields null which
+    * array_position skips). This predicate runs once per CANDIDATE
+    * PAIR inside the banded-join filters (the first-matching-band
+    * dedup), where the zip_with spelling allocated a boolean array and
+    * interpreted its lambda per band per pair.
+    */
+  def firstEqIndex(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) return i + 1L
+      i += 1
+    }
+    0L
+  }
+
+  case class FirstEqIndexExpr(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "first_eq_index"
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = requireType(prettyName, left.dataType, ArrayType(LongType), "array<long>")
+      if (l != TypeCheckResult.TypeCheckSuccess) l
+      else requireType(prettyName, right.dataType, ArrayType(LongType), "array<long>")
+    }
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      TokenKernels.firstEqIndex(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.plans.TokenKernels.firstEqIndex($a, $b)")
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): FirstEqIndexExpr =
+      copy(left = l, right = r)
+  }
+
+  def firstEqIndex(a: Column, b: Column): Column =
+    shims.columnOf(FirstEqIndexExpr(shims.expressionOf(a), shims.expressionOf(b)))
 }
