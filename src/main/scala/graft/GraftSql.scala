@@ -614,8 +614,35 @@ object GraftSql {
       |GROUP BY p.p_brand, p.p_type, p.p_size
       |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""".stripMargin
 
+  /** Engine-side form of [[Q16Sql]] (round 15, guide §2.3/§2.4): the
+    * DISTINCT (l_partkey, l_suppkey) bridge is dropped. It is
+    * REDUNDANT for this query: the only aggregate is
+    * COUNT(DISTINCT l_suppkey) per (brand, type, size), which is
+    * invariant to ANY row duplication — deduping (partkey, suppkey)
+    * pairs first changes neither which suppliers appear in a group nor
+    * which groups exist (a group exists iff ≥ 1 surviving row, same
+    * either way). Dropping it removes the full-lineitem
+    * (partkey, suppkey) exchange; the remaining distinct-aggregate
+    * exchange carries map-side-deduped (brand, type, size, suppkey)
+    * rows restricted to the ~16%-selective part filter — strictly
+    * fewer bytes at any scale. A/B at sf0.1 (R15Ab, 5-pass medians,
+    * same session): bridge form 1.110 s @32c / 0.868 s @8c vs
+    * join-first 0.649 s @32c / 0.512 s @8c — join-first kept. The
+    * DuckDB oracle keeps running [[Q16Sql]]; the gate hash proves
+    * equivalence.
+    */
+  val Q16EngineSql: String =
+    """SELECT p.p_brand, p.p_type, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_brand <> 'Brand#13' AND p.p_type <> 'PROMO'
+      |  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY p.p_brand, p.p_type, p.p_size
+      |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""".stripMargin
+
   def b36SqlQ16(spark: SparkSession, sfDir: String): DataFrame =
-    sql(spark, sfDir, Q16Sql)
+    sql(spark, sfDir, Q16EngineSql)
 
   /** B37: TPC-H Q20 shape ("potential part promotion") — the nested
     * subquery tower: suppliers IN (a grouped-HAVING subquery whose
@@ -882,8 +909,61 @@ object GraftSql {
       |  CAST((CAST(hi AS DECIMAL(38,0)) * 100000 + lo) / 10000 AS DOUBLE) AS revenue
       |FROM a""".stripMargin
 
-  def b46MultiDistinct(spark: SparkSession, sfDir: String): DataFrame =
-    sql(spark, sfDir, MultiDistinctEngineSql)
+  /** The joined narrow frame feeding b46's split posture — year key,
+    * the three distinct-counted keys, and the unscaled money term
+    * (same `u` definition and overflow bounds as
+    * [[MultiDistinctEngineSql]]).
+    */
+  private val MultiDistinctBaseSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      |  o_custkey, l_suppkey, l_partkey,
+      |  unscaled_long(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |    * (100 - unscaled_long(CAST(l_discount AS DECIMAL(3,2)))) AS u
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+
+  /** B46 engine side, round 15: SPLIT distinct posture (s19's split
+    * applied to b46, the r14-verdict A/B). The Expand form multiplies
+    * every joined row ×4 (one branch per distinct + the plain
+    * aggregate) before the year-keyed exchange; the split form
+    * materializes the narrow joined frame ONCE (localCheckpoint — a
+    * deterministic row-local projection, so materializing changes no
+    * value) and runs the plain aggregate plus one dedup aggregate per
+    * distinct over it, joined back on the ≤ 7-row year key. Each
+    * distinct stream pre-reduces map-side (partial dedup on
+    * (year, key)), so the three exchanges together carry the DISTINCT
+    * key sets — far below the Expand's 4× row stream wherever keys
+    * repeat, which is exactly when multi-distinct is expensive. A/B at
+    * sf0.1 (R15Ab, 5-pass medians, same session): Expand 2.310 s @32c
+    * / 1.955 s @8c vs split 1.577 s @32c / 1.338 s @8c — split kept at
+    * both core counts. Exactness: COUNT(*)/SUM(hi)/SUM(lo) aggregate
+    * the identical checkpointed rows; COUNT(DISTINCT k) per year ≡
+    * count of the deduped (year, k) set — definitionally equal; the
+    * revenue reconstruction is byte-for-byte
+    * [[MultiDistinctEngineSql]]'s. The DuckDB oracle keeps running
+    * [[MultiDistinctSql]]; the gate hash proves equivalence.
+    */
+  def b46MultiDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
+    val j = sql(spark, sfDir, MultiDistinctBaseSql).localCheckpoint()
+    val base = j
+      .groupBy(col("order_year"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(expr("u div 100000")).as("hi"),
+        sum(expr("u % 100000")).as("lo")
+      )
+    def dcount(c: String, as: String) =
+      j.select(col("order_year"), col(c)).distinct()
+        .groupBy(col("order_year")).agg(count(lit(1)).as(as))
+    base
+      .join(dcount("o_custkey", "n_customers"), Seq("order_year"))
+      .join(dcount("l_suppkey", "n_suppliers"), Seq("order_year"))
+      .join(dcount("l_partkey", "n_parts"), Seq("order_year"))
+      .select(
+        col("order_year"), col("n_lines"), col("n_customers"), col("n_suppliers"), col("n_parts"),
+        expr("CAST((CAST(hi AS DECIMAL(38,0)) * 100000 + lo) / 10000 AS DOUBLE)").as("revenue")
+      )
+  }
 
   /** B49: INTERSECT ALL / EXCEPT ALL — the MULTISET set operations
     * (b8 covered the DISTINCT forms): per-key multiplicities survive,
@@ -915,7 +995,7 @@ object GraftSql {
       spark,
       sfDir,
       """WITH e AS (SELECT vec_id,
-        |             array_l2_normalize(transform(embedding, x -> CAST(x AS DOUBLE))) AS vn
+        |             array_l2_normalize(CAST(embedding AS ARRAY<DOUBLE>)) AS vn
         |           FROM embeddings),
         |q AS (SELECT vn AS qv FROM e WHERE vec_id = 0)
         |SELECT e.vec_id AS neighbor_id, array_dot(e.vn, q.qv) AS cos

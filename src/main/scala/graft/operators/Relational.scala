@@ -259,8 +259,10 @@ object Relational {
     // aggregate pass (fused — a separate groupBy would re-scan customer),
     // and the per-segment frame is checkpointed so its two consumers
     // (the broadcast edge join and the final n_nations join) never
-    // recompute the sketch scan: customer is read 3x total (sketch,
-    // bucket counts, located-bucket sort), each a pruned columnar scan.
+    // recompute the sketch scan: customer is read 2x total (sketch,
+    // bucket compute — the bucketed frame below is checkpointed and
+    // serves both the count pass and the located-bucket sort), each a
+    // pruned columnar scan.
     val segAgg = Tables
       .customer(spark, sfDir)
       .groupBy(seg)
@@ -274,17 +276,27 @@ object Relational {
       )
       .localCheckpoint()
     val edges = segAgg.select(seg, col("edges"))
+    // round 15, two changes with an exactness argument each:
+    //  (1) bkt via the codegen'd count_below kernel instead of the
+    //      CodegenFallback aggregate() lambda — identical count by
+    //      construction (same SQLOrderingUtil.compareDoubles the old
+    //      GreaterThan compiled to, same null fall-through to 0);
+    //  (2) the bucketed frame is localCheckpoint'd: its two consumers
+    //      (the bucket-count aggregate and the located-bucket sort)
+    //      previously EACH re-ran the customer scan + edge join +
+    //      99-edge fold. Bucket boundaries derive only from `edges`
+    //      (already checkpointed in segAgg) and bkt is a deterministic
+    //      row-local function of (edges, c_acctbal), so materializing
+    //      the frame changes no value: bcnt counts and the in-bucket
+    //      sort see the same (segment, bkt, acctbal, custkey) rows,
+    //      hence the same offsets, the same located buckets, the same
+    //      picked ranks. Customer is now read 2x (sketch, buckets)
+    //      instead of 3x.
     val rows = base
       .join(broadcast(edges), Seq("c_mktsegment"))
-      .withColumn(
-        "bkt",
-        aggregate(
-          col("edges"),
-          lit(0L),
-          (acc, e) => acc + when(col("c_acctbal") > e, 1L).otherwise(0L)
-        )
-      )
+      .withColumn("bkt", graft.plans.CountBelowExpr.countBelow(col("edges"), col("c_acctbal")))
       .drop("edges")
+      .localCheckpoint()
 
     val bcnt = rows.groupBy(seg, col("bkt")).agg(count(lit(1)).as("bn"))
     // cumulative count of buckets ≤ bkt, per segment (tiny self-join —

@@ -413,24 +413,23 @@ object TextAnalysis {
     )
     // cut AFTER token p for p ∈ [window, n−1] iff the window ending at
     // p hashes to the residue; rh(i) covers tokens i..i+window−1, so
-    // the window ending at p is rh(p − window + 1). The when-guard
-    // matters: Spark's sequence(a, b) DESCENDS when b < a.
+    // the window ending at p is rh(p − window + 1). Round 15: the
+    // boundary scan is the codegen'd cdc_boundaries kernel — the
+    // filter-over-sequence lambda interpreted an element_at + mod per
+    // position, and the +1-shifted starts needed a second transform
+    // lambda; the kernel emits either offset directly (two cheap rh
+    // passes), the when(n−1 ≥ window, …, empty) guard folded in.
     val s3 = s2.select(
       col("doc_id"),
       col("toks"),
       col("n"),
-      when(
-        col("n") - 1 >= CdcWindow,
-        filter(
-          sequence(lit(CdcWindow), col("n") - 1),
-          p => element_at(col("rh"), p - (CdcWindow - 1)) % CdcDivisor === 0
-        )
-      ).otherwise(array().cast("array<int>")).as("bpos")
+      graft.plans.TextStatKernels.cdcBoundaries(col("rh"), col("n"), CdcWindow, CdcDivisor, 0).as("bpos"),
+      graft.plans.TextStatKernels.cdcBoundaries(col("rh"), col("n"), CdcWindow, CdcDivisor, 1).as("bpos1")
     )
     val s4 = s3.select(
       col("doc_id"),
       col("toks"),
-      concat(array(lit(1)), transform(col("bpos"), p => p + 1)).as("starts"),
+      concat(array(lit(1)), col("bpos1")).as("starts"),
       concat(col("bpos"), array(col("n"))).as("ends")
     )
     // explode the (start, end) ranges FIRST, hash each chunk once from
@@ -552,7 +551,9 @@ object TextAnalysis {
         col("nw").cast("long").as("n_windows"),
         size(col("sel")).cast("long").as("n_fingerprints"),
         array_min(col("sel")).as("fp_min"),
-        when(size(col("sel")) > 0, aggregate(col("sel"), lit(0L), (acc, x) => acc + x) % P).as("fp_sum")
+        // round 15: codegen'd array_sum_long replaces the aggregate
+        // lambda — same left-to-right long sum, same null semantics
+        when(size(col("sel")) > 0, graft.plans.TextStatKernels.arraySum(col("sel")) % P).as("fp_sum")
       )
   }
 
@@ -576,21 +577,13 @@ object TextAnalysis {
       .select(col("doc_id"), rollingShingleHashes(col("ht"), ShingleSize).as("hs"))
       .localCheckpoint()
       .withColumn("nw", greatest(size(col("hs")) - W + 1, lit(0)))
-      .withColumn(
-        "sel",
-        when(
-          col("nw") > 0,
-          array_distinct(
-            // window min as least(element_at...) — O(1) lookups, no
-            // per-window array allocation (slice+array_min measured
-            // ~300µs/window interpreted; this form is ~1000x cheaper)
-            transform(
-              sequence(lit(0), col("nw") - 1),
-              i => least((0 until W).map(j => element_at(col("hs"), (i + j + 1).cast("int"))): _*)
-            )
-          )
-        ).otherwise(array().cast("array<long>"))
-      )
+      // round 15: distinct window minima as ONE codegen'd kernel pass
+      // (winnow_mins) — the transform spelling interpreted a W-way
+      // least lambda per window plus an array_distinct allocation; the
+      // kernel folds window-min + first-occurrence dedup into a single
+      // loop with the identical tie/order/empty semantics (documented
+      // at the kernel; the when(nw > 0, …, empty) guard is folded in)
+      .withColumn("sel", graft.plans.TextStatKernels.winnowMins(col("hs"), W))
       .select(col("doc_id"), col("nw"), col("sel"))
   }
 
@@ -813,21 +806,20 @@ object TextAnalysis {
       .limit(VocabV)
       .collect()
       .map(_.getString(0))
-    // membership as a constant-folded map literal: O(1) hash probe per
-    // token (vs an O(V) array scan) so a real 32k+ vocab costs the same
-    // per token as the 16-term gate vocab; the map folds to one literal
-    // MapData and the probes stay inside whole-stage codegen
-    val vmap = map(vocab.flatMap(t => Seq(lit(t), lit(true))): _*)
-    def inVocab(t: Column): Column = map_contains_key(vmap, t)
+    // round 15: membership + distinct-OOV counting as ONE codegen'd
+    // kernel pass (vocab_stats) with the vocabulary as a reference-held
+    // hash set — the two filter lambdas interpreted a map probe per
+    // token per filter, and array_distinct allocated a per-row array
+    // just to take its size. O(1) probe per token either way; same
+    // integers by construction (binary string equality both sides).
     docs
       .select(col("doc_id"), tokens(col("text")).as("w"))
+      .withColumn("vs", graft.plans.TextStatKernels.vocabStats(col("w"), vocab.toSeq))
       .select(
         col("doc_id"),
         size(col("w")).cast("long").as("n_tokens"),
-        size(filter(col("w"), t => inVocab(t))).cast("long").as("n_in_vocab"),
-        size(array_distinct(filter(col("w"), t => !inVocab(t))))
-          .cast("long")
-          .as("n_oov_types")
+        col("vs.n_in_vocab").as("n_in_vocab"),
+        col("vs.n_oov_types").as("n_oov_types")
       )
       .withColumn(
         "coverage",
@@ -917,15 +909,17 @@ object TextAnalysis {
       val b = r.getLong(0).toInt
       if (BigInt(r.getLong(2)) * totR > BigInt(r.getLong(1)) * totT) flags(b) = 1
     }
-    val flagsLit = typedlit(flags.toSeq)
+    // round 15: the classifier probe is the codegen'd flag_count kernel
+    // — the filter-lambda spelling interpreted element_at(flagsLit, b+1)
+    // per token (and carried the 1024-int literal in the expression
+    // tree); the kernel reads the flag table as a reference object and
+    // counts in one loop, identical integers by construction
     bucketed
       .select(
         col("doc_id"),
         col("lang"),
         size(col("tb")).cast("long").as("n_tokens"),
-        size(filter(col("tb"), b => element_at(flagsLit, b.cast("int") + 1) === 1))
-          .cast("long")
-          .as("n_ind")
+        graft.plans.TextStatKernels.flagCount(col("tb"), flags).as("n_ind")
       )
       .withColumn("affinity", col("n_ind").cast("double") / col("n_tokens"))
   }
@@ -1673,27 +1667,24 @@ object TextAnalysis {
     * can plant docs firing each rule branch (the gate corpus is clean).
     */
   def c66GopherSignalsFrom(docs: DataFrame): DataFrame =
+    // round 15: the whole per-word battery is ONE codegen'd kernel pass
+    // (gopher_token_stats) — the declarative form ran SIX interpreted
+    // array passes per document (an aggregate fold, a transform +
+    // array_max, three regex filter lambdas, an array_distinct), each
+    // boxing every token. The kernel mirrors each spelling exactly
+    // (byte-level ASCII classes ≡ the [A-Za-z]/[0-9]/[A-Z] regexes on
+    // whitespace-split tokens; numChars ≡ length; null/empty edges
+    // documented at the kernel).
     docs
       .withColumn("w", tokens(col("text")))
+      .withColumn("gs", graft.plans.TextStatKernels.gopherStats(col("w")))
       .withColumn("n_words", size(col("w")).cast("long"))
-      .withColumn("n_unique_words", size(array_distinct(col("w"))).cast("long"))
-      .withColumn(
-        "sum_word_chars",
-        aggregate(col("w"), lit(0L), (acc, x) => acc + length(x).cast("long"))
-      )
-      .withColumn("max_word_len", array_max(transform(col("w"), x => length(x))).cast("long"))
-      .withColumn(
-        "n_alpha_words",
-        size(filter(col("w"), x => x.rlike("[A-Za-z]"))).cast("long")
-      )
-      .withColumn(
-        "n_numeric_words",
-        size(filter(col("w"), x => x.rlike("^[0-9]+$"))).cast("long")
-      )
-      .withColumn(
-        "n_cap_words",
-        size(filter(col("w"), x => x.rlike("^[A-Z]"))).cast("long")
-      )
+      .withColumn("n_unique_words", col("gs.n_unique"))
+      .withColumn("sum_word_chars", col("gs.sum_chars"))
+      .withColumn("max_word_len", col("gs.max_word_len"))
+      .withColumn("n_alpha_words", col("gs.n_alpha"))
+      .withColumn("n_numeric_words", col("gs.n_numeric"))
+      .withColumn("n_cap_words", col("gs.n_cap"))
       .withColumn("mean_word_len", col("sum_word_chars").cast("double") / col("n_words"))
       .withColumn("unique_ratio", col("n_unique_words").cast("double") / col("n_words"))
       .withColumn(

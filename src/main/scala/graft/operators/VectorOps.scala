@@ -43,13 +43,21 @@ object VectorOps {
 
   /** embeddings with the vector cast to double and L2-normalized
     * (single-pass codegen'd normalize — see [[graft.plans.ArrayNormalize]]).
+    *
+    * The float→double widening is `cast(embedding AS array<double>)`,
+    * NOT `transform(_, _.cast("double"))`: array-cast is a codegen'd
+    * element-wise Cast, while transform is a CodegenFallback
+    * higher-order function interpreting its lambda per element on
+    * every vector read (round-15; the last interpreted lambda on the
+    * vector ingest path). float→double is exact IEEE widening with
+    * identical null semantics, so the values are bit-equal.
     */
   private def vecs(spark: SparkSession, sfDir: String): DataFrame =
     Tables
       .embeddings(spark, sfDir)
       .select(
         col("vec_id"),
-        arrayNormalize(transform(col("embedding"), _.cast("double"))).as("vn")
+        arrayNormalize(col("embedding").cast("array<double>")).as("vn")
       )
 
   /** C5: embedding-cosine near-dup pairs (cos ≥ threshold) — the exact
@@ -132,7 +140,7 @@ object VectorOps {
       .select(
         col("vec_id"),
         col("label"),
-        arrayNormalize(transform(col("embedding"), _.cast("double"))).as("vn")
+        arrayNormalize(col("embedding").cast("array<double>")).as("vn")
       )
     val queries = e
       .filter(col("vec_id") < NumQueryVecs)
@@ -295,7 +303,7 @@ object VectorOps {
       .select(
         col("vec_id"),
         col("label"),
-        arrayNormalize(transform(col("embedding"), _.cast("double"))).as("vn")
+        arrayNormalize(col("embedding").cast("array<double>")).as("vn")
       )
     val queries = e
       .filter(col("vec_id") < NumQueryVecs)
@@ -1861,14 +1869,24 @@ object VectorOps {
     * doubles — bounded) for the kernel assignment shared by
     * c35/c39/c69.
     */
-  private def semCentRows(spark: SparkSession, sfDir: String): Seq[(Int, Array[Double])] =
-    vecs(spark, sfDir)
+  private def semCentRows(spark: SparkSession, sfDir: String): Seq[(Int, Array[Double])] = {
+    val rows = vecs(spark, sfDir)
       .filter(col("vec_id") < SemLists)
       .select(col("vec_id"), col("vn"))
       .collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
       .sortBy(_._1)
       .toSeq
+    // c39 (and the shared c35/c69/bitext paths) index the collected
+    // array POSITIONALLY by the id CentroidTopK returns — correct only
+    // while vec_id is dense and 0-based below SemLists. Fail loudly on
+    // a data-contract change instead of returning wrong cosines.
+    require(
+      rows.size == SemLists && rows.zipWithIndex.forall { case ((id, _), i) => id == i },
+      s"seed centroid ids must be exactly 0 until $SemLists (dense, 0-based); got ${rows.map(_._1).mkString(",")}"
+    )
+    rows
+  }
 
   /** c39 floor: the ~10th percentile of best-centroid cosine on the
     * test embeddings — vectors below it sit far from EVERY cluster
@@ -2090,7 +2108,7 @@ object VectorOps {
       .select(
         col("vec_id"),
         col("label"),
-        arrayNormalize(transform(col("embedding"), _.cast("double"))).as("vn")
+        arrayNormalize(col("embedding").cast("array<double>")).as("vn")
       )
     // round-14: kernel assignment over the driver-collected seed
     // centroids (see c35) — no crossJoin, no per-vector re-aggregation;
@@ -2137,22 +2155,23 @@ object VectorOps {
     * 100 TB of vectors is an embarrassingly parallel map.
     */
   def c70EmbeddingQuant(spark: SparkSession, sfDir: String): DataFrame =
+    // round 15: the whole battery is ONE codegen'd kernel pass
+    // (quant_stats) — the declarative form ran five interpreted array
+    // lambdas per vector (abs transform, two code transforms, a sum
+    // fold, a zero filter). The kernel mirrors every edge (maxabs = 0's
+    // constant-lambda codes, null-element propagation, floor-cast) —
+    // documented at the kernel; values identical by construction.
     Tables
       .embeddings(spark, sfDir)
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
-      .withColumn(
-        "codes",
-        when(col("maxabs") === 0, transform(col("v"), _ => lit(0L)))
-          .otherwise(transform(col("v"), x => floor(x * lit(127.0) / col("maxabs")).cast("long")))
-      )
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("qs", graft.plans.TextStatKernels.quantStats(col("v")))
       .select(
         col("vec_id"),
-        col("maxabs"),
-        aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
-        array_min(col("codes")).as("code_min"),
-        array_max(col("codes")).as("code_max"),
-        size(filter(col("codes"), _ === 0L)).cast("long").as("n_zero_codes")
+        col("qs.maxabs").as("maxabs"),
+        col("qs.code_sum").as("code_sum"),
+        col("qs.code_min").as("code_min"),
+        col("qs.code_max").as("code_max"),
+        col("qs.n_zero_codes").as("n_zero_codes")
       )
 
   /** c82: cosine threshold above which a corpus vector counts as a
@@ -2277,7 +2296,7 @@ object VectorOps {
     }
     Tables
       .embeddings(spark, sfDir)
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id") +: cols: _*)
   }
 
@@ -2391,7 +2410,7 @@ object VectorOps {
       .select(
         col("vec_id"),
         col("label"),
-        arrayNormalize(transform(col("embedding"), _.cast("double"))).as("vn")
+        arrayNormalize(col("embedding").cast("array<double>")).as("vn")
       )
 
   /** The margin-scoring core both bitext variants share: given a

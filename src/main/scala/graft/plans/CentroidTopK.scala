@@ -36,7 +36,8 @@ case class CentroidTopK(
     cents: Array[Array[Double]],
     ids: Array[Int],
     k: Int
-) extends UnaryExpression {
+) extends UnaryExpression
+    with ArrayFieldEquality {
 
   require(cents.length == ids.length, "cents/ids length mismatch")
   require(k >= 1, "k must be >= 1")

@@ -128,7 +128,25 @@ object GraftExtensions {
           "products/sums must be overflow-safe by construction - document the bound at each use site."
       ),
       (children: Seq[Expression]) => {
-        val c = arity("unscaled_long", 1)(children); UnscaledValue(c.head)
+        val c = arity("unscaled_long", 1)(children)
+        // UnscaledValue is only valid for compact (Long-backed) decimals;
+        // a DECIMAL(19+, s) input would silently produce wrong longs, so
+        // enforce the documented precision <= 18 contract at analysis
+        c.head.dataType match {
+          case d: org.apache.spark.sql.types.DecimalType if d.precision <= 18 =>
+            UnscaledValue(c.head)
+          case other =>
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE",
+              messageParameters = Map(
+                "sqlExpr" -> "\"unscaled_long\"",
+                "paramIndex" -> "first",
+                "requiredType" -> "\"DECIMAL\" with precision <= 18 (compact, Long-backed)",
+                "inputSql" -> ("\"" + c.head.sql + "\""),
+                "inputType" -> ("\"" + other.sql + "\"")
+              )
+            )
+        }
       }
     ),
     (

@@ -23,7 +23,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * bucket — are bit-for-bit the ones the per-plane expression produced.
   */
 case class HyperplaneSignBits(child: Expression, signs: Array[Byte], numPlanes: Int, dim: Int)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with ArrayFieldEquality {
 
   require(numPlanes >= 1 && numPlanes <= 64, s"numPlanes must be in [1, 64], got $numPlanes")
   require(dim >= 1 && signs.length == numPlanes * dim, "sign matrix must be numPlanes x dim")

@@ -96,7 +96,8 @@ object PqKernels {
       child: Expression,
       cb: Array[Array[Array[Double]]],
       halfNormSq: Array[Array[Double]]
-  ) extends UnaryExpression {
+  ) extends UnaryExpression
+      with ArrayFieldEquality {
 
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def prettyName: String = "pq_encode"
@@ -163,7 +164,8 @@ object PqKernels {
   }
 
   case class AdcScoreExpr(left: Expression, right: Expression, cb: Array[Array[Array[Double]]])
-      extends BinaryExpression {
+      extends BinaryExpression
+      with ArrayFieldEquality {
 
     override def dataType: DataType = DoubleType
     override def prettyName: String = "adc_score"
@@ -207,7 +209,8 @@ object PqKernels {
   }
 
   case class CentroidDotExpr(left: Expression, right: Expression, cents: Array[Array[Double]], voff: Int)
-      extends BinaryExpression {
+      extends BinaryExpression
+      with ArrayFieldEquality {
 
     override def dataType: DataType = DoubleType
     override def prettyName: String = "centroid_dot"
@@ -245,7 +248,8 @@ object PqKernels {
   }
 
   case class CentroidResidualExpr(left: Expression, right: Expression, cents: Array[Array[Double]])
-      extends BinaryExpression {
+      extends BinaryExpression
+      with ArrayFieldEquality {
 
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
     override def prettyName: String = "centroid_residual"
@@ -303,7 +307,8 @@ object PqKernels {
       third: Expression,
       centsA: Array[Array[Double]],
       centsB: Array[Array[Double]]
-  ) extends TernaryExpression {
+  ) extends TernaryExpression
+      with ArrayFieldEquality {
 
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
     override def prettyName: String = "imi_residual"

@@ -20,7 +20,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * counts. Exactness: a count of exact string matches is the same
   * integer either way (NULL tokens match nothing, as with `===`).
   */
-case class TermCountsExpr(child: Expression, terms: Array[String]) extends UnaryExpression {
+case class TermCountsExpr(child: Expression, terms: Array[String])
+    extends UnaryExpression
+    with ArrayFieldEquality {
 
   @transient private lazy val utf8Terms: Array[UTF8String] =
     terms.map(UTF8String.fromString)

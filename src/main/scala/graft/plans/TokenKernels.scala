@@ -110,7 +110,8 @@ object TokenKernels {
   }
 
   case class RollingPolyHashExpr(child: Expression, coeffs: Array[Long], p: Long)
-      extends UnaryExpression {
+      extends UnaryExpression
+      with ArrayFieldEquality {
 
     override def dataType: DataType = ArrayType(LongType, containsNull = true)
     override def prettyName: String = "rolling_poly_hash"
@@ -156,10 +157,19 @@ object TokenKernels {
     s
   }
 
-  case class BucketWeightSumExpr(child: Expression, weights: Array[Long]) extends UnaryExpression {
+  case class BucketWeightSumExpr(child: Expression, weights: Array[Long])
+      extends UnaryExpression
+      with ArrayFieldEquality {
 
     override def dataType: DataType = LongType
     override def prettyName: String = "bucket_weight_sum"
+    // weightSum returns null on a null ELEMENT of a non-null array, so
+    // this expression is nullable regardless of the child's nullability
+    // (inheriting the child's `false` would emit `ev.isNull = true`
+    // against a literal-false isNull in codegen → Janino compile error
+    // and a silent interpreted fallback the first time tokens() ever
+    // yields a non-nullable array)
+    override def nullable: Boolean = true
 
     override def checkInputDataTypes(): TypeCheckResult =
       requireType(prettyName, child.dataType, ArrayType(StringType), "array<string>")

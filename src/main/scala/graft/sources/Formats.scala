@@ -910,7 +910,10 @@ object Formats {
         "status",
         when(col("embedding").isNull, lit("null_vec"))
           .when(size(col("embedding")) =!= dim, lit("bad_dim"))
-          .when(expr("exists(embedding, x -> isnan(x))"), lit("nan_component"))
+          // round 15: has_nan kernel — exists()'s lambda is interpreted
+          // per element; same semantics (isnan(null) is false, so the
+          // exists never goes tri-state)
+          .when(graft.plans.TextStatKernels.hasNaN(col("embedding")), lit("nan_component"))
           .otherwise(lit("ok"))
       )
       .groupBy(col("status"))

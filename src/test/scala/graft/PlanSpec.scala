@@ -13,6 +13,46 @@ class PlanSpec extends SparkSpec {
 
   private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
+  /** Queries whose physical plan may contain an interpreted
+    * higher-order-function lambda (`lambdafunction(`), each with the
+    * reason it is allowed to keep one. Everything else must stay
+    * lambda-free: Spark's transform/filter/aggregate/exists are
+    * CodegenFallback — an interpreted per-element closure on a hot
+    * path — and rounds 14/15 swept them into codegen'd kernels
+    * (TokenKernels / TextStatKernels / PqKernels / CountBelow). This
+    * lint keeps a future round from quietly reintroducing one.
+    */
+  private val lambdaAllowed: Map[String, String] = Map(
+    // b45_listagg's per-group name-sort transform lives inside the
+    // aggregate result expression and does not surface in
+    // executedPlan.toString — it is per-GROUP output work over ≤5 TopK
+    // survivors either way, so it needs no entry here
+    "c56_bpe_pairs" -> "per-WORD substr positions over the deduplicated vocabulary (bounded by alphabet/word length), not the corpus token stream",
+    "c111_unigram_segment" -> "amortized trained-segmenter serve: the DP fold runs over the ≤43-row vocab array per doc, charged per (app, sfDir)",
+    "c65_doc_embedding" -> "per-CHUNK md5/conv staging (stride 24 → ~1/24th of tokens); the md5 digest dominates each lambda body",
+    "c77_source_drift" -> "same per-chunk md5Embed staging as c65, over two bounded halves",
+    "c43_chunk_dedup_rewrite" -> "per-CHUNK removed-list membership + slice reassembly; chunk count and removed list are both corpus-bounded"
+  )
+
+  test("lint: no interpreted lambda (lambdafunction) in any query plan outside the documented allowlist") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val p =
+        try plan(fn(spark, sf0001))
+        catch { case e: Throwable => fail(s"$name: plan construction failed: ${e.getMessage}") }
+      if (p.contains("lambdafunction(") && !lambdaAllowed.contains(name)) Some(name) else None
+    }
+    assert(
+      offenders.isEmpty,
+      s"interpreted HOF lambda reintroduced on: ${offenders.mkString(", ")} — " +
+        "replace with a codegen'd kernel (see graft.plans.TextStatKernels) or document it in lambdaAllowed"
+    )
+    // the allowlist must not go stale: every entry still has a lambda
+    val stale = lambdaAllowed.keys.toSeq.sorted.filterNot { name =>
+      plan(SparkEntry.queries(name)(spark, sf0001)).contains("lambdafunction(")
+    }
+    assert(stale.isEmpty, s"allowlist entries no longer needed (remove them): ${stale.mkString(", ")}")
+  }
+
   test("b1: filter and projection pushed to the parquet scan") {
     val p = plan(Relational.b1AggPricing(spark, sf0001))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
@@ -1638,8 +1678,25 @@ class PlanSpec extends SparkSpec {
     assert(windows.exists(_.partitionSpec.nonEmpty))
   }
 
-  test("b19: correlated scalar subqueries decorrelate — no per-row subquery, no nested loop") {
+  test("b19: engine-side Q17 form stays a shared-aggregate join — no per-row subquery, no nested loop") {
+    // b19SqlCorrelated runs Q17EngineSql (round 14's shared per-partkey
+    // aggregate), which contains no correlated subquery by construction;
+    // this asserts the ENGINE shape stays nested-loop-free. The original
+    // correlated capability is covered by the Q17Sql test below.
     val df = GraftSql.b19SqlCorrelated(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("ScalarSubquery"),
+      "engine-side Q17 must not reintroduce a per-outer-row subquery")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("b19 capability: the ORIGINAL correlated Q17Sql decorrelates — no per-row subquery, no nested loop") {
+    // the oracle-side SQL keeps the correlated scalar subquery; this is
+    // the decorrelation capability b19 was written to cover (the engine
+    // entry now runs Q17EngineSql, so without this test the capability
+    // assertion would be vacuous — round-14 ADVICE)
+    val df = GraftSql.sql(spark, sf0001, GraftSql.Q17Sql)
     df.collect()
     val p = plan(df)
     assert(!p.contains("ScalarSubquery"),
@@ -2200,6 +2257,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), s"hot-list count not map-side partial:\n$p")
     assert(p.contains("LeftAnti"), s"df cap is not an anti-join:\n$p")
     assert(!p.contains("Window"), s"df cap must not buffer per-key groups:\n$p")
+  }
+
+  test("c2/c59: shared shingle index builds once, serves from parquet, and matches the from-scratch rows") {
+    val c2 = TextDedup.c2NgramJaccard(spark, sf0001)
+    val c2Rows = c2.collect() // first touch forces the build
+    val dir = TextDedup.shingleIndexDir(spark, sf0001)
+    assert(new java.io.File(dir).exists(), s"index artifact not written under $dir")
+    // both consumers' SERVE plans read the persisted index and compute
+    // no shingles (no tokenization, no shingle hashing — the build/serve
+    // split's whole point)
+    for ((name, df) <- Seq(
+        "c2" -> TextDedup.c2NgramJaccard(spark, sf0001),
+        "c59" -> TextDedup.c59Containment(spark, sf0001)
+      )) {
+      val p = plan(df)
+      assert(p.contains("graft_shingleindex"), s"$name serve plan does not read the index artifact:\n$p")
+      assert(!p.contains("md5_tokens") && !p.contains("rolling_poly_hash"),
+        s"$name serve plan recomputes shingles:\n$p")
+    }
+    // served rows are identical to the from-scratch compute
+    val fresh = TextDedup.c2NgramJaccardCapped(spark, sf0001, TextDedup.MaxShingleDf).collect()
+    assert(c2Rows.toSet == fresh.toSet, "served c2 diverges from the from-scratch compute")
   }
 
   test("c29: the ADC stage broadcasts the 10 queries — never a shuffled cartesian") {
