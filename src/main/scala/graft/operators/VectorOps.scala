@@ -66,7 +66,13 @@ object VectorOps {
     * contract through bucketed candidates instead of this self-join.
     */
   def c5EmbeddingDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = vecs(spark, sfDir)
+    // materialized ONCE before the pair fan-out (round 15): whole-stage
+    // codegen defers stream-side column evaluation into the nested-loop
+    // join's build loop, so an un-materialized vn would re-run the
+    // normalize PER PAIR (measured on c78: 0.4 → 1.5 s when the r15
+    // cast removed the old transform's implicit CodegenFallback stage
+    // break). The checkpoint also deduplicates the two scans.
+    val e = vecs(spark, sfDir).localCheckpoint()
     val a = e.select(col("vec_id").as("vec_a"), col("vn").as("va"))
     val b = e.select(col("vec_id").as("vec_b"), col("vn").as("vb"))
     a.join(b, col("vec_a") < col("vec_b"))
@@ -2334,10 +2340,17 @@ object VectorOps {
     val projCols = jlSigns.zipWithIndex.map { case (row, j) =>
       (arrayDot(col("vn"), typedLit(row)) * scale).as(s"p$j")
     }
+    // materialized before the query fan-out (round 15, c5's note): the
+    // 16 JL sketch dots + the normalize would otherwise re-run per
+    // (candidate × query) inside the fused cross-join stage; the
+    // checkpoint also deduplicates the queries/cands scans. This is the
+    // docstring's serving story made physical: the sketch column is
+    // computed once and sits hot.
     val e = e0
       .select(col("vec_id") +: col("vn") +: projCols: _*)
       .withColumn("p", array((0 until JlDim).map(j => col(s"p$j")): _*))
       .select(col("vec_id"), col("vn"), col("p"))
+      .localCheckpoint()
     val queries = e
       .filter(col("vec_id") < NumQueryVecs)
       .select(col("vec_id").as("query_id"), col("vn").as("qv"), col("p").as("qp"))
@@ -2487,7 +2500,11 @@ object VectorOps {
     * (src_id, tgt_id, cos) cross of the two sides.
     */
   private[graft] def bitextAllPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = bitextVecs(spark, sfDir)
+    // materialized before the cross fan-out (round 15, c5's note): an
+    // un-materialized vn re-runs the normalize per PAIR inside the
+    // fused nested-loop stage — c78 measured 2.6 s vs 0.33 s
+    // checkpointed (C78Probe); also deduplicates the src/tgt scans
+    val e = bitextVecs(spark, sfDir).localCheckpoint()
     val src = e.filter(col("label") < BitextSrcLabels).select(col("vec_id").as("src_id"), col("vn").as("sv"))
     val tgt = e.filter(col("label") >= BitextSrcLabels).select(col("vec_id").as("tgt_id"), col("vn").as("tv"))
     tgt

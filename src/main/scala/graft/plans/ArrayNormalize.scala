@@ -2,9 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.shims
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
@@ -71,7 +71,15 @@ object ArrayNormalize {
       out(i) = a.getDouble(i) / norm
       i += 1
     }
-    new GenericArrayData(out)
+    // PRIMITIVE-backed result, not GenericArrayData(Array[Double]) —
+    // that constructor boxes every element, and when whole-stage
+    // codegen fuses this projection into a join stage (no UnsafeRow
+    // materialization boundary in between) the boxed array is what the
+    // per-PAIR dot loops downstream read: round 15 measured c78 going
+    // 1.3 → 2.6 s when the vecs() cast removed the CodegenFallback
+    // stage break that used to force materialization. fromPrimitiveArray
+    // keeps element access primitive no matter how stages fuse.
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** Column-level entry point. */

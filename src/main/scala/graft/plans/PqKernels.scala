@@ -2,9 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.shims
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
@@ -89,7 +89,7 @@ object PqKernels {
       off += subDim
       mi += 1
     }
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   case class PqEncodeExpr(
@@ -244,7 +244,9 @@ object PqKernels {
       out(d) = v.getDouble(d) - c(d)
       d += 1
     }
-    new GenericArrayData(out)
+    // primitive-backed (see ArrayNormalize.normalize): the residual is
+    // re-read per subspace by the encode loop — keep access unboxed
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   case class CentroidResidualExpr(left: Expression, right: Expression, cents: Array[Array[Double]])
@@ -298,7 +300,7 @@ object PqKernels {
       out(half + e) = v.getDouble(half + e) - b(e)
       e += 1
     }
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   case class ImiResidualExpr(
