@@ -87,10 +87,10 @@ object SparkEntry {
     "c17_dedup_embedding_lsh" -> ((s, d) => VectorOps.c17EmbeddingDedupLsh(s, d)),
     "c18_ann_ivf" -> ((s, d) => VectorOps.c18AnnIvf(s, d)),
     "c101_ann_imi" -> ((s, d) => VectorOps.c101AnnImi(s, d)),
-    "c35_semdedup" -> (VectorOps.c35SemDedup _),
+    "c35_semdedup" -> ((s, d) => VectorOps.c35SemDedup(s, d)),
     "c39_embedding_outliers" -> (VectorOps.c39EmbeddingOutliers _),
     "c24_ann_ivf_trained" -> ((s, d) => VectorOps.c24AnnIvfTrained(s, d)),
-    "c29_ann_pq" -> (VectorOps.c29AnnPq _),
+    "c29_ann_pq" -> ((s, d) => VectorOps.c29AnnPq(s, d)),
     "c19_stratified_sample" -> (Sampling.c19StratifiedSample _),
     "c36_temperature_mix" -> (Sampling.c36TemperatureMix _),
     "c37_importance_score" -> (TextAnalysis.c37ImportanceScore _),
@@ -104,10 +104,10 @@ object SparkEntry {
     "c46_weighted_sample" -> (Sampling.c46WeightedSample _),
     "c47_dup_spans" -> (TextAnalysis.c47DupSpans _),
     "c103_exactsubstr_spans" -> (TextAnalysis.c103ExactSubstrSpans _),
-    "c104_ann_ivfadc" -> (VectorOps.c104AnnIvfAdc _),
-    "c106_ann_imi_trained" -> (VectorOps.c106AnnImiTrained _),
+    "c104_ann_ivfadc" -> ((s, d) => VectorOps.c104AnnIvfAdc(s, d)),
+    "c106_ann_imi_trained" -> ((s, d) => VectorOps.c106AnnImiTrained(s, d)),
     "c107_trained_quality" -> (TextAnalysis.c107TrainedQuality _),
-    "c108_ann_imi_adc" -> (VectorOps.c108AnnImiAdc _),
+    "c108_ann_imi_adc" -> ((s, d) => VectorOps.c108AnnImiAdc(s, d)),
     "c109_unigram_train" -> (TextAnalysis.c109UnigramTrain _),
     "c110_image_dhash_wide" -> (Multimodal.c110ImageDhashWidePairs _),
     "c111_unigram_segment" -> (TextAnalysis.c111UnigramSegment _),

@@ -554,13 +554,22 @@ object VectorOps {
   private def bandBuckets(e: DataFrame, bands: Int, planesPerBand: Int): DataFrame = {
     val planes = hyperplanes(bands * planesPerBand, Dim)
     val bits = graft.plans.HyperplaneSignBits.hyperplaneBits(col("vn"), planes)
+    bandBucketsFromBits(e.select(col("vec_id"), bits.as("bits")), bands, planesPerBand)
+  }
+
+  /** [[bandBuckets]] over a frame that ALREADY carries the packed sign
+    * bits in a `bits` column: the per-band bucket fan-out is pure
+    * shift-and-mask, so a caller that materializes (vec_id, vn, bits)
+    * once can explode BOTH self-join sides from the same blocks without
+    * re-running the plane projection (c7/c17's round-15 posture).
+    */
+  private def bandBucketsFromBits(eb: DataFrame, bands: Int, planesPerBand: Int): DataFrame = {
     val mask = (1 << planesPerBand) - 1
     val bandCols: Seq[Column] = (0 until bands).map { bIdx =>
       val bucket = shiftright(col("bits"), bIdx * planesPerBand).bitwiseAND(lit(mask.toLong)).cast("int")
       struct(lit(bIdx).as("band_idx"), bucket.as("bucket"))
     }
-    e.select(col("vec_id"), bits.as("bits"))
-      .select(col("vec_id"), col("bits"), explode(array(bandCols: _*)).as("b"))
+    eb.select(col("vec_id"), col("bits"), explode(array(bandCols: _*)).as("b"))
       .select(col("b.band_idx").as("band_idx"), col("b.bucket").as("bucket"), col("vec_id"), col("bits"))
   }
 
@@ -601,10 +610,24 @@ object VectorOps {
       spark: SparkSession,
       sfDir: String,
       bands: Int = C17Bands,
-      planesPerBand: Int = C17PlanesPerBand
+      planesPerBand: Int = C17PlanesPerBand,
+      materializeOnce: Boolean = true
   ): DataFrame = {
-    val e = vecs(spark, sfDir)
-    val bb = bandBuckets(e, bands, planesPerBand)
+    // (vec_id, vn, bits) materialized ONCE (round 15): the un-materialized
+    // form scanned the corpus four times — normalize ×4 and the 32-plane
+    // sign projection ×2 (once per self-join side) — to serve two
+    // band-bucket sides and two verify attaches. One localCheckpoint of
+    // the narrow frame feeds all four consumers; every value is a
+    // deterministic row-local function of the scan, so materializing
+    // changes nothing the oracle can see.
+    val planes = hyperplanes(bands * planesPerBand, Dim)
+    val ebRaw = vecs(spark, sfDir).select(
+      col("vec_id"),
+      col("vn"),
+      graft.plans.HyperplaneSignBits.hyperplaneBits(col("vn"), planes).as("bits")
+    )
+    val eb = if (materializeOnce) ebRaw.localCheckpoint() else ebRaw
+    val bb = bandBucketsFromBits(eb.select(col("vec_id"), col("bits")), bands, planesPerBand)
     val cand = bb
       .select(col("band_idx"), col("bucket"), col("vec_id").as("vec_a"), col("bits").as("bits_a"))
       .join(
@@ -617,8 +640,8 @@ object VectorOps {
       )
       .select(col("vec_a"), col("vec_b"))
     cand
-      .join(e.select(col("vec_id").as("vec_a"), col("vn").as("va")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("vn").as("vb")), "vec_b")
+      .join(eb.select(col("vec_id").as("vec_a"), col("vn").as("va")), "vec_a")
+      .join(eb.select(col("vec_id").as("vec_b"), col("vn").as("vb")), "vec_b")
       .withColumn("cos", arrayDot(col("va"), col("vb")))
       .filter(col("cos") >= NearDupThreshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
@@ -681,7 +704,12 @@ object VectorOps {
     * clustered real embeddings co-locate (the same degeneracy note as
     * c18's nprobe).
     */
-  def c96DedupEmbeddingIvf(spark: SparkSession, sfDir: String, lists: Int = AutoLists): DataFrame = {
+  def c96DedupEmbeddingIvf(
+      spark: SparkSession,
+      sfDir: String,
+      lists: Int = AutoLists,
+      materializeOnce: Boolean = true
+  ): DataFrame = {
     val nLists = if (lists == AutoLists) scaledLists(embCount(spark, sfDir), C96Lists) else lists
     val e = vecs(spark, sfDir)
     // driver-held centroids + the native CentroidTopK kernel (c90/c61's
@@ -697,13 +725,23 @@ object VectorOps {
       .sortBy(_._1)
       .toSeq
     val top2 = graft.plans.CentroidTopK.centroidTopK(col("vn"), cents, 2)
-    val asgSets = e
+    // NARROW (vec_id, l1, l2) materialized ONCE (round 15): the
+    // streaming form ran the √n-list CentroidTopK assignment TWICE
+    // (once per candidate self-join side); the checkpoint is 3 longs a
+    // row — the verify attaches keep streaming the (cheap) normalize
+    // from parquet. A WIDE (vec_id, vn, l1, l2) checkpoint was also
+    // A/B'd and lost at 8 cores (0.345 → 0.392 s): shipping 64 doubles
+    // per row through the materialization costs more than the two
+    // normalize re-runs it saves. Deterministic row-local columns, so
+    // no value changes.
+    val asgSetsRaw = e
       .select(col("vec_id"), top2.as("p2"))
       .select(
         col("vec_id"),
         least(element_at(col("p2"), 1), element_at(col("p2"), 2)).as("l1"),
         greatest(element_at(col("p2"), 1), element_at(col("p2"), 2)).as("l2")
       )
+    val asgSets = if (materializeOnce) asgSetsRaw.localCheckpoint() else asgSetsRaw
     val asg = asgSets
       .select(col("vec_id"), col("l1"), col("l2"), explode(array(col("l1"), col("l2"))).as("list_id"))
     val a = asg.select(col("list_id"), col("vec_id").as("vec_a"), col("l1").as("l1a"), col("l2").as("l2a"))
@@ -986,7 +1024,7 @@ object VectorOps {
     * composed with c101's cell algebra — identical float ops in
     * identical order.
     */
-  def c106AnnImiTrained(spark: SparkSession, sfDir: String): DataFrame = {
+  def c106AnnImiTrained(spark: SparkSession, sfDir: String, materializeOnce: Boolean = true): DataFrame = {
     val e = vecs(spark, sfDir)
     val hk = imiHalfK(embCount(spark, sfDir))
     val nProbes = math.max(ImiCellProbes, 4 * hk)
@@ -994,9 +1032,12 @@ object VectorOps {
     val queries = e
       .filter(col("vec_id") < NumQueryVecs)
       .select(col("vec_id").as("query_id"), col("vn").as("qv"))
-    val cands = e
+    // c29's round-15 materialize-once posture (cell-assign pass + exact
+    // attach share one checkpointed (neighbor_id, vn)).
+    val candsRaw = e
       .filter(col("vec_id") >= NumQueryVecs)
       .select(col("vec_id").as("neighbor_id"), col("vn"))
+    val cands = if (materializeOnce) candsRaw.localCheckpoint() else candsRaw
     val centsA = centroidCache.getOrElseUpdate(spark.sparkContext, s"$sfDir|imiA|hk=$hk|iters=$C106Iters") {
       trainCentroids(cands.select(col("neighbor_id"), slice(col("vn"), 1, half).as("vn")), hk, C106Iters)
     }
@@ -1168,7 +1209,7 @@ object VectorOps {
     * end to end. Recall floor vs c104 at equal budget lives in
     * VectorRecallSpec.
     */
-  def c108AnnImiAdc(spark: SparkSession, sfDir: String): DataFrame = {
+  def c108AnnImiAdc(spark: SparkSession, sfDir: String, materializeOnce: Boolean = true): DataFrame = {
     val e = vecs(spark, sfDir)
     val hk = imiHalfK(embCount(spark, sfDir))
     val nProbes = math.max(ImiCellProbes, 4 * hk)
@@ -1176,9 +1217,12 @@ object VectorOps {
     val queries = e
       .filter(col("vec_id") < NumQueryVecs)
       .select(col("vec_id").as("query_id"), col("vn").as("qv"))
-    val cands = e
+    // c29's round-15 materialize-once posture: encode pass + exact
+    // re-rank attach share one checkpointed (neighbor_id, vn).
+    val candsRaw = e
       .filter(col("vec_id") >= NumQueryVecs)
       .select(col("vec_id").as("neighbor_id"), col("vn"))
+    val cands = if (materializeOnce) candsRaw.localCheckpoint() else candsRaw
     val centsA = centroidCache.getOrElseUpdate(spark.sparkContext, s"$sfDir|imiA|hk=$hk|iters=$C106Iters") {
       trainCentroids(cands.select(col("neighbor_id"), slice(col("vn"), 1, half).as("vn")), hk, C106Iters)
     }
@@ -1435,15 +1479,21 @@ object VectorOps {
       sfDir: String,
       k: Int = C24Lists,
       nprobe: Int = C24Probes,
-      iters: Int = C24Iters
+      iters: Int = C24Iters,
+      materializeOnce: Boolean = true
   ): DataFrame = {
     val e = vecs(spark, sfDir)
     val queries = e
       .filter(col("vec_id") < NumQueryVecs)
       .select(col("vec_id").as("query_id"), col("vn").as("qv"))
-    val cands = e
+    // c29's round-15 materialize-once posture — and c24 re-reads the
+    // corpus a THIRD time for the gate's recall-instrumentation exact
+    // pass, so the shared checkpoint covers ivf assign + brute-force +
+    // re-rank attach.
+    val candsRaw = e
       .filter(col("vec_id") >= NumQueryVecs)
       .select(col("vec_id").as("neighbor_id"), col("vn"))
+    val cands = if (materializeOnce) candsRaw.localCheckpoint() else candsRaw
     val cents = centroidCache.getOrElseUpdate(spark.sparkContext, s"$sfDir|k=$k|iters=$iters") {
       trainCentroids(cands, k, iters)
     }
@@ -1657,14 +1707,19 @@ object VectorOps {
     )
   }
 
-  def c29AnnPq(spark: SparkSession, sfDir: String): DataFrame = {
+  def c29AnnPq(spark: SparkSession, sfDir: String, materializeOnce: Boolean = true): DataFrame = {
     val e = vecs(spark, sfDir)
     val queries = e
       .filter(col("vec_id") < NumQueryVecs)
       .select(col("vec_id").as("query_id"), col("vn").as("qv"))
-    val cands = e
+    // (neighbor_id, vn) materialized ONCE (round 15): the code/encode
+    // pass and the exact re-rank attach each re-scanned + re-normalized
+    // the corpus; one checkpoint serves both (deterministic row-local
+    // columns — no value changes).
+    val candsRaw = e
       .filter(col("vec_id") >= NumQueryVecs)
       .select(col("vec_id").as("neighbor_id"), col("vn"))
+    val cands = if (materializeOnce) candsRaw.localCheckpoint() else candsRaw
     annPq(cands, queries, pqCodebooks(e), PqReRank, 5)
   }
 
@@ -1791,14 +1846,17 @@ object VectorOps {
     * same shortlist. Recall floor vs the exact c6 baseline lives in
     * VectorRecallSpec.
     */
-  def c104AnnIvfAdc(spark: SparkSession, sfDir: String): DataFrame = {
+  def c104AnnIvfAdc(spark: SparkSession, sfDir: String, materializeOnce: Boolean = true): DataFrame = {
     val e = vecs(spark, sfDir)
     val queries = e
       .filter(col("vec_id") < NumQueryVecs)
       .select(col("vec_id").as("query_id"), col("vn").as("qv"))
-    val cands = e
+    // c29's round-15 materialize-once posture: encode pass + exact
+    // re-rank attach share one checkpointed (neighbor_id, vn).
+    val candsRaw = e
       .filter(col("vec_id") >= NumQueryVecs)
       .select(col("vec_id").as("neighbor_id"), col("vn"))
+    val cands = if (materializeOnce) candsRaw.localCheckpoint() else candsRaw
     val cents = centroidCache.getOrElseUpdate(spark.sparkContext, s"$sfDir|k=$C24Lists|iters=$C24Iters") {
       trainCentroids(cands, C24Lists, C24Iters)
     }
@@ -1856,18 +1914,24 @@ object VectorOps {
     * against the oracle's ROW_NUMBER form; then [[semDedupAssigned]].
     * One corpus scan for the assignment, one bucketed self-join.
     */
-  def c35SemDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  def c35SemDedup(spark: SparkSession, sfDir: String, materializeOnce: Boolean = true): DataFrame = {
     val e = vecs(spark, sfDir)
     // round-14: kernel assignment over the 25 driver-collected seed
     // centroids — the n×25 crossJoin and the per-vector argmax
     // re-aggregation exchange are gone (same tie rule; see c18).
-    val asg = e.select(
+    // round-15: the assigned frame is materialized ONCE — the streaming
+    // form re-ran the normalize + 25-centroid argmax on all THREE
+    // consumers ([[semDedupAssigned]]'s two pair sides and the verdict
+    // left join). Deterministic row-local columns, so the checkpoint
+    // changes no value.
+    val asgRaw = e.select(
       col("vec_id"),
       element_at(graft.plans.CentroidTopK.centroidTopK(col("vn"), semCentRows(spark, sfDir), 1), 1)
         .cast("bigint")
         .as("list_id"),
       col("vn")
     )
+    val asg = if (materializeOnce) asgRaw.localCheckpoint() else asgRaw
     semDedupAssigned(asg, SemDedupThreshold)
   }
 
@@ -1978,10 +2042,21 @@ object VectorOps {
       spark: SparkSession,
       sfDir: String,
       bands: Int = C7Bands,
-      planesPerBand: Int = C7PlanesPerBand
+      planesPerBand: Int = C7PlanesPerBand,
+      materializeOnce: Boolean = true
   ): DataFrame = {
-    val e = vecs(spark, sfDir)
-    val bb = bandBuckets(e, bands, planesPerBand)
+    // c17's round-15 materialize-once posture: one (vec_id, vn, bits)
+    // checkpoint serves the query-side and candidate-side band explodes
+    // plus the query broadcast and the exact-cosine attach — the
+    // 48-plane sign projection and the normalize run once, not 2×/4×.
+    val planes = hyperplanes(bands * planesPerBand, Dim)
+    val ebRaw = vecs(spark, sfDir).select(
+      col("vec_id"),
+      col("vn"),
+      graft.plans.HyperplaneSignBits.hyperplaneBits(col("vn"), planes).as("bits")
+    )
+    val e = if (materializeOnce) ebRaw.localCheckpoint() else ebRaw
+    val bb = bandBucketsFromBits(e.select(col("vec_id"), col("bits")), bands, planesPerBand)
     val qb = bb.filter(col("vec_id") < NumQueryVecs)
     val cb = bb.filter(col("vec_id") >= NumQueryVecs)
     val cand = qb
