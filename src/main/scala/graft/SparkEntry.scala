@@ -99,7 +99,7 @@ object SparkEntry {
     "c41_heavy_hitters" -> (TextAnalysis.c41HeavyHitters _),
     "c42_epoch_mix" -> (Sampling.c42EpochMix _),
     "c43_chunk_dedup_rewrite" -> (TextAnalysis.c43ChunkDedupRewrite _),
-    "c44_bloom_dedup" -> (Sampling.c44BloomDedup _),
+    "c44_bloom_dedup" -> ((s, d) => Sampling.c44BloomDedup(s, d)),
     "c45_quality_canonical" -> (TextAnalysis.c45QualityCanonical _),
     "c46_weighted_sample" -> (Sampling.c46WeightedSample _),
     "c47_dup_spans" -> (TextAnalysis.c47DupSpans _),
@@ -186,7 +186,7 @@ object SparkEntry {
     "b47_mode_native" -> (Relational.b47ModeNative _),
     "b48_ratio_to_report" -> (Relational.b48RatioToReport _),
     "s20_neardup_index" -> (TextDedup.s20NearDupIndex _),
-    "c73_split_leakage" -> (Sampling.c73SplitLeakage _),
+    "c73_split_leakage" -> ((s, d) => Sampling.c73SplitLeakage(s, d)),
     "s21_shallow_clone" -> (graft.sources.Formats.s21ShallowClone _),
     "b49_set_ops_all" -> (GraftSql.b49SetOpsAll _),
     "b50_dist_windows" -> (Relational.b50DistWindows _),

@@ -514,12 +514,21 @@ object Sampling {
     * `history.count()` here stands in for the snapshot row count a
     * production metastore already tracks.
     */
-  def c44BloomDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  def c44BloomDedup(spark: SparkSession, sfDir: String, materializeOnce: Boolean = true): DataFrame = {
     val docs = Tables
       .documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
     val isNew = col("doc_id") % IncrEvery === 0
-    bloomAdmit(docs.filter(!isNew).select(col("h")), docs.filter(isNew))
+    // history's hash column materialized ONCE (round 15, c21's
+    // checkpoint posture): the streaming form re-scanned the full
+    // corpus text and re-ran md5 for BOTH history consumers (the Bloom
+    // build and the exact-verify semi-join) plus the snapshot count;
+    // the checkpoint is one narrow hash column and none of the three
+    // history jobs re-touch text bytes. Deterministic row-local hash —
+    // no value changes.
+    val histRaw = docs.filter(!isNew).select(col("h"))
+    val hist = if (materializeOnce) histRaw.localCheckpoint() else histRaw
+    bloomAdmit(hist, docs.filter(isNew), materializeOnce)
   }
 
   /** Generic core of [[c44BloomDedup]]: `history` is a 1-column frame
@@ -529,15 +538,23 @@ object Sampling {
     * plain anti-join, with only the batch canonicalization ever
     * shuffling.
     */
-  def bloomAdmit(history: DataFrame, batch: DataFrame): DataFrame = {
+  def bloomAdmit(history: DataFrame, batch: DataFrame, materializeOnce: Boolean = true): DataFrame = {
     val bloomBytes = history
       .agg(graft.plans.BloomAdmit.bloomAgg(xxhash64(col("h")), history.count(), BloomFpp).as("bf"))
       .head()
       .getAs[Array[Byte]]("bf")
-    val canonical = batch
+    // the canonicalized batch materialized ONCE (round 15): its
+    // groupBy (the operator's ONLY exchange) fed three consumers — the
+    // definitely-new branch, the candidate branch, and the candidate
+    // hash set the exact-verify probe broadcasts — re-running the
+    // batch scan + md5 + exchange each time. The batch is a daily
+    // sliver by contract, so the checkpoint is small at any corpus
+    // scale.
+    val canonicalRaw = batch
       .groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("lang"))).as("w"))
       .select(col("w.doc_id").as("doc_id"), col("w.lang").as("lang"), col("h"))
+    val canonical = if (materializeOnce) canonicalRaw.localCheckpoint() else canonicalRaw
     val maybeDup = graft.plans.BloomAdmit.mightContain(bloomBytes, xxhash64(col("h")))
     val definite = canonical.filter(!maybeDup)
     val candidates = canonical.filter(maybeDup)
@@ -1120,8 +1137,20 @@ object Sampling {
     * clean (all-zero report); the spec plants a cross-split near-dup
     * and proves the hit branch.
     */
-  def c73SplitLeakage(spark: SparkSession, sfDir: String): DataFrame =
-    c73SplitLeakageFrom(graft.operators.TextDedup.shingleHashes(spark, sfDir))
+  def c73SplitLeakage(spark: SparkSession, sfDir: String, materializeOnce: Boolean = false): DataFrame = {
+    // round 15: a shingle-frame localCheckpoint (c21's posture) was
+    // BUILT, MEASURED, AND REJECTED here — A/B medians 0.692 → 0.996 s
+    // @32c and 0.680 → 0.805 s @8c. The reason it loses where c21's
+    // wins: the split predicate is a pure doc_id function, so Catalyst
+    // pushes each branch's filter BELOW the shingle projection — the
+    // streaming test branches tokenize only the ~1% test slice and the
+    // train branch its slice, ≈ one full shingle pass in total, while
+    // the checkpoint forces a 100% materialization plus the write.
+    // c21 differs because BOTH its branches are corpus-sized consumers
+    // of the SAME rows. Kept param so the A/B stays reproducible.
+    val shRaw = graft.operators.TextDedup.shingleHashes(spark, sfDir)
+    c73SplitLeakageFrom(if (materializeOnce) shRaw.localCheckpoint() else shRaw)
+  }
 
   /** The leakage report over any (doc_id, h) distinct-shingle frame —
     * split out so the spec can plant shingle sets whose ids land in

@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.DataFrame
 
-import graft.operators.VectorOps
+import graft.operators.VectorOps // c44/c73 variants reference Sampling inline
 
 /** Round-15 A/B probe #2 (test scope, b23's protocol): time the
   * streaming vs materialize-once forms of the vector-family self-join
@@ -44,8 +44,15 @@ object R15Ab2 {
       ("c106_stream", () => VectorOps.c106AnnImiTrained(spark, sfDir, materializeOnce = false)),
       ("c106_ckpt", () => VectorOps.c106AnnImiTrained(spark, sfDir, materializeOnce = true)),
       ("c24_stream", () => VectorOps.c24AnnIvfTrained(spark, sfDir, materializeOnce = false)),
-      ("c24_ckpt", () => VectorOps.c24AnnIvfTrained(spark, sfDir, materializeOnce = true))
-    )
+      ("c24_ckpt", () => VectorOps.c24AnnIvfTrained(spark, sfDir, materializeOnce = true)),
+      ("c44_stream", () => graft.operators.Sampling.c44BloomDedup(spark, sfDir, materializeOnce = false)),
+      ("c44_ckpt", () => graft.operators.Sampling.c44BloomDedup(spark, sfDir, materializeOnce = true)),
+      ("c73_stream", () => graft.operators.Sampling.c73SplitLeakage(spark, sfDir, materializeOnce = false)),
+      ("c73_ckpt", () => graft.operators.Sampling.c73SplitLeakage(spark, sfDir, materializeOnce = true))
+    ).filter { case (name, _) =>
+      // optional 2nd arg: comma-separated name prefixes to run a subset
+      args.length < 2 || args(1).split(",").exists(name.startsWith)
+    }
     // warmup (codegen/JIT/caches) then timed passes, interleaved per
     // pass so drift hits all variants alike
     variants.foreach { case (_, fn) => time(fn()) }
